@@ -1,0 +1,43 @@
+"""Embedding similarity as native Catalyst higher-order functions.
+
+No Python UDFs: ``zip_with`` + ``aggregate`` run inside the JVM, so the
+cosine scan stays in whole-stage codegen and scales linearly with
+partitions — the property we need for 100 TB brute-force scoring.
+Elements are cast to double before multiply so both engines accumulate
+in float64; scores are bounded by 1 so ``round(sim, 6)`` is safely
+inside cross-engine float error (~1e-14).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i*b_i in float64, left-to-right (deterministic)."""
+    products = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(products, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def dot_sql(a: str, b: str) -> str:
+    """DuckDB mirror of :func:`dot` (list_zip + lambda, float64)."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"({dot_sql(a, b)} / (sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)})))"
+
+
+COSINE_SQL = cosine_sql

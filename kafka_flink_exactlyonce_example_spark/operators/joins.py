@@ -1,0 +1,250 @@
+"""Join shapes (SURVEY.md §2.3) over the measured star schema.
+
+Scale posture: dimension tables (region 5, nation 25, supplier ~1k,
+customer ~15k rows at sf0.1) are explicitly ``F.broadcast`` where the
+query is a star probe — at 100 TB the fact side never shuffles for
+those joins. The one deliberate non-equi join (q_join_range) is kept on
+the smallest table because BNLJ is quadratic; that's a semantics demo,
+not a scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_flink_exactlyonce_example_spark.functions.money import cents, cents_sql
+from kafka_flink_exactlyonce_example_spark.registry import query
+from kafka_flink_exactlyonce_example_spark.sources import table
+
+
+@query(
+    "q_join_inner",
+    oracle=f"""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) AS sum_price_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("sum_price_cents"),
+        )
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c_custkey,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
+                FROM customer GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp
+                FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey)
+    SELECT COALESCE(cn.nk, sn.nk) AS nationkey, cn.n_cust, sn.n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("nk")).agg(F.count(F.lit(1)).alias("n_cust"))
+    sn = (
+        s.filter(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cn.join(sn, cn.nk == sn.nk, "full").select(
+        F.coalesce(cn.nk, sn.nk).alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle=f"""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM({cents_sql('l_extendedprice * (1 - l_discount)')}) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n_name
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                cents(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            ).alias("revenue_cents"),
+        )
+    )
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT s1.s_suppkey AS s_suppkey,
+           CAST(COUNT(s2.s_suppkey) AS BIGINT) AS n_richer
+    FROM supplier s1 LEFT JOIN supplier s2 ON s1.s_acctbal < s2.s_acctbal
+    GROUP BY s1.s_suppkey
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure theta (non-equi) join → Spark plans BroadcastNestedLoopJoin.
+
+    Deliberately on the smallest fact-free table: BNLJ is O(n²) and is
+    NOT a 100 TB path; large-scale rank-by-value is q_win_rank's job.
+    """
+    s1 = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey"), F.col("s_acctbal").alias("bal1")
+    )
+    s2 = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k2"), F.col("s_acctbal").alias("bal2")
+    )
+    return (
+        s1.join(F.broadcast(s2), s1.bal1 < s2.bal2, "left")
+        .groupBy("s_suppkey")
+        .agg(F.count("k2").alias("n_richer"))
+    )
+
+
+@query(
+    "q_cross_small",
+    oracle="""
+    SELECT r_name, o_orderstatus, n_status
+    FROM region
+    CROSS JOIN (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_status
+                FROM orders GROUP BY o_orderstatus) st
+    """,
+)
+def q_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region").select("r_name")
+    st = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_status"))
+    )
+    return r.crossJoin(F.broadcast(st))
+
+
+@query(
+    "q_star_join",
+    oracle=f"""
+    SELECT n_name,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM({cents_sql('l_extendedprice * (1 - l_discount)')}) AS BIGINT)
+               AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q5-shaped 5-table star join.
+
+    The fact table (lineitem) joins orders on the shuffle path (both
+    large at 100 TB — SMJ/SHJ with AQE), while customer/nation/region
+    are broadcast so the probe side streams through without exchange.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            ).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
