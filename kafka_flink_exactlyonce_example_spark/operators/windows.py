@@ -1,1 +1,156 @@
-"""(stub — filled in later this round)"""
+"""Window functions (SURVEY.md §2.5).
+
+Determinism rules: ``rank``/``dense_rank`` order by the (tied) measure
+only — tie order doesn't affect their output; ``row_number`` and frame
+aggregates always order by a unique key suffix. Partition-by keys keep
+state bounded per key, the same property that makes these viable over
+100 TB (each partition sorts independently after a hash exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_flink_exactlyonce_example_spark.functions.money import cents, cents_sql
+from kafka_flink_exactlyonce_example_spark.registry import query
+from kafka_flink_exactlyonce_example_spark.sources import table
+
+
+@query(
+    "q_win_rank",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+           CAST(rank()       OVER w1 AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w1 AS BIGINT) AS drnk,
+           CAST(row_number() OVER w2 AS BIGINT) AS rn
+    FROM lineitem
+    WINDOW w1 AS (PARTITION BY l_returnflag ORDER BY l_quantity DESC),
+           w2 AS (PARTITION BY l_returnflag
+                  ORDER BY l_quantity DESC, l_orderkey, l_linenumber)
+    """,
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    w1 = Window.partitionBy("l_returnflag").orderBy(F.desc("l_quantity"))
+    w2 = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_quantity"), "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        F.rank().over(w1).cast("long").alias("rnk"),
+        F.dense_rank().over(w1).cast("long").alias("drnk"),
+        F.row_number().over(w2).cast("long").alias("rn"),
+    )
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranked window + filter — the distributed
+    top-k idiom (no global sort; each group's heap stays in its task)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@query(
+    "q_win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_val,
+           last_value(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(wfull).alias("first_val"),
+        F.last("value").over(wfull).alias("last_val"),
+    )
+
+
+@query(
+    "q_win_running_sum",
+    oracle=f"""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM({cents_sql('l_extendedprice')}) OVER (PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS run_price_cents,
+           ROUND(AVG(l_quantity) OVER (PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg_qty
+    FROM lineitem
+    """,
+)
+def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    wrun = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wmov = Window.partitionBy("l_suppkey").orderBy(*order).rowsBetween(-2, 0)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(cents("l_extendedprice")).over(wrun).alias("run_price_cents"),
+        F.round(F.avg("l_quantity").over(wmov), 6).alias("mov_avg_qty"),
+    )
+
+
+@query(
+    "q_win_ntile",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+    FROM customer
+    """,
+)
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
