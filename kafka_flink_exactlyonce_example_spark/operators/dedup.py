@@ -1,1 +1,205 @@
-"""(stub — filled in later this round)"""
+"""Deduplication family for LLM-data pipelines (SURVEY.md §2.10).
+
+Everything is native Catalyst expressions — explode/xxhash64/groupBy —
+no Python UDFs, so every stage is shuffle-parallel and codegen'd:
+
+- exact:   hash-groupBy on a normalized-text digest (one shuffle).
+- jaccard: exact n-gram/word-set Jaccard via an inverted-index
+  self-join — the classic candidate-pair plan: only docs sharing a
+  token ever meet, so the join is |postings|² per token, not |docs|².
+- minhash: MinHash signatures (16 perms) + LSH banding (4 bands × 4
+  rows) — at 100 TB candidate generation is a groupBy on band keys,
+  never an all-pairs product. Deterministic given the fixed seeds but
+  not SQL-portable → rows-only check.
+- simhash: 32-bit signature from per-token hash bit votes; near-dup
+  candidates share the signature (hamming-0 buckets). rows-only.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_flink_exactlyonce_example_spark.registry import query
+from kafka_flink_exactlyonce_example_spark.sources import table
+
+_N_HASHES = 16
+_BANDS = 4
+_ROWS_PER_BAND = _N_HASHES // _BANDS
+
+
+def _doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, lang, word) postings — the inverted index."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+
+
+@query(
+    "q_exact_dedup",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS text_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY md5(lower(trim(text)))
+    """,
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: digest-groupBy keeping the lowest doc_id per hash.
+    One shuffle on the digest; at 100 TB the digest (16 bytes) shuffles
+    instead of the document text."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("text_hash"),
+            "doc_id",
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "q_jaccard_pairs",
+    oracle="""
+    WITH words AS (
+        SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), words_f AS (
+        SELECT * FROM words WHERE word <> ''
+    ), sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM words_f GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM words_f a JOIN words_f b
+          ON a.word = b.word AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    """,
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard ≥ 0.8 within language via inverted-index
+    self-join (small-N verifiable twin of q_near_dup)."""
+    words = _doc_words(spark, sf_dir)
+    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = words.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "word"
+    )
+    b = words.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), "word"
+    )
+    inter = (
+        a.join(b, (a.word == b.word) & (a.lang_a == b.lang_b) & (a.doc_a < b.doc_b))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jacc = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jacc >= 0.8)
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+    )
+
+
+@query("q_near_dup")  # rows-only: xxhash64 seeds are engine-specific
+def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates.
+
+    shingle(2-gram words) → 16 minhashes (one pass, 16 min() aggs) →
+    4 bands of 4 → band-bucket groupBy → pairs sharing ≥1 band.
+    """
+    d = table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    # 2-word shingles as native transform over index sequence
+    shingled = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(arr) - 1, F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(arr, i), F.element_at(arr, i + 1)
+                ),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    minhashes = shingled.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+            for i in range(_N_HASHES)
+        ]
+    )
+    bands = minhashes.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.col(f"mh{b * _ROWS_PER_BAND + r}")
+                            for r in range(_ROWS_PER_BAND)
+                        ]
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
+    )
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("band_idx").alias("n_shared_bands"))
+    )
+
+
+@query("q_simhash")  # rows-only: xxhash64-based signature
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document from per-token hash bit votes, plus
+    bucket sizes (equal signatures = hamming-0 near-dup candidates)."""
+    words = _doc_words(spark, sf_dir).withColumn("h", F.xxhash64("word"))
+    votes = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                    -1
+                )
+            ).alias(f"bit{k}")
+            for k in range(32)
+        ]
+    )
+    sig = reduce(
+        lambda acc, k: acc
+        + F.when(F.col(f"bit{k}") > 0, F.lit(2**k)).otherwise(F.lit(0)),
+        range(32),
+        F.lit(0).cast("long"),
+    )
+    sigs = votes.select("doc_id", sig.alias("simhash"))
+    counts = sigs.groupBy("simhash").agg(F.count(F.lit(1)).alias("bucket_size"))
+    return sigs.join(counts, "simhash").select("doc_id", "simhash", "bucket_size")

@@ -1,1 +1,159 @@
-"""(stub — filled in later this round)"""
+"""Similarity search over embeddings (SURVEY.md §2.10).
+
+Brute-force cosine is the exactness baseline: a broadcast of the query
+vector + a codegen'd higher-order-function scan — embarrassingly
+parallel, and at 100 TB it is a single pass with no shuffle until the
+final top-k (TakeOrderedAndProject). The IVF variant is the scale path:
+probe only the nearest coarse cells, cutting the scan by the fan-out
+ratio.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_flink_exactlyonce_example_spark.functions.similarity import (
+    cosine,
+    cosine_sql,
+    dot,
+)
+from kafka_flink_exactlyonce_example_spark.registry import query
+from kafka_flink_exactlyonce_example_spark.sources import table
+
+
+@query(
+    "q_cosine_topk",
+    oracle=f"""
+    WITH anchor AS (SELECT embedding AS a FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           ROUND({cosine_sql('embedding', 'a')}, 6) AS sim
+    FROM embeddings, anchor
+    WHERE vec_id <> 0
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k vs anchor vec_id=0. Ordering is on the
+    rounded score (+ unique tie-break) so both engines rank identically."""
+    emb = table(spark, sf_dir, "embeddings")
+    anchor = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("a"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("a")), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "q_label_sim",
+    oracle=f"""
+    SELECT e1.label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG({cosine_sql('e1.embedding', 'e2.embedding')}), 6) AS avg_sim
+    FROM embeddings e1 JOIN embeddings e2
+      ON e1.label = e2.label AND e1.vec_id < e2.vec_id
+    GROUP BY e1.label
+    """,
+)
+def q_label_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average intra-cluster cosine per label: equi-join on the label
+    (hash-partitioned, pairs never leave their label's partition)."""
+    emb = table(spark, sf_dir, "embeddings")
+    e1 = emb.select("label", F.col("vec_id").alias("v1"), F.col("embedding").alias("a"))
+    e2 = emb.select(
+        F.col("label").alias("label2"),
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("b"),
+    )
+    return (
+        e1.join(e2, (e1.label == e2.label2) & (e1.v1 < e2.v2))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(cosine(F.col("a"), F.col("b"))), 6).alias("avg_sim"),
+        )
+    )
+
+
+@query("q_ann_ivf")  # rows-only: multi-stage plan, not one SQL statement
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbor.
+
+    Coarse quantizer = per-label centroids (computed with a
+    posexplode → per-dimension avg → re-assembled array — all native).
+    Probe: rank cells by centroid similarity to the anchor, scan only
+    the top-2 cells, return the top-10 by true cosine. At 100 TB this
+    scans ~nprobe/ncells of the data instead of all of it; centroids
+    are a broadcast-sized side table.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    # per-dimension centroid means, re-assembled in dimension order
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    cent = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+            ).alias("centroid")
+        )
+    )
+    anchor = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("a"))
+    top_cells = (
+        cent.crossJoin(F.broadcast(anchor))
+        .select("label", cosine(F.col("centroid"), F.col("a")).alias("cell_sim"))
+        .orderBy(F.desc("cell_sim"))
+        .limit(2)
+        .select("label", "cell_sim")
+    )
+    return (
+        emb.join(F.broadcast(top_cells), "label")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("a")), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(10)
+    )
+
+
+@query("q_knn_join")  # rows-only: brute-force kNN join demo (k=3 per probe)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbors join: for each of the first 20 vectors, the
+    3 nearest others by cosine — ranked-window over a broadcast probe
+    join (probe side small; data side streams)."""
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("p")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )

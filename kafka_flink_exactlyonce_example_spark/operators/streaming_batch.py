@@ -1,1 +1,226 @@
-"""(stub — filled in later this round)"""
+"""Streaming semantics, batch-verifiable analogs (SURVEY.md §2.9).
+
+The reference's whole point is windowed streaming aggregation with
+exactly-once effects (Kafka → Flink keyed tumbling window count →
+transactional sink; reconstructed, SURVEY.md §0). Each semantic here is
+the batch form over the ``events`` table that a DuckDB oracle can
+verify; the true ``readStream`` forms — identical expressions — live in
+``streaming/jobs.py`` and are exercised by smoke tests.
+
+Window-start alignment: Spark tumbling/sliding windows align to the
+unix epoch; DuckDB ``time_bucket`` aligns to 2000-01-01 — identical for
+any interval that divides a day. Window starts are emitted as formatted
+strings so both engines hash the same value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_flink_exactlyonce_example_spark.functions.money import cents, cents_sql
+from kafka_flink_exactlyonce_example_spark.registry import query
+from kafka_flink_exactlyonce_example_spark.sources import table
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+_TS_US_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_US_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@query(
+    "q_tumbling_window",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_TS_FMT_DUCK}')
+               AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM({cents_sql('value')}) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core computation shape: keyed tumbling-window
+    aggregate. Identical expression works on readStream + watermark."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+@query(
+    "q_sliding_window",
+    oracle=f"""
+    WITH expanded AS (
+        SELECT unnest([time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+                       time_bucket(INTERVAL '30 minutes', ts)]) AS wstart,
+               event_type, value
+        FROM events
+    )
+    SELECT strftime(wstart, '{_TS_FMT_DUCK}') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM({cents_sql('value')}) AS BIGINT) AS value_cents
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 min: each event lands in 2 windows
+    (Spark's window() expands rows exactly like the oracle's unnest)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+@query(
+    "q_session_window",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_TS_US_DUCK}') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM({cents_sql('value')}) AS BIGINT) AS value_cents
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min) via native session_window —
+    Spark merges rows whose [ts, ts+gap) intervals overlap, equivalent
+    to the lag/cumsum derivation the oracle uses."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_US_SPARK).alias("session_start"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+@query(
+    "q_late_data",
+    oracle=f"""
+    WITH cutoff AS (SELECT MAX(ts) - INTERVAL '3 days' AS wm FROM events)
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_TS_FMT_DUCK}')
+               AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events, cutoff
+    WHERE ts >= wm
+    GROUP BY 1, 2
+    """,
+)
+def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic batch analog of a watermark: drop rows older than
+    max(ts) - 3 days, then window-aggregate. Streaming form:
+    withWatermark('ts', ...) in streaming/jobs.py."""
+    ev = table(spark, sf_dir, "events")
+    wm = ev.agg((F.max("ts") - F.expr("INTERVAL 3 DAYS")).alias("wm"))
+    return (
+        ev.crossJoin(F.broadcast(wm))
+        .filter(F.col("ts") >= F.col("wm"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q_stream_dedup",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM({cents_sql('value')}) AS BIGINT) AS value_cents
+    FROM (SELECT DISTINCT ON (event_id) event_id, event_type, value FROM events)
+    GROUP BY event_type
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once effect as an operator: dedup on the unique event id
+    (what the reference achieves with Kafka transactions, and Spark
+    with dropDuplicates + watermark on a stream)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+    )
+
+
+@query(
+    "q_keyed_state",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(SUM({cents_sql('value')}) OVER w AS BIGINT) AS cum_value_cents,
+           CAST(COUNT(*) OVER w AS BIGINT) AS cum_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_keyed_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key running state (what Flink keyed state holds): cumulative
+    per-user totals ordered by event time."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(cents("value")).over(w).alias("cum_value_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("cum_events"),
+    )
