@@ -1,0 +1,12 @@
+from kafka_flink_exactlyonce_example_spark.streaming.exactly_once import (  # noqa: F401
+    IdempotentBatchSink,
+)
+from kafka_flink_exactlyonce_example_spark.streaming.jobs import (  # noqa: F401
+    streaming_wordcount,
+    streaming_windowed_counts,
+)
+from kafka_flink_exactlyonce_example_spark.streaming.sources import (  # noqa: F401
+    file_stream,
+    kafka_stream,
+    rate_stream,
+)

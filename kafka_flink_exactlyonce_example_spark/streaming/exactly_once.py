@@ -1,0 +1,106 @@
+"""End-to-end exactly-once sink (SURVEY.md §2.9, §4.3).
+
+The reference achieves exactly-once with Flink checkpoints + a
+transactional Kafka producer committed on checkpoint completion
+(two-phase commit; reconstructed, SURVEY.md §0). Structured Streaming's
+equivalent recipe, implemented here:
+
+  replayable source + checkpointed offset WAL + idempotent foreachBatch
+
+Spark guarantees each ``batchId`` contains the same data on replay (the
+offsets are written to the checkpoint WAL *before* execution), so a
+sink that commits each batch atomically-and-idempotently yields
+end-to-end exactly-once: a batch that crashed mid-write is simply
+rewritten to the same location and re-marked committed.
+
+Commit protocol per batch (all on the driver, filesystem-atomic):
+  1. if ``_commits/{batchId}`` exists → skip (idempotent replay)
+  2. write batch output to ``data/batch_id={batchId}/`` (overwrite —
+     a torn previous attempt is clobbered, never appended)
+  3. create the ``_commits/{batchId}`` marker (rename-atomic)
+
+Readers take only marker-committed partitions — the analog of Kafka's
+``read_committed``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class IdempotentBatchSink:
+    """foreachBatch handler writing batch-partitioned parquet with
+    atomic commit markers (exactly-once under replay)."""
+
+    def __init__(self, out_dir: str) -> None:
+        self.out_dir = out_dir
+        self.data_dir = os.path.join(out_dir, "data")
+        self.commits_dir = os.path.join(out_dir, "_commits")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.commits_dir, exist_ok=True)
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.commits_dir, str(batch_id))
+
+    def is_committed(self, batch_id: int) -> bool:
+        return os.path.exists(self._marker(batch_id))
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return  # replayed batch: already fully committed
+        (
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(self.data_dir, f"batch_id={batch_id}")
+            )
+        )
+        # rename-atomic marker: commit point of the 2-phase protocol
+        fd, tmp = tempfile.mkstemp(dir=self.commits_dir, prefix=".tmp")
+        os.close(fd)
+        os.rename(tmp, self._marker(batch_id))
+
+    def committed_batches(self) -> list[int]:
+        return sorted(
+            int(b) for b in os.listdir(self.commits_dir) if not b.startswith(".")
+        )
+
+    def read_committed(self, spark: SparkSession) -> DataFrame:
+        """Union of all marker-committed batches — for append-mode
+        streams (each row appears in exactly one committed batch):
+        the ``read_committed`` consumer analog."""
+        paths = [
+            os.path.join(self.data_dir, f"batch_id={b}")
+            for b in self.committed_batches()
+            if os.path.exists(os.path.join(self.data_dir, f"batch_id={b}"))
+        ]
+        if not paths:
+            raise FileNotFoundError(f"no committed batches under {self.out_dir}")
+        return spark.read.parquet(*paths)
+
+    def read_latest(self, spark: SparkSession) -> DataFrame:
+        """Latest committed batch only — for complete-mode aggregations
+        (each batch is a full result snapshot; latest snapshot wins,
+        the upsert-sink analog)."""
+        committed = self.committed_batches()
+        if not committed:
+            raise FileNotFoundError(f"no committed batches under {self.out_dir}")
+        return spark.read.parquet(
+            os.path.join(self.data_dir, f"batch_id={committed[-1]}")
+        )
+
+
+def kafka_transactional_writer_options(
+    bootstrap_servers: str, topic: str, checkpoint_dir: str
+) -> dict[str, str]:
+    """writeStream options for the Kafka sink path (documented contract;
+    no broker in this environment). Spark's Kafka sink is at-least-once;
+    end-to-end exactly-once needs either downstream read-side dedup on a
+    record key or the IdempotentBatchSink pattern above feeding a
+    transactional producer inside foreachBatch."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        "checkpointLocation": checkpoint_dir,
+    }

