@@ -1,0 +1,62 @@
+"""Bench harness: every registered query at $SPARK_GRAFT_SF_DIR
+(default sf0.1) on one reused local[$SPARK_GRAFT_CPUS] session.
+
+Prints ONE JSON line:
+  {"metric": "total_query_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Discipline (BASELINE.md): single warm session, AQE on, small shuffle
+partition count, no Python row UDFs on measured paths, and results are
+executed with a noop sink (full computation, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def _force(df) -> None:
+    """Execute the full plan without materializing to the driver."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from kafka_flink_exactlyonce_example_spark import registry
+    from kafka_flink_exactlyonce_example_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark(app_name="bench")
+
+    # warmup: JIT + parquet footer caches, not measured
+    _force(registry.QUERIES["q_wordcount"](spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name in sorted(registry.QUERIES):
+        t0 = time.perf_counter()
+        _force(registry.QUERIES[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -73,8 +73,14 @@ def q_label_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("v2"),
         F.col("embedding").alias("b"),
     )
+    par = spark.sparkContext.defaultParallelism
     return (
-        e1.join(e2, (e1.label == e2.label2) & (e1.v1 < e2.v2))
+        # broadcast the build side: a label-equi SMJ would shuffle into
+        # 10 heavily-skewed keys; BHJ streams pairs with no exchange.
+        # repartition the probe side: the table is one parquet partition
+        # at this size and the O(pairs·dim) dot products must spread.
+        e1.repartition(par)
+        .join(F.broadcast(e2), (e1.label == e2.label2) & (e1.v1 < e2.v2))
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
