@@ -19,6 +19,8 @@ _MODULES = (
     "setops",
     "scalar",
     "streaming_batch",
+    "analytics",
+    "subqueries",
     "dedup",
     "simsearch",
     "textstats",
