@@ -21,6 +21,31 @@ from kafka_flink_exactlyonce_example_spark.sources import table
 
 
 @query(
+    "q_serialize",
+    oracle="""
+    WITH wc AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+    )
+    SELECT word || ':' || CAST(cnt AS VARCHAR) AS line,
+           to_json(struct_pack(word := word, cnt := cnt))::VARCHAR AS json_line
+    FROM wc
+    """,
+)
+def q_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows→string serialization for a byte-oriented sink (the
+    reference formats (word, count) lines for its Kafka producer):
+    delimited and JSON forms, both pure expressions."""
+    wc = q_wordcount(spark, sf_dir)
+    return wc.select(
+        F.concat_ws(":", "word", F.col("cnt").cast("string")).alias("line"),
+        F.to_json(F.struct("word", "cnt")).alias("json_line"),
+    )
+
+
+@query(
     "q_wordcount",
     oracle="""
     SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
