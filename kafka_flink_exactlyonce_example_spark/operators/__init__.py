@@ -25,6 +25,7 @@ _MODULES = (
     "simsearch",
     "textstats",
     "udf_demo",
+    "multimodal",
 )
 
 

@@ -22,6 +22,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_flink_exactlyonce_example_spark.functions.similarity import cosine, cosine_sql
 from kafka_flink_exactlyonce_example_spark.registry import query
 from kafka_flink_exactlyonce_example_spark.sources import table
 
@@ -138,6 +139,51 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jacc = n_common.cast("double") / (F.col("na") + F.col("nb") - n_common)
     return pairs.filter(jacc >= 0.8).select(
         "doc_a", "doc_b", F.round(jacc, 6).alias("jaccard")
+    )
+
+
+@query(
+    "q_embed_dup",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+               {cosine_sql('a.embedding', 'b.embedding')} AS sim
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, label, ROUND(sim, 6) AS cos_sim
+    FROM pairs WHERE sim >= 0.3
+    """,
+)
+def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by cluster label.
+
+    The 100 TB plan: an all-pairs cosine join is O(n²) and never runs at
+    scale — block on a coarse cluster id (here the provided ``label``;
+    in a real pipeline the IVF coarse-quantizer assignment from
+    q_ann_ivf) so the pair join is per-cluster. Each block's pair scan
+    is an equi-join on the block key (shuffle-parallel, no cartesian),
+    and the cosine itself is native zip_with/aggregate — zero Python.
+    Threshold 0.3 fits this synthetic corpus (intra-cluster sims peak
+    ~0.47; real near-dup pipelines use ~0.95 on tighter embeddings).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("ea")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("eb"),
+    )
+    par = spark.sparkContext.defaultParallelism
+    pairs = a.repartition(par, "label").join(
+        F.broadcast(b),
+        (a.label == b.label_b) & (F.col("vec_a") < F.col("vec_b")),
+    )
+    sim = cosine(F.col("ea"), F.col("eb"))
+    return pairs.filter(sim >= 0.3).select(
+        "vec_a", "vec_b", "label", F.round(sim, 6).alias("cos_sim")
     )
 
 

@@ -2,6 +2,7 @@ from kafka_flink_exactlyonce_example_spark.streaming.exactly_once import (  # no
     IdempotentBatchSink,
 )
 from kafka_flink_exactlyonce_example_spark.streaming.jobs import (  # noqa: F401
+    keyed_running_count,
     streaming_wordcount,
     streaming_windowed_counts,
 )

@@ -67,6 +67,48 @@ def streaming_windowed_counts(
     )
 
 
+def keyed_running_count(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """Custom keyed state via ``applyInPandasWithState`` — the literal
+    Spark translation of Flink managed keyed state (``keyBy(word)`` +
+    a per-key ``ValueState<Long>`` counter, the state the reference's
+    windowed sum holds between checkpoints).
+
+    Each word's running total lives in the Structured Streaming state
+    store (per-partition, versioned, snapshotted with the checkpoint —
+    the same recovery contract as Flink's barrier snapshots). The
+    function receives Arrow batches per key and updates the counter;
+    output mode "update" emits one row per key per batch with the new
+    total. Prefer the built-in incremental ``groupBy().count()`` when
+    the aggregation is expressible — this API is for state machines the
+    declarative layer can't express (per-key sessionization with custom
+    logic, CEP-style patterns, TTL'd feature counters).
+    """
+    import pandas as pd  # local: only the streaming path needs it
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        (word,) = key
+        add = 0
+        for pdf in pdfs:
+            add += len(pdf)
+        total = (state.get[0] if state.exists else 0) + add
+        state.update((total,))
+        yield pd.DataFrame({"word": [word], "cnt": [total]})
+
+    return (
+        tokenized(lines, value_col)
+        .groupBy("word")
+        .applyInPandasWithState(
+            update,
+            outputStructType="word string, cnt long",
+            stateStructType="cnt long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_exactly_once(
     result: DataFrame,
     sink: IdempotentBatchSink,

@@ -78,6 +78,33 @@ def test_streaming_wordcount_matches_batch(spark, tmp_path):
     assert got == _expected_counts()
 
 
+def test_keyed_state_running_count(spark, tmp_path):
+    """applyInPandasWithState per-word counter (Flink ValueState analog):
+    final per-key totals equal the batch counts, across multiple
+    micro-batches so state actually carries between batches."""
+    from kafka_flink_exactlyonce_example_spark.streaming import keyed_running_count
+
+    inp = str(tmp_path / "in")
+    _write_input_files(inp)
+    lines = file_stream(
+        spark, inp, "value string, event_ts string", fmt="json", maxFilesPerTrigger="2"
+    )
+    result = keyed_running_count(lines)
+    sink = IdempotentBatchSink(str(tmp_path / "out"))
+    q = run_exactly_once(result, sink, str(tmp_path / "ckpt"), output_mode="update")
+    q.awaitTermination(120)
+    # "update" emits a row per key per batch with the running total —
+    # the LAST emission per key is the final count
+    assert len(sink.committed_batches()) > 1, "need >1 micro-batch to test state carry"
+    latest: dict[str, int] = {}
+    for b in sink.committed_batches():
+        p = os.path.join(sink.data_dir, f"batch_id={b}")
+        if os.path.exists(p):
+            for r in spark.read.parquet(p).collect():
+                latest[r["word"]] = r["cnt"]
+    assert latest == _expected_counts()
+
+
 class _CrashOnce(IdempotentBatchSink):
     """Writes batch data then dies before the commit marker — simulates
     a crash at the worst moment of the 2-phase protocol."""
