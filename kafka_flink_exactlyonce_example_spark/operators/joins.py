@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from kafka_flink_exactlyonce_example_spark.functions.money import cents, cents_sql
 from kafka_flink_exactlyonce_example_spark.registry import query
@@ -247,4 +248,74 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_cents"),
             F.count(F.lit(1)).alias("n_items"),
         )
+    )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           ROUND(p.value, 2) AS purchase_value,
+           v.event_id AS view_id,
+           ROUND(v.value, 2) AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (temporal) join: each purchase matched to the same user's
+    most recent view at-or-before it (NULL if none) — the operator
+    ticker/trade-quote pipelines need and Spark lacks natively.
+
+    Spark-first plan: NOT a range join (O(n·m) BNLJ) — tag both sides,
+    union, and take `last(view_id, ignorenulls=True)` over a per-user
+    window ordered by (ts, side). One shuffle on user_id, one sort,
+    linear scan: at 100 TB this is a single repartition + in-partition
+    merge, the same cost as the sort-merge ASOF implementations in
+    kdb/QuestDB. Ordering puts views before purchases at equal ts, so
+    equality matches (ts >= semantics) are included.
+
+    Oracle: DuckDB's native ASOF LEFT JOIN — an independent
+    implementation of the same semantics, so the parity check is a real
+    cross-engine proof, not the same algorithm twice.
+    """
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("double").alias("purchase_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("view_id"),
+        F.lit(None).cast("double").alias("view_value"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = views.unionByName(purchases).select(
+        "*",
+        F.last("view_id", ignorenulls=True).over(w).alias("m_view_id"),
+        F.last("view_value", ignorenulls=True).over(w).alias("m_view_value"),
+    )
+    return merged.filter(F.col("side") == 1).select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.round("purchase_value", 2).alias("purchase_value"),
+        F.col("m_view_id").alias("view_id"),
+        F.round("m_view_value", 2).alias("view_value"),
     )

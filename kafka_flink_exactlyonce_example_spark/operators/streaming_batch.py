@@ -224,3 +224,50 @@ def q_keyed_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents("value")).over(w).alias("cum_value_cents"),
         F.count(F.lit(1)).over(w).cast("long").alias("cum_events"),
     )
+
+
+@query(
+    "q_downsample",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '{_TS_FMT_DUCK}')
+               AS bucket_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM({cents_sql('value')}) AS BIGINT) AS value_cents,
+           ROUND(MIN(value), 6) AS lo,
+           ROUND(MAX(value), 6) AS hi,
+           ROUND(arg_min(value, event_id), 6) AS open_value,
+           ROUND(arg_max(value, event_id), 6) AS close_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style downsampling rollup (continuous-aggregate
+    shape): raw events → 6-hour OHLC-ish gauges per type. One partial+
+    final hash agg — at 100 TB this is the materialized rollup you'd
+    refresh incrementally per window; open/close use min_by/max_by on
+    event_id (deterministic, unlike ts which carries ns-vs-µs
+    truncation risk across engines)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("value_cents"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+            F.round(F.min_by("value", "event_id"), 6).alias("open_value"),
+            F.round(F.max_by("value", "event_id"), 6).alias("close_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT_SPARK).alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+            "lo",
+            "hi",
+            "open_value",
+            "close_value",
+        )
+    )

@@ -3,3 +3,8 @@ from kafka_flink_exactlyonce_example_spark.sources.catalog import (  # noqa: F40
     register_views,
     table,
 )
+from kafka_flink_exactlyonce_example_spark.sources.io import (  # noqa: F401
+    read_any,
+    write_bucketed,
+    write_partitioned,
+)
