@@ -215,3 +215,45 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_unique_words"),
     )
+
+
+@query(
+    "q_shard_assign",
+    oracle="""
+    WITH sharded AS (
+        SELECT doc_id, n_chars,
+               CAST(CAST(concat('0x', substring(md5(text), 1, 8)) AS UBIGINT)
+                    % 16 AS BIGINT) AS shard
+        FROM documents
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM sharded
+    GROUP BY shard
+    """,
+)
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sharding for training-data output:
+    shard = first-8-hex-digits(md5(text)) mod 16 — stable across
+    engines, runs, and cluster sizes (unlike hash()/partition-id based
+    assignment), so a re-run re-produces byte-identical shards. At
+    100 TB this is the partitionBy key for the final training-set
+    write; the per-shard stats here are the skew check you'd run
+    before committing the layout."""
+    d = table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % 16
+    )
+    return (
+        d.select(shard.alias("shard"), "doc_id", "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )

@@ -5,6 +5,7 @@ from kafka_flink_exactlyonce_example_spark.sources.catalog import (  # noqa: F40
 )
 from kafka_flink_exactlyonce_example_spark.sources.io import (  # noqa: F401
     read_any,
+    write_compacted,
     write_bucketed,
     write_partitioned,
 )

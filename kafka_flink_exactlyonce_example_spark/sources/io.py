@@ -52,3 +52,21 @@ def read_any(spark: SparkSession, path: str, fmt: str, schema: str | None = None
     if fmt == "csv":
         r = r.option("header", "true")
     return r.load(path)
+
+
+def write_compacted(
+    df: DataFrame, path: str, target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Small-files-aware write: size output files near ``target_file_bytes``
+    using Catalyst's own size estimate for the plan. The small-files
+    problem is THE operational failure mode of long-running ingestion at
+    100 TB scale (a 1000-executor job writing per-task files produces
+    millions of KB-sized objects); compaction at write time keeps scans
+    and listings O(data), not O(files). Returns the partition count used."""
+    stats_size = int(
+        str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    n = max(1, -(-stats_size // target_file_bytes))
+    df.repartition(n).write.format(fmt).mode("overwrite").save(path)
+    return n

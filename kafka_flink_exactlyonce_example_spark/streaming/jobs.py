@@ -67,6 +67,29 @@ def streaming_windowed_counts(
     )
 
 
+def streaming_sessions(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming form of q_session_window: gap-based session windows
+    per key (``F.session_window`` — state merges adjacent windows until
+    the gap exceeds ``gap``; watermark closes and evicts sessions)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
 def keyed_running_count(lines: DataFrame, value_col: str = "value") -> DataFrame:
     """Custom keyed state via ``applyInPandasWithState`` — the literal
     Spark translation of Flink managed keyed state (``keyBy(word)`` +

@@ -9,6 +9,7 @@ import os
 
 import pytest
 
+from tests.conftest import SMOKE_SF
 from kafka_flink_exactlyonce_example_spark.streaming import (
     IdempotentBatchSink,
     file_stream,
@@ -76,6 +77,55 @@ def test_streaming_wordcount_matches_batch(spark, tmp_path):
         r["word"]: r["cnt"] for r in sink.read_latest(spark).collect()
     }
     assert got == _expected_counts()
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """session_window on a stream: events ≤gap apart merge into one
+    session; a larger silence starts a new one."""
+    from kafka_flink_exactlyonce_example_spark.streaming import streaming_sessions
+
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    rows = [  # user 1: two sessions (2 events, then 1); user 2: one session
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),
+        (1, "2024-01-01 01:30:00"),
+        (2, "2024-01-01 00:05:00"),
+    ]
+    with open(os.path.join(inp, "f0.json"), "w") as f:
+        for uid, ts in rows:
+            f.write(json.dumps({"user_id": uid, "ts": ts}) + "\n")
+    from pyspark.sql import functions as F
+
+    events = file_stream(spark, inp, "user_id long, ts string", fmt="json").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    result = streaming_sessions(events, gap="30 minutes")
+    sink = IdempotentBatchSink(str(tmp_path / "out"))
+    q = run_exactly_once(result, sink, str(tmp_path / "ckpt"), output_mode="complete")
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], str(r["session_start"])): r["n_events"]
+        for r in sink.read_latest(spark).collect()
+    }
+    assert got == {
+        (1, "2024-01-01 00:00:00"): 2,
+        (1, "2024-01-01 01:30:00"): 1,
+        (2, "2024-01-01 00:05:00"): 1,
+    }
+
+
+def test_write_compacted_partition_count(spark, tmp_path):
+    """write_compacted sizes output files from plan stats: tiny input →
+    exactly one file; a small target forces multiple."""
+    from kafka_flink_exactlyonce_example_spark.sources import write_compacted, table
+
+    n = table(spark, SMOKE_SF, "lineitem")
+    one = write_compacted(n, str(tmp_path / "one"))
+    assert one == 1
+    many = write_compacted(n, str(tmp_path / "many"), target_file_bytes=64 * 1024)
+    assert many > 1
+    assert spark.read.parquet(str(tmp_path / "many")).count() == n.count()
 
 
 def test_keyed_state_running_count(spark, tmp_path):
