@@ -3,6 +3,7 @@ from kafka_flink_exactlyonce_example_spark.streaming.exactly_once import (  # no
 )
 from kafka_flink_exactlyonce_example_spark.streaming.jobs import (  # noqa: F401
     keyed_running_count,
+    stream_stream_interval_join,
     streaming_sessions,
     streaming_wordcount,
     streaming_windowed_counts,

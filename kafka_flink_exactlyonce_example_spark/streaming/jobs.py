@@ -90,6 +90,38 @@ def streaming_sessions(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join (Flink's intervalJoin): each left
+    row matches right rows with the same key whose timestamp falls in
+    [left.ts - lookback, left.ts]. Both sides carry watermarks so the
+    state store can evict right rows older than the interval — without
+    them the join state grows unboundedly. Output columns are
+    prefixed l_/r_ to stay unambiguous."""
+    l = left.withWatermark(ts_col, watermark).select(
+        F.col(key).alias("l_key"),
+        F.col(ts_col).alias("l_ts"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c not in (key, ts_col)],
+    )
+    r = right.withWatermark(ts_col, watermark).select(
+        F.col(key).alias("r_key"),
+        F.col(ts_col).alias("r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (key, ts_col)],
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def keyed_running_count(lines: DataFrame, value_col: str = "value") -> DataFrame:
     """Custom keyed state via ``applyInPandasWithState`` — the literal
     Spark translation of Flink managed keyed state (``keyBy(word)`` +

@@ -239,3 +239,41 @@ def test_kafka_source_builder_contract(spark):
         msg = str(e)
         assert "kafka" in msg.lower(), f"unexpected failure: {e}"
         pytest.skip("kafka connector not available offline — builder contract only")
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two live streams (purchases ⋈ views within a 1-hour lookback,
+    per user) — the Flink intervalJoin shape with watermark-bounded
+    state on both sides."""
+    from kafka_flink_exactlyonce_example_spark.streaming import (
+        stream_stream_interval_join,
+    )
+    from pyspark.sql import functions as F
+
+    vdir, pdir = str(tmp_path / "views"), str(tmp_path / "purch")
+    os.makedirs(vdir), os.makedirs(pdir)
+    views = [  # (user, ts, page)
+        (1, "2024-01-01 10:00:00", "a"),   # in window of p1 (10:30)
+        (1, "2024-01-01 09:00:00", "b"),   # too old for p1
+        (2, "2024-01-01 10:20:00", "c"),   # other user
+    ]
+    purchases = [(1, "2024-01-01 10:30:00", 9.99)]
+    with open(f"{vdir}/f.json", "w") as f:
+        for u, ts, pg in views:
+            f.write(json.dumps({"user_id": u, "ts": ts, "page": pg}) + "\n")
+    with open(f"{pdir}/f.json", "w") as f:
+        for u, ts, amt in purchases:
+            f.write(json.dumps({"user_id": u, "ts": ts, "amount": amt}) + "\n")
+
+    v = file_stream(spark, vdir, "user_id long, ts string, page string", fmt="json").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    p = file_stream(spark, pdir, "user_id long, ts string, amount double", fmt="json").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    joined = stream_stream_interval_join(p, v)
+    sink = IdempotentBatchSink(str(tmp_path / "out"))
+    q = run_exactly_once(joined, sink, str(tmp_path / "ckpt"), output_mode="append")
+    q.awaitTermination(180)
+    rows = [(r["l_key"], r["r_page"]) for r in sink.read_committed(spark).collect()]
+    assert rows == [(1, "a")], f"interval join matched wrong rows: {rows}"
