@@ -319,3 +319,50 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m_view_id").alias("view_id"),
         F.round("m_view_value", 2).alias("view_value"),
     )
+
+
+@query(
+    "q_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           CAST(COUNT(v.event_id) AS BIGINT) AS n_views_1h,
+           CAST(COALESCE(SUM(CAST(FLOOR(v.value*100.0 + 0.5) AS BIGINT)), 0)
+                AS BIGINT) AS viewed_value_cents
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the stream-stream interval join (streaming/jobs.py
+    stream_stream_interval_join): views within the hour before each
+    purchase, aggregated per purchase. The equi-key (user_id) makes
+    this a hash join with a range residual — NOT a BNLJ — so it
+    shuffles on user_id and scales like any equi-join; the range
+    predicate only trims matches within each key group."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+        F.col("value").alias("v_value"),
+    )
+    joined = p.join(
+        v,
+        (p.user_id == v.v_user)
+        & (v.v_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (v.v_ts <= p.p_ts),
+        "left",
+    )
+    return joined.groupBy("purchase_id", "user_id").agg(
+        F.count("view_id").alias("n_views_1h"),
+        F.coalesce(F.sum(cents("v_value")), F.lit(0)).cast("long").alias(
+            "viewed_value_cents"
+        ),
+    )

@@ -257,3 +257,163 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    WITH sampled AS (
+        SELECT lang, n_chars
+        FROM documents
+        WHERE CAST(CAST(concat('0x', substring(md5(text), 1, 8)) AS UBIGINT)
+                   % 100 AS BIGINT) < 20
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           ROUND(AVG(n_chars), 6) AS avg_chars
+    FROM sampled
+    GROUP BY lang
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% per-stratum sample via content hash (the
+    portable, re-runnable alternative to rand()-seeded sampleBy:
+    the same document is in or out on every engine, every run, every
+    cluster size — the property training-data ablations need). The
+    hash predicate pushes into the scan's residual filter, so the
+    sample never materializes the rejected 80%."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        d.filter(bucket < 20)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "q_cooccurrence",
+    oracle="""
+    WITH doc_words AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), dw AS (
+        SELECT * FROM doc_words WHERE word <> ''
+    ), n_docs AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM dw
+    ), wf AS (
+        SELECT word, CAST(COUNT(*) AS DOUBLE) AS c FROM dw GROUP BY word
+    ), pairs AS (
+        SELECT a.word AS w1, b.word AS w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.word < b.word
+        GROUP BY a.word, b.word
+    )
+    SELECT w1, w2, c_ab,
+           ROUND(ln((SELECT n FROM n_docs) * c_ab / (fa.c * fb.c)), 6) AS pmi
+    FROM pairs
+    JOIN wf fa ON fa.word = w1
+    JOIN wf fb ON fb.word = w2
+    WHERE c_ab >= 5
+    """,
+)
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word co-occurrence with pointwise mutual information — the
+    vocabulary-association statistic feature pipelines compute before
+    embedding training. Pair generation is a per-doc self-join on
+    doc_id (each doc contributes |words|² /2 pairs — bounded by doc
+    length, never |corpus|²); counts then aggregate corpus-wide, and
+    the frequency joins are broadcasts (vocab ≪ corpus)."""
+    dw = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    n_docs = dw.select(F.countDistinct("doc_id").alias("n"))
+    wf = dw.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    a = dw.select("doc_id", F.col("word").alias("w1"))
+    b = dw.select(F.col("doc_id").alias("doc_b"), F.col("word").alias("w2"))
+    pairs = (
+        a.join(b, (a.doc_id == b.doc_b) & (F.col("w1") < F.col("w2")))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .join(F.broadcast(wf).withColumnRenamed("word", "w1").withColumnRenamed("c", "ca"), "w1")
+        .join(F.broadcast(wf).withColumnRenamed("word", "w2").withColumnRenamed("c", "cb"), "w2")
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(F.col("n").cast("double") * F.col("c_ab") / (F.col("ca") * F.col("cb"))), 6
+            ).alias("pmi"),
+        )
+    )
+
+
+@query(
+    "q_edit_distance",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey, p_name, p_brand,
+               string_split(p_name, ' ')[2] AS noun
+        FROM part
+    )
+    SELECT a.noun, a.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) FILTER (WHERE levenshtein(a.p_name, b.p_name) <= 3)
+                AS BIGINT) AS n_close,
+           ROUND(AVG(levenshtein(a.p_name, b.p_name)), 6) AS avg_dist
+    FROM p a JOIN p b
+      ON a.noun = b.noun AND a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+    GROUP BY a.noun, a.p_brand
+    """,
+)
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: Levenshtein over blocked candidate pairs
+    (entity-resolution shape). Blocking on (noun, brand) bounds the
+    pair join to within-block quadratics — the same
+    candidate-generation discipline as the dedup family; the edit
+    distance itself is a JVM built-in (F.levenshtein), no Python."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.element_at(F.split("p_name", " "), 2).alias("noun"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("ka"),
+        F.col("p_name").alias("na"),
+        F.col("noun"),
+        F.col("p_brand").alias("brand"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("kb"),
+        F.col("p_name").alias("nb"),
+        F.col("noun").alias("noun_b"),
+        F.col("p_brand").alias("brand_b"),
+    )
+    dist = F.levenshtein("na", "nb")
+    return (
+        a.join(
+            b,
+            (a.noun == b.noun_b) & (a.brand == b.brand_b) & (a.ka < b.kb),
+        )
+        .groupBy("noun", "brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count(F.when(dist <= 3, 1)).alias("n_close"),
+            F.round(F.avg(dist), 6).alias("avg_dist"),
+        )
+    )

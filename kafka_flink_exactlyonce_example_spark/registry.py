@@ -45,3 +45,5 @@ def load_all() -> None:
     from kafka_flink_exactlyonce_example_spark import operators  # noqa: F401
 
     operators.load_all()
+
+    from kafka_flink_exactlyonce_example_spark import pipeline  # noqa: F401
