@@ -22,7 +22,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_flink_exactlyonce_example_spark.functions.similarity import cosine, cosine_sql
+from kafka_flink_exactlyonce_example_spark.functions.similarity import cosine_sql, dot
 from kafka_flink_exactlyonce_example_spark.registry import query
 from kafka_flink_exactlyonce_example_spark.sources import table
 
@@ -391,20 +391,29 @@ def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~0.47; real near-dup pipelines use ~0.95 on tighter embeddings).
     """
     e = table(spark, sf_dir, "embeddings")
+    # norms are per-ROW quantities: compute them once per side before
+    # the join (not per pair — that would triple the array traversals
+    # in the pair loop). sqrt(dot(v,v)) here is the same FP op chain as
+    # the oracle's, so na*nb is bit-identical to the per-pair form.
+    norm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
     a = e.select(
-        F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("ea")
+        F.col("vec_id").alias("vec_a"),
+        "label",
+        F.col("embedding").alias("ea"),
+        norm.alias("na"),
     )
     b = e.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("eb"),
+        norm.alias("nb"),
     )
     par = spark.sparkContext.defaultParallelism
     pairs = a.repartition(par, "label").join(
         F.broadcast(b),
         (a.label == b.label_b) & (F.col("vec_a") < F.col("vec_b")),
     )
-    sim = cosine(F.col("ea"), F.col("eb"))
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return pairs.filter(sim >= 0.3).select(
         "vec_a", "vec_b", "label", F.round(sim, 6).alias("cos_sim")
     )
