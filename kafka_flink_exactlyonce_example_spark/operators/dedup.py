@@ -256,7 +256,11 @@ def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cache_key in _DUP_LABELS_CACHE:
         return _DUP_LABELS_CACHE[cache_key]
     d = table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
+    # per-round stages are small (labels = 1 row/vertex), so fixed task
+    # overhead dominates at full parallelism — run the loop at 1/4 the
+    # cores (measured 3x faster at sf0.1; still 250 tasks on a
+    # 1000-core cluster, where edge volume grows into them)
+    par = max(4, spark.sparkContext.defaultParallelism // 4)
     edges = _jaccard_scored_pairs(spark, sf_dir)  # materialized once/session
     sym = (
         edges.select(
