@@ -62,3 +62,26 @@ def test_wholestage_codegen_in_flagship(spark, registry_loaded):
         "WholeStageCodegen",
         mode="codegen",
     )
+
+
+def test_asof_join_is_window_pass_not_bnlj(spark, registry_loaded):
+    """The as-of join must plan as one window pass (shuffle on user_id
+    + sort), never a nested-loop range join."""
+    df = registry_loaded.QUERIES["q_asof_join"](spark, SMOKE_SF)
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin", "CartesianProduct")
+    plan = plan_string(df)
+    assert "Window" in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_interval_join_is_hash_join(spark, registry_loaded):
+    """Equi-key + range residual → hash/merge join, not BNLJ."""
+    df = registry_loaded.QUERIES["q_interval_join"](spark, SMOKE_SF)
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin", "CartesianProduct")
+
+
+def test_pair_families_broadcast_block_side(spark, registry_loaded):
+    """Candidate-pair generators broadcast the build side (the blocked
+    dim-sized table) so the probe scan never shuffles."""
+    for q in ("q_embed_dup", "q_edit_distance"):
+        assert_in_plan(registry_loaded.QUERIES[q](spark, SMOKE_SF), "BroadcastHashJoin")
