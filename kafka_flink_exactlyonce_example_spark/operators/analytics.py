@@ -302,3 +302,16 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = uniform.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_uniform"))
     s = strat.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_stratified"))
     return u.join(s, "event_type", "full")
+
+
+@query("q_approx_quantile")  # rows-only: t-digest/GK sketches differ across engines
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (GK sketch): the single-pass mergeable-sketch
+    path for quantiles at 100 TB — no per-group sort, partials merge
+    associatively across executors (the same reason q_approx_distinct
+    uses HLL). Exact twin with full oracle: q_percentile."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile_approx("l_extendedprice", 0.5, 10000), 2).alias("p50_approx"),
+        F.round(F.percentile_approx("l_extendedprice", 0.9, 10000), 2).alias("p90_approx"),
+    )

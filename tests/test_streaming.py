@@ -358,3 +358,33 @@ def test_watermark_drops_late_data(spark, tmp_path):
     words = {r["word"]: r["cnt"] for r in sink.read_committed(spark).collect()}
     assert words.get("ontime") == 2, f"on-time window missing: {words}"
     assert "late" not in words, f"late event leaked past the watermark: {words}"
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Streaming dedup with bounded state (dropDuplicatesWithinWatermark):
+    re-deliveries inside the watermark horizon collapse to one row —
+    the Kafka at-least-once → effectively-once pattern with state that
+    the watermark can evict (Flink dedup-with-TTL parity)."""
+    from pyspark.sql import functions as F
+
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    rows = [  # event_id 1 delivered twice (redelivery), id 2 once
+        {"event_id": 1, "value": "a", "event_ts": "2024-01-01 00:00:01"},
+        {"event_id": 1, "value": "a", "event_ts": "2024-01-01 00:00:02"},
+        {"event_id": 2, "value": "b", "event_ts": "2024-01-01 00:00:03"},
+    ]
+    with open(os.path.join(inp, "f0.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = file_stream(
+        spark, inp, "event_id long, value string, event_ts string", fmt="json"
+    ).withColumn("event_ts", F.to_timestamp("event_ts"))
+    deduped = stream.withWatermark("event_ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sink = IdempotentBatchSink(str(tmp_path / "out"))
+    q = run_exactly_once(deduped, sink, str(tmp_path / "ckpt"), output_mode="append")
+    q.awaitTermination(120)
+    got = sorted(r["event_id"] for r in sink.read_committed(spark).collect())
+    assert got == [1, 2], f"dedup failed: {got}"
