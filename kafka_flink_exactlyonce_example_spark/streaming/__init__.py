@@ -2,6 +2,7 @@ from kafka_flink_exactlyonce_example_spark.streaming.exactly_once import (  # no
     IdempotentBatchSink,
 )
 from kafka_flink_exactlyonce_example_spark.streaming.jobs import (  # noqa: F401
+    custom_sessionize,
     keyed_running_count,
     stream_stream_interval_join,
     streaming_sessions,

@@ -164,6 +164,90 @@ def keyed_running_count(lines: DataFrame, value_col: str = "value") -> DataFrame
     )
 
 
+def custom_sessionize(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful sessionization with an EVENT-TIME TIMER — the
+    Spark translation of a Flink ``KeyedProcessFunction`` holding
+    session state and firing ``onTimer`` when the gap elapses.
+
+    Unlike the declarative ``F.session_window`` (streaming_sessions),
+    this keeps arbitrary per-key state (start, end, count) and emits a
+    session ONLY when the watermark passes end+gap (the timeout
+    callback), which is the shape needed when the per-session logic
+    can't be expressed as an aggregate (abandoned-cart decisions,
+    CEP-ish patterns, enrich-on-close).
+
+    State: (start_us, end_us, n_events). Timeout: event-time, set to
+    session end + gap. On timeout the session is emitted and state
+    cleared. Late rows re-open a session only if inside the horizon —
+    the watermark bounds state exactly like Flink TTL.
+    """
+    import pandas as pd  # local: only the streaming path needs it
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        (user,) = key
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user],
+                    "session_start_us": [start_us],
+                    "session_end_us": [end_us],
+                    "n_events": [n],
+                }
+            )
+            return
+        lo = hi = None
+        n_new = 0
+        for pdf in pdfs:
+            ts_us = (pdf[ts_col].astype("int64") // 1000).astype("int64")
+            n_new += len(ts_us)
+            lo = min(lo, int(ts_us.min())) if lo is not None else int(ts_us.min())
+            hi = max(hi, int(ts_us.max())) if hi is not None else int(ts_us.max())
+        if n_new == 0:
+            return
+        if state.exists:
+            start_us, end_us, n = state.get
+            start_us, end_us, n = min(start_us, lo), max(end_us, hi), n + n_new
+        else:
+            start_us, end_us, n = lo, hi, n_new
+        state.update((start_us, end_us, n))
+        # the Flink onTimer registration: fire when watermark passes gap
+        state.setTimeoutTimestamp(end_us // 1000 + gap_seconds * 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "session_start_us": pd.Series([], dtype="int64"),
+                "session_end_us": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+            }
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                "user_id long, session_start_us long, session_end_us long, n_events long"
+            ),
+            stateStructType="start_us long, end_us long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_exactly_once(
     result: DataFrame,
     sink: IdempotentBatchSink,

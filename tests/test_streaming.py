@@ -388,3 +388,49 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["event_id"] for r in sink.read_committed(spark).collect())
     assert got == [1, 2], f"dedup failed: {got}"
+
+
+def test_custom_sessionize_event_time_timer(spark, tmp_path):
+    """applyInPandasWithState + EventTimeTimeout (the Flink
+    KeyedProcessFunction/onTimer analog): sessions emit when the
+    watermark passes end+gap, not when data happens to stop."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_exactlyonce_example_spark.streaming import custom_sessionize
+
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    # batch 1: user 1 has two events 10 min apart (one session)
+    with open(os.path.join(inp, "f0.json"), "w") as f:
+        f.write(json.dumps({"user_id": 1, "ts": "2024-01-01 00:00:00"}) + "\n")
+        f.write(json.dumps({"user_id": 1, "ts": "2024-01-01 00:10:00"}) + "\n")
+    # batch 2: a much later event advances the watermark far past
+    # end+gap → the timer fires and the closed session is emitted
+    with open(os.path.join(inp, "f1.json"), "w") as f:
+        f.write(json.dumps({"user_id": 2, "ts": "2024-01-01 06:00:00"}) + "\n")
+    import time as _time
+
+    now = _time.time()
+    for i, name in enumerate(("f0.json", "f1.json")):
+        os.utime(os.path.join(inp, name), (now + 10 * i, now + 10 * i))
+
+    events = file_stream(
+        spark, inp, "user_id long, ts string", fmt="json", maxFilesPerTrigger="1"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    result = custom_sessionize(events, gap_seconds=1800, watermark="10 minutes")
+    sink = IdempotentBatchSink(str(tmp_path / "out"))
+    q = run_exactly_once(result, sink, str(tmp_path / "ckpt"), output_mode="append")
+    q.awaitTermination(180)
+    rows = {
+        r["user_id"]: (r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in sink.read_committed(spark).collect()
+    }
+    import datetime as dt
+
+    us = lambda s: int(
+        dt.datetime.fromisoformat(s).replace(tzinfo=dt.timezone.utc).timestamp() * 1e6
+    )
+    assert rows.get(1) == (us("2024-01-01 00:00:00"), us("2024-01-01 00:10:00"), 2), rows
+    # user 2's session is still OPEN (nothing advanced the watermark
+    # past its end+gap) — a correct timer implementation must NOT emit it
+    assert 2 not in rows, f"open session emitted early: {rows}"
