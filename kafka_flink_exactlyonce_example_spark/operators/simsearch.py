@@ -89,7 +89,33 @@ def q_label_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_ann_ivf")  # rows-only: multi-stage plan, not one SQL statement
+@query(
+    "q_ann_ivf",
+    oracle=f"""
+    WITH cent AS (
+        SELECT label, list(m ORDER BY i) AS centroid
+        FROM (
+            SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+            FROM embeddings, generate_series(1, 64) t(i)
+            GROUP BY label, i
+        )
+        GROUP BY label
+    ),
+    anchor AS (SELECT embedding AS a FROM embeddings WHERE vec_id = 0),
+    cells AS (
+        SELECT label
+        FROM cent, anchor
+        ORDER BY {cosine_sql('centroid', 'a')} DESC, label
+        LIMIT 2
+    )
+    SELECT e.vec_id, e.label,
+           ROUND({cosine_sql('e.embedding', 'a')}, 6) AS sim
+    FROM embeddings e JOIN cells USING (label), anchor
+    WHERE e.vec_id <> 0
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """,
+)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate nearest neighbor.
 
@@ -119,7 +145,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_cells = (
         cent.crossJoin(F.broadcast(anchor))
         .select("label", cosine(F.col("centroid"), F.col("a")).alias("cell_sim"))
-        .orderBy(F.desc("cell_sim"))
+        .orderBy(F.desc("cell_sim"), "label")
         .limit(2)
         .select("label", "cell_sim")
     )
@@ -137,7 +163,28 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_knn_join")  # rows-only: brute-force kNN join demo (k=3 per probe)
+@query(
+    "q_knn_join",
+    oracle=f"""
+    WITH probes AS (
+        SELECT vec_id AS probe_id, embedding AS p
+        FROM embeddings WHERE vec_id < 20
+    ),
+    scored AS (
+        SELECT probe_id, e.vec_id,
+               ROUND({cosine_sql('e.embedding', 'p')}, 6) AS sim
+        FROM embeddings e, probes
+        WHERE e.vec_id <> probe_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY probe_id ORDER BY sim DESC, vec_id
+        ) AS rn
+        FROM scored
+    )
+    SELECT probe_id, vec_id, sim FROM ranked WHERE rn <= 3
+    """,
+)
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-nearest-neighbors join: for each of the first 20 vectors, the
     3 nearest others by cosine — ranked-window over a broadcast probe
