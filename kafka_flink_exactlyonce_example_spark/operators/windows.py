@@ -111,18 +111,27 @@ def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(SUM({cents_sql('l_extendedprice')}) OVER (PARTITION BY l_suppkey
-               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                AS run_price_cents,
            ROUND(AVG(l_quantity) OVER (PARTITION BY l_suppkey
-               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg_qty
     FROM lineitem
     """,
 )
 def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    # (l_orderkey, l_linenumber) is NOT unique in this synthetic data
+    # (sf0.1 has one (suppkey, shipdate, orderkey, linenumber) tie) —
+    # l_partkey makes the frame order total, so ROWS frames are
+    # deterministic across engines and runs.
+    order = [
+        F.col("l_shipdate"),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_partkey"),
+    ]
     wrun = (
         Window.partitionBy("l_suppkey")
         .orderBy(*order)
