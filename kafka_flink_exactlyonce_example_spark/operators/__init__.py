@@ -16,6 +16,7 @@ _MODULES = (
     "grouping",
     "windows",
     "sortlimit",
+    "sqlsurface",
     "setops",
     "scalar",
     "streaming_batch",
