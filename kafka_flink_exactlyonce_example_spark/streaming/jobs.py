@@ -122,6 +122,22 @@ def stream_stream_interval_join(
     return l.join(r, cond, "inner")
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+) -> DataFrame:
+    """Stream-static dimension enrichment — the most common production
+    streaming join (Flink's lookup/temporal table join). The static
+    side is re-planned per micro-batch, so a dim table backed by
+    files picks up slowly-changing updates between batches with no
+    state store at all (contrast stream-stream joins, which buffer
+    both sides). The dim side is broadcast — at 100 TB of stream the
+    dimension still fits on every executor, and the join never
+    shuffles the stream."""
+    return stream.join(F.broadcast(dim), key, "left")
+
+
 def keyed_running_count(lines: DataFrame, value_col: str = "value") -> DataFrame:
     """Custom keyed state via ``applyInPandasWithState`` — the literal
     Spark translation of Flink managed keyed state (``keyBy(word)`` +

@@ -434,3 +434,86 @@ def test_custom_sessionize_event_time_timer(spark, tmp_path):
     # user 2's session is still OPEN (nothing advanced the watermark
     # past its end+gap) — a correct timer implementation must NOT emit it
     assert 2 not in rows, f"open session emitted early: {rows}"
+
+
+def test_stream_static_enrich_picks_up_dim_changes(spark, tmp_path):
+    """Stream-static broadcast join: the static side is re-planned per
+    micro-batch, so a restarted query sees the UPDATED dimension for
+    new batches while already-committed batches keep the old values —
+    the slowly-changing-dimension contract (no state store involved)."""
+    from kafka_flink_exactlyonce_example_spark.streaming.jobs import (
+        stream_static_enrich,
+    )
+
+    inp, dim_dir = str(tmp_path / "in"), str(tmp_path / "dim")
+    os.makedirs(inp)
+
+    def write_dim(segment_of_user1: str) -> None:
+        spark.createDataFrame(
+            [(1, segment_of_user1), (2, "basic")], "user_id long, segment string"
+        ).coalesce(1).write.mode("overwrite").parquet(dim_dir)
+
+    def write_event(fname: str, event_id: int, user_id: int) -> None:
+        with open(os.path.join(inp, fname), "w") as f:
+            f.write(json.dumps({"event_id": event_id, "user_id": user_id}) + "\n")
+
+    write_dim("gold")
+    write_event("f0.json", 100, 1)
+
+    def run_once() -> None:
+        stream = file_stream(spark, inp, "event_id long, user_id long", fmt="json")
+        dim = spark.read.parquet(dim_dir)
+        enriched = stream_static_enrich(stream, dim, key="user_id")
+        sink = IdempotentBatchSink(str(tmp_path / "out"))
+        q = run_exactly_once(
+            enriched, sink, str(tmp_path / "ckpt"), output_mode="append"
+        )
+        q.awaitTermination(120)
+
+    run_once()
+
+    # dim changes; a new event arrives; the restarted query reads ONLY
+    # the new file (checkpoint offset log) and joins it against the NEW dim
+    write_dim("platinum")
+    write_event("f1.json", 200, 1)
+    run_once()
+
+    sink = IdempotentBatchSink(str(tmp_path / "out"))
+    got = {
+        r["event_id"]: r["segment"]
+        for r in sink.read_committed(spark).collect()
+    }
+    assert got == {100: "gold", 200: "platinum"}, got
+
+
+def test_stream_static_join_is_broadcast_and_unmatched_keys_survive(spark, tmp_path):
+    """The enrich join must broadcast the dim (never shuffle the
+    stream) and keep unmatched stream rows (left join semantics)."""
+    from kafka_flink_exactlyonce_example_spark.streaming.jobs import (
+        stream_static_enrich,
+    )
+
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    with open(os.path.join(inp, "f0.json"), "w") as f:
+        f.write(json.dumps({"event_id": 1, "user_id": 1}) + "\n")
+        f.write(json.dumps({"event_id": 2, "user_id": 999}) + "\n")  # no dim row
+
+    dim = spark.createDataFrame([(1, "gold")], "user_id long, segment string")
+    stream = file_stream(spark, inp, "event_id long, user_id long", fmt="json")
+    enriched = stream_static_enrich(stream, dim, key="user_id")
+
+    sink = IdempotentBatchSink(str(tmp_path / "out"))
+    q = run_exactly_once(enriched, sink, str(tmp_path / "ckpt"), output_mode="append")
+    q.awaitTermination(120)
+
+    rows = {r["event_id"]: r["segment"] for r in sink.read_committed(spark).collect()}
+    assert rows == {1: "gold", 2: None}, rows
+
+    # plan probe on the batch twin: broadcast, not a shuffled join
+    batch = spark.read.json(inp, schema="event_id long, user_id long")
+    plan = (
+        stream_static_enrich(batch, dim, key="user_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
