@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_flink_exactlyonce_example_spark.functions.similarity import cosine_sql, dot
@@ -160,10 +160,79 @@ def _jaccard_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _jaccard_edges(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
     """Near-dup edges (doc_a < doc_b, word-set Jaccard ≥ threshold) —
-    the same plan as q_jaccard_pairs, minus the score column."""
+    the same plan as q_jaccard_pairs, minus the score column.
+
+    Two physical strategies behind one logical contract:
+
+    - **Bitmask path** (taken when every language's vocabulary fits in
+      63 bits — measured 31 words/lang on this corpus): dictionary-
+      encode each lang's vocab to bit positions, fold each doc's word
+      set into ONE int64 with ``bit_or(1 << idx)``, then per pair
+      ``|A∩B| = bit_count(a & b)`` — O(1) per pair instead of O(|A|),
+      and the broadcast build side shrinks from ~50-element hash
+      arrays to two longs per doc.
+    - **Array path** (fallback, and the 100 TB shape where vocab is
+      millions): distinct xxhash64 token arrays + ``array_intersect``
+      with a lossless length-ratio prune. At real scale you'd go one
+      step further (inverted index / LSH as in q_near_dup); the prune
+      and lang blocking carry over unchanged.
+
+    The vocab-width probe is one tiny aggregate over distinct
+    (lang, word) — metadata-scale, same cost class as the CC loop's
+    convergence counter.
+    """
     d = table(spark, sf_dir, "documents")
-    # intersect on 64-bit token hashes, not strings: |A∩B| is identical
-    # (xxhash64 collisions are ~V²/2^65 ≈ never) and long-array
+    words = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(F.filter(F.split("text", " "), lambda w: w != ""))
+        ).alias("word"),
+    )
+    widx = (
+        words.select("lang", "word")
+        .distinct()
+        .withColumn(
+            "idx",
+            F.row_number().over(Window.partitionBy("lang").orderBy("word")) - 1,
+        )
+    )
+    max_idx = widx.agg(F.max("idx")).first()[0]
+    if max_idx is not None and max_idx < 63:
+        masks = (
+            words.join(F.broadcast(widx), ["lang", "word"])
+            .groupBy("doc_id", "lang")
+            .agg(
+                F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), idx)")).alias("mask")
+            )
+        )
+        a = masks.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("lang").alias("lang_a"),
+            F.col("mask").alias("ma"),
+            F.bit_count("mask").alias("na"),
+        )
+        b = masks.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("lang").alias("lang_b"),
+            F.col("mask").alias("mb"),
+            F.bit_count("mask").alias("nb"),
+        )
+        lo = F.least("na", "nb").cast("double")
+        hi = F.greatest("na", "nb").cast("double")
+        par = spark.sparkContext.defaultParallelism
+        pairs = (
+            a.repartition(par)
+            .join(F.broadcast(b), (a.lang_a == b.lang_b) & (a.doc_a < b.doc_b))
+            .filter(lo >= F.lit(threshold) * hi)  # lossless length-ratio prune
+        )
+        n_common = F.bit_count(F.col("ma").bitwiseAND(F.col("mb")))
+        jacc = n_common.cast("double") / (F.col("na") + F.col("nb") - n_common)
+        return pairs.filter(jacc >= threshold).select(
+            "doc_a", "doc_b", F.round(jacc, 6).alias("jaccard")
+        )
+    # fallback: intersect on 64-bit token hashes, not strings: |A∩B| is
+    # identical (xxhash64 collisions are ~V²/2^65 ≈ never) and long-array
     # intersection is several× cheaper than string-array — this is the
     # per-pair inner loop, so it sets the whole family's cost
     words_arr = F.array_distinct(
