@@ -507,7 +507,8 @@ def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sig AS (
         SELECT doc_id, seed,
-               MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
+               MIN(substring(md5(CAST(seed // 4 AS VARCHAR) || ':' || shingle),
+                             1 + 8 * (seed % 4), 8)) AS mh
         FROM shingles
         CROSS JOIN (SELECT unnest(generate_series(0, {_N_HASHES - 1})) AS seed)
         GROUP BY doc_id, seed
@@ -531,8 +532,9 @@ def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle(2-gram words) → 16 minhashes (one pass, 16 min() aggs) →
     4 bands of 4 → band-bucket groupBy → pairs sharing ≥1 band.
 
-    The hash family is md5 over ``"{{seed}}:{{shingle}}"`` and the
-    per-seed signature is the lexicographic MIN of the hex digests —
+    The hash family is md5 over ``"{{seed}}:{{shingle}}"``, sliced into
+    four independent 8-hex-char lanes (16 signatures from 4 digests per
+    shingle); each signature is the lexicographic MIN of its lane —
     identical in any engine with md5 (fixed-width lowercase hex makes
     string-min equal numeric-min), which is what lets DuckDB verify
     the sketch end-to-end. On a 100 TB run you'd swap the family to
@@ -560,9 +562,18 @@ def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("shingle"),
     ).distinct()
+    # 4 independent 8-hex-char lanes per md5 digest → 16 minhashes from
+    # only 4 md5 calls per shingle (Spark's codegen subexpression
+    # elimination computes each seeded digest once across the 16 aggs)
     minhashes = shingled.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+            F.min(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i // 4}:"), F.col("shingle"))),
+                    1 + 8 * (i % 4),
+                    8,
+                )
+            ).alias(f"mh{i}")
             for i in range(_N_HASHES)
         ]
     )
