@@ -249,3 +249,93 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(score), 6).alias("bm25"))
     )
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "q_profile",
+    oracle="""
+    SELECT 'l_quantity' AS col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(l_quantity) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_val,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*), COUNT(l_extendedprice),
+           COUNT(DISTINCT l_extendedprice), MIN(l_extendedprice),
+           MAX(l_extendedprice) FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(l_discount),
+           COUNT(DISTINCT l_discount), MIN(l_discount), MAX(l_discount)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', COUNT(*), COUNT(l_tax), COUNT(DISTINCT l_tax),
+           MIN(l_tax), MAX(l_tax) FROM lineitem
+    """,
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the data-quality pre-flight every ingest
+    pipeline runs): null/distinct/min/max per measure column. Spark
+    computes ALL columns' stats in ONE scan (a single multi-aggregate
+    pass, then a tiny unpivot of the 1-row result) — the oracle's
+    4-scan UNION ALL shape is exactly what we avoid at 100 TB."""
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n_rows"),
+            F.count(c).alias(f"{c}__n_nonnull"),
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            F.min(c).cast("double").alias(f"{c}__min_val"),
+            F.max(c).cast("double").alias(f"{c}__max_val"),
+        ]
+    one = li.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__n_rows").alias("n_rows"),
+            F.col(f"{c}__n_nonnull").alias("n_nonnull"),
+            F.col(f"{c}__n_distinct").alias("n_distinct"),
+            F.col(f"{c}__min_val").alias("min_val"),
+            F.col(f"{c}__max_val").alias("max_val"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return one.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
+
+
+@query(
+    "q_entropy",
+    oracle="""
+    WITH p AS (
+        SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(CAST(COUNT(*) AS DOUBLE)) OVER () AS total
+        FROM events GROUP BY event_type
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(-SUM((n / total) * ln(n / total)), 6) AS entropy_nats,
+           ROUND(MAX(n / total), 6) AS max_share
+    FROM p
+    """,
+)
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event-type distribution (a drift /
+    class-balance monitor). Two tiny aggregations over one scan; the
+    5-row intermediate never leaves the cluster."""
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    # total as a broadcast scalar, not an unpartitioned window — the
+    # per-type frame is tiny but the plan shape stays shuffle-clean
+    p = counts.crossJoin(F.broadcast(counts.agg(F.sum("n").alias("total"))))
+    share = F.col("n") / F.col("total")
+    return p.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(-F.sum(share * F.log(share)), 6).alias("entropy_nats"),
+        F.round(F.max(share), 6).alias("max_share"),
+    )
