@@ -104,3 +104,37 @@ def kafka_transactional_writer_options(
         "topic": topic,
         "checkpointLocation": checkpoint_dir,
     }
+
+
+class FanOutSink:
+    """Exactly-once fan-out to MULTIPLE destinations from one stream.
+
+    No distributed transaction needed: each destination is its own
+    :class:`IdempotentBatchSink` with its own commit marker, so a crash
+    between destination commits just replays the batch — already-
+    committed destinations skip, the torn one overwrites and commits.
+    Every destination converges to exactly-once independently (the same
+    argument that lets Kafka's 2PC be replaced by idempotent commits
+    when the sink supports overwrite-by-key).
+
+    ``fail_on`` (test hook): raise after committing the first
+    ``fail_after`` destinations of that batch — simulates a crash
+    mid-fan-out.
+    """
+
+    def __init__(self, out_dirs: list[str]) -> None:
+        self.sinks = [IdempotentBatchSink(d) for d in out_dirs]
+        self.fail_on: int | None = None
+        self.fail_after: int = 1
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for i, sink in enumerate(self.sinks):
+                if self.fail_on == batch_id and i == self.fail_after:
+                    raise RuntimeError(
+                        f"injected crash: batch {batch_id} after {i} sinks"
+                    )
+                sink(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()

@@ -55,13 +55,22 @@ def streaming_windowed_counts(
     key_col: str = "event_type",
     window: str = "1 hour",
     watermark: str = "10 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
     """Streaming form of q_tumbling_window (same expression tree),
-    with dropDuplicates on the record key = q_stream_dedup's form."""
+    with dropDuplicates on the record key = q_stream_dedup's form.
+    Pass ``slide`` for the sliding-window form (q_sliding_window's
+    streaming twin): each event lands in window/slide overlapping
+    windows; state per window is still evicted by the watermark."""
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
     return (
         events.withWatermark(ts_col, watermark)
         .dropDuplicates(["event_id"])
-        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .groupBy(win.alias("w"), F.col(key_col))
         .count()
         .select(F.col("w.start").alias("window_start"), key_col, "count")
     )

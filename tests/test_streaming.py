@@ -517,3 +517,87 @@ def test_stream_static_join_is_broadcast_and_unmatched_keys_survive(spark, tmp_p
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_fanout_sink_exactly_once_across_crash(spark, tmp_path):
+    """Fan-out to two sinks with a crash injected BETWEEN their
+    commits: restart replays the batch, the committed sink skips, the
+    torn sink overwrites — both end exactly-once with identical data."""
+    from kafka_flink_exactlyonce_example_spark.streaming.exactly_once import (
+        FanOutSink,
+    )
+
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    with open(os.path.join(inp, "f0.json"), "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"event_id": i}) + "\n")
+
+    dirs = [str(tmp_path / "out_a"), str(tmp_path / "out_b")]
+
+    def start(sink):
+        stream = file_stream(spark, inp, "event_id long", fmt="json")
+        return (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    crashing = FanOutSink(dirs)
+    crashing.fail_on = 0  # crash batch 0 after sink A commits, before B
+    q = start(crashing)
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise RuntimeError(q.exception().desc)
+    assert crashing.sinks[0].committed_batches() == [0]  # A committed
+    assert crashing.sinks[1].committed_batches() == []   # B torn
+
+    clean = FanOutSink(dirs)  # fresh handler, same checkpoint + dirs
+    q2 = start(clean)
+    q2.awaitTermination(120)
+
+    a = sorted(r["event_id"] for r in clean.sinks[0].read_committed(spark).collect())
+    b = sorted(r["event_id"] for r in clean.sinks[1].read_committed(spark).collect())
+    assert a == b == [0, 1, 2, 3, 4], (a, b)
+
+
+def test_streaming_sliding_window_counts(spark, tmp_path):
+    """Sliding windows on a stream: 1h window / 30m slide → each event
+    appears in two windows; counts match the overlap arithmetic."""
+    from kafka_flink_exactlyonce_example_spark.streaming import (
+        streaming_windowed_counts,
+    )
+    from pyspark.sql import functions as F
+
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    rows = [  # (event_id, ts): 00:10 and 00:40 → windows differ
+        (1, "2024-01-01 00:10:00"),
+        (2, "2024-01-01 00:40:00"),
+    ]
+    with open(os.path.join(inp, "f0.json"), "w") as f:
+        for eid, ts in rows:
+            f.write(json.dumps({"event_id": eid, "ts": ts, "event_type": "view"}) + "\n")
+
+    events = file_stream(
+        spark, inp, "event_id long, ts string, event_type string", fmt="json"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    result = streaming_windowed_counts(events, slide="30 minutes")
+    sink = IdempotentBatchSink(str(tmp_path / "out"))
+    q = run_exactly_once(result, sink, str(tmp_path / "ckpt"), output_mode="complete")
+    q.awaitTermination(120)
+
+    got = {
+        str(r["window_start"]): r["count"]
+        for r in sink.read_latest(spark).collect()
+    }
+    # event 1 (00:10) ∈ [23:30,00:30) and [00:00,01:00)
+    # event 2 (00:40) ∈ [00:00,01:00) and [00:30,01:30)
+    assert got == {
+        "2023-12-31 23:30:00": 1,
+        "2024-01-01 00:00:00": 2,
+        "2024-01-01 00:30:00": 1,
+    }, got
