@@ -603,11 +603,58 @@ def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_simhash")  # rows-only: xxhash64-based signature
+# hex → uint32 as an 8-term polynomial (both engines lack a portable
+# hex-to-int cast; the digits are exact in float64 so the sum is exact)
+_HEX_TO_INT_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substring(m, {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+    for j in range(8)
+)
+_SIMHASH_VOTES_SQL = ",\n           ".join(
+    f"SUM(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS bit{k}"
+    for k in range(32)
+)
+_SIMHASH_SIG_SQL = " + ".join(
+    f"CASE WHEN bit{k} > 0 THEN {2 ** k} ELSE 0 END" for k in range(32)
+)
+
+
+@query(
+    "q_simhash",
+    oracle=f"""
+    WITH words AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), words_f AS (SELECT * FROM words WHERE word <> ''),
+    hashed AS (
+        SELECT doc_id, CAST({_HEX_TO_INT_SQL} AS BIGINT) AS h
+        FROM (SELECT doc_id, md5(word) AS m FROM words_f)
+    ),
+    votes AS (
+        SELECT doc_id,
+           {_SIMHASH_VOTES_SQL}
+        FROM hashed GROUP BY doc_id
+    ),
+    sigs AS (
+        SELECT doc_id, CAST({_SIMHASH_SIG_SQL} AS BIGINT) AS simhash FROM votes
+    )
+    SELECT s.doc_id, s.simhash, CAST(c.bucket_size AS BIGINT) AS bucket_size
+    FROM sigs s JOIN (
+        SELECT simhash, COUNT(*) AS bucket_size FROM sigs GROUP BY simhash
+    ) c USING (simhash)
+    """,
+)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document from per-token hash bit votes, plus
-    bucket sizes (equal signatures = hamming-0 near-dup candidates)."""
-    words = _doc_words(spark, sf_dir).withColumn("h", F.xxhash64("word"))
+    bucket sizes (equal signatures = hamming-0 near-dup candidates).
+
+    Like q_near_dup, the token hash is the first 8 hex chars of
+    ``md5(word)`` — portable across engines (Spark converts via
+    ``conv(hex, 16, 10)``, DuckDB via a digit polynomial), so the
+    full sketch is DuckDB-verified. xxhash64 is the drop-in at 100 TB.
+    """
+    words = _doc_words(spark, sf_dir).withColumn(
+        "h", F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+    )
     votes = words.groupBy("doc_id").agg(
         *[
             F.sum(

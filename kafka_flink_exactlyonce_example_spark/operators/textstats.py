@@ -417,3 +417,92 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(dist), 6).alias("avg_dist"),
         )
     )
+
+
+@query(
+    "q_repetition",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), words_f AS (SELECT * FROM words WHERE word <> ''),
+    tok AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM words_f
+        GROUP BY doc_id
+    ),
+    top_word AS (
+        SELECT doc_id, MAX(c) AS top_word_count FROM (
+            SELECT doc_id, word, COUNT(*) AS c FROM words_f GROUP BY doc_id, word
+        ) GROUP BY doc_id
+    ),
+    arr AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bigrams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+                                     i -> concat_ws(' ', w[i], w[i + 1]))) AS bg
+        FROM arr
+    ),
+    top_bigram AS (
+        SELECT doc_id, MAX(c) AS top_bigram_count, SUM(c) AS n_bigrams FROM (
+            SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg
+        ) GROUP BY doc_id
+    )
+    SELECT tok.doc_id AS doc_id, tok.n_tokens,
+           ROUND(CAST(top_word.top_word_count AS DOUBLE) / tok.n_tokens, 6)
+               AS top_word_frac,
+           ROUND(CAST(top_bigram.top_bigram_count AS DOUBLE)
+                 / top_bigram.n_bigrams, 6) AS top_bigram_frac,
+           (CAST(top_word.top_word_count AS DOUBLE) / tok.n_tokens > 0.2
+            OR CAST(top_bigram.top_bigram_count AS DOUBLE)
+               / top_bigram.n_bigrams > 0.18) AS flagged
+    FROM tok JOIN top_word USING (doc_id) JOIN top_bigram USING (doc_id)
+    """,
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate quality signal (the Gopher-rules family):
+    fraction of tokens taken by the most frequent word and by the most
+    frequent 2-gram; docs past threshold are flagged for removal.
+    One scan feeds both profiles; every stage is a keyed aggregate
+    (shuffle on doc_id), so the filter scales linearly — this is the
+    shape quality filtering runs at on a full training corpus."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    tok = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    top_word = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_word_count"))
+    )
+    arr = F.split("text", " ")
+    bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(arr) - 1, F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(arr, i), F.element_at(arr, i + 1)
+                ),
+            )
+        ).alias("bg"),
+    )
+    top_bigram = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_count"), F.sum("c").alias("n_bigrams"))
+    )
+    wf = F.col("top_word_count").cast("double") / F.col("n_tokens")
+    bf = F.col("top_bigram_count").cast("double") / F.col("n_bigrams")
+    return (
+        tok.join(top_word, "doc_id")
+        .join(top_bigram, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(wf, 6).alias("top_word_frac"),
+            F.round(bf, 6).alias("top_bigram_frac"),
+            ((wf > 0.2) | (bf > 0.18)).alias("flagged"),
+        )
+    )
