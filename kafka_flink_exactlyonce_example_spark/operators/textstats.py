@@ -506,3 +506,57 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((wf > 0.2) | (bf > 0.18)).alias("flagged"),
         )
     )
+
+
+_PACK_CAPACITY = 2048
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM tok
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST((cum_tokens - n_tokens) // {_PACK_CAPACITY} AS BIGINT) AS seq_id,
+           CAST((cum_tokens - n_tokens) % {_PACK_CAPACITY} AS BIGINT) AS seq_offset
+    FROM cum
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: lay documents head-to-tail (per
+    lang, in doc_id order) into fixed 2048-token training sequences;
+    each doc gets its sequence id and byte offset. One windowed cumsum
+    over a unique total order — the packing decision is fully
+    distributed (no driver loop), and per-lang partitions pack in
+    parallel exactly as a real tokenizer-sharding job does."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok = d.select("doc_id", "lang", n_tok.alias("n_tokens"))
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    return (
+        tok.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.floor(start / _PACK_CAPACITY).cast("long").alias("seq_id"),
+            (start % _PACK_CAPACITY).cast("long").alias("seq_offset"),
+        )
+    )
