@@ -560,3 +560,79 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             (start % _PACK_CAPACITY).cast("long").alias("seq_offset"),
         )
     )
+
+
+@query(
+    "q_contamination",
+    oracle="""
+    WITH arr AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                      i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))) AS g
+        FROM arr
+    ),
+    train_grams AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % 10 <> 0
+    ),
+    eval_grams AS (
+        SELECT doc_id, g FROM grams WHERE doc_id % 10 = 0
+    ),
+    hits AS (
+        SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM eval_grams e JOIN train_grams t USING (g)
+        GROUP BY e.doc_id
+    ),
+    totals AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM eval_grams GROUP BY doc_id
+    )
+    SELECT t.doc_id AS doc_id, t.n_grams,
+           COALESCE(h.n_shared, 0) AS n_shared,
+           ROUND(CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / t.n_grams, 6)
+               AS contamination,
+           (CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / t.n_grams > 0.8)
+               AS flagged
+    FROM totals t LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: fraction of each eval doc's distinct
+    word-3-grams that appear ANYWHERE in the train split (here split
+    deterministically by doc_id % 10). The join is eval-postings ⋈
+    distinct-train-grams — linear in corpus size (never per-doc-pair),
+    which is what makes decontamination tractable against a 100 TB
+    train set: the train gram set shuffles once (or Bloom-filters down
+    to a broadcast), eval streams through it."""
+    d = table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(arr) - 2, F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(arr, i),
+                    F.element_at(arr, i + 1),
+                    F.element_at(arr, i + 2),
+                ),
+            )
+        ).alias("g"),
+    ).distinct()
+    train_grams = grams.filter(F.col("doc_id") % 10 != 0).select("g").distinct()
+    eval_grams = grams.filter(F.col("doc_id") % 10 == 0)
+    hits = (
+        eval_grams.join(train_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    totals = eval_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    frac = F.coalesce(F.col("n_shared"), F.lit(0)).cast("double") / F.col("n_grams")
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+        F.round(frac, 6).alias("contamination"),
+        (frac > 0.8).alias("flagged"),
+    )
