@@ -27,6 +27,7 @@ _MODULES = (
     "textstats",
     "udf_demo",
     "multimodal",
+    "datamgmt",
 )
 
 
