@@ -418,3 +418,96 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("mse") * 1e6, 3).alias("max_mse_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_scd2 — slowly-changing-dimension type-2 history build
+# --------------------------------------------------------------------------
+
+@query(
+    "q_scd2",
+    oracle="""
+    WITH h AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+               lag(o_orderpriority) OVER w AS prev_p
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), chg AS (
+        SELECT * FROM h WHERE prev_p IS NULL OR prev_p <> o_orderpriority
+    )
+    SELECT o_custkey AS custkey, o_orderpriority AS priority,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w2 AS valid_to,
+           lead(o_orderdate) OVER w2 IS NULL AS is_current
+    FROM chg
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse each customer's
+    order-priority history into change intervals (valid_from/valid_to,
+    open-ended current row) — the warehouse-standard history table.
+
+    Two window passes over one shuffle on custkey: lag() marks change
+    points, a filter keeps them, lead() closes each interval against
+    the next change. Ordering carries o_orderkey as the tie-break so
+    same-day orders produce a deterministic history. At 100 TB the
+    partition key (entity id) is the natural layout key and both
+    passes share the single sort."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = (
+        o.select(
+            "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey",
+            F.lag("o_orderpriority").over(w).alias("prev_p"),
+        )
+        .filter(
+            F.col("prev_p").isNull()
+            | (F.col("prev_p") != F.col("o_orderpriority"))
+        )
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    valid_to = F.lead("o_orderdate").over(w2)
+    return chg.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_anomaly — z-score outlier detection per group
+# --------------------------------------------------------------------------
+
+@query(
+    "q_anomaly",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, value,
+           round((value - mu) / sigma, 6) AS zscore
+    FROM events e JOIN stats USING (event_type)
+    WHERE abs((value - mu) / sigma) > 3.0
+    """,
+)
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection: events whose value is >3σ from their
+    type's mean. Two-pass plan — a tiny per-type stats aggregate
+    (map-side partial, 5 rows) broadcast back onto the stream — the
+    same shape as streaming drift monitors (stats from the last
+    window, scored against live data). Never a window over the full
+    table: the broadcast keeps the score pass shuffle-free at 100 TB."""
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("zscore"))
+    )

@@ -366,3 +366,36 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "viewed_value_cents"
         ),
     )
+
+
+@query(
+    "q_lateral_topk",
+    oracle="""
+    SELECT n_name, c.c_name, c.c_acctbal
+    FROM nation,
+    LATERAL (SELECT c_name, c_acctbal FROM customer
+             WHERE c_nationkey = n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+    """,
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery via the Spark 4 ``DataFrame.
+    lateralJoin`` API: each nation's top-2 customers by balance.
+
+    Catalyst decorrelates the per-row ORDER BY + LIMIT into a
+    ``WindowGroupLimit`` (map-side partial top-k per group, no full
+    sort) joined back to the outer side — verified in the physical
+    plan by tests. That rewrite is exactly what you want at 100 TB:
+    the naive reading (re-scan customer per outer row) never executes.
+    ``c_custkey`` breaks balance ties so the kept rows are
+    deterministic. Same semantics as q_topk_per_group, expressed
+    through the lateral entry point to grade the API surface.
+    """
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    return n.lateralJoin(
+        c.where(F.col("c_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .limit(2)
+        .select("c_name", "c_acctbal")
+    ).select("n_name", "c_name", "c_acctbal")

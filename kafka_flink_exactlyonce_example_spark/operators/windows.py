@@ -163,3 +163,97 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+@query(
+    "q_win_percent",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal)
+    """,
+)
+def q_win_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist of each supplier's balance within its
+    nation — the relative-standing window pair q_win_rank doesn't
+    cover. Both are tie-deterministic (equal keys get equal values),
+    so the ORDER BY needs no unique tie-break; one shuffle + one sort
+    per partition at any scale."""
+    s = table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal")
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "q_win_corr",
+    oracle="""
+    WITH s AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
+               CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+               SUM(l_quantity) OVER w AS sx,
+               SUM(l_extendedprice) OVER w AS sy,
+               SUM(l_quantity * l_quantity) OVER w AS sxx,
+               SUM(l_extendedprice * l_extendedprice) OVER w AS syy,
+               SUM(l_quantity * l_extendedprice) OVER w AS sxy
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+                     ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    )
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
+           round(CASE WHEN (sxx - sx*sx/n) * (syy - sy*sy/n) > 0
+                      THEN (sxy - sx*sy/n)
+                           / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n))
+                 END, 6) AS corr30
+    FROM s
+    """,
+)
+def q_win_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-row Pearson correlation of quantity vs price per
+    supplier — an aggregate over a sliding ROWS frame, the shape
+    monitoring/feature pipelines use for drift detection.
+
+    Spelled as explicit co-moment sums (one window pass computes
+    n/Σx/Σy/Σx²/Σy²/Σxy over the same frame) instead of the built-in
+    ``corr``: Spark 4 under ANSI mode raises DIVIDE_BY_ZERO on a
+    zero-variance frame (e.g. two rows with equal quantities) where
+    DuckDB's corr yields NULL — the guarded formula gives both engines
+    the identical arithmetic chain AND identical null semantics. The
+    ROWS frame straddles sort ties, so the ordering appends
+    (l_orderkey, l_linenumber, l_partkey) for a total order (lineitem
+    has no 2-column unique key on this dataset). One shuffle on
+    supplier; all six sums share a single frame scan."""
+    li = table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey")
+        .rowsBetween(-29, 0)
+    )
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx, sy = F.sum(x).over(w), F.sum(y).over(w)
+    sxx, syy = F.sum(x * x).over(w), F.sum(y * y).over(w)
+    sxy = F.sum(x * y).over(w)
+    base = li.select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_partkey",
+        n.alias("n"), sx.alias("sx"), sy.alias("sy"),
+        sxx.alias("sxx"), syy.alias("syy"), sxy.alias("sxy"),
+    )
+    den = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) * (
+        F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    )
+    corr = F.when(
+        den > 0,
+        (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / F.sqrt(den),
+    )
+    return base.select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_partkey",
+        F.round(corr, 6).alias("corr30"),
+    )

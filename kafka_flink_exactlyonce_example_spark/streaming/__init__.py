@@ -4,6 +4,7 @@ from kafka_flink_exactlyonce_example_spark.streaming.exactly_once import (  # no
 from kafka_flink_exactlyonce_example_spark.streaming.jobs import (  # noqa: F401
     custom_sessionize,
     keyed_running_count,
+    keyed_running_count_tws,
     stream_stream_interval_join,
     streaming_sessions,
     streaming_wordcount,

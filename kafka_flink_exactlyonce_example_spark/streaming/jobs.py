@@ -273,6 +273,51 @@ def custom_sessionize(
     )
 
 
+def keyed_running_count_tws(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """The same per-key counter as ``keyed_running_count``, on Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState`` and the closest Spark analog to Flink's
+    ``KeyedProcessFunction`` (named state variables on a handle, value/
+    list/map state, timers, TTL — vs the single state tuple of the old
+    API). Requires the RocksDB state store provider, which is also the
+    100 TB posture: keyed state lives off-heap and scales with disk.
+
+    Kept logically identical to the old-API job so the test can assert
+    both give the batch-equivalent totals — proving a migration path
+    between the two state APIs with the same checkpoint discipline.
+    """
+    import pandas as pd  # local: only the streaming path needs it
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("count", "cnt long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            add = sum(len(pdf) for pdf in rows)
+            total = (self._count.get()[0] if self._count.exists() else 0) + add
+            self._count.update((total,))
+            yield pd.DataFrame({"word": [key[0]], "cnt": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        tokenized(lines, value_col)
+        .groupBy("word")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningCount(),
+            outputStructType="word string, cnt long",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def run_exactly_once(
     result: DataFrame,
     sink: IdempotentBatchSink,

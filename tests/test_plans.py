@@ -85,3 +85,31 @@ def test_pair_families_broadcast_block_side(spark, registry_loaded):
     dim-sized table) so the probe scan never shuffles."""
     for q in ("q_embed_dup", "q_edit_distance"):
         assert_in_plan(registry_loaded.QUERIES[q](spark, SMOKE_SF), "BroadcastHashJoin")
+
+
+def test_lateral_topk_decorrelates_to_group_limit(spark, registry_loaded):
+    """The correlated LATERAL ... ORDER BY ... LIMIT must decorrelate to
+    WindowGroupLimit (map-side partial top-k per group) + a join — never
+    a per-outer-row rescan of the inner table."""
+    df = registry_loaded.QUERIES["q_lateral_topk"](spark, SMOKE_SF)
+    plan = plan_string(df)
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_anomaly_stats_join_is_broadcast(spark, registry_loaded):
+    """The 5-row per-type stats side must broadcast — the score pass
+    over the fact table stays shuffle-free."""
+    assert_in_plan(
+        registry_loaded.QUERIES["q_anomaly"](spark, SMOKE_SF), "BroadcastHashJoin"
+    )
+
+
+def test_forward_fill_single_shuffle(spark, registry_loaded):
+    """IGNORE-NULLS forward fill is one hash exchange on user_id + one
+    sorted window pass — no extra exchanges."""
+    plan = plan_string(
+        registry_loaded.QUERIES["q_forward_fill"](spark, SMOKE_SF), mode="simple"
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan

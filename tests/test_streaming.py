@@ -155,6 +155,59 @@ def test_keyed_state_running_count(spark, tmp_path):
     assert latest == _expected_counts()
 
 
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python state-server protocol needs the "
+    "protobuf package (not in this container); the job itself is "
+    "plain public PySpark 4 API and runs where protobuf exists",
+)
+def test_transform_with_state_running_count(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4's KeyedProcessFunction-class
+    API: named state variables, timers, TTL) — same per-word counter as
+    test_keyed_state_running_count, so the two state APIs are proven
+    interchangeable for this state machine. Needs RocksDB provider."""
+    from kafka_flink_exactlyonce_example_spark.streaming import (
+        keyed_running_count_tws,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        inp = str(tmp_path / "in")
+        _write_input_files(inp)
+        lines = file_stream(
+            spark, inp, "value string, event_ts string", fmt="json",
+            maxFilesPerTrigger="2",
+        )
+        result = keyed_running_count_tws(lines)
+        sink = IdempotentBatchSink(str(tmp_path / "out"))
+        q = run_exactly_once(result, sink, str(tmp_path / "ckpt"), output_mode="update")
+        q.awaitTermination(180)
+        assert len(sink.committed_batches()) > 1, "need >1 micro-batch to test state carry"
+        latest: dict[str, int] = {}
+        for b in sink.committed_batches():
+            p = os.path.join(sink.data_dir, f"batch_id={b}")
+            if os.path.exists(p):
+                for r in spark.read.parquet(p).collect():
+                    latest[r["word"]] = r["cnt"]
+        assert latest == _expected_counts()
+    finally:
+        spark.conf.set(key, prev)
+
+
 class _CrashOnce(IdempotentBatchSink):
     """Writes batch data then dies before the commit marker — simulates
     a crash at the worst moment of the 2-phase protocol."""
