@@ -315,3 +315,225 @@ def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile_approx("l_extendedprice", 0.5, 10000), 2).alias("p50_approx"),
         F.round(F.percentile_approx("l_extendedprice", 0.9, 10000), 2).alias("p90_approx"),
     )
+
+
+@query(
+    "q_markov",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    ), cnt AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n,
+           round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src), 6) AS prob
+    FROM cnt
+    """,
+)
+def q_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: P(next event type | current type). The sequence-mining
+    primitive behind next-action prediction and anomalous-flow
+    detection. lead() over (user, ts, event_id) — event_id breaks ts
+    ties for a deterministic successor — then one count aggregation
+    and a window normalization over the 25-cell matrix. One shuffle on
+    user_id, one on (src, dst); the matrix itself is O(|types|²)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    cnt = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wsrc = Window.partitionBy("src")
+    return cnt.select(
+        "src", "dst", "n",
+        F.round(F.col("n") / F.sum("n").over(wsrc), 6).alias("prob"),
+    )
+
+
+@query(
+    "q_ab_test",
+    oracle="""
+    WITH g AS (
+        SELECT user_id % 2 AS cohort,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               avg(value) AS m,
+               var_samp(value) AS v
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id % 2
+    ), ab AS (
+        SELECT
+          max(CASE WHEN cohort = 0 THEN n END) AS n0,
+          max(CASE WHEN cohort = 1 THEN n END) AS n1,
+          max(CASE WHEN cohort = 0 THEN m END) AS m0,
+          max(CASE WHEN cohort = 1 THEN m END) AS m1,
+          max(CASE WHEN cohort = 0 THEN v END) AS v0,
+          max(CASE WHEN cohort = 1 THEN v END) AS v1
+        FROM g
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treat,
+           round(m1 - m0, 6) AS lift,
+           round((m1 - m0) / sqrt(v0/n0 + v1/n1), 6) AS welch_t,
+           round(pow(v0/n0 + v1/n1, 2)
+                 / (pow(v0/n0, 2)/(n0-1) + pow(v1/n1, 2)/(n1-1)), 3) AS welch_dof
+    FROM ab
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t statistic for purchase value between user
+    cohorts (deterministic split: user_id % 2) — the A/B-readout
+    aggregate every experimentation pipeline ends in.
+
+    One conditional aggregation per cohort (map-side partial), then a
+    single-row combine computing lift, t, and Welch–Satterthwaite
+    degrees of freedom from the six sufficient statistics — the
+    100 TB shape: sufficient stats shrink to O(1) per cohort before
+    any driver-visible math. Identical formula both engines, rounded.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    g = ev.groupBy((F.col("user_id") % 2).alias("cohort")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    ab = g.agg(
+        *[
+            F.max(F.when(F.col("cohort") == c, F.col(x))).alias(f"{x}{c}")
+            for c in (0, 1)
+            for x in ("n", "m", "v")
+        ]
+    )
+    se2 = F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")
+    dof = F.pow(se2, 2) / (
+        F.pow(F.col("v0") / F.col("n0"), 2) / (F.col("n0") - 1)
+        + F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+    )
+    return ab.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("n1").cast("long").alias("n_treat"),
+        F.round(F.col("m1") - F.col("m0"), 6).alias("lift"),
+        F.round((F.col("m1") - F.col("m0")) / F.sqrt(se2), 6).alias("welch_t"),
+        F.round(dof, 3).alias("welch_dof"),
+    )
+
+
+@query(
+    "q_pareto",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey, SUM(o_totalprice) AS r
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT r,
+               row_number() OVER (ORDER BY r DESC, o_custkey) AS rk,
+               CAST(COUNT(*) OVER () AS DOUBLE) AS n,
+               SUM(r) OVER () AS total,
+               SUM(r) OVER (ORDER BY r DESC, o_custkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum
+        FROM rev
+    )
+    SELECT
+      round(max(CASE WHEN rk <= ceil(n * 0.01) THEN cum END) /
+            max(total), 6) AS top1pct_share,
+      round(max(CASE WHEN rk <= ceil(n * 0.10) THEN cum END) /
+            max(total), 6) AS top10pct_share,
+      round(1.0 - 2.0 * sum((cum - r / 2) / total) / max(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: share of total order revenue held by the
+    top 1% / 10% of customers, plus the Gini coefficient — the
+    heavy-tail diagnostic that decides whether a dataset (or a key
+    distribution about to be shuffled) needs skew handling.
+
+    One aggregation to per-customer revenue, one descending cumsum
+    window, one single-row combine. Gini via the Lorenz trapezoid
+    identity G = 1 − 2·Σ(cum_i − r_i/2)/(total·n), computed identically
+    in both engines. Ordering ties broken by custkey → deterministic
+    cum at every rank. The global window is a single-partition sort at
+    100 TB — acceptable because it runs on the aggregated (customer-
+    level) relation, not the fact table; for fact-level Lorenz curves
+    you'd bucket by revenue quantile first."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
+    wall = Window.orderBy(F.col("r").desc(), "o_custkey")
+    ranked = rev.select(
+        "r",
+        F.row_number().over(wall).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("double").alias("n"),
+        F.sum("r").over(Window.partitionBy()).alias("total"),
+        F.sum("r").over(wall.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    top = lambda frac: F.max(
+        F.when(F.col("rk") <= F.ceil(F.col("n") * frac), F.col("cum"))
+    ) / F.max("total")
+    return ranked.agg(
+        F.round(top(0.01), 6).alias("top1pct_share"),
+        F.round(top(0.10), 6).alias("top10pct_share"),
+        F.round(
+            1.0
+            - 2.0
+            * F.sum((F.col("cum") - F.col("r") / 2) / F.col("total"))
+            / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "q_median_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           round(max(m.med), 6) AS median_value,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(e.value - m.med)), 6)
+             AS mad
+    FROM events e JOIN med m ON e.event_type = m.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location/spread per event type: exact interpolated median
+    and MAD (median absolute deviation) — the outlier-resistant
+    counterpart to q_anomaly's mean/σ z-scores.
+
+    Exact medians need a full sort of each group's values, so the plan
+    is two grouped percentile passes with the 5-row median table
+    broadcast back between them — at 100 TB you'd swap in
+    approx_percentile (q_approx_quantile's sketch) and keep the same
+    two-pass shape. Spark `percentile` and DuckDB `percentile_cont`
+    both interpolate identically (verified; DuckDB's `median` does NOT
+    interpolate for all types — avoided)."""
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 6).alias("median_value"),
+            F.round(
+                F.expr("percentile(abs(value - med), 0.5D)"), 6
+            ).alias("mad"),
+        )
+    )
