@@ -271,3 +271,116 @@ def q_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "close_value",
         )
     )
+
+
+@query(
+    "q_cep_pattern",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type,
+               lead(event_type) OVER w AS next_type,
+               lead(ts) OVER w AS next_ts,
+               lead(event_id) OVER w AS next_id
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS error_event_id, next_id AS purchase_event_id,
+           strftime(ts, '{_TS_FMT_DUCK}') AS error_ts,
+           strftime(next_ts, '{_TS_FMT_DUCK}') AS purchase_ts
+    FROM seq
+    WHERE event_type = 'error' AND next_type = 'purchase'
+      AND next_ts <= ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP pattern detection, the batch analog of Flink's
+    MATCH_RECOGNIZE / CEP library: per user, an 'error' event whose
+    IMMEDIATELY NEXT event is a 'purchase' within 30 minutes (strict
+    contiguity, the PATTERN (A B) ... WITHIN form).
+
+    One lead() pass over (user, ts, event_id) — no self-join: strict-
+    contiguity CEP is a window derivation, and at 100 TB that is one
+    shuffle on the key versus the interval self-join's quadratic
+    blowup. Looser "followed by eventually" patterns relax to
+    q_funnel's conditional-min shape; true streaming CEP state
+    machines go to applyInPandasWithState (custom_sessionize shows the
+    timer pattern)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+        F.lead("event_id").over(w).alias("next_id"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "error")
+            & (F.col("next_type") == "purchase")
+            & (F.col("next_ts") <= F.col("ts") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("error_event_id"),
+            F.col("next_id").alias("purchase_event_id"),
+            F.date_format("ts", _TS_FMT_SPARK).alias("error_ts"),
+            F.date_format("next_ts", _TS_FMT_SPARK).alias("purchase_ts"),
+        )
+    )
+
+
+@query(
+    "q_cumulate_window",
+    oracle=f"""
+    SELECT strftime(date_trunc('day', ts), '{_TS_FMT_DUCK}') AS day_start,
+           strftime(date_trunc('day', ts) + k * INTERVAL 6 HOUR,
+                    '{_TS_FMT_DUCK}') AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM({cents_sql('value')}) AS BIGINT) AS value_cents
+    FROM events
+    JOIN (SELECT unnest(generate_series(1, 4)) AS k)
+      ON k * 21600 > CAST(FLOOR(epoch(ts)) AS BIGINT)
+                     - CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT)
+    GROUP BY 1, 2
+    """,
+)
+def q_cumulate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink CUMULATE window (step 6 h, size 1 day), batch analog:
+    each event lands in every expanding window [day, day+6h·k) whose
+    end is past it — the early-firing daily dashboard (running totals
+    at 06/12/18/24h) Flink 1.13 added windows TVFs for.
+
+    Native expansion: ``explode(sequence(slot+1, 4))`` emits exactly
+    the windows each event belongs to (≤4 rows), then one grouped agg
+    — identical to Spark's own sliding-``F.window`` internals. The
+    streaming form is the same expression over readStream with a
+    1-day watermark; emitted rows for closed steps are immutable, so
+    the idempotent sink dedups on (day_start, window_end, batch)."""
+    ev = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    slot = (F.unix_timestamp("ts") - F.unix_timestamp(day)) / F.lit(21600)
+    expanded = ev.select(
+        day.alias("day"),
+        "value",
+        F.explode(
+            F.sequence(F.floor(slot).cast("int") + 1, F.lit(4))
+        ).alias("k"),
+    )
+    return (
+        expanded.groupBy("day", "k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+        .select(
+            F.date_format("day", _TS_FMT_SPARK).alias("day_start"),
+            F.date_format(
+                F.col("day") + F.make_interval(hours=F.col("k") * 6),
+                _TS_FMT_SPARK,
+            ).alias("window_end"),
+            "n_events",
+            "value_cents",
+        )
+    )

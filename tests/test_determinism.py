@@ -1,0 +1,54 @@
+"""Determinism under re-partitioning (SURVEY.md §5.2).
+
+Order-sensitive derivations (window frames, lead/lag successors,
+fingerprints, packing layouts) must not depend on physical data order:
+a plan is only correct at 1000 executors if its result is identical for
+ANY partitioning of the input. The q_win_running_sum incident (ROWS
+frame straddling a sort tie — fixed by appending l_partkey for a total
+order) is exactly this bug class; this test pins the fix for every
+order-sensitive query by executing each one under two different shuffle
+widths and demanding bit-identical results.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SMOKE_SF
+
+# every query whose result flows through an ORDER-dependent derivation
+ORDER_SENSITIVE = [
+    "q_win_running_sum",
+    "q_win_corr",
+    "q_win_lag_lead",
+    "q_forward_fill",
+    "q_scd2",
+    "q_markov",
+    "q_cep_pattern",
+    "q_pack_sequences",
+    "q_fingerprint",
+    "q_sort_limit",
+    "q_topk_per_group",
+    "q_lateral_topk",
+]
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    rows = [tuple(r[c] for c in cols) for r in df.select(*cols).collect()]
+    # None-safe total order (NULLs sort first within their column)
+    return sorted(rows, key=lambda t: tuple((v is not None, v) for v in t))
+
+
+@pytest.mark.parametrize("name", ORDER_SENSITIVE)
+def test_result_stable_across_shuffle_widths(spark, registry_loaded, name):
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")
+        a = _rows(registry_loaded.QUERIES[name](spark, SMOKE_SF))
+        spark.conf.set(key, "13")
+        b = _rows(registry_loaded.QUERIES[name](spark, SMOKE_SF))
+    finally:
+        spark.conf.set(key, prev)
+    assert a == b, f"{name} changed results when shuffle width changed"
