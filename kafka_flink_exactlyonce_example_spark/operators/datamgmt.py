@@ -329,6 +329,10 @@ def q_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", F.xxhash64("gram").alias("h"))
         .distinct()
+        # three consumers (both self-join sides + sizes) — materialize
+        # the shingle explode once instead of recomputing it per
+        # consumer (measured 2× on the whole query at sf0.1)
+        .localCheckpoint()
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.select(F.col("doc_id").alias("doc_a"), "lang", "h")

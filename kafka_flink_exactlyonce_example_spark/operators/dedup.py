@@ -674,3 +674,61 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = votes.select("doc_id", sig.alias("simhash"))
     counts = sigs.groupBy("simhash").agg(F.count(F.lit(1)).alias("bucket_size"))
     return sigs.join(counts, "simhash").select("doc_id", "simhash", "bucket_size")
+
+
+@query(
+    "q_dup_stats",
+    oracle=f"""
+    {_JACCARD_EDGES_RECURSIVE},
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION ALL
+        SELECT doc_b, doc_a FROM edges
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    labels AS (
+        SELECT d.doc_id,
+               CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT)
+                 AS group_id
+        FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        GROUP BY d.doc_id
+    ),
+    groups AS (
+        SELECT group_id, CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM labels GROUP BY group_id
+    )
+    SELECT group_size,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(group_size) AS BIGINT) AS n_docs,
+           CAST(SUM(group_size - 1) AS BIGINT) AS n_removable
+    FROM groups
+    GROUP BY group_size
+    """,
+)
+def q_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster census: component-size histogram of the
+    near-dup graph plus the dedup yield (docs removable per size
+    class) — the report that decides whether a corpus needs dedup at
+    all and predicts the output size of q_dedup_keep_best before the
+    expensive pass runs.
+
+    Composes on q_dup_groups' converged (and session-cached) CC
+    labels: two tiny aggregations on top of the label table (group →
+    size → histogram), so the marginal cost is near zero once any
+    dedup query has run — the report comes free with the pipeline.
+    (A triangle-count variant was tried and rejected: near-dup
+    components on this corpus are near-cliques, making triangle
+    enumeration O(k³) per cluster with no added signal.)"""
+    labels = q_dup_groups(spark, sf_dir)
+    groups = labels.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return groups.groupBy("group_size").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("group_size").alias("n_docs"),
+        F.sum(F.col("group_size") - 1).alias("n_removable"),
+    )

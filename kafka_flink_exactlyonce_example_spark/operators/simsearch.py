@@ -210,3 +210,60 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@query(
+    "q_centroid",
+    oracle="""
+    WITH m AS (
+        SELECT label, i,
+               avg(CAST(embedding[i] AS DOUBLE)) AS m1,
+               avg(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))
+                 AS m2
+        FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+        GROUP BY label, i
+    ), agg AS (
+        SELECT label, sum(m1*m1) AS cn2, sum(m2 - m1*m1) AS inertia
+        FROM m GROUP BY label
+    ), n AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM embeddings GROUP BY label
+    )
+    SELECT label, n_vecs,
+           round(sqrt(cn2), 6) AS centroid_norm,
+           round(inertia, 6) AS inertia
+    FROM agg JOIN n USING (label)
+    """,
+)
+def q_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norm and inertia (avg squared distance to the
+    centroid) — the k-means/IVF quality gauges for q_ann_ivf's cells.
+
+    Single-pass via the moment identity: with c = E[x],
+    E[|x − c|²] = Σ_i (E[x_i²] − E[x_i]²), so one posexplode +
+    per-(label, dim) avg/avg-of-squares aggregation replaces the naive
+    two-pass plan (compute centroid, join it back, re-scan to measure
+    distances). At 100 TB that saves a full second scan of the vector
+    corpus and the centroid broadcast. Elements cast to double BEFORE
+    squaring in both engines (float*float would round differently)."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.col("v").cast("double")
+    m = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(v).alias("m1"), F.avg(v * v).alias("m2"))
+    )
+    agg = m.groupBy("label").agg(
+        F.sum(F.col("m1") * F.col("m1")).alias("cn2"),
+        F.sum(F.col("m2") - F.col("m1") * F.col("m1")).alias("inertia"),
+    )
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        agg.join(F.broadcast(n), "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.round(F.sqrt("cn2"), 6).alias("centroid_norm"),
+            F.round("inertia", 6).alias("inertia"),
+        )
+    )
