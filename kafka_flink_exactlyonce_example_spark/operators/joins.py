@@ -399,3 +399,38 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(2)
         .select("c_name", "c_acctbal")
     ).select("n_name", "c_name", "c_acctbal")
+
+
+@query(
+    "q_order_dist",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+)
+def q_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count,
+    INCLUDING zero-order customers — the left-outer-join + double
+    aggregation pattern (count(o_orderkey) counts only matched rows;
+    a naive inner join silently drops the zero bucket).
+
+    Scale: the join shuffles on custkey (both sides large at 100 TB;
+    AQE picks SMJ/SHJ), the first aggregation reuses that partitioning
+    (no second exchange — custkey is the grouping key), and the
+    histogram aggregation shrinks to |distinct counts| rows."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
