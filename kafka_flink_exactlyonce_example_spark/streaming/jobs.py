@@ -273,6 +273,42 @@ def custom_sessionize(
     )
 
 
+def streaming_cumulate(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_seconds: int = 21600,
+    steps_per_window: int = 4,
+) -> DataFrame:
+    """Flink CUMULATE window on a stream — the incremental twin of the
+    batch `q_cumulate_window`: each event expands (natively, via
+    ``explode(sequence(...))``) into every cumulative window
+    [day, day + k·step) whose end lies after it, then the standard
+    incremental streaming aggregation maintains the running totals.
+    Complete/update output with the idempotent sink; emitted rows for
+    past steps are immutable once the watermark passes day end."""
+    day = F.date_trunc("day", F.col(ts_col))
+    slot = (F.unix_timestamp(ts_col) - F.unix_timestamp(day)) / F.lit(step_seconds)
+    return (
+        events.select(
+            day.alias("day"),
+            F.col(value_col).alias("value"),
+            F.explode(
+                F.sequence(
+                    F.floor(slot).cast("int") + 1, F.lit(steps_per_window)
+                )
+            ).alias("k"),
+        )
+        .groupBy("day", "k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
+            ).alias("value_cents"),
+        )
+    )
+
+
 def keyed_running_count_tws(lines: DataFrame, value_col: str = "value") -> DataFrame:
     """The same per-key counter as ``keyed_running_count``, on Spark 4's
     ``transformWithStateInPandas`` — the successor API to

@@ -654,3 +654,35 @@ def test_streaming_sliding_window_counts(spark, tmp_path):
         "2024-01-01 00:00:00": 2,
         "2024-01-01 00:30:00": 1,
     }, got
+
+
+def test_streaming_cumulate_matches_batch(spark, tmp_path):
+    """CUMULATE window on a stream == the batch q_cumulate_window over
+    the same events (sf0.001): the expansion + incremental aggregation
+    is the same logical plan, so totals must agree exactly."""
+    from kafka_flink_exactlyonce_example_spark.streaming.jobs import (
+        streaming_cumulate,
+    )
+
+    # materialize the catalog-normalized events (raw parquet stores ns
+    # timestamps as INT64 behind the nanosAsLong flag) and stream THAT
+    inp = str(tmp_path / "in")
+
+    from kafka_flink_exactlyonce_example_spark.sources import table
+
+    batch_ev = table(spark, SMOKE_SF, "events")
+    batch_ev.write.parquet(inp)
+    stream_ev = spark.readStream.schema(batch_ev.schema).parquet(inp)
+    result = streaming_cumulate(stream_ev)
+    sink = IdempotentBatchSink(str(tmp_path / "out"))
+    q = run_exactly_once(result, sink, str(tmp_path / "ckpt"), output_mode="complete")
+    q.awaitTermination(120)
+    got = {
+        (str(r["day"]), r["k"]): (r["n_events"], r["value_cents"])
+        for r in sink.read_latest(spark).collect()
+    }
+    want = {
+        (str(r["day"]), r["k"]): (r["n_events"], r["value_cents"])
+        for r in streaming_cumulate(batch_ev).collect()
+    }
+    assert got == want and len(want) > 0
