@@ -64,3 +64,47 @@ def test_salted_agg_equals_plain_agg(spark):
         ev, ["user_id"], {"total": "value"}, n_salts=8
     ).withColumn("total", F.round("total", 4))
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The OTHER skew weapon (besides salting): AQE's runtime skew-join
+    split. A 600k-row hot key against a 10k-key dim must come out of
+    adaptive planning as SortMergeJoin(skew=true) with an
+    AQEShuffleRead marked 'skewed' — and the answer must equal the
+    non-skew-aware plan's. This is the config posture we'd run at
+    100 TB, where salting is the fallback for joins AQE can't split
+    (e.g. when the hot side feeds a window)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 601000).select(
+            F.when(F.col("id") < 600000, 0)
+            .otherwise(F.col("id") % 10000)
+            .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 10000).select(
+            F.col("id").alias("k"), F.lit(1).alias("y")
+        )
+        j = left.join(right, "k").select(F.sum(F.length("pad")).alias("s"))
+        got = j.collect()[0]["s"]
+        want = left.select(F.sum(F.length("pad")).alias("s")).collect()[0]["s"]
+        assert got == want  # every left key has exactly one dim match
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "simple"
+        )
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
