@@ -76,3 +76,39 @@ def file_stream(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(path)
+
+
+def kafka_sink(
+    result: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+    key_col: str | None = None,
+    value_col: str = "value",
+):
+    """Kafka sink with the reference's producer contract, Spark-style.
+
+    The reference's `Semantic.EXACTLY_ONCE` producer (Kafka transactions
+    two-phase-committed on checkpoint completion) has no direct Spark
+    twin — Spark's built-in Kafka sink is at-least-once on replay. The
+    engine's end-to-end exactly-once therefore comes from the OTHER side
+    of the contract, exactly as documented for the reference's
+    consumers: produce with replayed batches allowed, and require
+    downstream readers to be idempotent/`read_committed`-style (dedup
+    on a key carried in the message — pair this with
+    `exactly_once.IdempotentBatchSink` when the sink is a store we
+    control, or put a `(batchId, key)` envelope in the payload for
+    Kafka consumers to dedup on). This builder returns the configured
+    `DataStreamWriter`; `.start()` it where a broker exists.
+    """
+    cols = []
+    if key_col is not None:
+        cols.append(F.col(key_col).cast("string").cast("binary").alias("key"))
+    cols.append(F.col(value_col).cast("string").cast("binary").alias("value"))
+    return (
+        result.select(*cols)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+    )
