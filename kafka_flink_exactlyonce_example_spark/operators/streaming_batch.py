@@ -384,3 +384,62 @@ def q_cumulate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_cents",
         )
     )
+
+
+@query(
+    "q_window_topn",
+    oracle=f"""
+    WITH counted AS (
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_TS_FMT_DUCK}')
+                   AS window_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM({cents_sql('value')}) AS BIGINT) AS value_cents
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, value_cents,
+           CAST(rn AS INTEGER) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY window_start
+                                     ORDER BY n_events DESC, event_type) AS rn
+        FROM counted
+    )
+    WHERE rn <= 3
+    """,
+)
+def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink window Top-N (the Table API's ROW_NUMBER-over-window-TVF
+    pattern): the 3 busiest event types per tumbling hour.
+
+    Composes the reference's windowed aggregation with a ranking pass:
+    groupBy(window, key) → row_number per window → filter ≤ 3.
+    Spark plans the rank with WindowGroupLimit (map-side partial
+    top-k), so the per-window state never exceeds N rows — the same
+    bound Flink's incremental window Top-N maintains. event_type
+    breaks count ties deterministically. The streaming form is this
+    expression per closed window (append mode after watermark)."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    counted = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+    wr = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        counted.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+    )
