@@ -82,3 +82,42 @@ _GROUPING_SETS_SQL = """
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+@query(
+    "q_grouping_id",
+    oracle=f"""
+    SELECT r_name, n_name,
+           CAST(GROUPING(r_name) AS INTEGER) AS g_region,
+           CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
+           CAST(GROUPING_ID(r_name, n_name) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_cust
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping()/grouping_id() over a rollup — the disambiguator that
+    makes subtotal rows machine-readable (a NULL n_name could be data;
+    g_nation=1 says 'this row IS the region subtotal'). Same plan as
+    q_rollup (single Expand + hash agg); the flags are computed from
+    the grouping-set id Spark already carries, zero extra cost."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.grouping_id("r_name", "n_name").alias("gid"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+        .select(
+            "r_name", "n_name", "g_region", "g_nation", "gid", "n_cust"
+        )
+    )
