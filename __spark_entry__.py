@@ -7,8 +7,11 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Implementation lives in ``kafka_flink_exactlyonce_example_spark``; this
 module re-exports the registry (SURVEY.md §2 inventory). Keys without
-an ``oracle_sql`` entry are the explicitly rows-only ops (approx
-sketches, MinHash/SimHash, IVF/kNN demos, UDF/UDTF/multimodal smoke).
+an ``oracle_sql`` entry are the explicitly rows-only ops — approx
+sketches (HLL/GK differ by engine), seeded ``.sample()``, and the
+UDF/UDTF/multimodal Python-stage demos. Everything else, including the
+approximate indexes (MinHash LSH, SimHash, IVF, hyperplane LSH), is
+fully DuckDB-oracled via engine-portable deterministic hashing.
 """
 
 from __future__ import annotations
