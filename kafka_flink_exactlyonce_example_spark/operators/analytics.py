@@ -537,3 +537,97 @@ def q_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad"),
         )
     )
+
+
+@query(
+    "q_yoy",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(month(o_orderdate) AS INTEGER) AS mo,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS rev_cents
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, mo, rev_cents,
+           lag(rev_cents, 12) OVER (ORDER BY yr * 12 + mo) AS rev_cents_prev_yr,
+           round(CASE WHEN lag(rev_cents, 12) OVER (ORDER BY yr * 12 + mo) > 0
+                 THEN 100.0 * (rev_cents - lag(rev_cents, 12) OVER (ORDER BY yr * 12 + mo))
+                      / lag(rev_cents, 12) OVER (ORDER BY yr * 12 + mo)
+                 END, 6) AS yoy_pct
+    FROM monthly
+    """,
+)
+def q_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth: monthly revenue vs the same month last
+    year (lag 12 over the month sequence) — the standard BI reporting
+    derivation, distinct from q_win_lag_lead's event-level lag.
+
+    Monthly grain is unique, so the ORDER BY needs no tie-break. The
+    pre-aggregation shrinks the fact table to |months| rows before the
+    (single-partition) window — the correct shape at any scale: never
+    window the fact table for a calendar-grain metric."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+    ).agg(
+        F.sum(F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")).alias(
+            "rev_cents"
+        )
+    )
+    w = Window.orderBy(F.col("yr") * 12 + F.col("mo"))
+    prev = F.lag("rev_cents", 12).over(w)
+    return monthly.select(
+        "yr", "mo", "rev_cents",
+        prev.alias("rev_cents_prev_yr"),
+        F.round(
+            F.when(prev > 0, 100.0 * (F.col("rev_cents") - prev) / prev), 6
+        ).alias("yoy_pct"),
+    )
+
+
+@query(
+    "q_running_distinct",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, event_type, min(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id, event_type
+    ), per_day AS (
+        SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_pairs
+        FROM firsts GROUP BY first_day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, new_pairs,
+           CAST(SUM(new_pairs) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_distinct_pairs
+    FROM per_day
+    """,
+)
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct (user, event_type) pairs per day — the
+    metric that LOOKS like
+    `COUNT(DISTINCT) OVER (ORDER BY day)` but Spark (correctly) refuses
+    distinct aggregates in windows. The scalable derivation: each
+    pair's FIRST day (one groupBy), new-pair counts per day, then a
+    cumulative sum over the tiny day-grain series. Same rewrite both
+    engines. At 100 TB this is one shuffle on user_id + a |days|-row
+    window — vs the naive windowed-distinct which would hold every
+    (user, type) pair in per-window state."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_pairs")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_pairs",
+        F.sum("new_pairs").over(w).alias("cum_distinct_pairs"),
+    )
