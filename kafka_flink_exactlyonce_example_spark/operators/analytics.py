@@ -631,3 +631,50 @@ def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_pairs",
         F.sum("new_pairs").over(w).alias("cum_distinct_pairs"),
     )
+
+
+@query(
+    "q_bitmap_days",
+    oracle="""
+    WITH masks AS (
+        SELECT user_id,
+               CAST(bit_or(1 << (day(ts) - 1)) AS BIGINT) AS day_mask
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id, day_mask,
+           CAST(bit_count(day_mask) AS INTEGER) AS active_days,
+           CAST(list_max(list_transform(
+                regexp_extract_all(bin(day_mask), '1+'),
+                s -> length(s))) AS INTEGER) AS longest_streak
+    FROM masks
+    """,
+)
+def q_bitmap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement bitmap: each user's January activity as ONE int64
+    (bit d-1 = active on day d), then active-day count and longest
+    consecutive-day streak — the bitmap-index idiom that turns DAU/
+    retention/streak questions into integer ops.
+
+    One groupBy folds all events into 8 bytes per user (`bit_or` of
+    shifted bits — associative, so map-side partial aggregation does
+    most of the work); streak length falls out of a regexp over the
+    binary string, identical in both engines. At 100 TB the mask is
+    the materialization you'd keep per (user, month) — three orders
+    of magnitude smaller than the event rows it summarizes, and
+    mergeable across months by OR."""
+    ev = table(spark, sf_dir, "events")
+    masks = ev.groupBy("user_id").agg(
+        F.expr("CAST(bit_or(shiftleft(1, day(ts) - 1)) AS BIGINT)").alias(
+            "day_mask"
+        )
+    )
+    return masks.select(
+        "user_id",
+        "day_mask",
+        F.expr("CAST(bit_count(day_mask) AS INT)").alias("active_days"),
+        F.expr(
+            "CAST(array_max(transform(regexp_extract_all(bin(day_mask), '1+', 0),"
+            " s -> length(s))) AS INT)"
+        ).alias("longest_streak"),
+    )
