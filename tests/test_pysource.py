@@ -4,8 +4,6 @@ query' capabilities a Kafka-class connector rests on."""
 
 from __future__ import annotations
 
-import os
-
 from kafka_flink_exactlyonce_example_spark.sources.pysource import (
     SyntheticEventsDataSource,
     _row,
@@ -74,15 +72,21 @@ def test_stream_read_offsets_and_replay(spark, tmp_path):
     try:
         import time
 
+        from pyspark.errors.exceptions.captured import AnalysisException
+
         deadline = time.time() + 120
         n = 0
         while time.time() < deadline:
-            if os.path.exists(out_dir):
-                files = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
-                if files:
-                    n = spark.read.parquet(out_dir).count()
-                    if n >= 80:
-                        break
+            # The file sink commits via _spark_metadata: a part file can be
+            # on disk before its batch is committed to the log, in which
+            # case the read sees zero committed files and raises — that
+            # just means "not ready yet", so keep polling.
+            try:
+                n = spark.read.parquet(out_dir).count()
+            except AnalysisException:
+                n = 0
+            if n >= 80:
+                break
             time.sleep(1)
     finally:
         q.stop()
