@@ -28,6 +28,7 @@ _MODULES = (
     "udf_demo",
     "multimodal",
     "datamgmt",
+    "mining",
 )
 
 

