@@ -217,3 +217,151 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.avg("monetary"), 6).alias("avg_monetary"),
     )
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag, l_extendedprice AS v, l_quantity AS wt,
+               sum(l_quantity) OVER (PARTITION BY l_returnflag) AS total,
+               sum(l_quantity) OVER (
+                   PARTITION BY l_returnflag ORDER BY l_extendedprice
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM lineitem
+    )
+    SELECT l_returnflag, round(min(v), 6) AS weighted_median
+    FROM w WHERE cum >= total / 2
+    GROUP BY l_returnflag
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median of extended price per return flag: the
+    smallest price whose cumulative weight reaches half the group total.
+
+    One partitioned cumsum window + one min — no sort-to-driver, no
+    percentile UDAF. Determinism under value ties WITHOUT a unique key
+    (lineitem has none): a tied value group qualifies iff its
+    END-of-group cumulative weight crosses half-total, and that end-sum
+    is order-free — so ``min(v) WHERE cum >= total/2`` is stable across
+    shuffle widths even though intra-tie row order is not. At 100 TB
+    the window sorts within each returnflag partition only (3 groups →
+    pre-aggregate to (flag, price) grain with summed weights first if a
+    single flag outgrows one executor's sort spill budget; the median
+    is unchanged under that rewrite).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    wp = Window.partitionBy("l_returnflag")
+    wcum = wp.orderBy("l_extendedprice").rowsBetween(Window.unboundedPreceding, 0)
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum("l_quantity").over(wp).alias("total"),
+        F.sum("l_quantity").over(wcum).alias("cum"),
+    )
+    return (
+        w.filter(F.col("cum") >= F.col("total") / 2)
+        .groupBy("l_returnflag")
+        .agg(F.round(F.min("v"), 6).alias("weighted_median"))
+    )
+
+
+@query(
+    "q_mode",
+    oracle="""
+    WITH cnt AS (
+        SELECT p_type, p_brand, CAST(count(*) AS BIGINT) AS n,
+               row_number() OVER (
+                   PARTITION BY p_type ORDER BY count(*) DESC, p_brand
+               ) AS rk
+        FROM part GROUP BY p_type, p_brand
+    )
+    SELECT p_type, p_brand AS mode_brand, n AS n_parts
+    FROM cnt WHERE rk = 1
+    """,
+)
+def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group: the top brand within each
+    part type. Engine-native ``mode()`` aggregates are tie-ambiguous
+    across engines, so the portable-deterministic form is count-then-
+    rank with an explicit (count DESC, value ASC) tie-break — the same
+    two-phase plan Catalyst would emit for mode anyway (partial counts
+    map-side, one shuffle on the group key, tiny ranking window per
+    group)."""
+    cnt = (
+        table(spark, sf_dir, "part")
+        .groupBy("p_type", "p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rk = Window.partitionBy("p_type").orderBy(F.col("n").desc(), "p_brand")
+    return (
+        cnt.select(
+            "p_type",
+            F.col("p_brand").alias("mode_brand"),
+            F.col("n").alias("n_parts"),
+            F.row_number().over(rk).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+@query(
+    "q_ewma",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, sum(value) AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), idx AS (
+        SELECT day, x,
+               CAST(row_number() OVER (ORDER BY day) AS DOUBLE) AS i
+        FROM daily
+    ), acc AS (
+        SELECT day, x, i,
+               sum(CASE WHEN i = 1 THEN x * power(0.7, -1.0)
+                        ELSE 0.3 * x * power(0.7, -i) END)
+                 OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS u
+        FROM idx
+    )
+    SELECT day, round(x, 6) AS revenue, round(power(0.7, i) * u, 6) AS ewma
+    FROM acc
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 0.3) of daily
+    purchase revenue — the recursive smoother s_t = a*x_t + (1-a)*s_{t-1}
+    rewritten into its closed form s_t = (1-a)^t * (u_1 + a*sum u_i),
+    u_i = x_i*(1-a)^{-i}, so one cumulative-sum window computes it with
+    NO per-row recursion (recursion doesn't distribute; a prefix sum
+    does). Numerically safe here because the series is 30 days —
+    (1-a)^{-i} stays < 5e4; for multi-year series, chunk the window and
+    carry the boundary state (the standard segmented-scan rewrite).
+    Day index comes from row_number over the day grain, so calendar
+    gaps don't corrupt the exponent on either engine."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum("value").alias("x"))
+    )
+    idx = daily.select(
+        "day", "x", F.row_number().over(Window.orderBy("day")).cast("double").alias("i")
+    )
+    u_term = F.when(
+        F.col("i") == 1, F.col("x") * F.pow(F.lit(0.7), F.lit(-1.0))
+    ).otherwise(F.lit(0.3) * F.col("x") * F.pow(F.lit(0.7), -F.col("i")))
+    acc = idx.select(
+        "day",
+        "x",
+        "i",
+        F.sum(u_term)
+        .over(Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("u"),
+    )
+    return acc.select(
+        "day",
+        F.round("x", 6).alias("revenue"),
+        F.round(F.pow(F.lit(0.7), F.col("i")) * F.col("u"), 6).alias("ewma"),
+    )
