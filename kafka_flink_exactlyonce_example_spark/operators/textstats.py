@@ -636,3 +636,105 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frac, 6).alias("contamination"),
         (frac > 0.8).alias("flagged"),
     )
+
+
+@query(
+    "q_zipf",
+    oracle="""
+    WITH freq AS (
+        SELECT word, CAST(count(*) AS DOUBLE) AS f
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+    ), ranked AS (
+        SELECT f, CAST(row_number() OVER (ORDER BY f DESC, word) AS DOUBLE) AS rk
+        FROM freq
+    )
+    SELECT round(regr_slope(ln(f), ln(rk)), 6) AS zipf_slope,
+           round(regr_intercept(ln(f), ln(rk)), 6) AS zipf_intercept,
+           round(regr_r2(ln(f), ln(rk)), 6) AS r2,
+           CAST(count(*) AS BIGINT) AS vocab
+    FROM ranked
+    """,
+)
+def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus rank/frequency curve: OLS slope,
+    intercept, and R² of ln(freq) on ln(rank) — the one-number
+    diagnostic for whether a scraped corpus has a natural-language
+    frequency profile (slope ≈ −1) or is template/boilerplate-heavy.
+
+    Exercises the linear-regression aggregate family (``regr_slope`` /
+    ``regr_intercept`` / ``regr_r2``) — single-pass sufficient-stats
+    aggregates (Σx, Σy, Σxy, Σx²) that combine associatively, so the
+    100 TB plan is map-side partials + one 4-number combine. The only
+    rank-producing global window runs on the VOCABULARY relation (words,
+    not occurrences), orders of magnitude smaller than the corpus; ties
+    rank deterministically via (freq DESC, word).
+    """
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("double").alias("f"))
+    )
+    ranked = freq.select(
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.col("f").desc(), "word"))
+        .cast("double")
+        .alias("rk"),
+    )
+    lf, lr = F.log(F.col("f")), F.log(F.col("rk"))
+    return ranked.agg(
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lf, lr), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(lf, lr), 6).alias("r2"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+
+
+@query(
+    "q_word_position",
+    oracle="""
+    WITH wp AS (
+        SELECT unnest(string_split(text, ' ')) AS word,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        FROM documents
+    )
+    SELECT word,
+           CAST(min(pos) AS BIGINT) AS first_pos,
+           round(avg(CAST(pos AS DOUBLE)), 6) AS avg_pos,
+           CAST(sum(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_starts
+    FROM wp WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def q_word_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional vocabulary profile: for every word, its earliest
+    in-document position, mean position, and how many documents it
+    OPENS — the ordinal-explode surface (``posexplode``) the plain
+    explode family can't express (position is data, not an artifact of
+    row order).
+
+    DuckDB mirrors posexplode with zipped parallel ``unnest`` calls
+    (value + range ordinality). Positions are 1-based on both sides.
+    Same scale shape as every explode-aggregate: the flatten is
+    pipelined inside the scan stage (no materialized word table), one
+    shuffle on the word key, partial aggs map-side.
+    """
+    docs = table(spark, sf_dir, "documents")
+    wp = docs.select(
+        F.posexplode(F.split("text", " ")).alias("pos0", "word")
+    ).select("word", (F.col("pos0") + 1).cast("long").alias("pos"))
+    return (
+        wp.filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(
+            F.min("pos").alias("first_pos"),
+            F.round(F.avg(F.col("pos").cast("double")), 6).alias("avg_pos"),
+            F.sum(F.when(F.col("pos") == 1, 1).otherwise(0)).alias("n_doc_starts"),
+        )
+    )
