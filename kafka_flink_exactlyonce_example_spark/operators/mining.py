@@ -365,3 +365,187 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("x", 6).alias("revenue"),
         F.round(F.pow(F.lit(0.7), F.col("i")) * F.col("u"), 6).alias("ewma"),
     )
+
+
+@query(
+    "q_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, sum(value) AS x
+        FROM events GROUP BY 1
+    ), idx AS (
+        SELECT day, x,
+               CAST(row_number() OVER (ORDER BY day) AS DOUBLE) AS i,
+               sum(x) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(x) OVER () AS s,
+               CAST(count(*) OVER () AS DOUBLE) AS n
+        FROM daily
+    ), scored AS (
+        SELECT day,
+               cum / i AS mean_before,
+               (s - cum) / (n - i) AS mean_after,
+               abs(cum / i - (s - cum) / (n - i)) * sqrt(i * (n - i) / n) AS score
+        FROM idx WHERE i < n
+    )
+    SELECT day AS split_day,
+           round(mean_before, 6) AS mean_before,
+           round(mean_after, 6) AS mean_after,
+           round(score, 6) AS score
+    FROM scored
+    QUALIFY row_number() OVER (ORDER BY score DESC, day) = 1
+    """,
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint detection by binary segmentation (first split): scan
+    every day boundary, score it by the between-segment mean gap scaled
+    by sqrt(i*(n-i)/n) (the two-sample z numerator under equal
+    variance), return the best split with both segment means.
+
+    The O(n²) naive form (re-averaging both sides per candidate)
+    collapses to ONE prefix-sum window: mean_before = cum/i and
+    mean_after = (S-cum)/(n-i) are both functions of the running sum.
+    The scan runs on the pre-aggregated day grain (n=30 here; a few
+    thousand even at 100 TB), so the global window is trivially cheap —
+    the heavy lifting is the day-grain groupBy which partial-aggregates
+    map-side. Recursing on each side yields full binary segmentation.
+    """
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum("value").alias("x"))
+    )
+    wday = Window.orderBy("day")
+    wall = Window.partitionBy()
+    idx = daily.select(
+        "day",
+        "x",
+        F.row_number().over(wday).cast("double").alias("i"),
+        F.sum("x").over(wday.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("x").over(wall).alias("s"),
+        F.count(F.lit(1)).over(wall).cast("double").alias("n"),
+    )
+    mb = F.col("cum") / F.col("i")
+    ma = (F.col("s") - F.col("cum")) / (F.col("n") - F.col("i"))
+    scored = idx.filter(F.col("i") < F.col("n")).select(
+        F.col("day").alias("split_day"),
+        mb.alias("mean_before"),
+        ma.alias("mean_after"),
+        (F.abs(mb - ma) * F.sqrt(F.col("i") * (F.col("n") - F.col("i")) / F.col("n"))).alias("score"),
+    )
+    best = Window.orderBy(F.col("score").desc(), "split_day")
+    return (
+        scored.withColumn("rk", F.row_number().over(best))
+        .filter(F.col("rk") == 1)
+        .select(
+            "split_day",
+            F.round("mean_before", 6).alias("mean_before"),
+            F.round("mean_after", 6).alias("mean_after"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+@query(
+    "q_attribution",
+    oracle="""
+    WITH tagged AS (
+        SELECT event_type, value,
+               coalesce(
+                 last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                            IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 'direct') AS channel
+        FROM events
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS purchases,
+           round(sum(value), 6) AS attributed_revenue
+    FROM tagged WHERE event_type = 'purchase'
+    GROUP BY channel
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent preceding non-purchase event type ('direct' when the
+    purchase opens the session history). Purchases and revenue roll up
+    per channel.
+
+    The credit assignment is ONE pass: an IGNORE-NULLS last_value over
+    a (user, time)-ordered frame ending 1 row before current — the same
+    forward-fill machinery as gap repair, repurposed. No self-join of
+    purchases back onto the event stream (the naive formulation joins
+    every purchase against all earlier rows per user — quadratic in
+    events-per-user; the window form is linear after one shuffle on
+    user_id, which is also how the state would layout in the streaming
+    twin)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = ev.select(
+        "event_type",
+        "value",
+        F.coalesce(
+            F.last(
+                F.when(F.col("event_type") != "purchase", F.col("event_type")),
+                ignorenulls=True,
+            ).over(w),
+            F.lit("direct"),
+        ).alias("channel"),
+    )
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("purchases"),
+            F.round(F.sum("value"), 6).alias("attributed_revenue"),
+        )
+    )
+
+
+@query(
+    "q_interarrival",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts)) AS BIGINT)
+                 - lag(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           round(avg(CAST(gap_s AS DOUBLE)), 6) AS avg_gap_s,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_s), 6) AS p50_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival profile: per event type of the LATER event, the
+    count / mean / median / max of whole-second gaps since the same
+    user's previous event — the burstiness diagnostic that sizes
+    session-window gaps and streaming watermark tolerances.
+
+    Gaps are floor-epoch second differences (integer) so the ns-parquet
+    vs µs-Spark timestamp precision mismatch cannot leak into values
+    (FIXTURES.md precision note). One shuffle on user_id for the lag,
+    one on event_type for the rollup; the exact median uses the same
+    percentile_cont parity verified for q_median_mad."""
+    ev = table(spark, sf_dir, "events")
+    sec = F.floor(F.col("ts").cast("double")).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type", (sec - F.lag(sec).over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg(F.col("gap_s").cast("double")), 6).alias("avg_gap_s"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 6).alias("p50_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )

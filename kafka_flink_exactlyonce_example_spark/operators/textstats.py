@@ -738,3 +738,53 @@ def q_word_position(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("pos") == 1, 1).otherwise(0)).alias("n_doc_starts"),
         )
     )
+
+
+@query(
+    "q_bpe_pairs",
+    oracle="""
+    WITH wf AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS f
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE length(word) >= 2
+        GROUP BY word
+    ), pairs AS (
+        SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, f
+        FROM (SELECT word, f, unnest(range(1, length(word))) AS i FROM wf)
+    )
+    SELECT pair, CAST(sum(f) AS BIGINT) AS weighted_count
+    FROM pairs
+    GROUP BY pair
+    HAVING sum(f) >= 10
+    """,
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration's statistics: corpus-weighted counts
+    of every adjacent character pair — the merge-candidate table whose
+    argmax becomes the next BPE merge rule.
+
+    The tokenizer-training shape that matters at 100 TB: collapse the
+    corpus to the DISTINCT word + frequency relation FIRST (vocabulary
+    is orders of magnitude smaller than the token stream), then explode
+    each word into its len-1 adjacent pairs weighted by frequency — so
+    per-iteration cost scales with vocabulary, not corpus. Pair
+    extraction is a sequence-explode + substring, all codegen'd; one
+    shuffle on the pair key with map-side partials.
+    """
+    docs = table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    pairs = wf.select(
+        F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+        "word",
+        "f",
+    ).select(F.col("word").substr(F.col("i"), F.lit(2)).alias("pair"), "f")
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").alias("weighted_count"))
+        .filter(F.col("weighted_count") >= 10)
+    )
