@@ -109,34 +109,45 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     part brands co-purchased in one order, the co-occurrence count,
     support, and lift = P(a,b) / (P(a)·P(b)).
 
-    Scale discipline: the pair self-join runs on the ORDER-DISTINCT
-    (orderkey, brand) relation — dedup BEFORE the join shrinks the
-    row count and caps per-order pair fan-out at C(|brands|,2) with
-    |brands| ≤ ~25, so the join output is bounded by 300·|orders|
-    rather than |lineitem|². The brand-frequency side is ≤25 rows —
-    broadcast. At item (partkey) grain you would block on a frequency
-    threshold first (classic Apriori pruning) before pairing.
+    Scale discipline: no pair SELF-JOIN (the textbook form shuffles the
+    (orderkey, brand) relation twice and hash-joins it against itself).
+    Instead ONE shuffle groups each order's distinct brands into a
+    sorted array and the C(k,2) pairs are generated inline by nested
+    ``transform``/``slice`` higher-order functions — pure codegen'd
+    expression work, fan-out capped at C(|brands|,2) with |brands| ≤
+    ~25. The brand-frequency side is ≤25 rows — broadcast. At item
+    (partkey) grain you would block on a frequency threshold first
+    (classic Apriori pruning) before pairing. DuckDB's oracle keeps the
+    self-join form — same relation, different physical strategy.
     """
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+    ob = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "p_brand"
     )
-    n_orders = ob.select(F.countDistinct("l_orderkey").cast("double").alias("n"))
-    brand_freq = ob.groupBy("p_brand").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
-    a = ob.alias("a")
-    b = ob.alias("b")
+    # one row per order with a tiny sorted array — feeds three branches
+    # (pair counts, brand marginals, order total), so persist it once
+    # instead of re-running the scan+join+groupBy per branch
+    baskets = (
+        ob.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+        .persist()
+    )
+    n_orders = baskets.select(F.count(F.lit(1)).cast("double").alias("n"))
+    brand_freq = baskets.select(F.explode("bs").alias("p_brand")).groupBy(
+        "p_brand"
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(bs, (a, i) -> "
+                    "transform(slice(bs, i + 2, size(bs)), "
+                    "b -> struct(a AS brand_a, b AS brand_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
-        )
+        .groupBy(F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b"))
         .agg(F.count(F.lit(1)).alias("pair_orders"))
         .filter(F.col("pair_orders") >= 20)
     )
