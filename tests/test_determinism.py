@@ -30,6 +30,14 @@ ORDER_SENSITIVE = [
     "q_sort_limit",
     "q_topk_per_group",
     "q_lateral_topk",
+    # mining batch: ntile scores, argmax split, weighted-median cumsum,
+    # EWMA prefix sum, attribution fill — all window-ordered
+    "q_rfm",
+    "q_changepoint",
+    "q_weighted_median",
+    "q_ewma",
+    "q_attribution",
+    "q_mode",
 ]
 
 
