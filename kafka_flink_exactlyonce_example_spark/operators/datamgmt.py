@@ -520,3 +520,57 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 3.0)
         .select("event_id", "event_type", "value", F.round(z, 6).alias("zscore"))
     )
+
+
+@query(
+    "q_zorder",
+    oracle="""
+    WITH coded AS (
+        SELECT CAST(
+            (((p_size >> 0) & 1) << 0)  + (((p_size >> 1) & 1) << 2)  +
+            (((p_size >> 2) & 1) << 4)  + (((p_size >> 3) & 1) << 6)  +
+            (((p_size >> 4) & 1) << 8)  + (((p_size >> 5) & 1) << 10) +
+            ((((p_partkey % 64) >> 0) & 1) << 1)  +
+            ((((p_partkey % 64) >> 1) & 1) << 3)  +
+            ((((p_partkey % 64) >> 2) & 1) << 5)  +
+            ((((p_partkey % 64) >> 3) & 1) << 7)  +
+            ((((p_partkey % 64) >> 4) & 1) << 9)  +
+            ((((p_partkey % 64) >> 5) & 1) << 11) AS BIGINT) AS z
+        FROM part
+    )
+    SELECT CAST(z >> 4 AS BIGINT) AS cell,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(min(z) AS BIGINT) AS min_z,
+           CAST(max(z) AS BIGINT) AS max_z
+    FROM coded GROUP BY cell
+    """,
+)
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) codes over two clustering keys — size bits at
+    even positions, hashed-partkey bits at odd — then the occupancy
+    census of the coarse 16-code cells.
+
+    This is the LAYOUT operator for multi-dimensional data skipping at
+    100 TB: sort-before-write by the interleaved code and parquet
+    row-group min/max stats become selective on BOTH dimensions at
+    once, where a lexicographic (a, b) sort prunes only on a. The code
+    is pure bit arithmetic (shift/and/or), whole-stage codegen'd, no
+    shuffle until the tiny cell rollup. Swap in more keys by widening
+    the interleave stride (bits cost log2(domain) each); Hilbert curves
+    improve locality further but cost a per-level rotation table.
+    """
+    x = F.col("p_size")
+    y = (F.col("p_partkey") % 64).cast("int")
+    terms = []
+    for i in range(6):
+        terms.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(1), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(y, i).bitwiseAND(1), 2 * i + 1))
+    z_expr = terms[0]
+    for t in terms[1:]:
+        z_expr = z_expr + t
+    coded = table(spark, sf_dir, "part").select(z_expr.cast("long").alias("z"))
+    return coded.groupBy(F.shiftright("z", 4).cast("long").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("z").alias("min_z"),
+        F.max("z").alias("max_z"),
+    )

@@ -425,3 +425,39 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
     )
+
+
+@query(
+    "q_feature_scale",
+    oracle="""
+    SELECT label,
+           CAST(dim AS BIGINT) AS dim,
+           round(avg(CAST(v AS DOUBLE)), 6) AS mean_v,
+           round(stddev_samp(CAST(v AS DOUBLE)), 6) AS std_v
+    FROM (SELECT label, unnest(embedding) AS v,
+                 unnest(range(0, len(embedding))) AS dim
+          FROM embeddings)
+    GROUP BY label, dim
+    """,
+)
+def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label, per-dimension mean and stddev of the embedding matrix
+    — the fit step of feature standardization (x−μ)/σ, and the building
+    block for per-cluster whitening / drift monitoring.
+
+    ``posexplode`` flattens the array column to (label, dim, value)
+    INSIDE the scan stage (no Python, no transpose-to-driver); one
+    shuffle on the tiny (label, dim) key — 640 groups regardless of
+    corpus size — with map-side partial moments, so the plan is a pure
+    tree-reduce at any scale. The apply step is a broadcast join of
+    these 640 rows back onto the corpus plus one ``zip_with``. DuckDB
+    mirrors posexplode by zipping parallel ``unnest``s (value + range
+    ordinality)."""
+    emb = table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    return dims.groupBy("label", F.col("dim").cast("long").alias("dim")).agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_v"),
+        F.round(F.stddev_samp(F.col("v").cast("double")), 6).alias("std_v"),
+    )
