@@ -461,3 +461,72 @@ def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_v"),
         F.round(F.stddev_samp(F.col("v").cast("double")), 6).alias("std_v"),
     )
+
+
+@query(
+    "q_cluster_purity",
+    oracle=f"""
+    WITH dims AS (
+        SELECT label, unnest(embedding) AS v,
+               unnest(range(0, len(embedding))) AS d
+        FROM embeddings
+    ), moments AS (
+        SELECT label, d, avg(CAST(v AS DOUBLE)) AS m
+        FROM dims GROUP BY label, d
+    ), cent AS (
+        SELECT label AS clabel, list(m ORDER BY d) AS c
+        FROM moments GROUP BY label
+    ), scored AS (
+        SELECT e.vec_id, e.label, cent.clabel,
+               round({cosine_sql('e.embedding', 'cent.c')}, 6) AS sim
+        FROM embeddings e CROSS JOIN cent
+    ), pred AS (
+        SELECT label, clabel,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, clabel) AS rn
+        FROM scored
+    )
+    SELECT label, clabel AS pred_label, CAST(count(*) AS BIGINT) AS n
+    FROM pred WHERE rn = 1
+    GROUP BY label, clabel
+    """,
+)
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality confusion matrix: assign every vector to its
+    nearest label centroid by cosine and cross-tabulate true vs
+    assigned label — the purity/drift check run after any clustering or
+    labeling pass over an embedding corpus.
+
+    Centroids come from the posexplode moment pass (64·|labels| groups,
+    tree-reduced), are rebuilt into ordered arrays via
+    array_sort(collect_list(struct(dim, m))) — collect_list order is
+    free, the sort restores it deterministically — and BROADCAST to the
+    corpus scan: the scoring pass is |corpus| × |labels| codegen'd
+    cosine evaluations with no shuffle. Ranking uses the 6-decimal
+    rounded score + clabel tie-break (the simsearch determinism
+    discipline), so both engines pick identical winners."""
+    emb = table(spark, sf_dir, "embeddings")
+    dims = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy(F.col("label").alias("clabel"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, m))), x -> x.m)"
+            ).alias("c")
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.round(cosine(F.col("embedding"), F.col("c")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "clabel")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("label", F.col("clabel").alias("pred_label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
