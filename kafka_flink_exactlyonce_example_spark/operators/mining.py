@@ -560,3 +560,207 @@ def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap_s, 0.5)"), 6).alias("p50_gap_s"),
         F.max("gap_s").alias("max_gap_s"),
     )
+
+
+@query(
+    "q_survival",
+    oracle="""
+    WITH t0 AS (
+        SELECT user_id, min(date_trunc('day', ts)) AS d0
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), horizon AS (
+        SELECT max(date_trunc('day', ts)) AS dmax FROM events
+    ), first_purchase AS (
+        SELECT e.user_id, min(date_trunc('day', e.ts)) AS dp
+        FROM events e JOIN t0 ON e.user_id = t0.user_id
+        WHERE e.event_type = 'purchase' AND date_trunc('day', e.ts) >= t0.d0
+        GROUP BY e.user_id
+    ), per_user AS (
+        SELECT t0.user_id,
+               CAST(date_diff('day', t0.d0,
+                    coalesce(fp.dp, h.dmax)) AS BIGINT) AS t_days,
+               CASE WHEN fp.dp IS NULL THEN 0 ELSE 1 END AS ev
+        FROM t0 LEFT JOIN first_purchase fp ON t0.user_id = fp.user_id
+        CROSS JOIN horizon h
+    ), by_day AS (
+        SELECT t_days AS day, CAST(sum(ev) AS BIGINT) AS events,
+               CAST(sum(1 - ev) AS BIGINT) AS censored
+        FROM per_user GROUP BY t_days
+    ), km AS (
+        SELECT day, events, censored,
+               CAST((SELECT count(*) FROM per_user) -
+                 coalesce(sum(events + censored) OVER (
+                   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS n_at_risk
+        FROM by_day
+    )
+    SELECT day, n_at_risk, events, censored,
+           CASE WHEN max(CASE WHEN events >= n_at_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                THEN 0.0
+                ELSE round(exp(sum(CASE WHEN events < n_at_risk
+                                        THEN ln(1.0 - CAST(events AS DOUBLE) / n_at_risk)
+                                        ELSE 0.0 END)
+                     OVER (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+           END AS km_survival
+    FROM km
+    """,
+)
+def q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of time-to-first-purchase after signup,
+    right-censored at the observation horizon (the corpus max day).
+
+    The KM product Π(1 − e_d/n_d) — a running PRODUCT, which no engine
+    windows natively — is rewritten exp(Σ ln(·)): the same
+    prefix-sum-instead-of-recursion move as EWMA, so the curve is one
+    cumulative window over the day-grain life table. The risk set n_d
+    is the complement of a lagged cumsum (no per-day re-count of
+    survivors). Everything upstream is per-user min/max aggregation —
+    one shuffle on user_id, then a ~30-row life table; censoring uses
+    the global horizon so the batch result is a deterministic function
+    of the data alone."""
+    ev = table(spark, sf_dir, "events")
+    day = lambda c: F.date_trunc("day", c)
+    t0 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(day(F.col("ts"))).alias("d0"))
+    )
+    dmax = ev.agg(F.max(day(F.col("ts"))).alias("dmax"))
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t0, "user_id")
+        .filter(day(F.col("ts")) >= F.col("d0"))
+        .groupBy("user_id")
+        .agg(F.min(day(F.col("ts"))).alias("dp"))
+    )
+    per_user = (
+        t0.join(fp, "user_id", "left")
+        .crossJoin(F.broadcast(dmax))
+        .select(
+            F.datediff(F.coalesce("dp", "dmax"), F.col("d0")).cast("long").alias("t_days"),
+            F.when(F.col("dp").isNull(), 0).otherwise(1).alias("ev"),
+        )
+    )
+    by_day = per_user.groupBy(F.col("t_days").alias("day")).agg(
+        F.sum("ev").alias("events"),
+        F.sum(F.lit(1) - F.col("ev")).alias("censored"),
+    )
+    n_total = per_user.agg(F.count(F.lit(1)).alias("n_total"))
+    wprev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    km = by_day.crossJoin(F.broadcast(n_total)).select(
+        "day",
+        "events",
+        "censored",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("events") + F.col("censored")).over(wprev), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    # a day where every remaining at-risk user converts drives the
+    # factor to exactly 0: guard the log and latch the curve at 0 from
+    # that day on (ANSI ln(0) raises; the latch is the KM semantics)
+    safe_log = F.when(
+        F.col("events") < F.col("n_at_risk"),
+        F.log(F.lit(1.0) - F.col("events").cast("double") / F.col("n_at_risk")),
+    ).otherwise(F.lit(0.0))
+    hit_zero = F.max(
+        F.when(F.col("events") >= F.col("n_at_risk"), 1).otherwise(0)
+    ).over(wcum)
+    return km.select(
+        "day",
+        "n_at_risk",
+        "events",
+        "censored",
+        F.when(hit_zero == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum(safe_log).over(wcum)), 6))
+        .alias("km_survival"),
+    )
+
+
+@query(
+    "q_autocorr",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, sum(value) AS x
+        FROM events GROUP BY 1
+    ), lagged AS (
+        SELECT x,
+               lag(x, 1) OVER (ORDER BY day) AS x1,
+               lag(x, 7) OVER (ORDER BY day) AS x7
+        FROM daily
+    )
+    SELECT 1 AS lag_k, round(corr(x, x1), 6) AS acf FROM lagged
+    UNION ALL
+    SELECT 7 AS lag_k, round(corr(x, x7), 6) AS acf FROM lagged
+    """,
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-7 autocorrelation of the daily revenue series —
+    the stationarity / weekly-seasonality diagnostic that decides
+    whether a forecasting feature needs differencing.
+
+    corr() here is the plain aggregate over the 30-row day grain (the
+    ANSI zero-variance trap from q_win_corr applies to tiny window
+    FRAMES, not a full series with real variance). Both lags come from
+    one ordered pass — two lag columns, one window sort — then two
+    4-number sufficient-stats aggregations; the union is of two scalar
+    rows, not two scans of the fact table (Catalyst reuses the
+    exchange)."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum("value").alias("x"))
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 7).over(w).alias("x7"),
+    )
+    a1 = lagged.agg(
+        F.lit(1).alias("lag_k"), F.round(F.corr("x", "x1"), 6).alias("acf")
+    )
+    a7 = lagged.agg(
+        F.lit(7).alias("lag_k"), F.round(F.corr("x", "x7"), 6).alias("acf")
+    )
+    return a1.unionByName(a7)
+
+
+@query(
+    "q_seasonality",
+    oracle="""
+    WITH base AS (
+        SELECT dayofweek(ts) AS dow, value FROM events
+    )
+    SELECT CAST(dow AS INTEGER) AS dow,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(value), 6) AS avg_value,
+           round(sum(value) / (sum(sum(value)) OVER () / 7.0), 6) AS seasonal_index
+    FROM base GROUP BY dow
+    """,
+)
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal profile: event volume, mean value, and the
+    seasonal index (day revenue vs the uniform-week expectation) — the
+    calendar decomposition half of the q_autocorr diagnostic.
+
+    Day-of-week conventions differ across engines (Spark dayofweek is
+    1=Sunday, DuckDB is 0=Sunday): normalize to DuckDB's 0-based form
+    on the Spark side. One groupBy on a 7-value key; the global revenue
+    total rides the same 7-row post-agg via a window over the GROUPED
+    sums (sum of sums), never a second fact-table scan."""
+    base = table(spark, sf_dir, "events").select(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"), "value"
+    )
+    return base.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(
+            F.sum("value") / (F.sum(F.sum("value")).over(Window.partitionBy()) / F.lit(7.0)),
+            6,
+        ).alias("seasonal_index"),
+    )
