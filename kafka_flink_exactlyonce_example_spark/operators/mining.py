@@ -764,3 +764,160 @@ def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonal_index"),
     )
+
+
+@query(
+    "q_cuped",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS INTEGER) AS variant,
+               sum(CASE WHEN ts <  TIMESTAMP '2024-01-15'
+                        AND event_type = 'purchase' THEN value ELSE 0 END) AS x,
+               sum(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                        AND event_type = 'purchase' THEN value ELSE 0 END) AS y
+        FROM events GROUP BY user_id
+    ), stats AS (
+        SELECT covar_pop(x, y) / var_pop(x) AS theta, avg(x) AS mean_x,
+               var_pop(y) AS var_y
+        FROM per_user
+    ), adjusted AS (
+        SELECT variant, y, y - s.theta * (x - s.mean_x) AS y_adj,
+               s.theta AS theta, s.var_y AS var_y
+        FROM per_user CROSS JOIN stats s
+    )
+    SELECT round(max(theta), 6) AS theta,
+           round(avg(CASE WHEN variant = 1 THEN y END)
+                 - avg(CASE WHEN variant = 0 THEN y END), 6) AS raw_effect,
+           round(avg(CASE WHEN variant = 1 THEN y_adj END)
+                 - avg(CASE WHEN variant = 0 THEN y_adj END), 6) AS cuped_effect,
+           round(1.0 - var_pop(y_adj) / max(var_y), 6) AS var_reduction
+    FROM adjusted
+    """,
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B readout: pre-period revenue
+    (before Jan 15) is the covariate, theta = cov(X,Y)/var(X), and the
+    adjusted metric Y' = Y − theta·(X − E[X]) shrinks metric variance
+    by the squared pre/post correlation — the experimentation-platform
+    op that halves required sample sizes.
+
+    Deterministic variant assignment (user_id parity), one fact-table
+    pass to the per-user (X, Y) grain, one 4-number sufficient-stats
+    row (theta, mean, variance) broadcast back, one re-aggregation —
+    no second scan of the raw events. covar_pop/var_pop are portable
+    and the population forms avoid the n−1 edge when a variant is
+    empty at tiny SFs."""
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.to_timestamp(F.lit("2024-01-15"))
+    is_buy = F.col("event_type") == "purchase"
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when((F.col("ts") < cutoff) & is_buy, F.col("value")).otherwise(0.0)).alias("x"),
+        F.sum(F.when((F.col("ts") >= cutoff) & is_buy, F.col("value")).otherwise(0.0)).alias("y"),
+    ).select("*", (F.col("user_id") % 2).cast("int").alias("variant"))
+    stats = per_user.agg(
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("theta"),
+        F.avg("x").alias("mean_x"),
+        F.var_pop("y").alias("var_y"),
+    )
+    adjusted = per_user.crossJoin(F.broadcast(stats)).select(
+        "variant",
+        "y",
+        (F.col("y") - F.col("theta") * (F.col("x") - F.col("mean_x"))).alias("y_adj"),
+        "theta",
+        "var_y",
+    )
+    t, c = F.col("variant") == 1, F.col("variant") == 0
+    return adjusted.agg(
+        F.round(F.max("theta"), 6).alias("theta"),
+        F.round(
+            F.avg(F.when(t, F.col("y"))) - F.avg(F.when(c, F.col("y"))), 6
+        ).alias("raw_effect"),
+        F.round(
+            F.avg(F.when(t, F.col("y_adj"))) - F.avg(F.when(c, F.col("y_adj"))), 6
+        ).alias("cuped_effect"),
+        F.round(F.lit(1.0) - F.var_pop("y_adj") / F.max("var_y"), 6).alias("var_reduction"),
+    )
+
+
+@query(
+    "q_event_paths",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                         - lag(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800 THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sess AS (
+        SELECT user_id, event_type, ts, event_id,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS sid
+        FROM ordered
+    ), numbered AS (
+        SELECT user_id, sid, event_type,
+               row_number() OVER (PARTITION BY user_id, sid
+                                  ORDER BY ts, event_id) AS rn
+        FROM sess
+    ), per_session AS (
+        SELECT user_id, sid,
+               string_agg(event_type, '>' ORDER BY rn)
+                 FILTER (WHERE rn <= 3) AS path,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM numbered GROUP BY user_id, sid
+    )
+    SELECT path,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           round(avg(CAST(n_events AS DOUBLE)), 6) AS avg_session_events
+    FROM per_session GROUP BY path
+    """,
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: sessionize each user's stream (30-minute gap
+    rule, the q_session_window derivation), take each session's first
+    three steps as the canonical entry path 'a>b>c', and rank paths by
+    session count — the navigation-flow rollup behind funnel design.
+
+    Sessionization is the lag→gap-flag→cumsum pipeline (one shuffle on
+    user_id; all three windows share its sort). The path string is
+    assembled per session from an order-keyed collect: Spark's
+    collect_list is order-free, so elements carry their row_number and
+    array_sort restores the sequence before join — the same
+    determinism move as the centroid rebuild. Paths are bounded (≤3
+    steps of 5 types), so the final rollup key is tiny.
+    """
+    ev = table(spark, sf_dir, "events")
+    sec = F.floor(F.col("ts").cast("double")).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(sec - F.lag(sec).over(w) > 1800, 1).otherwise(0).alias("new_session"),
+    )
+    sess = ordered.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"),
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    numbered = sess.select(
+        "user_id", "sid", "event_type", F.row_number().over(ws).alias("rn")
+    )
+    per_session = numbered.groupBy("user_id", "sid").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "CASE WHEN rn <= 3 THEN struct(rn, event_type) END)), "
+            "x -> x.event_type), '>')"
+        ).alias("path"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per_session.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg(F.col("n_events").cast("double")), 6).alias("avg_session_events"),
+    )
