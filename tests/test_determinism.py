@@ -38,6 +38,12 @@ ORDER_SENSITIVE = [
     "q_ewma",
     "q_attribution",
     "q_mode",
+    # survival/paths/eval batch: KM prefix product, session paths,
+    # rounded-score argmax, ACF over lagged windows
+    "q_survival",
+    "q_event_paths",
+    "q_cluster_purity",
+    "q_autocorr",
 ]
 
 
