@@ -788,3 +788,159 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("f").alias("weighted_count"))
         .filter(F.col("weighted_count") >= 10)
     )
+
+
+@query(
+    "q_unigram_ce",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), wf AS (SELECT * FROM words WHERE word <> ''),
+    freq AS (
+        SELECT word, CAST(count(*) AS DOUBLE) AS c FROM wf GROUP BY word
+    ), tot AS (SELECT sum(c) AS n FROM freq),
+    doc_ce AS (
+        SELECT w.doc_id, w.lang,
+               avg(-ln(f.c / t.n)) AS ce
+        FROM wf w JOIN freq f ON w.word = f.word CROSS JOIN tot t
+        GROUP BY w.doc_id, w.lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(ce), 6) AS avg_ce,
+           round(min(ce), 6) AS min_ce,
+           round(max(ce), 6) AS max_ce
+    FROM doc_ce GROUP BY lang
+    """,
+)
+def q_unigram_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram cross-entropy quality score (the CCNet/Wikipedia-LM
+    filtering idea, degenerated to the corpus's own unigram model):
+    each document scores avg(−ln p(word)); low = stereotyped/repetitive
+    text, high = rare-word soup — both filter targets. Rolled up per
+    language with min/max spread.
+
+    The model table IS the vocabulary relation (word → probability):
+    tiny next to the token stream, so the score join is a BROADCAST
+    hash join onto the exploded scan — no shuffle of the corpus. Two
+    aggregations (doc grain, then lang grain), both map-side-partial
+    friendly. Swap the self-model for a reference-corpus table and the
+    plan is unchanged — that's the real CCNet configuration."""
+    docs = table(spark, sf_dir, "documents")
+    wf = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    freq = wf.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = freq.agg(F.sum("c").alias("n"))
+    doc_ce = (
+        wf.join(F.broadcast(freq), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(F.avg(-F.log(F.col("c") / F.col("n"))).alias("ce"))
+    )
+    return doc_ce.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("ce"), 6).alias("avg_ce"),
+        F.round(F.min("ce"), 6).alias("min_ce"),
+        F.round(F.max("ce"), 6).alias("max_ce"),
+    )
+
+
+@query(
+    "q_keyphrase",
+    oracle="""
+    WITH wf AS (
+        SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), w AS (SELECT * FROM wf WHERE word <> ''),
+    sw AS (
+        SELECT source, word, CAST(count(*) AS DOUBLE) AS k11
+        FROM w GROUP BY source, word
+    ), wt AS (SELECT word, sum(k11) AS cw FROM sw GROUP BY word),
+    st AS (SELECT source, sum(k11) AS cs FROM sw GROUP BY source),
+    nn AS (SELECT sum(k11) AS n FROM sw),
+    cells AS (
+        SELECT sw.source, sw.word, sw.k11,
+               wt.cw - sw.k11 AS k12,
+               st.cs - sw.k11 AS k21,
+               nn.n - wt.cw - st.cs + sw.k11 AS k22,
+               wt.cw, st.cs, nn.n
+        FROM sw JOIN wt ON sw.word = wt.word
+                JOIN st ON sw.source = st.source
+                CROSS JOIN nn
+    ), llr AS (
+        SELECT source, word,
+               round(2.0 * (
+                 CASE WHEN k11 > 0 THEN k11 * ln(k11 * n / (cs * cw)) ELSE 0 END +
+                 CASE WHEN k12 > 0 THEN k12 * ln(k12 * n / ((n - cs) * cw)) ELSE 0 END +
+                 CASE WHEN k21 > 0 THEN k21 * ln(k21 * n / (cs * (n - cw))) ELSE 0 END +
+                 CASE WHEN k22 > 0 THEN k22 * ln(k22 * n / ((n - cs) * (n - cw))) ELSE 0 END
+               ), 6) AS g2
+        FROM cells
+    )
+    SELECT source, word, g2
+    FROM (SELECT source, word, g2,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY g2 DESC, word) AS rn
+          FROM llr)
+    WHERE rn <= 3
+    """,
+)
+def q_keyphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive-term extraction per source via Dunning's
+    log-likelihood ratio: build the 2×2 contingency (word-in-source vs
+    elsewhere) for every (source, word), score G² = 2·Σ k·ln(kN/EF),
+    keep each source's top 3 — the corpus-slicing diagnostic that
+    answers "what is src7 about?".
+
+    All four contingency cells derive from THREE aggregates of the same
+    (source, word) count relation (word marginals, source marginals,
+    grand total) — no second corpus scan; marginals are vocabulary- and
+    source-sized → broadcast joins. Zero cells contribute 0 by the
+    CASE guard on BOTH engines (x·ln(x) → 0 limit). Ranking uses the
+    ROUNDED G² + word tie-break so argmax is engine-identical."""
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    sw = w.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("double").alias("k11")
+    )
+    wt = sw.groupBy("word").agg(F.sum("k11").alias("cw"))
+    st = sw.groupBy("source").agg(F.sum("k11").alias("cs"))
+    nn = sw.agg(F.sum("k11").alias("n"))
+    cells = (
+        sw.join(F.broadcast(wt), "word")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "source",
+            "word",
+            "k11",
+            (F.col("cw") - F.col("k11")).alias("k12"),
+            (F.col("cs") - F.col("k11")).alias("k21"),
+            (F.col("n") - F.col("cw") - F.col("cs") + F.col("k11")).alias("k22"),
+            "cw",
+            "cs",
+            "n",
+        )
+    )
+    def term(k, rowt, colt):
+        return F.when(k > 0, k * F.log(k * F.col("n") / (rowt * colt))).otherwise(0.0)
+    g2 = F.round(
+        2.0
+        * (
+            term(F.col("k11"), F.col("cs"), F.col("cw"))
+            + term(F.col("k12"), F.col("n") - F.col("cs"), F.col("cw"))
+            + term(F.col("k21"), F.col("cs"), F.col("n") - F.col("cw"))
+            + term(F.col("k22"), F.col("n") - F.col("cs"), F.col("n") - F.col("cw"))
+        ),
+        6,
+    ).alias("g2")
+    llr = cells.select("source", "word", g2)
+    from pyspark.sql import Window as W
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy(F.col("g2").desc(), "word")
+    )
+    return llr.withColumn("rn", rn).filter(F.col("rn") <= 3).drop("rn")
