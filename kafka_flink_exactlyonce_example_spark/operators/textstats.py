@@ -944,3 +944,55 @@ def q_keyphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("source").orderBy(F.col("g2").desc(), "word")
     )
     return llr.withColumn("rn", rn).filter(F.col("rn") <= 3).drop("rn")
+
+
+@query(
+    "q_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT lang, doc_id, n_chars,
+               round(-ln((CAST(CAST(concat('0x', substring(md5(text), 1, 8))
+                                AS UBIGINT) AS DOUBLE) + 1.0) / 4294967296.0)
+                     / n_chars, 9) AS skey
+        FROM documents
+    )
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars, skey
+    FROM (SELECT lang, doc_id, n_chars, skey,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY skey, doc_id) AS rn
+          FROM keyed)
+    WHERE rn <= 5
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    exponential keys): each document draws key = −ln(u)/w with weight
+    w = n_chars; the k smallest keys per stratum are a w-proportional
+    sample — longer documents proportionally likelier, yet the draw is
+    fully deterministic because u comes from the content hash, not a
+    RNG (same doc is in or out on every engine, run, and cluster
+    width — the reproducibility property ablation pipelines need).
+
+    One scan computes the key (md5 → 32-bit uniform → exponential), a
+    per-stratum top-k window keeps k rows; at 100 TB replace the
+    row_number window with min_by(k)-style partial top-k aggregation —
+    the key derivation and the sample distribution are unchanged.
+    Ranking is on the 9-decimal rounded key + doc_id so cross-engine
+    libm 1-ulp ln() differences cannot flip the order."""
+    d = table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10).cast(
+            "double"
+        )
+        + 1.0
+    ) / F.lit(4294967296.0)
+    keyed = d.select(
+        "lang",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(-F.log(u) / F.col("n_chars"), 9).alias("skey"),
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy("lang").orderBy("skey", "doc_id"))
+    return keyed.withColumn("rn", rn).filter(F.col("rn") <= 5).drop("rn")
