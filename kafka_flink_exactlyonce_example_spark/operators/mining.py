@@ -921,3 +921,96 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.round(F.avg(F.col("n_events").cast("double")), 6).alias("avg_session_events"),
     )
+
+
+@query(
+    "q_srm",
+    oracle="""
+    WITH users AS (
+        SELECT DISTINCT user_id FROM events
+    ), counts AS (
+        SELECT CAST(user_id % 2 AS INTEGER) AS variant,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM users GROUP BY 1
+    ), tot AS (SELECT sum(n) AS nt FROM counts)
+    SELECT CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n_control,
+           CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n_treatment,
+           round(sum((n - nt / 2) * (n - nt / 2) / (nt / 2)), 6) AS chi2,
+           CAST(CASE WHEN sum((n - nt / 2) * (n - nt / 2) / (nt / 2)) > 3.841
+                     THEN 1 ELSE 0 END AS INTEGER) AS srm_flag
+    FROM counts CROSS JOIN tot
+    """,
+)
+def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the A/B pipeline: chi-square
+    of observed variant sizes against the designed 50/50 split, with
+    the 95%-critical flag (χ²₁ > 3.841) — the first sanity gate any
+    experiment readout must pass before effects are believed.
+
+    Distinct-users → two counts → one scalar combine: the whole test
+    is a tree-reduce; at 100 TB the only real cost is the user-grain
+    distinct, which the q_cuped per-user aggregation already pays —
+    in a production DAG this rides that exchange for free."""
+    users = table(spark, sf_dir, "events").select("user_id").distinct()
+    counts = users.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("variant")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tot = counts.agg(F.sum("n").alias("nt"))
+    chi2 = F.sum(
+        (F.col("n") - F.col("nt") / 2) * (F.col("n") - F.col("nt") / 2) / (F.col("nt") / 2)
+    )
+    return counts.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("n"))).cast("long").alias("n_control"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n"))).cast("long").alias("n_treatment"),
+        F.round(chi2, 6).alias("chi2"),
+        F.when(chi2 > 3.841, 1).otherwise(0).cast("int").alias("srm_flag"),
+    )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH caps AS (
+        SELECT event_type,
+               percentile_cont(0.99) WITHIN GROUP (ORDER BY value) AS p99
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           round(avg(e.value), 6) AS raw_mean,
+           round(avg(least(e.value, c.p99)), 6) AS winsorized_mean,
+           round(max(c.p99), 6) AS p99_cap,
+           CAST(sum(CASE WHEN e.value > c.p99 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_capped
+    FROM events e JOIN caps c ON e.event_type = c.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized metric means: cap each event's value at its type's
+    exact p99 before averaging — the outlier-robust readout that keeps
+    one whale purchase from moving a mean (the metric-engineering
+    counterpart of q_anomaly's detection).
+
+    Caps are a per-type exact percentile (5 rows) broadcast back onto
+    the fact scan; the re-aggregation is one pass. Same two-level
+    shape as q_cuped/q_unigram_ce: the tiny derived relation rides a
+    broadcast, the big table is scanned once and never shuffled beyond
+    its own groupBy."""
+    ev = table(spark, sf_dir, "events")
+    caps = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.99)").alias("p99")
+    )
+    return (
+        ev.join(F.broadcast(caps), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 6).alias("raw_mean"),
+            F.round(F.avg(F.least(F.col("value"), F.col("p99"))), 6).alias(
+                "winsorized_mean"
+            ),
+            F.round(F.max("p99"), 6).alias("p99_cap"),
+            F.sum(F.when(F.col("value") > F.col("p99"), 1).otherwise(0)).alias(
+                "n_capped"
+            ),
+        )
+    )
