@@ -113,3 +113,32 @@ def test_forward_fill_single_shuffle(spark, registry_loaded):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan
+
+
+def test_basket_pairs_pair_gen_has_no_self_join(spark, registry_loaded):
+    """Pairs come from inline array C(k,2) generation — the plan must
+    show the broadcast dim join but NO sort-merge self-join of the
+    (order, brand) relation."""
+    df = registry_loaded.QUERIES["q_basket_pairs"](spark, SMOKE_SF)
+    assert_not_in_plan(df, "SortMergeJoin", "CartesianProduct")
+    assert_in_plan(df, "BroadcastHashJoin")
+
+
+def test_skyline_is_pure_window_no_join(spark, registry_loaded):
+    """The dominance test is two window passes — any join node means
+    the O(n²) self-join formulation leaked back in."""
+    df = registry_loaded.QUERIES["q_skyline"](spark, SMOKE_SF)
+    assert_not_in_plan(
+        df, "SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+        "CartesianProduct", "ShuffledHashJoin",
+    )
+    assert "Window" in plan_string(df)
+
+
+def test_derived_caps_broadcast_back(spark, registry_loaded):
+    """Two-level metric queries (tiny derived relation rejoined to the
+    fact scan) must broadcast the derived side, never shuffle the fact
+    table into a sort-merge join."""
+    for q in ("q_winsorize", "q_unigram_ce", "q_cluster_purity"):
+        df = registry_loaded.QUERIES[q](spark, SMOKE_SF)
+        assert_not_in_plan(df, "SortMergeJoin")
