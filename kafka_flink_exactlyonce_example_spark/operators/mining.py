@@ -734,7 +734,7 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_seasonality",
     oracle="""
     WITH base AS (
-        SELECT dayofweek(ts) AS dow, value FROM events
+        SELECT isodow(ts) AS dow, value FROM events
     )
     SELECT CAST(dow AS INTEGER) AS dow,
            CAST(count(*) AS BIGINT) AS n_events,
@@ -749,12 +749,17 @@ def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar decomposition half of the q_autocorr diagnostic.
 
     Day-of-week conventions differ across engines (Spark dayofweek is
-    1=Sunday, DuckDB is 0=Sunday): normalize to DuckDB's 0-based form
-    on the Spark side. One groupBy on a 7-value key; the global revenue
-    total rides the same 7-row post-agg via a window over the GROUPED
-    sums (sum of sums), never a second fact-table scan."""
+    1=Sunday; DuckDB dayofweek is 0=Sunday yet ALSO parses on Spark
+    with the 1-based meaning — a silent cross-dialect trap caught by
+    the DF-vs-SQL agreement test): standardize on ISO numbering
+    (Monday=1..Sunday=7), spelled ``isodow`` in the oracle (Spark's
+    resolver rejects it, so the same-text check skips rather than
+    silently diverges) and derived arithmetically on the Spark side.
+    One groupBy on a 7-value key; the global revenue total rides the
+    same 7-row post-agg via a window over the GROUPED sums (sum of
+    sums), never a second fact-table scan."""
     base = table(spark, sf_dir, "events").select(
-        (F.dayofweek("ts") - 1).cast("int").alias("dow"), "value"
+        ((F.dayofweek("ts") + 5) % 7 + 1).cast("int").alias("dow"), "value"
     )
     return base.groupBy("dow").agg(
         F.count(F.lit(1)).alias("n_events"),
