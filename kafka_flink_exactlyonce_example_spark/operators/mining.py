@@ -1019,3 +1019,70 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_rolling_slope",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, sum(value) AS y
+        FROM events GROUP BY 1
+    ), idx AS (
+        SELECT day, y, CAST(row_number() OVER (ORDER BY day) AS DOUBLE) AS i
+        FROM daily
+    ), mom AS (
+        SELECT day, y,
+               count(*)  OVER w AS n,
+               sum(i)    OVER w AS sx,
+               sum(y)    OVER w AS sy,
+               sum(i*y)  OVER w AS sxy,
+               sum(i*i)  OVER w AS sxx
+        FROM idx
+        WINDOW w AS (ORDER BY i ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, round(y, 6) AS revenue,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           END AS slope7
+    FROM mom
+    """,
+)
+def q_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day OLS trend of daily revenue: the per-day slope of
+    revenue against the day index over a trailing window — the
+    trend-detection primitive behind alerting ("revenue has been
+    sliding for a week").
+
+    No regr_* aggregate supports window frames, so the slope is spelled
+    from its four co-moment sums (n, Σx, Σy, Σxy, Σx²) — five windowed
+    sums sharing ONE frame and one sort, exactly the guarded-co-moment
+    discipline of q_win_corr (the n·Σx²−(Σx)² denominator is CASE-
+    guarded for the 1-row opening frame on both engines). Day indexes
+    come from row_number so calendar gaps can't bend the regressor."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum("value").alias("y"))
+    )
+    idx = daily.select(
+        "day", "y", F.row_number().over(Window.orderBy("day")).cast("double").alias("i")
+    )
+    w = Window.orderBy("i").rowsBetween(-6, 0)
+    mom = idx.select(
+        "day",
+        "y",
+        F.count(F.lit(1)).over(w).cast("double").alias("n"),
+        F.sum("i").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("i") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("i") * F.col("i")).over(w).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return mom.select(
+        "day",
+        F.round("y", 6).alias("revenue"),
+        F.when(
+            den > 0,
+            F.round((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den, 6),
+        ).alias("slope7"),
+    )
