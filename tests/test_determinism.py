@@ -44,6 +44,12 @@ ORDER_SENSITIVE = [
     "q_event_paths",
     "q_cluster_purity",
     "q_autocorr",
+    # trend/rank/sample batch: frame co-moments, rounded-key sampling,
+    # rounded-G2 ranking, vocabulary rank windows
+    "q_rolling_slope",
+    "q_weighted_sample",
+    "q_keyphrase",
+    "q_zipf",
 ]
 
 
