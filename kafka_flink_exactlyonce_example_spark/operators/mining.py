@@ -1086,3 +1086,67 @@ def q_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den, 6),
         ).alias("slope7"),
     )
+
+
+@query(
+    "q_twap",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, value,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+               lead(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_sec
+        FROM events
+    ), held AS (
+        SELECT user_id, value,
+               CAST(next_sec - sec AS DOUBLE) AS held_s
+        FROM seq WHERE next_sec IS NOT NULL AND next_sec > sec
+    )
+    SELECT user_id,
+           round(sum(value * held_s) / sum(held_s), 6) AS twap,
+           round(avg(value), 6) AS plain_avg,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM held
+    GROUP BY user_id
+    HAVING count(*) >= 20
+    """,
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each observation is
+    weighted by how long it was the user's CURRENT value (until their
+    next event) — the batch twin of time-weighted streaming state,
+    where a value that held for an hour must count 3600× a one-second
+    blip; the plain average is emitted alongside to show the bias it
+    hides.
+
+    One lead() pass over the (user, time) order turns point events
+    into hold intervals — the same single-shuffle shape as
+    q_interarrival; whole-second arithmetic keeps the ns/µs parquet
+    precision out of the values. Zero-length holds (same-second
+    events) are dropped identically on both engines; the HAVING keeps
+    the output at active-user scale."""
+    ev = table(spark, sf_dir, "events")
+    sec = F.floor(F.col("ts").cast("double")).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        sec.alias("sec"),
+        F.lead(sec).over(w).alias("next_sec"),
+    )
+    held = seq.filter(
+        F.col("next_sec").isNotNull() & (F.col("next_sec") > F.col("sec"))
+    ).select(
+        "user_id",
+        "value",
+        (F.col("next_sec") - F.col("sec")).cast("double").alias("held_s"),
+    )
+    return (
+        held.groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * F.col("held_s")) / F.sum("held_s"), 6).alias("twap"),
+            F.round(F.avg("value"), 6).alias("plain_avg"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .filter(F.col("n_intervals") >= 20)
+    )
