@@ -50,6 +50,7 @@ ORDER_SENSITIVE = [
     "q_weighted_sample",
     "q_keyphrase",
     "q_zipf",
+    "q_twap",
 ]
 
 
