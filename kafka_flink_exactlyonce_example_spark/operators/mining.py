@@ -1150,3 +1150,91 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_intervals") >= 20)
     )
+
+
+@query(
+    "q_concurrency",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+               CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                         - lag(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800 THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sess AS (
+        SELECT user_id, sec,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS sid
+        FROM ordered
+    ), spans AS (
+        SELECT min(sec) AS start_sec, max(sec) + 1 AS end_sec
+        FROM sess GROUP BY user_id, sid
+    ), deltas AS (
+        SELECT start_sec AS sec, CAST(1 AS BIGINT) AS d FROM spans
+        UNION ALL
+        SELECT end_sec AS sec, CAST(-1 AS BIGINT) AS d FROM spans
+    ), net AS (
+        SELECT sec, sum(d) AS net FROM deltas GROUP BY sec
+    ), active AS (
+        SELECT sec,
+               sum(net) OVER (ORDER BY sec
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS n_active
+        FROM net
+    )
+    SELECT CAST(sec // 86400 AS BIGINT) AS day_idx,
+           CAST(max(n_active) AS BIGINT) AS peak_concurrent
+    FROM active
+    GROUP BY day_idx
+    """,
+)
+def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning number —
+    via the sweep-line rewrite: each session span becomes a +1 at start
+    and a −1 just past its end, deltas are NETTED PER SECOND first
+    (that pre-aggregation is what makes the result order-free: the
+    running sum then visits one deterministic row per timestamp), and
+    one global prefix sum yields the active count whose per-day max is
+    the answer.
+
+    The naive form joins every session against every overlapping
+    session — quadratic in peak concurrency; the sweep line is
+    O(n log n) with ONE single-partition window, but that window runs
+    on the netted second grain (≤ seconds-in-month rows, data-size
+    independent) — the same "scan a tiny derived series, never the
+    fact table" shape as q_running_distinct. Session derivation reuses
+    the 30-minute-gap pipeline of q_event_paths."""
+    ev = table(spark, sf_dir, "events")
+    sec = F.floor(F.col("ts").cast("double")).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        sec.alias("sec"),
+        F.when(sec - F.lag(sec).over(w) > 1800, 1).otherwise(0).alias("new_session"),
+    )
+    sess = ordered.select(
+        "user_id",
+        "sec",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"),
+    )
+    spans = sess.groupBy("user_id", "sid").agg(
+        F.min("sec").alias("start_sec"), (F.max("sec") + 1).alias("end_sec")
+    )
+    deltas = spans.select(F.col("start_sec").alias("sec"), F.lit(1).cast("long").alias("d")).unionByName(
+        spans.select(F.col("end_sec").alias("sec"), F.lit(-1).cast("long").alias("d"))
+    )
+    net = deltas.groupBy("sec").agg(F.sum("d").alias("net"))
+    active = net.select(
+        "sec",
+        F.sum("net")
+        .over(Window.orderBy("sec").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("n_active"),
+    )
+    return active.groupBy((F.col("sec") / 86400).cast("long").alias("day_idx")).agg(
+        F.max("n_active").alias("peak_concurrent")
+    )
