@@ -574,3 +574,106 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("z").alias("min_z"),
         F.max("z").alias("max_z"),
     )
+
+
+@query(
+    "q_table_checksum",
+    oracle="""
+    WITH rows_ser AS (
+        SELECT concat_ws('|',
+                 CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR),
+                 CAST(l_suppkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+                 CAST(CAST(l_quantity AS BIGINT) AS VARCHAR),
+                 CAST(CAST(FLOOR(l_extendedprice*100.0 + 0.5) AS BIGINT) AS VARCHAR),
+                 l_returnflag, l_linestatus,
+                 strftime(l_shipdate, '%Y-%m-%d')) AS ser
+        FROM lineitem
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(CAST(concat('0x', substring(md5(ser), 1, 12))
+                              AS UBIGINT) % 1000000007 AS BIGINT)) AS BIGINT)
+             AS checksum
+    FROM rows_ser
+    """,
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-free table fingerprint: serialize each row to a canonical
+    string, hash it, SUM the hashes — the replication/migration
+    integrity check ("do both sides hold exactly these rows?") that
+    needs no sort, no driver collect, and is embarrassingly parallel
+    because addition commutes.
+
+    Canonicalization is the whole game cross-engine: ints and strings
+    format identically everywhere, but raw doubles do NOT — so money
+    goes through the integer-cents quantization (functions/money.py)
+    and integral quantities through a bigint cast before printing, and
+    dates print through an explicit format. Hashes are bucketed mod
+    1e9+7 so 600k-row sums stay far under the ANSI long-overflow line
+    (~9e18 capacity vs ~6e14 used; re-bucket per 10^10 rows at 100 TB
+    or sum in two tiers)."""
+    li = table(spark, sf_dir, "lineitem")
+    ser = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_quantity").cast("long").cast("string"),
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long").cast("string"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.date_format("l_shipdate", "yyyy-MM-dd"),
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("ser").cast("binary")), 1, 12), 16, 10).cast(
+            "long"
+        )
+        % 1000000007
+    )
+    return li.select(ser.alias("ser")).select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("h").alias("checksum")
+    )
+
+
+@query(
+    "q_inverted_index",
+    oracle="""
+    WITH words AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), wf AS (SELECT * FROM words WHERE word <> '')
+    SELECT word,
+           CAST(count(*) AS BIGINT) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM wf GROUP BY word
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: word → document frequency + the sorted
+    postings list — the materialization step behind BM25 retrieval and
+    the inverted-index dedup plan q_char_ngram chose against for THIS
+    corpus's degenerate vocabulary.
+
+    One distinct-explode, one shuffle on the word key. Postings are
+    emitted as a canonical comma-joined string: Spark's collect_set is
+    unordered, so the set is array_sort'ed before joining (the centroid
+    / event-path determinism idiom); DuckDB mirrors it with an ORDER BY
+    inside string_agg. At 100 TB postings lists for stopwords blow the
+    row budget — production plans shard postings by (word, bucket) and
+    cap segment length; df stays exact either way."""
+    d = table(spark, sf_dir, "documents")
+    wf = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.filter(F.split("text", " "), lambda w: w != ""))
+        ).alias("word"),
+    )
+    return wf.groupBy("word").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_set("doc_id")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("postings"),
+    )
