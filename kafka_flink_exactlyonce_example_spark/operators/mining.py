@@ -1238,3 +1238,83 @@ def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active.groupBy((F.col("sec") / 86400).cast("long").alias("day_idx")).agg(
         F.max("n_active").alias("peak_concurrent")
     )
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+    WITH cohorts AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch(min(ts)) / 604800) AS BIGINT) AS cohort_wk
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), revenue AS (
+        SELECT c.cohort_wk,
+               CAST(FLOOR(epoch(e.ts) / 604800) AS BIGINT) - c.cohort_wk AS wk_offset,
+               e.value
+        FROM events e JOIN cohorts c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+          AND CAST(FLOOR(epoch(e.ts) / 604800) AS BIGINT) >= c.cohort_wk
+    ), sizes AS (
+        SELECT cohort_wk, CAST(count(*) AS DOUBLE) AS n_users FROM cohorts GROUP BY cohort_wk
+    ), cell AS (
+        SELECT cohort_wk, wk_offset, sum(value) AS rev
+        FROM revenue GROUP BY cohort_wk, wk_offset
+    )
+    SELECT c.cohort_wk, c.wk_offset,
+           CAST(s.n_users AS BIGINT) AS cohort_users,
+           round(sum(c.rev) OVER (PARTITION BY c.cohort_wk ORDER BY c.wk_offset
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / s.n_users, 6) AS cum_ltv_per_user
+    FROM cell c JOIN sizes s ON c.cohort_wk = s.cohort_wk
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: users grouped by signup week, purchase
+    revenue bucketed by weeks-since-signup, reported as CUMULATIVE
+    revenue per cohort user — the retention economics table every
+    growth team reads, and the batch twin of a keyed running aggregate
+    per (cohort, offset).
+
+    Week indexes are integer epoch-week divisions (not date_trunc) so
+    both engines bucket identically with zero calendar parsing. The
+    fact table is touched twice only logically — cohort assignment is
+    a per-user min over the signup slice (small), broadcast into the
+    purchase scan; the cumulative window runs on the (cohort, offset)
+    CELL grain, dozens of rows, after all heavy aggregation is done."""
+    ev = table(spark, sf_dir, "events")
+    wk = (F.floor(F.col("ts").cast("double")) / 604800).cast("long")
+    cohorts = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", wk.alias("wk"))
+        .groupBy("user_id")
+        .agg(F.min("wk").alias("cohort_wk"))
+    )
+    revenue = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", wk.alias("ewk"), "value")
+        .join(F.broadcast(cohorts), "user_id")
+        .filter(F.col("ewk") >= F.col("cohort_wk"))
+        .select(
+            "cohort_wk", (F.col("ewk") - F.col("cohort_wk")).alias("wk_offset"), "value"
+        )
+    )
+    sizes = cohorts.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("double").alias("n_users")
+    )
+    cell = revenue.groupBy("cohort_wk", "wk_offset").agg(F.sum("value").alias("rev"))
+    wcum = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("wk_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cell.join(F.broadcast(sizes), "cohort_wk")
+        .select(
+            "cohort_wk",
+            "wk_offset",
+            F.col("n_users").cast("long").alias("cohort_users"),
+            F.round(F.sum("rev").over(wcum) / F.col("n_users"), 6).alias(
+                "cum_ltv_per_user"
+            ),
+        )
+    )
