@@ -51,6 +51,9 @@ ORDER_SENSITIVE = [
     "q_keyphrase",
     "q_zipf",
     "q_twap",
+    "q_concurrency",
+    "q_cohort_ltv",
+    "q_inverted_index",
 ]
 
 
