@@ -530,3 +530,104 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", F.col("clabel").alias("pred_label"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "q_ndcg",
+    oracle=f"""
+    WITH probes AS (
+        SELECT vec_id AS p_id, label AS p_label, embedding AS p_emb
+        FROM embeddings WHERE vec_id % 100 = 0
+    ), scored AS (
+        SELECT p.p_id, p.p_label, e.vec_id, e.label,
+               round({cosine_sql('e.embedding', 'p.p_emb')}, 6) AS sim
+        FROM embeddings e JOIN probes p ON e.vec_id <> p.p_id
+    ), ranked AS (
+        SELECT p_id, p_label, label, sim,
+               row_number() OVER (PARTITION BY p_id
+                                  ORDER BY sim DESC, vec_id) AS rn
+        FROM scored
+    ), dcg AS (
+        SELECT p_id, p_label,
+               sum(CASE WHEN label = p_label THEN 1.0 / log2(rn + 1)
+                        ELSE 0 END) AS dcg
+        FROM ranked WHERE rn <= 10
+        GROUP BY p_id, p_label
+    ), label_sizes AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY label
+    ), steps AS (
+        SELECT unnest(range(1, 11)) AS i
+    ), icum AS (
+        SELECT i AS k,
+               sum(1.0 / log2(i + 1)) OVER (ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS idcg
+        FROM steps
+    )
+    SELECT d.p_id AS vec_id,
+           round(d.dcg / ic.idcg, 6) AS ndcg10
+    FROM dcg d
+    JOIN label_sizes ls ON d.p_label = ls.label
+    JOIN icum ic ON ic.k = least(10, ls.n - 1)
+    """,
+)
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: nDCG@10 of the brute-force cosine
+    ranking for every 100th vector as probe, with same-label membership
+    as the relevance judgment — the eval harness you run after ANY
+    index change (IVF probe count, LSH bands) to quantify what the
+    approximation costs.
+
+    The probe set broadcasts onto one corpus scan (|corpus| × |probes|
+    codegen'd cosines, no shuffle), ranking reuses the rounded-score +
+    vec_id discipline, and the ideal-DCG divisor comes from a TEN-row
+    cumulative table joined on min(10, |label|−1) — no per-probe
+    re-sort of an ideal list. At 100 TB the probe set is the small
+    side by construction; the scan parallelizes freely."""
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("p_id"),
+        F.col("label").alias("p_label"),
+        F.col("embedding").alias("p_emb"),
+    )
+    scored = emb.crossJoin(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("p_id")
+    ).select(
+        "p_id",
+        "p_label",
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("embedding"), F.col("p_emb")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("p_id").orderBy(F.col("sim").desc(), "vec_id")
+    dcg = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .groupBy("p_id", "p_label")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("label") == F.col("p_label"),
+                    1.0 / F.log2(F.col("rn") + 1),
+                ).otherwise(0.0)
+            ).alias("dcg")
+        )
+    )
+    label_sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    icum = (
+        spark.range(1, 11)
+        .select(F.col("id").alias("k"))
+        .select(
+            "k",
+            F.sum(1.0 / F.log2(F.col("k") + 1))
+            .over(Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0))
+            .alias("idcg"),
+        )
+    )
+    return (
+        dcg.join(F.broadcast(label_sizes), dcg.p_label == label_sizes.label)
+        .join(
+            F.broadcast(icum),
+            F.col("k") == F.least(F.lit(10), F.col("n") - 1),
+        )
+        .select(F.col("p_id").alias("vec_id"), F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg10"))
+    )
