@@ -1318,3 +1318,51 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_benford",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(FLOOR(o_totalprice / power(10, FLOOR(log10(o_totalprice))))
+                    AS INTEGER) AS d
+        FROM orders WHERE o_totalprice > 0
+    ), obs AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS n,
+               sum(count(*)) OVER () AS total
+        FROM digits GROUP BY d
+    )
+    SELECT d,
+           n,
+           round(CAST(n AS DOUBLE) / total, 6) AS observed_p,
+           round(log10(1.0 + 1.0 / d), 6) AS benford_p,
+           round(CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / d), 6) AS deviation
+    FROM obs
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen on order totals: observed first-digit
+    frequencies against log10(1+1/d) — the classic fraud/fabrication
+    tripwire for financial fact tables (organic multiplicative data
+    follows it; invented numbers don't).
+
+    First digit extracted arithmetically (x / 10^floor(log10 x)) — no
+    string formatting, so double-printing differences can't leak in.
+    One 9-group aggregation with map-side partials; the total rides a
+    window over the grouped counts. Integer-exact counts, rounding only
+    on the derived probabilities."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = F.floor(
+        F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    obs = o.select(d.alias("d")).groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    return obs.select(
+        "d",
+        "n",
+        F.round(F.col("n").cast("double") / total, 6).alias("observed_p"),
+        F.round(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("benford_p"),
+        F.round(
+            F.col("n").cast("double") / total - F.log10(1.0 + 1.0 / F.col("d")), 6
+        ).alias("deviation"),
+    )
