@@ -54,6 +54,7 @@ ORDER_SENSITIVE = [
     "q_concurrency",
     "q_cohort_ltv",
     "q_inverted_index",
+    "q_ndcg",
 ]
 
 
