@@ -1366,3 +1366,161 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / total - F.log10(1.0 + 1.0 / F.col("d")), 6
         ).alias("deviation"),
     )
+
+
+@query(
+    "q_chi2_indep",
+    oracle="""
+    WITH joint AS (
+        SELECT c.c_mktsegment AS seg, r.r_name AS region,
+               CAST(count(*) AS DOUBLE) AS o
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY seg, region
+    ), margins AS (
+        SELECT seg, region, o,
+               sum(o) OVER (PARTITION BY seg) AS rs,
+               sum(o) OVER (PARTITION BY region) AS cs,
+               sum(o) OVER () AS n
+        FROM joint
+    )
+    SELECT round(sum((o - rs * cs / n) * (o - rs * cs / n) / (rs * cs / n)), 6)
+             AS chi2,
+           CAST((count(DISTINCT seg) - 1) * (count(DISTINCT region) - 1) AS BIGINT)
+             AS dof
+    FROM margins
+    """,
+)
+def q_chi2_indep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of market segment × region — "is
+    segment mix geographically uniform?" — the categorical-association
+    screen behind stratification and sampling-bias checks.
+
+    The contingency table is one 25-cell aggregation over the dim-chain
+    join (both dims broadcast); row/column margins and the grand total
+    come from three windows OVER THE CELLS, not re-scans; expected
+    counts and the statistic fold in a single combine. Absent cells
+    contribute 0 to the statistic on both engines (they're absent from
+    the cell relation, not zero-rows) — fine for a screen; add a
+    dense spine via cross join if exact dof matters with empty cells."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joint = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("r_name").alias("region"))
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    margins = joint.select(
+        "seg",
+        "region",
+        "o",
+        F.sum("o").over(Window.partitionBy("seg")).alias("rs"),
+        F.sum("o").over(Window.partitionBy("region")).alias("cs"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("rs") * F.col("cs") / F.col("n")
+    return margins.agg(
+        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias("chi2"),
+        (
+            (F.countDistinct("seg") - 1) * (F.countDistinct("region") - 1)
+        ).cast("long").alias("dof"),
+    )
+
+
+@query(
+    "q_growth_accounting",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS wk
+        FROM events
+    ), seq AS (
+        SELECT user_id, wk,
+               min(wk) OVER (PARTITION BY user_id) AS first_wk,
+               lag(wk)  OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+               lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk,
+               max(wk) OVER () AS max_wk
+        FROM uw
+    ), status AS (
+        SELECT wk,
+               CASE WHEN wk = first_wk THEN 1 ELSE 0 END AS is_new,
+               CASE WHEN prev_wk = wk - 1 THEN 1 ELSE 0 END AS is_retained,
+               CASE WHEN wk > first_wk AND (prev_wk IS NULL OR prev_wk < wk - 1)
+                    THEN 1 ELSE 0 END AS is_resurrected,
+               CASE WHEN (next_wk IS NULL OR next_wk > wk + 1) AND wk < max_wk
+                    THEN 1 ELSE 0 END AS churns_next
+        FROM seq
+    ), per_wk AS (
+        SELECT wk,
+               CAST(sum(is_new) AS BIGINT) AS new_users,
+               CAST(sum(is_retained) AS BIGINT) AS retained,
+               CAST(sum(is_resurrected) AS BIGINT) AS resurrected
+        FROM status GROUP BY wk
+    ), churn AS (
+        SELECT wk + 1 AS wk, CAST(sum(churns_next) AS BIGINT) AS churned
+        FROM status GROUP BY wk + 1
+    )
+    SELECT p.wk, p.new_users, p.retained, p.resurrected,
+           coalesce(c.churned, 0) AS churned
+    FROM per_wk p LEFT JOIN churn c ON p.wk = c.wk
+    """,
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: every active user-week classified as new
+    (first ever), retained (also active last week), or resurrected
+    (returning after a gap), plus the churn ledger (active last week,
+    gone this week) — the four numbers whose identity
+    active(t) = new + retained + resurrected and
+    active(t-1) = retained + churned audits itself.
+
+    One DISTINCT to the (user, week) grain, one user-partitioned
+    window pass supplying first/prev/next in a single sort, then two
+    tiny week-grain rollups (churn attributes forward to the week the
+    user is MISSING, via lead — no self-join of week t against t−1,
+    which is the naive two-scan formulation). Week buckets are integer
+    epoch divisions spelled FLOOR(x/604800) on both engines."""
+    ev = table(spark, sf_dir, "events")
+    wk = (F.floor(F.col("ts").cast("double")) / 604800).cast("long")
+    uw = ev.select("user_id", wk.alias("wk")).distinct()
+    wuser = Window.partitionBy("user_id").orderBy("wk")
+    seq = uw.select(
+        "user_id",
+        "wk",
+        F.min("wk").over(Window.partitionBy("user_id")).alias("first_wk"),
+        F.lag("wk").over(wuser).alias("prev_wk"),
+        F.lead("wk").over(wuser).alias("next_wk"),
+        F.max("wk").over(Window.partitionBy()).alias("max_wk"),
+    )
+    status = seq.select(
+        "wk",
+        F.when(F.col("wk") == F.col("first_wk"), 1).otherwise(0).alias("is_new"),
+        F.when(F.col("prev_wk") == F.col("wk") - 1, 1).otherwise(0).alias("is_retained"),
+        F.when(
+            (F.col("wk") > F.col("first_wk"))
+            & (F.col("prev_wk").isNull() | (F.col("prev_wk") < F.col("wk") - 1)),
+            1,
+        ).otherwise(0).alias("is_resurrected"),
+        F.when(
+            (F.col("next_wk").isNull() | (F.col("next_wk") > F.col("wk") + 1))
+            & (F.col("wk") < F.col("max_wk")),
+            1,
+        ).otherwise(0).alias("churns_next"),
+    )
+    per_wk = status.groupBy("wk").agg(
+        F.sum("is_new").alias("new_users"),
+        F.sum("is_retained").alias("retained"),
+        F.sum("is_resurrected").alias("resurrected"),
+    )
+    churn = status.groupBy((F.col("wk") + 1).alias("wk")).agg(
+        F.sum("churns_next").alias("churned")
+    )
+    return per_wk.join(churn, "wk", "left").select(
+        "wk",
+        "new_users",
+        "retained",
+        "resurrected",
+        F.coalesce("churned", F.lit(0)).alias("churned"),
+    )
