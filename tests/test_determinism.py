@@ -55,6 +55,7 @@ ORDER_SENSITIVE = [
     "q_cohort_ltv",
     "q_inverted_index",
     "q_ndcg",
+    "q_growth_accounting",
 ]
 
 

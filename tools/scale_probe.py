@@ -57,12 +57,54 @@ def main() -> None:
             .agg(F.sum(cents("l_extendedprice")).alias("rev_cents"))
         )
 
+    def window_shape(li):
+        # per-key running sum — the windowed-analytics shape (one
+        # shuffle on the partition key, per-partition sort)
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy("l_suppkey")
+            .orderBy("l_shipdate", "l_partkey")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return li.select(
+            "l_suppkey", F.sum(cents("l_extendedprice")).over(w).alias("run_cents")
+        ).groupBy("l_suppkey").agg(F.max("run_cents").alias("final_cents"))
+
+    def pairs_shape(li):
+        # basket pair generation — groupBy to per-order arrays, inline
+        # C(k,2) explode (the q_basket_pairs plan) at growing volume
+        p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+        baskets = (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy("l_orderkey")
+            .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+        )
+        return (
+            baskets.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(bs, (a, i) -> "
+                        "transform(slice(bs, i + 2, size(bs)), "
+                        "b -> struct(a AS ba, b AS bb))))"
+                    )
+                ).alias("pr")
+            )
+            .groupBy("pr.ba", "pr.bb")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
     def force(df):
         df.write.mode("overwrite").format("noop").save()
 
     force(agg_shape(scaled_lineitem(1)))  # warm JIT
 
-    for name, shape in (("agg", agg_shape), ("join", join_shape)):
+    for name, shape in (
+        ("agg", agg_shape),
+        ("join", join_shape),
+        ("window", window_shape),
+        ("pairs", pairs_shape),
+    ):
         base_rate = None
         for mult in multiples:
             li = scaled_lineitem(mult)
