@@ -1524,3 +1524,134 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "resurrected",
         F.coalesce("churned", F.lit(0)).alias("churned"),
     )
+
+
+@query(
+    "q_abc_class",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               sum(CAST(FLOOR(l_extendedprice*100.0 + 0.5) AS BIGINT)) AS rev_cents
+        FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+        SELECT rev_cents,
+               CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum,
+               CAST(sum(rev_cents) OVER () AS BIGINT) AS total
+        FROM rev
+    ), classed AS (
+        SELECT rev_cents,
+               CASE WHEN CAST(cum AS DOUBLE) / total <= 0.80 THEN 'A'
+                    WHEN CAST(cum AS DOUBLE) / total <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc
+        FROM ranked
+    )
+    SELECT abc,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(CAST(rev_cents AS DOUBLE)) / max(CAST(total AS DOUBLE)), 6)
+             AS revenue_share
+    FROM classed CROSS JOIN (SELECT CAST(sum(rev_cents) AS BIGINT) AS total FROM rev) t
+    GROUP BY abc
+    """,
+)
+def q_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, classed A
+    (first 80% of cumulative revenue), B (to 95%), C (tail) — the
+    workhorse assortment/stocking segmentation, and q_pareto's
+    classification-shaped sibling.
+
+    Revenue is integer-cents summed (exact, order-free) BEFORE the
+    descending cumulative window, so the class boundary is a
+    deterministic function of (revenue, partkey) — a float cumsum
+    would make boundary parts flap across engines. The window runs on
+    the part grain (|parts| ≪ |lineitem|); class census is a 3-row
+    rollup."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+    rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("rev_cents"))
+    wcum = Window.orderBy(F.col("rev_cents").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    ranked = rev.select(
+        "rev_cents",
+        F.sum("rev_cents").over(wcum).cast("long").alias("cum"),
+        F.sum("rev_cents").over(wall).cast("long").alias("total"),
+    )
+    share = F.col("cum").cast("double") / F.col("total")
+    classed = ranked.select(
+        "rev_cents",
+        "total",
+        F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C").alias("abc"),
+    )
+    return classed.groupBy("abc").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(
+            F.sum(F.col("rev_cents").cast("double")) / F.max(F.col("total").cast("double")), 6
+        ).alias("revenue_share"),
+    )
+
+
+@query(
+    "q_control_chart",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, sum(value) AS x
+        FROM events GROUP BY 1
+    ), mr AS (
+        SELECT day, x,
+               abs(x - lag(x) OVER (ORDER BY day)) AS moving_range
+        FROM daily
+    ), limits AS (
+        SELECT avg(x) AS xbar, avg(moving_range) AS mrbar
+        FROM mr
+    )
+    SELECT m.day, round(m.x, 6) AS x,
+           round(l.xbar, 6) AS center,
+           round(l.xbar + 2.66 * l.mrbar, 6) AS ucl,
+           round(l.xbar - 2.66 * l.mrbar, 6) AS lcl,
+           CAST(CASE WHEN m.x > l.xbar + 2.66 * l.mrbar
+                       OR m.x < l.xbar - 2.66 * l.mrbar
+                     THEN 1 ELSE 0 END AS INTEGER) AS out_of_control
+    FROM mr m CROSS JOIN limits l
+    """,
+)
+def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals & moving range) control chart over daily
+    revenue: center line, ±2.66·mean-moving-range control limits, and
+    the out-of-control flag per day — the SPC primitive behind "did
+    the pipeline break today or is this normal variation?" alerting,
+    complementing q_anomaly's z-scores with limits that need no
+    normality assumption.
+
+    One lag pass for moving ranges, one two-number stats row broadcast
+    back — the limits join touches the 30-row day grain, never the
+    fact table. The 2.66 (=3/d2, d2=1.128 for n=2) is the standard
+    XmR constant, a literal on both engines."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum("value").alias("x"))
+    )
+    mr = daily.select(
+        "day",
+        "x",
+        F.abs(F.col("x") - F.lag("x").over(Window.orderBy("day"))).alias("moving_range"),
+    )
+    limits = mr.agg(
+        F.avg("x").alias("xbar"), F.avg("moving_range").alias("mrbar")
+    )
+    ucl = F.col("xbar") + 2.66 * F.col("mrbar")
+    lcl = F.col("xbar") - 2.66 * F.col("mrbar")
+    return mr.crossJoin(F.broadcast(limits)).select(
+        "day",
+        F.round("x", 6).alias("x"),
+        F.round("xbar", 6).alias("center"),
+        F.round(ucl, 6).alias("ucl"),
+        F.round(lcl, 6).alias("lcl"),
+        F.when((F.col("x") > ucl) | (F.col("x") < lcl), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("out_of_control"),
+    )
