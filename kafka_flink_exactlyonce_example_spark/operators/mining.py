@@ -1655,3 +1655,106 @@ def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("out_of_control"),
     )
+
+
+@query(
+    "q_repeat_revenue",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey, min(o_orderdate) AS first_dt
+        FROM orders GROUP BY o_custkey
+    ), tagged AS (
+        SELECT date_trunc('month', o.o_orderdate) AS month,
+               CASE WHEN o.o_orderdate = f.first_dt THEN 'new' ELSE 'repeat' END
+                 AS order_kind,
+               o.o_totalprice
+        FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    )
+    SELECT month, order_kind,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(FLOOR(o_totalprice*100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM tagged
+    WHERE month >= TIMESTAMP '2001-01-01'
+    GROUP BY month, order_kind
+    """,
+)
+def q_repeat_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-repeat revenue split per month (2001 slice): each order
+    tagged by whether it is its customer's FIRST order — the
+    acquisition-vs-retention revenue decomposition that growth
+    accounting does for users, applied to money.
+
+    The first-order table is one per-customer min (customer-grain,
+    broadcast); tagging is a join + comparison, never a window over
+    the fact table ordered by date (which would serialize per-customer
+    history for no reason — min is associative, order isn't needed).
+    Integer-cents revenue keeps the monthly sums exact. Ties on the
+    first DATE mark all same-day orders 'new' — deterministic on both
+    engines either way because the rule uses the date value, not a
+    row rank."""
+    o = table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    tagged = o.join(F.broadcast(firsts), "o_custkey").select(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.when(F.col("o_orderdate") == F.col("first_dt"), "new")
+        .otherwise("repeat")
+        .alias("order_kind"),
+        cents.alias("cents"),
+    )
+    return (
+        tagged.filter(F.col("month") >= F.to_timestamp(F.lit("2001-01-01")))
+        .groupBy("month", "order_kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+
+
+@query(
+    "q_sla",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(avg(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30
+                          THEN 1.0 ELSE 0.0 END), 6) AS pct_within_30d,
+           round(avg(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90
+                          THEN 1.0 ELSE 0.0 END), 6) AS pct_within_90d,
+           CAST(max(date_diff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT)
+             AS worst_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment SLA attainment by order priority: share of line
+    items shipped within 30/90 days of order placement plus the
+    worst-case lag — the conditional-aggregation report pattern
+    (FILTER-style shares from AVG over 0/1) on the fact-to-fact join.
+
+    The orders side projects two columns before the join; day deltas
+    are integer date arithmetic (ms-precision timestamps truncate
+    identically). One shuffle join on orderkey, one 5-group rollup —
+    at 100 TB this is THE bucketed-join candidate (both sides keyed by
+    orderkey; tests/test_storage.py shows the Exchange-free layout)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg(F.when(lag <= 30, 1.0).otherwise(0.0)), 6).alias(
+                "pct_within_30d"
+            ),
+            F.round(F.avg(F.when(lag <= 90, 1.0).otherwise(0.0)), 6).alias(
+                "pct_within_90d"
+            ),
+            F.max(lag).cast("long").alias("worst_days"),
+        )
+    )
