@@ -56,6 +56,8 @@ ORDER_SENSITIVE = [
     "q_inverted_index",
     "q_ndcg",
     "q_growth_accounting",
+    "q_abc_class",
+    "q_control_chart",
 ]
 
 
