@@ -1758,3 +1758,145 @@ def q_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(lag).cast("long").alias("worst_days"),
         )
     )
+
+
+@query(
+    "q_affinity",
+    oracle="""
+    WITH cell AS (
+        SELECT r.r_name AS region, p.p_type AS ptype,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nn  ON c.c_nationkey = nn.n_nationkey
+        JOIN region r   ON nn.n_regionkey = r.r_regionkey
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        GROUP BY region, ptype
+    ), margins AS (
+        SELECT region, ptype, n,
+               sum(n) OVER (PARTITION BY region) AS rn,
+               sum(n) OVER (PARTITION BY ptype) AS cn,
+               sum(n) OVER () AS tot
+        FROM cell
+    )
+    SELECT region, ptype,
+           CAST(n AS BIGINT) AS n_items,
+           round((n / tot) / ((rn / tot) * (cn / tot)), 6) AS affinity
+    FROM margins
+    """,
+)
+def q_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region × part-type affinity matrix: observed cell share over the
+    independence expectation (row share × column share) — the
+    merchandising "what over-indexes where" heat map, the cell-level
+    view whose aggregate is q_chi2_indep.
+
+    The five-way star join broadcasts every dimension (customer is the
+    largest at 150k rows — still broadcast-range), so the fact scan
+    shuffles exactly once, for the 30-cell groupBy. All three margins
+    are windows over the CELLS. Same margin discipline as q_basket_pairs'
+    lift, generalized to a dimension pair."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cell = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("p_type").alias("ptype"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    margins = cell.select(
+        "region",
+        "ptype",
+        "n",
+        F.sum("n").over(Window.partitionBy("region")).alias("rn"),
+        F.sum("n").over(Window.partitionBy("ptype")).alias("cn"),
+        F.sum("n").over(Window.partitionBy()).alias("tot"),
+    )
+    return margins.select(
+        "region",
+        "ptype",
+        F.col("n").cast("long").alias("n_items"),
+        F.round(
+            (F.col("n") / F.col("tot"))
+            / ((F.col("rn") / F.col("tot")) * (F.col("cn") / F.col("tot"))),
+            6,
+        ).alias("affinity"),
+    )
+
+
+@query(
+    "q_heaps",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), wf AS (SELECT * FROM words WHERE word <> ''),
+    doc_tokens AS (
+        SELECT doc_id, CAST(count(*) AS DOUBLE) AS toks FROM wf GROUP BY doc_id
+    ), first_seen AS (
+        SELECT word, min(doc_id) AS doc_id
+        FROM wf GROUP BY word
+    ), new_vocab AS (
+        SELECT doc_id, CAST(count(*) AS DOUBLE) AS newv
+        FROM first_seen GROUP BY doc_id
+    ), curve AS (
+        SELECT t.doc_id,
+               sum(t.toks) OVER (ORDER BY t.doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+               sum(coalesce(v.newv, 0)) OVER (ORDER BY t.doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+        FROM doc_tokens t LEFT JOIN new_vocab v ON t.doc_id = v.doc_id
+    )
+    SELECT round(regr_slope(ln(cum_vocab), ln(cum_tokens)), 6) AS heaps_beta,
+           round(regr_r2(ln(cum_vocab), ln(cum_tokens)), 6) AS r2,
+           CAST(max(cum_tokens) AS BIGINT) AS total_tokens,
+           CAST(max(cum_vocab) AS BIGINT) AS total_vocab
+    FROM curve
+    """,
+)
+def q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit: vocabulary growth V(n) ≈ K·n^β along the corpus
+    (β from OLS on the log-log curve) — the scaling diagnostic that
+    predicts how much NEW vocabulary another 10× of data buys, which
+    is exactly the question a 100 TB ingest plan asks before sizing
+    its dictionaries.
+
+    The growth curve never materializes per-token state: each word
+    contributes vocabulary at its FIRST doc (min(doc_id) per word —
+    the first-seen rewrite from q_running_distinct), so the cumulative
+    windows run on the DOC grain. The final fit is the regr_* 4-number
+    combine. Curve order is doc_id — deterministic, no tie ambiguity."""
+    docs = table(spark, sf_dir, "documents")
+    wf = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    doc_tokens = wf.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("toks"))
+    new_vocab = (
+        wf.groupBy("word")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("newv"))
+    )
+    wcum = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        doc_tokens.join(new_vocab, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("toks").over(wcum).alias("cum_tokens"),
+            F.sum(F.coalesce("newv", F.lit(0.0))).over(wcum).alias("cum_vocab"),
+        )
+    )
+    return curve.agg(
+        F.round(F.regr_slope(F.log("cum_vocab"), F.log("cum_tokens")), 6).alias("heaps_beta"),
+        F.round(F.regr_r2(F.log("cum_vocab"), F.log("cum_tokens")), 6).alias("r2"),
+        F.max("cum_tokens").cast("long").alias("total_tokens"),
+        F.max("cum_vocab").cast("long").alias("total_vocab"),
+    )
