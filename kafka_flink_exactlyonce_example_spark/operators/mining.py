@@ -1900,3 +1900,60 @@ def q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cum_tokens").cast("long").alias("total_tokens"),
         F.max("cum_vocab").cast("long").alias("total_vocab"),
     )
+
+
+@query(
+    "q_mde",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS rev
+        FROM events GROUP BY user_id
+    ), stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               avg(rev) AS mu,
+               stddev_samp(rev) AS sigma
+        FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           round(mu, 6) AS mean_revenue,
+           round(sigma, 6) AS std_revenue,
+           round((1.959964 + 0.841621) * sigma * sqrt(2.0 / (n / 2)), 6)
+             AS mde_abs,
+           round((1.959964 + 0.841621) * sigma * sqrt(2.0 / (n / 2)) / mu, 6)
+             AS mde_rel
+    FROM stats
+    """,
+)
+def q_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis: the minimum detectable effect (80%
+    power, two-sided alpha=0.05) for a 50/50 split of the current user
+    base on per-user revenue — the "is this experiment even worth
+    running?" number that closes the q_srm / q_cuped / q_ab_test
+    toolkit.
+
+    MDE = (z_{alpha/2} + z_{beta}) * sigma * sqrt(2/n_per_arm), with the
+    z constants as 6-decimal literals on both engines (no inverse-CDF
+    in either SQL dialect, and none needed for fixed alpha/power).
+    Everything reduces to one per-user aggregation and a single
+    3-number stats row — a tree-reduce at any scale."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("rev")
+    )
+    stats = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("rev").alias("mu"),
+        F.stddev_samp("rev").alias("sigma"),
+    )
+    z = F.lit(1.959964 + 0.841621)
+    mde = z * F.col("sigma") * F.sqrt(2.0 / (F.col("n") / 2))
+    return stats.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round("mu", 6).alias("mean_revenue"),
+        F.round("sigma", 6).alias("std_revenue"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / F.col("mu"), 6).alias("mde_rel"),
+    )
