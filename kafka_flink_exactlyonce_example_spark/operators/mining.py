@@ -1957,3 +1957,131 @@ def q_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mde, 6).alias("mde_abs"),
         F.round(mde / F.col("mu"), 6).alias("mde_rel"),
     )
+
+
+@query(
+    "q_dup_payments",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS band,
+               o_orderdate
+        FROM orders
+    )
+    SELECT a.o_custkey,
+           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           a.band AS amount_band,
+           CAST(date_diff('day', a.o_orderdate, b.o_orderdate) AS BIGINT)
+             AS days_apart
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND a.band = b.band
+     AND a.o_orderkey < b.o_orderkey
+     AND date_diff('day', a.o_orderdate, b.o_orderdate) BETWEEN -90 AND 90
+    """,
+)
+def q_dup_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment audit: pairs of orders from the same customer
+    in the same $1000 amount band within ±90 days — the accounts-
+    payable double-charge screen, which is record-level dedup on
+    BUSINESS keys (who, roughly how much, when) rather than content
+    hashes. (Banded, not exact-cents, because this synthetic corpus
+    draws prices from a continuous range — exact-amount collisions
+    don't exist; real AP data would tighten both knobs.)
+
+    The self-join is equi-keyed on (custkey, amount-band) — the band
+    computed by integer floor-division BEFORE joining, so float
+    equality never decides a match — with the ±90-day window as a
+    residual filter on the hash join, not a range-join driver. Key
+    cardinality ≈ |customers|×|bands| keeps groups tiny, so the join
+    output stays small by construction (the audit's point); orderkey
+    ordering dedups the pair direction."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") / 1000.0).cast("long").alias("band"),
+        "o_orderdate",
+    )
+    a, b = o.alias("a"), o.alias("b")
+    dd = F.datediff(F.col("b.o_orderdate"), F.col("a.o_orderdate"))
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & dd.between(-90, 90),
+        )
+        .select(
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.col("a.o_orderkey").alias("order_a"),
+            F.col("b.o_orderkey").alias("order_b"),
+            F.col("a.band").alias("amount_band"),
+            dd.cast("long").alias("days_apart"),
+        )
+    )
+
+
+@query(
+    "q_rank_shift",
+    oracle="""
+    WITH monthly AS (
+        SELECT date_trunc('month', o.o_orderdate) AS month, p.p_brand,
+               sum(CAST(FLOOR(l.l_extendedprice*100.0 + 0.5) AS BIGINT)) AS rev
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p   ON l.l_partkey = p.p_partkey
+        WHERE o.o_orderdate >= TIMESTAMP '2001-01-01'
+        GROUP BY month, p.p_brand
+    ), ranked AS (
+        SELECT month, p_brand,
+               CAST(rank() OVER (PARTITION BY month
+                                 ORDER BY rev DESC, p_brand) AS BIGINT) AS rk
+        FROM monthly
+    )
+    SELECT month, p_brand, rk,
+           CAST(lag(rk) OVER (PARTITION BY p_brand ORDER BY month) - rk AS BIGINT)
+             AS rank_gain
+    FROM ranked
+    QUALIFY lag(rk) OVER (PARTITION BY p_brand ORDER BY month) IS NOT NULL
+        AND abs(lag(rk) OVER (PARTITION BY p_brand ORDER BY month) - rk) >= 5
+    """,
+)
+def q_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Movers-and-shakers: brands whose monthly revenue rank jumped or
+    fell by ≥5 places month-over-month (2001 slice) — the leaderboard-
+    delta report behind trend alerts, composing TWO window axes: rank
+    WITHIN month, then lag ACROSS months per brand.
+
+    Ranking uses exact integer-cents revenue with a brand tie-break so
+    rank is engine-deterministic; the cross-month lag runs on the
+    (month, brand) grain (tiny), so the expensive part remains the one
+    fact-table rollup. rank() not row_number() within month: equal
+    revenues share a rank, so a tie can't fabricate a phantom shift."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+    monthly = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("o_orderdate") >= F.to_timestamp(F.lit("2001-01-01")))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"), "p_brand")
+        .agg(F.sum(cents).alias("rev"))
+    )
+    wm = Window.partitionBy("month").orderBy(F.col("rev").desc(), "p_brand")
+    ranked = monthly.select(
+        "month", "p_brand", F.rank().over(wm).cast("long").alias("rk")
+    )
+    wb = Window.partitionBy("p_brand").orderBy("month")
+    shifted = ranked.select(
+        "month",
+        "p_brand",
+        "rk",
+        (F.lag("rk").over(wb) - F.col("rk")).cast("long").alias("rank_gain"),
+    )
+    return shifted.filter(
+        F.col("rank_gain").isNotNull() & (F.abs("rank_gain") >= 5)
+    )
