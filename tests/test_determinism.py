@@ -58,6 +58,7 @@ ORDER_SENSITIVE = [
     "q_growth_accounting",
     "q_abc_class",
     "q_control_chart",
+    "q_rank_shift",
 ]
 
 
