@@ -2085,3 +2085,71 @@ def q_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shifted.filter(
         F.col("rank_gain").isNotNull() & (F.abs("rank_gain") >= 5)
     )
+
+
+@query(
+    "q_price_index",
+    oracle="""
+    WITH cells AS (
+        SELECT date_trunc('month', o.o_orderdate) AS month, p.p_brand,
+               avg(l.l_extendedprice / l.l_quantity) AS unit_price,
+               sum(l.l_quantity) AS qty
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p   ON l.l_partkey = p.p_partkey
+        WHERE o.o_orderdate >= TIMESTAMP '2001-01-01'
+        GROUP BY month, p.p_brand
+    ), base AS (
+        SELECT p_brand, unit_price AS p0, qty AS q0
+        FROM cells WHERE month = TIMESTAMP '2001-01-01'
+    )
+    SELECT c.month,
+           round(sum(c.unit_price * b.q0) / sum(b.p0 * b.q0), 6)
+             AS laspeyres_index,
+           CAST(count(*) AS BIGINT) AS n_brands
+    FROM cells c JOIN base b ON c.p_brand = b.p_brand
+    GROUP BY c.month
+    """,
+)
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index: monthly brand unit prices weighted by the
+    base month's (2001-01) quantity basket — "how much would January's
+    purchases cost at this month's prices" — the economic-index shape
+    (fixed-weight re-aggregation against a frozen reference period)
+    that CPI-style monitoring runs over transaction data.
+
+    One fact rollup to (month, brand) cells; the base basket is the
+    January slice of those same cells (no second scan), broadcast back
+    onto the cell grain. Brands absent from the base month drop out by
+    the inner join on BOTH engines — the index is over January's
+    basket by definition. The ratio of basket sums is rounded only at
+    the end."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_quantity"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cells = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("o_orderdate") >= F.to_timestamp(F.lit("2001-01-01")))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"), "p_brand")
+        .agg(
+            F.avg(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+            F.sum("l_quantity").alias("qty"),
+        )
+    )
+    base = cells.filter(
+        F.col("month") == F.to_timestamp(F.lit("2001-01-01"))
+    ).select("p_brand", F.col("unit_price").alias("p0"), F.col("qty").alias("q0"))
+    return (
+        cells.join(F.broadcast(base), "p_brand")
+        .groupBy("month")
+        .agg(
+            F.round(
+                F.sum(F.col("unit_price") * F.col("q0")) / F.sum(F.col("p0") * F.col("q0")),
+                6,
+            ).alias("laspeyres_index"),
+            F.count(F.lit(1)).alias("n_brands"),
+        )
+    )
