@@ -2153,3 +2153,118 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_brands"),
         )
     )
+
+
+@query(
+    "q_session_stats",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+               CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                         - lag(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800 THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sess AS (
+        SELECT user_id, sec,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS sid
+        FROM ordered
+    ), per_session AS (
+        SELECT user_id, sid,
+               CAST(max(sec) - min(sec) AS BIGINT) AS duration_s,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           round(avg(CAST(duration_s AS DOUBLE)), 6) AS avg_duration_s,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY duration_s), 6)
+             AS p50_duration_s,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY duration_s), 6)
+             AS p90_duration_s,
+           round(avg(CAST(n_events AS DOUBLE)), 6) AS avg_events,
+           CAST(max(n_events) AS BIGINT) AS max_events
+    FROM per_session
+    """,
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shape distribution: count, mean/median/p90 duration and
+    event counts over 30-minute-gap sessions — the numbers that size
+    streaming session-window state budgets (how long does state live?
+    how many rows per key?) before you deploy the streaming twin.
+
+    Third reuse of the sessionize pipeline (paths → concurrency →
+    stats), each composing different downstream aggregation on the
+    same one-shuffle derivation; the session grain is |sessions| ≈
+    |users|·avg-sessions, far below event scale, so the exact
+    percentiles run on a small relation."""
+    ev = table(spark, sf_dir, "events")
+    sec = F.floor(F.col("ts").cast("double")).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        sec.alias("sec"),
+        F.when(sec - F.lag(sec).over(w) > 1800, 1).otherwise(0).alias("new_session"),
+    )
+    sess = ordered.select(
+        "user_id",
+        "sec",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"),
+    )
+    per_session = sess.groupBy("user_id", "sid").agg(
+        (F.max("sec") - F.min("sec")).cast("long").alias("duration_s"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg(F.col("duration_s").cast("double")), 6).alias("avg_duration_s"),
+        F.round(F.expr("percentile(duration_s, 0.5)"), 6).alias("p50_duration_s"),
+        F.round(F.expr("percentile(duration_s, 0.9)"), 6).alias("p90_duration_s"),
+        F.round(F.avg(F.col("n_events").cast("double")), 6).alias("avg_events"),
+        F.max("n_events").alias("max_events"),
+    )
+
+
+@query(
+    "q_hour_heatmap",
+    oracle="""
+    SELECT CAST(hour(ts) AS INTEGER) AS hr,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS views,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS clicks,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+             AS purchases,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS errors,
+           round(CAST(count(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+                 / nullif(count(*) FILTER (WHERE event_type = 'view'), 0), 6)
+             AS purchase_per_view
+    FROM events
+    GROUP BY hr
+    """,
+)
+def q_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity heat map: per-type event counts and the
+    purchase-per-view conversion ratio for each of the 24 hours — the
+    intra-day profile that q_seasonality gives per weekday, at the
+    wide (one-row-per-hour, one-column-per-type) shape dashboards
+    consume directly.
+
+    A single conditional-aggregation pass: FILTER-style counts compile
+    to the same partial-agg plan as a pivot but with a fixed, declared
+    column set (no two-phase pivot value discovery); the ratio guards
+    empty cells with nullif on both engines. hour() truncation agrees
+    across engines at every precision."""
+    ev = table(spark, sf_dir, "events")
+    cnt = lambda t: F.count(F.when(F.col("event_type") == t, 1))
+    return ev.groupBy(F.hour("ts").cast("int").alias("hr")).agg(
+        cnt("view").alias("views"),
+        cnt("click").alias("clicks"),
+        cnt("purchase").alias("purchases"),
+        cnt("error").alias("errors"),
+        F.round(
+            cnt("purchase").cast("double") / F.nullif(cnt("view"), F.lit(0)), 6
+        ).alias("purchase_per_view"),
+    )
