@@ -2268,3 +2268,70 @@ def q_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             cnt("purchase").cast("double") / F.nullif(cnt("view"), F.lit(0)), 6
         ).alias("purchase_per_view"),
     )
+
+
+@query(
+    "q_coverage_gaps",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ), spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM bounds
+    ), active AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS hr FROM events
+        WHERE event_type = 'error'
+    ), missing AS (
+        SELECT CAST(FLOOR(epoch(s.hr) / 3600) AS BIGINT) AS hidx
+        FROM spine s LEFT JOIN active a ON s.hr = a.hr
+        WHERE a.hr IS NULL
+    ), islands AS (
+        SELECT hidx,
+               hidx - row_number() OVER (ORDER BY hidx) AS grp
+        FROM missing
+    )
+    SELECT CAST(min(hidx) AS BIGINT) AS gap_start_hidx,
+           CAST(max(hidx) AS BIGINT) AS gap_end_hidx,
+           CAST(count(*) AS BIGINT) AS n_hours
+    FROM islands GROUP BY grp
+    """,
+)
+def q_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring-coverage gap report: maximal runs of consecutive
+    hours with ZERO error events across the observation range — the
+    "was telemetry down, and for how long?" question, which needs both
+    the calendar-spine anti-join (absence is not a row you can filter
+    for) and the gaps-and-islands trick (hour_index − row_number is
+    constant within a consecutive run, so one window + one groupBy
+    merges runs without iteration).
+
+    The spine generates from two scalar bounds (no driver loop); the
+    anti-join is hour-grain (≤ thousands of rows at any data scale —
+    the spine's size is set by the time range, not the volume). Gap
+    density is SF-dependent by nature: sparse data shows gaps, dense
+    data proves coverage — both are correct answers."""
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hr")
+    )
+    active = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.date_trunc("hour", "ts").alias("hr"))
+        .distinct()
+    )
+    missing = spine.join(active, "hr", "left_anti").select(
+        (F.floor(F.col("hr").cast("double") / 3600)).cast("long").alias("hidx")
+    )
+    islands = missing.select(
+        "hidx",
+        (F.col("hidx") - F.row_number().over(Window.orderBy("hidx"))).alias("grp"),
+    )
+    return islands.groupBy("grp").agg(
+        F.min("hidx").alias("gap_start_hidx"),
+        F.max("hidx").alias("gap_end_hidx"),
+        F.count(F.lit(1)).alias("n_hours"),
+    ).drop("grp")
