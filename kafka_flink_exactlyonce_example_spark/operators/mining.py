@@ -2335,3 +2335,112 @@ def q_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("hidx").alias("gap_end_hidx"),
         F.count(F.lit(1)).alias("n_hours"),
     ).drop("grp")
+
+
+@query(
+    "q_conversion_lag",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view'
+                        THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS first_view,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS first_buy
+        FROM events GROUP BY user_id
+    ), lags AS (
+        SELECT first_buy - first_view AS lag_s
+        FROM firsts
+        WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+          AND first_buy >= first_view
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY lag_s), 6) AS p50_s,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY lag_s), 6) AS p90_s,
+           round(avg(CAST(lag_s AS DOUBLE)), 6) AS avg_s,
+           CAST(max(lag_s) AS BIGINT) AS max_s
+    FROM lags
+    """,
+)
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency: seconds from a user's FIRST view to their
+    FIRST purchase (converters only), as median/p90/mean/max — the
+    time-to-convert distribution that sets attribution windows and
+    the retargeting cadence.
+
+    Both firsts come from ONE conditional-min aggregation pass (min
+    over a CASE), not two filtered scans joined back — per-user state
+    is two longs, associative, so the plan is a single shuffle and a
+    tree-reduce; the percentile runs on the converter grain. The same
+    whole-second epoch discipline as q_interarrival keeps ns parquet
+    precision out of the values."""
+    ev = table(spark, sf_dir, "events")
+    sec = F.floor(F.col("ts").cast("double")).cast("long")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", sec)).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", sec)).alias("first_buy"),
+    )
+    lags = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_buy").isNotNull()
+        & (F.col("first_buy") >= F.col("first_view"))
+    ).select((F.col("first_buy") - F.col("first_view")).alias("lag_s"))
+    return lags.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(lag_s, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(lag_s, 0.9)"), 6).alias("p90_s"),
+        F.round(F.avg(F.col("lag_s").cast("double")), 6).alias("avg_s"),
+        F.max("lag_s").alias("max_s"),
+    )
+
+
+@query(
+    "q_mutual_info",
+    oracle="""
+    WITH cell AS (
+        SELECT lang, source, CAST(count(*) AS DOUBLE) AS n
+        FROM documents GROUP BY lang, source
+    ), margins AS (
+        SELECT lang, source, n,
+               sum(n) OVER (PARTITION BY lang) AS nl,
+               sum(n) OVER (PARTITION BY source) AS ns,
+               sum(n) OVER () AS tot
+        FROM cell
+    )
+    SELECT round(sum((n / tot) * ln((n / tot) / ((nl / tot) * (ns / tot)))), 6)
+             AS mutual_info_nats,
+           round(-sum((n / tot) * ln(n / tot)), 6) AS joint_entropy_nats,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM margins
+    """,
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between language and source (plus the joint
+    entropy): the information-theoretic dependence measure — MI ≈ 0
+    means sources are language-balanced, high MI means languages
+    concentrate in particular sources, the sampling-bias number a
+    corpus card should report next to q_chi2_indep's significance.
+
+    Same margins-from-windows discipline as the chi-square: one
+    ≤100-cell contingency aggregation, three windows over the cells,
+    one combine. Absent cells contribute exactly 0 to both sums (the
+    p·ln(p) limit), identically on both engines because they are
+    absent rows, not zeros."""
+    d = table(spark, sf_dir, "documents")
+    cell = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    margins = cell.select(
+        "n",
+        F.sum("n").over(Window.partitionBy("lang")).alias("nl"),
+        F.sum("n").over(Window.partitionBy("source")).alias("ns"),
+        F.sum("n").over(Window.partitionBy()).alias("tot"),
+    )
+    p = F.col("n") / F.col("tot")
+    return margins.agg(
+        F.round(
+            F.sum(p * F.log(p / ((F.col("nl") / F.col("tot")) * (F.col("ns") / F.col("tot"))))),
+            6,
+        ).alias("mutual_info_nats"),
+        F.round(-F.sum(p * F.log(p)), 6).alias("joint_entropy_nats"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
