@@ -59,6 +59,7 @@ ORDER_SENSITIVE = [
     "q_abc_class",
     "q_control_chart",
     "q_rank_shift",
+    "q_coverage_gaps",
 ]
 
 
