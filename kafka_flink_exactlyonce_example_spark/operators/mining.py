@@ -2444,3 +2444,99 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.sum(p * F.log(p)), 6).alias("joint_entropy_nats"),
         F.count(F.lit(1)).alias("n_cells"),
     )
+
+
+@query(
+    "q_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, sum(value) AS x
+        FROM events GROUP BY 1
+    ), dd AS (
+        SELECT day, x,
+               max(x) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS peak
+        FROM daily
+    )
+    SELECT day, round(x, 6) AS revenue, round(peak, 6) AS peak,
+           round(x / peak - 1.0, 6) AS drawdown
+    FROM dd
+    """,
+)
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drawdown curve of daily revenue: each day's value against the
+    running historical peak (x/peak − 1) — the peak-to-trough risk
+    metric finance runs on equity curves, applied to a business
+    series; its minimum is the max drawdown.
+
+    The running peak is a prefix-MAX window — the monotone sibling of
+    the prefix sums used everywhere else (EWMA, KM, concurrency):
+    associative, order-free given the day grain, one global window on
+    a data-size-independent series. No self-join of every day against
+    its history (the quadratic textbook form)."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum("value").alias("x"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    dd = daily.select("day", "x", F.max("x").over(w).alias("peak"))
+    return dd.select(
+        "day",
+        F.round("x", 6).alias("revenue"),
+        F.round("peak", 6).alias("peak"),
+        F.round(F.col("x") / F.col("peak") - 1.0, 6).alias("drawdown"),
+    )
+
+
+@query(
+    "q_whale_curve",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey, sum(CAST(FLOOR(o_totalprice*100.0 + 0.5) AS BIGINT))
+                 AS cents
+        FROM orders GROUP BY o_custkey
+    ), deciled AS (
+        SELECT cents,
+               ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+        FROM rev
+    ), tot AS (SELECT CAST(sum(cents) AS DOUBLE) AS t FROM rev)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           round(sum(cents) / max(t.t), 6) AS revenue_share
+    FROM deciled CROSS JOIN tot t
+    GROUP BY decile
+    """,
+)
+def q_whale_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whale curve: customers deciled by total spend (decile 1 = top
+    whales), with each decile's revenue and share — the
+    concentration TABLE whose scalar summary is q_pareto's top-share/
+    Gini; this is the shape account teams actually read.
+
+    Integer-cents revenue before the ntile sort (same boundary
+    discipline as q_abc_class: float sums would let decile edges flap),
+    custkey tie-break for engine-identical decile assignment, and the
+    single global ntile runs on the customer grain."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    rev = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+    deciled = rev.select(
+        "cents",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("cents").desc(), "o_custkey"))
+        .cast("long")
+        .alias("decile"),
+    )
+    tot = rev.agg(F.sum("cents").cast("double").alias("t"))
+    return (
+        deciled.crossJoin(F.broadcast(tot))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("revenue_cents"),
+            F.round(F.sum("cents") / F.max("t"), 6).alias("revenue_share"),
+        )
+    )
