@@ -60,6 +60,8 @@ ORDER_SENSITIVE = [
     "q_control_chart",
     "q_rank_shift",
     "q_coverage_gaps",
+    "q_drawdown",
+    "q_whale_curve",
 ]
 
 
