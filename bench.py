@@ -1,9 +1,11 @@
 """Bench harness: every registered query at $SPARK_GRAFT_SF_DIR
 (default sf0.1) on one reused local[$SPARK_GRAFT_CPUS] session.
 
-Prints ONE JSON line:
+Prints ONE SHORT JSON line (round 1 lesson: a 175-key map on stdout got
+truncated by the driver's capture → ``"parsed": null`` in BENCH_r01):
   {"metric": "total_query_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+   "sf": 0.1, "n_queries": N, "queries": {10 slowest only}}
+The full per-query map goes to ``BENCH_FULL.json`` next to this file.
 
 Discipline (BASELINE.md): single warm session, AQE on, small shuffle
 partition count, no Python row UDFs on measured paths, and results are
@@ -45,14 +47,19 @@ def main() -> None:
         _force(registry.QUERIES[name](spark, sf_dir))
         times[name] = round(time.perf_counter() - t0, 3)
 
+    full = Path(__file__).resolve().parent / "BENCH_FULL.json"
+    full.write_text(json.dumps({"sf": sf, "queries": times}, indent=1))
+
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": "total_query_sec",
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
-                "queries": times,
                 "sf": sf,
+                "n_queries": len(times),
+                "queries": slowest,
             }
         )
     )
