@@ -6,11 +6,17 @@ to make results deterministic regardless of who built the session:
 
 - ``spark.sql.session.timeZone=UTC``: the DuckDB oracle is tz-naive; all
   timestamp formatting must agree.
-- ``spark.sql.legacy.parquet.nanosAsLong=true``: the ``events`` table has
-  a TIMESTAMP(NANOS) parquet column which Spark 4 refuses to read natively
-  (PARQUET_TYPE_ILLEGAL); with this flag it reads as LongType nanos and
-  the catalog converts with integer division (truncation — exactly what
-  DuckDB does when it coerces ns→µs).
+- ``spark.sql.legacy.parquet.nanosAsLong=true``: some generations of the
+  ``events`` table carry a TIMESTAMP(NANOS) parquet column which Spark 4
+  refuses to read natively (PARQUET_TYPE_ILLEGAL); with this flag it
+  reads as LongType nanos and the catalog converts with integer division
+  (truncation — exactly what DuckDB does when it coerces ns→µs). The
+  catalog detects the physical type at load, so µs-native generations of
+  the same table work unchanged.
+- ``spark.sql.parquet.inferTimestampNTZ.enabled=false``: naive (not
+  UTC-adjusted) parquet timestamps read as TimestampType in the UTC
+  session rather than TIMESTAMP_NTZ — one timestamp type everywhere, and
+  identical wall-clock values to what the tz-naive DuckDB oracle sees.
 - AQE on: runtime shuffle-partition coalescing + skew-join handling, the
   config we'd run with on a real 1000-executor cluster.
 """
@@ -24,6 +30,7 @@ from pyspark.sql import SparkSession
 _SESSION_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
 }

@@ -1,10 +1,14 @@
 """Batch catalog: the driver's ten parquet tables (FIXTURES.md).
 
 Schemas are fixed and known; we never rely on inference for graded
-queries. The one normalization: ``events.ts`` is TIMESTAMP(NANOS) in
-parquet, which Spark reads (under ``nanosAsLong``) as LongType nanos —
+queries. The one normalization: when ``events.ts`` is TIMESTAMP(NANOS)
+in parquet, Spark reads it (under ``nanosAsLong``) as LongType nanos —
 we convert with ``ts DIV 1000`` (integer truncation) to µs, matching
-bit-for-bit what DuckDB produces when it coerces the same column.
+bit-for-bit what DuckDB produces when it coerces the same column. When
+the driver generates the table with µs precision instead, the column
+already arrives as TimestampType (NTZ inference is disabled in
+session confs) and no conversion is needed — the check is on the
+loaded physical type, not on an assumed generation.
 
 At 100 TB these would be partitioned/bucketed external tables; the load
 pattern stays ``spark.read.parquet(dir)`` and every query would pick up
@@ -15,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from kafka_flink_exactlyonce_example_spark.session import ensure_session_confs
 
@@ -39,8 +44,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ns → µs truncation, identical to DuckDB's coercion of the column.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # ns → µs truncation, identical to DuckDB's coercion of the column.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # belt-and-braces: if a caller-built session read the file
+            # before our confs applied, align to the one timestamp type.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
