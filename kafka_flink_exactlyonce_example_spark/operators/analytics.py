@@ -459,25 +459,29 @@ def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy-tail diagnostic that decides whether a dataset (or a key
     distribution about to be shuffled) needs skew handling.
 
-    One aggregation to per-customer revenue, one descending cumsum
-    window, one single-row combine. Gini via the Lorenz trapezoid
+    One aggregation to per-customer revenue, one descending cumulative
+    scan, one single-row combine. Gini via the Lorenz trapezoid
     identity G = 1 − 2·Σ(cum_i − r_i/2)/(total·n), computed identically
     in both engines. Ordering ties broken by custkey → deterministic
-    cum at every rank. The global window is a single-partition sort at
-    100 TB — acceptable because it runs on the aggregated (customer-
-    level) relation, not the fact table; for fact-level Lorenz curves
-    you'd bucket by revenue quantile first."""
-    from pyspark.sql import Window
+    cum at every rank. The customer grain grows with the dataset, so
+    rank and cumulative revenue come from the DISTRIBUTED ordered scan
+    (operators/scale.py: range partition + local windows + broadcast
+    prefix offsets) and n/total from a broadcast one-row aggregate —
+    no single-partition window; the oracle keeps the plain window
+    form."""
+    from kafka_flink_exactlyonce_example_spark.operators.scale import ordered_scan
 
     o = table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
-    wall = Window.orderBy(F.col("r").desc(), "o_custkey")
-    ranked = rev.select(
-        "r",
-        F.row_number().over(wall).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("double").alias("n"),
-        F.sum("r").over(Window.partitionBy()).alias("total"),
-        F.sum("r").over(wall.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    ranked = ordered_scan(
+        rev,
+        [F.col("r").desc(), F.col("o_custkey")],
+        sums={"cum": F.col("r")},
+        rn="rk",
+        totals_of={
+            "n": F.count(F.lit(1)).cast("double"),
+            "total": F.sum("r"),
+        },
     )
     top = lambda frac: F.max(
         F.when(F.col("rk") <= F.ceil(F.col("n") * frac), F.col("cum"))

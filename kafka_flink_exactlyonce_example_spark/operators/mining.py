@@ -14,6 +14,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_flink_exactlyonce_example_spark.operators.scale import (
+    global_ntile,
+    ordered_scan,
+)
 from kafka_flink_exactlyonce_example_spark.registry import query
 from kafka_flink_exactlyonce_example_spark.sources import table
 
@@ -45,27 +49,27 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``p_retailprice``. A part is dominated iff some other part is at
     least as large AND at most as expensive with one strict inequality.
 
-    NOT the textbook O(n²) self-anti-join: two window passes make it
-    O(n log n) — (a) running min price over the *strictly larger* sizes
-    (RANGE frame excludes the current size band, so ties don't dominate
-    each other), (b) min price within the same size. Dominated ⇔
-    min_larger ≤ price OR min_same < price. At 100 TB the global
-    size-ordered window is the only non-parallel step, but it runs on
-    the (size, price)-distinct projection which is tiny relative to the
-    fact data; for truly huge point sets, pre-aggregate per size to
-    min(price) first — the frontier is unchanged.
+    NOT the textbook O(n²) self-anti-join, and (since round 2) no
+    global window either: domination by larger sizes depends only on
+    the MIN price among them, so first contract to one row per size
+    (|sizes| ≤ 50 — a bounded domain, not a data-scaled grain), then
+    resolve "min price over strictly larger sizes" with a triangular
+    join on that tiny relation, broadcast back onto the full point set.
+    One parallel groupBy shuffle + one broadcast join; the frontier is
+    unchanged by the per-size contraction. Dominated ⇔ min_larger ≤
+    price OR min_same < price.
     """
     pts = table(spark, sf_dir, "part").select("p_size", "p_retailprice")
-    w_larger = (
-        Window.orderBy(F.col("p_size").desc())
-        .rangeBetween(Window.unboundedPreceding, -1)
+    size_min = pts.groupBy("p_size").agg(
+        F.min("p_retailprice").alias("min_price_same")
     )
-    flagged = pts.select(
-        "p_size",
-        "p_retailprice",
-        F.min("p_retailprice").over(w_larger).alias("min_price_larger"),
-        F.min("p_retailprice").over(Window.partitionBy("p_size")).alias("min_price_same"),
+    a, b = size_min.alias("a"), size_min.alias("b")
+    per_size = (
+        a.join(b, F.col("b.p_size") > F.col("a.p_size"), "left")
+        .groupBy(F.col("a.p_size").alias("p_size"), F.col("a.min_price_same").alias("min_price_same"))
+        .agg(F.min("b.min_price_same").alias("min_price_larger"))
     )
+    flagged = pts.join(F.broadcast(per_size), "p_size")
     return (
         flagged.filter(
             (F.col("min_price_larger").isNull() | (F.col("min_price_larger") > F.col("p_retailprice")))
@@ -199,14 +203,15 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     census (count + average spend per R/F/M cell).
 
     One aggregation collapses the fact table to one row per customer
-    BEFORE the three ranking windows run — the global ntile sort is
-    over |customers|, not |orders|. Ntile ties are decided by the
-    ordering, so every window carries the ``o_custkey`` tie-break
-    (scores are then bit-identical across engines and shuffle widths).
-    At 1000 executors the three single-partition ntile sorts on the
-    customer grain are the known trade-off; range-partitioned
-    percent_rank is the drop-in replacement if customers outgrow one
-    node's sort buffer.
+    BEFORE any ranking runs — the ntile sorts are over |customers|,
+    not |orders|. Ntile ties are decided by the ordering, so every
+    ranking carries the ``o_custkey`` tie-break (scores are then
+    bit-identical across engines and shuffle widths). The customer
+    grain grows with the dataset, so each ntile is the DISTRIBUTED
+    form (operators/scale.py): range-partitioned local row_numbers +
+    broadcast prefix offsets + the ANSI ntile identity — no
+    single-partition global window anywhere in the plan. The oracle
+    keeps plain ``ntile`` (same ANSI rule, single-node is fine there).
     """
     anchor = F.to_timestamp(F.lit("2001-08-01"))
     cust = (
@@ -218,12 +223,21 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_totalprice").alias("monetary"),
         )
     )
-    scored = cust.select(
-        "*",
-        F.ntile(5).over(Window.orderBy(F.col("recency_days").asc(), "o_custkey")).cast("long").alias("r_score"),
-        F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "o_custkey")).cast("long").alias("f_score"),
-        F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "o_custkey")).cast("long").alias("m_score"),
-    )
+    # three independent orderings consume the same contracted grain —
+    # persist it once (lazy) so the orders scan + groupBy runs once,
+    # not once per score.
+    from pyspark import StorageLevel
+
+    cust = cust.persist(StorageLevel.MEMORY_AND_DISK)
+    orderings = {
+        "r_score": [F.col("recency_days").asc(), F.col("o_custkey")],
+        "f_score": [F.col("frequency").desc(), F.col("o_custkey")],
+        "m_score": [F.col("monetary").desc(), F.col("o_custkey")],
+    }
+    scored = cust
+    for name, order in orderings.items():
+        scores = global_ntile(cust, order, 5, name).select("o_custkey", name)
+        scored = scored.join(scores, "o_custkey")
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.avg("monetary"), 6).alias("avg_monetary"),
@@ -1562,23 +1576,24 @@ def q_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     classification-shaped sibling.
 
     Revenue is integer-cents summed (exact, order-free) BEFORE the
-    descending cumulative window, so the class boundary is a
+    descending cumulative scan, so the class boundary is a
     deterministic function of (revenue, partkey) — a float cumsum
-    would make boundary parts flap across engines. The window runs on
-    the part grain (|parts| ≪ |lineitem|); class census is a 3-row
-    rollup."""
+    would make boundary parts flap across engines. The part grain
+    grows with the dataset, so the cumulative revenue is the
+    DISTRIBUTED prefix sum (operators/scale.py: range partition +
+    local window + broadcast offsets) and the grand total a broadcast
+    one-row aggregate — no single-partition window; class census is a
+    3-row rollup."""
     li = table(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
     rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("rev_cents"))
-    wcum = Window.orderBy(F.col("rev_cents").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wall = Window.partitionBy()
-    ranked = rev.select(
-        "rev_cents",
-        F.sum("rev_cents").over(wcum).cast("long").alias("cum"),
-        F.sum("rev_cents").over(wall).cast("long").alias("total"),
-    )
+    ranked = ordered_scan(
+        rev,
+        [F.col("rev_cents").desc(), F.col("l_partkey")],
+        sums={"cum": F.col("rev_cents")},
+        rn=None,
+        totals_of={"total": F.sum("rev_cents").cast("long")},
+    ).select("rev_cents", F.col("cum").cast("long").alias("cum"), "total")
     share = F.col("cum").cast("double") / F.col("total")
     classed = ranked.select(
         "rev_cents",
@@ -2518,22 +2533,23 @@ def q_whale_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Integer-cents revenue before the ntile sort (same boundary
     discipline as q_abc_class: float sums would let decile edges flap),
-    custkey tie-break for engine-identical decile assignment, and the
-    single global ntile runs on the customer grain."""
+    custkey tie-break for engine-identical decile assignment. The
+    customer grain grows with the dataset, so the decile assignment is
+    the DISTRIBUTED ntile (operators/scale.py) — range-partitioned
+    row_numbers + the ANSI ntile identity, no single-partition global
+    window; the oracle keeps plain ``ntile``."""
     o = table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
     rev = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
-    deciled = rev.select(
-        "cents",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("cents").desc(), "o_custkey"))
-        .cast("long")
-        .alias("decile"),
-    )
-    tot = rev.agg(F.sum("cents").cast("double").alias("t"))
+    deciled = global_ntile(
+        rev,
+        [F.col("cents").desc(), F.col("o_custkey")],
+        10,
+        "decile",
+        totals_of={"t": F.sum("cents").cast("double")},
+    ).select("cents", "decile", "t")
     return (
-        deciled.crossJoin(F.broadcast(tot))
-        .groupBy("decile")
+        deciled.groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.sum("cents").alias("revenue_cents"),

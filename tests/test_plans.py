@@ -124,15 +124,19 @@ def test_basket_pairs_pair_gen_has_no_self_join(spark, registry_loaded):
     assert_in_plan(df, "BroadcastHashJoin")
 
 
-def test_skyline_is_pure_window_no_join(spark, registry_loaded):
-    """The dominance test is two window passes — any join node means
-    the O(n²) self-join formulation leaked back in."""
+def test_skyline_no_fact_join_no_global_window(spark, registry_loaded):
+    """The dominance test contracts to the ≤50-row size grain and joins
+    that back by BROADCAST — the point set itself must never be
+    shuffled into a join (no SortMergeJoin/ShuffledHashJoin/Cartesian),
+    and no single-partition global window may appear (the round-1 shape
+    this replaced)."""
     df = registry_loaded.QUERIES["q_skyline"](spark, SMOKE_SF)
     assert_not_in_plan(
-        df, "SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
-        "CartesianProduct", "ShuffledHashJoin",
+        df, "SortMergeJoin", "CartesianProduct", "ShuffledHashJoin",
     )
-    assert "Window" in plan_string(df)
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan  # per-size mins broadcast onto pts
+    assert "Window" not in plan  # global-window formulation must not return
 
 
 def test_derived_caps_broadcast_back(spark, registry_loaded):
@@ -142,3 +146,27 @@ def test_derived_caps_broadcast_back(spark, registry_loaded):
     for q in ("q_winsorize", "q_unigram_ce", "q_cluster_purity"):
         df = registry_loaded.QUERIES[q](spark, SMOKE_SF)
         assert_not_in_plan(df, "SortMergeJoin")
+
+
+def test_global_scan_family_has_no_unpartitioned_window(spark, registry_loaded):
+    """The five global-order queries (pareto/rfm/abc/whale/skyline) were
+    rewritten onto the distributed two-pass scan (operators/scale.py).
+    An unpartitioned window prints as ``windowspecdefinition`` with an
+    empty partition spec — ``], [], [`` in the Window node line; none
+    may appear, or the single-partition sort bottleneck is back."""
+    for q in ("q_pareto", "q_rfm", "q_abc_class", "q_whale_curve", "q_skyline"):
+        plan = plan_string(registry_loaded.QUERIES[q](spark, SMOKE_SF))
+        bad = [
+            ln
+            for ln in plan.splitlines()
+            if ln.strip().startswith("Window") and "], [], [" in ln
+        ]
+        assert not bad, f"{q}: unpartitioned Window nodes: {bad}"
+
+
+def test_global_scan_family_range_partitions(spark, registry_loaded):
+    """The four rank/cumsum rewrites must show the range repartition the
+    two-pass pattern is built on (skyline needs none — it contracts to
+    the bounded size domain instead)."""
+    for q in ("q_pareto", "q_rfm", "q_abc_class", "q_whale_curve"):
+        assert_in_plan(registry_loaded.QUERIES[q](spark, SMOKE_SF), "rangepartitioning")
