@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from functools import reduce
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -29,6 +30,17 @@ from kafka_flink_exactlyonce_example_spark.sources import table
 _N_HASHES = 16
 _BANDS = 4
 _ROWS_PER_BAND = _N_HASHES // _BANDS
+# LSH mega-bucket guard: a band bucket shared by k docs emits C(k,2)
+# join rows — boilerplate-heavy corpora produce buckets with millions
+# of members whose pairs are nearly all noise (identical headers, not
+# near-dup documents). Buckets past the cap are DROPPED on both
+# engines (the oracle mirrors the same QUALIFY), which bounds the
+# self-join blowup at C(cap,2) per bucket. 64 is far above any real
+# near-dup cluster in this corpus (measured max bucket = 3 at sf0.01)
+# and the right order of magnitude for production dedup (BigCode-style
+# pipelines cap similarly); a doc in a dropped bucket still surfaces
+# through its other _BANDS-1 bands unless those are boilerplate too.
+_MAX_BUCKET = 64
 
 
 def _doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -517,12 +529,16 @@ def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, CAST(seed // {_ROWS_PER_BAND} AS BIGINT) AS band_idx,
                string_agg(mh, '' ORDER BY seed) AS band_key
         FROM sig GROUP BY doc_id, seed // {_ROWS_PER_BAND}
+    ),
+    capped AS (
+        SELECT * FROM bands
+        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_key) <= {_MAX_BUCKET}
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(COUNT(DISTINCT a.band_idx) AS BIGINT) AS n_shared_bands
-    FROM bands a
-    JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-                AND a.doc_id < b.doc_id
+    FROM capped a
+    JOIN capped b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
     """,
 )
@@ -547,6 +563,14 @@ def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Measured on sf0.01: the corpus has exactly 25 pairs with
     shingle-J ≥ 0.9 and this LSH returns exactly those 25 (100%
     recall, zero false candidates past the cliff at 0.13).
+
+    Mega-bucket guard (``_MAX_BUCKET``): bucket sizes are counted with
+    one partitioned window on the SAME shuffle the join needs anyway,
+    oversized buckets dropped before pairing — the C(k,2) blowup a
+    boilerplate band key would cause is bounded by construction, on
+    both engines identically (the oracle QUALIFYs the same cap). The
+    ``bands`` relation (4 small rows per doc) is persisted because
+    both join sides and the size window consume it.
     """
     d = table(spark, sf_dir, "documents")
     arr = F.split("text", " ")
@@ -592,9 +616,15 @@ def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band_idx", "band_key"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    wsz = Window.partitionBy("band_idx", "band_key")
+    capped = (
+        bands.withColumn("bsz", F.count(F.lit(1)).over(wsz))
+        .filter(F.col("bsz") <= _MAX_BUCKET)
+        .drop("bsz")
     )
-    left = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
-    right = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
+    left = capped.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
+    right = capped.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
     return (
         left.join(right, ["band_idx", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
