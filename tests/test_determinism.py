@@ -74,13 +74,19 @@ def _rows(df):
 
 @pytest.mark.parametrize("name", ORDER_SENSITIVE)
 def test_result_stable_across_shuffle_widths(spark, registry_loaded, name):
+    """Three widths, not two: 7 and 13 are coprime small widths (every
+    shuffle boundary moves), 64 exceeds the row count of several
+    contracted grains (forces empty partitions through every window /
+    prefix-offset path — the regime a 1000-executor cluster runs in)."""
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
+    results = {}
     try:
-        spark.conf.set(key, "7")
-        a = _rows(registry_loaded.QUERIES[name](spark, SMOKE_SF))
-        spark.conf.set(key, "13")
-        b = _rows(registry_loaded.QUERIES[name](spark, SMOKE_SF))
+        for width in ("7", "13", "64"):
+            spark.conf.set(key, width)
+            results[width] = _rows(registry_loaded.QUERIES[name](spark, SMOKE_SF))
     finally:
         spark.conf.set(key, prev)
-    assert a == b, f"{name} changed results when shuffle width changed"
+    assert results["7"] == results["13"] == results["64"], (
+        f"{name} changed results when shuffle width changed"
+    )
