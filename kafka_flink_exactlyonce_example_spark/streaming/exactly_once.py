@@ -21,6 +21,16 @@ Commit protocol per batch (all on the driver, filesystem-atomic):
 
 Readers take only marker-committed partitions — the analog of Kafka's
 ``read_committed``.
+
+ACID-table-format mapping (README "Mapping to ACID table formats"):
+on a Delta/Iceberg/Hudi lake the same ``foreachBatch`` driver calls a
+``MERGE INTO`` keyed on the batch's natural key instead of the
+directory overwrite, the format's atomic commit replaces the marker
+rename (collapsing steps 2+3 into one atomic operation), and snapshot
+isolation replaces ``read_committed()``'s path filtering. Delta's
+``txnAppId``/``txnVersion`` pair is the direct equivalent of the
+marker check in step 1. Replay safety is identical: same batchId →
+same data → idempotent MERGE converges to exactly-once.
 """
 
 from __future__ import annotations
