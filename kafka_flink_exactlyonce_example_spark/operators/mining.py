@@ -1216,11 +1216,11 @@ def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The naive form joins every session against every overlapping
     session — quadratic in peak concurrency; the sweep line is
-    O(n log n) with ONE single-partition window, but that window runs
-    on the netted second grain (≤ seconds-in-month rows, data-size
-    independent) — the same "scan a tiny derived series, never the
-    fact table" shape as q_running_distinct. Session derivation reuses
-    the 30-minute-gap pipeline of q_event_paths."""
+    O(n log n). The prefix sum runs on the netted second grain
+    (data-size independent, but it grows with the covered TIME span —
+    a year of seconds is 31M rows), so it is the DISTRIBUTED prefix
+    sum (operators/scale.py), not a single-partition window. Session
+    derivation reuses the 30-minute-gap pipeline of q_event_paths."""
     ev = table(spark, sf_dir, "events")
     sec = F.floor(F.col("ts").cast("double")).cast("long")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1243,12 +1243,9 @@ def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         spans.select(F.col("end_sec").alias("sec"), F.lit(-1).cast("long").alias("d"))
     )
     net = deltas.groupBy("sec").agg(F.sum("d").alias("net"))
-    active = net.select(
-        "sec",
-        F.sum("net")
-        .over(Window.orderBy("sec").rowsBetween(Window.unboundedPreceding, 0))
-        .alias("n_active"),
-    )
+    active = ordered_scan(
+        net, [F.col("sec")], sums={"n_active": F.col("net")}, rn=None
+    ).select("sec", "n_active")
     return active.groupBy((F.col("sec") / 86400).cast("long").alias("day_idx")).agg(
         F.max("n_active").alias("peak_concurrent")
     )
@@ -1887,8 +1884,11 @@ def q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     The growth curve never materializes per-token state: each word
     contributes vocabulary at its FIRST doc (min(doc_id) per word —
     the first-seen rewrite from q_running_distinct), so the cumulative
-    windows run on the DOC grain. The final fit is the regr_* 4-number
-    combine. Curve order is doc_id — deterministic, no tie ambiguity."""
+    windows run on the DOC grain. The doc grain grows linearly with
+    the corpus, so both cumulatives are DISTRIBUTED prefix sums
+    (operators/scale.py), not a single-partition window. The final fit
+    is the regr_* 4-number combine. Curve order is doc_id —
+    deterministic, no tie ambiguity."""
     docs = table(spark, sf_dir, "documents")
     wf = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
@@ -1900,14 +1900,14 @@ def q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("double").alias("newv"))
     )
-    wcum = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    curve = (
-        doc_tokens.join(new_vocab, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.sum("toks").over(wcum).alias("cum_tokens"),
-            F.sum(F.coalesce("newv", F.lit(0.0))).over(wcum).alias("cum_vocab"),
-        )
+    curve = ordered_scan(
+        doc_tokens.join(new_vocab, "doc_id", "left"),
+        [F.col("doc_id")],
+        sums={
+            "cum_tokens": F.col("toks"),
+            "cum_vocab": F.coalesce("newv", F.lit(0.0)),
+        },
+        rn=None,
     )
     return curve.agg(
         F.round(F.regr_slope(F.log("cum_vocab"), F.log("cum_tokens")), 6).alias("heaps_beta"),

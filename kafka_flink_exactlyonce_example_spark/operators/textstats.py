@@ -667,11 +667,13 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``regr_intercept`` / ``regr_r2``) — single-pass sufficient-stats
     aggregates (Σx, Σy, Σxy, Σx²) that combine associatively, so the
     100 TB plan is map-side partials + one 4-number combine. The only
-    rank-producing global window runs on the VOCABULARY relation (words,
-    not occurrences), orders of magnitude smaller than the corpus; ties
-    rank deterministically via (freq DESC, word).
+    rank runs on the VOCABULARY relation (words, not occurrences),
+    orders of magnitude smaller than the corpus — but vocabulary still
+    grows with it, so the rank is the DISTRIBUTED row_number
+    (operators/scale.py), not a single-partition window; ties rank
+    deterministically via (freq DESC, word).
     """
-    from pyspark.sql import Window
+    from kafka_flink_exactlyonce_example_spark.operators.scale import ordered_scan
 
     docs = table(spark, sf_dir, "documents")
     freq = (
@@ -680,13 +682,9 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("double").alias("f"))
     )
-    ranked = freq.select(
-        "f",
-        F.row_number()
-        .over(Window.orderBy(F.col("f").desc(), "word"))
-        .cast("double")
-        .alias("rk"),
-    )
+    ranked = ordered_scan(
+        freq, [F.col("f").desc(), F.col("word")], rn="rk"
+    ).select("f", F.col("rk").cast("double").alias("rk"))
     lf, lr = F.log(F.col("f")), F.log(F.col("rk"))
     return ranked.agg(
         F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),

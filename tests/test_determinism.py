@@ -57,6 +57,7 @@ ORDER_SENSITIVE = [
     "q_ndcg",
     "q_growth_accounting",
     "q_abc_class",
+    "q_heaps",
     "q_control_chart",
     "q_rank_shift",
     "q_coverage_gaps",

@@ -154,7 +154,10 @@ def test_global_scan_family_has_no_unpartitioned_window(spark, registry_loaded):
     An unpartitioned window prints as ``windowspecdefinition`` with an
     empty partition spec — ``], [], [`` in the Window node line; none
     may appear, or the single-partition sort bottleneck is back."""
-    for q in ("q_pareto", "q_rfm", "q_abc_class", "q_whale_curve", "q_skyline"):
+    for q in (
+        "q_pareto", "q_rfm", "q_abc_class", "q_whale_curve", "q_skyline",
+        "q_zipf", "q_heaps", "q_concurrency",
+    ):
         plan = plan_string(registry_loaded.QUERIES[q](spark, SMOKE_SF))
         bad = [
             ln
@@ -168,5 +171,8 @@ def test_global_scan_family_range_partitions(spark, registry_loaded):
     """The four rank/cumsum rewrites must show the range repartition the
     two-pass pattern is built on (skyline needs none — it contracts to
     the bounded size domain instead)."""
-    for q in ("q_pareto", "q_rfm", "q_abc_class", "q_whale_curve"):
+    for q in (
+        "q_pareto", "q_rfm", "q_abc_class", "q_whale_curve",
+        "q_zipf", "q_heaps", "q_concurrency",
+    ):
         assert_in_plan(registry_loaded.QUERIES[q](spark, SMOKE_SF), "rangepartitioning")
