@@ -572,6 +572,21 @@ def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bands`` relation (4 small rows per doc) is persisted because
     both join sides and the size window consume it.
     """
+    minhashes = _minhash_signatures(spark, sf_dir)
+    bands = _capped_bands(minhashes)
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
+    return (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("band_idx").alias("n_shared_bands"))
+    )
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh0..mh15): the MinHash signature relation shared by
+    q_near_dup (banding) and q_minhash_est (lane-agreement estimate)."""
     d = table(spark, sf_dir, "documents")
     arr = F.split("text", " ")
     # 2-word shingles as native transform over index sequence
@@ -589,7 +604,7 @@ def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4 independent 8-hex-char lanes per md5 digest → 16 minhashes from
     # only 4 md5 calls per shingle (Spark's codegen subexpression
     # elimination computes each seeded digest once across the 16 aggs)
-    minhashes = shingled.groupBy("doc_id").agg(
+    return shingled.groupBy("doc_id").agg(
         *[
             F.min(
                 F.substring(
@@ -601,6 +616,11 @@ def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_N_HASHES)
         ]
     )
+
+
+def _capped_bands(minhashes: DataFrame) -> DataFrame:
+    """Band relation (doc_id, band_idx, band_key) with the mega-bucket
+    cap applied; persisted — the self-join consumes it twice."""
     bands = minhashes.select(
         "doc_id",
         F.posexplode(
@@ -618,18 +638,111 @@ def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band_idx", "band_key"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     wsz = Window.partitionBy("band_idx", "band_key")
-    capped = (
+    return (
         bands.withColumn("bsz", F.count(F.lit(1)).over(wsz))
         .filter(F.col("bsz") <= _MAX_BUCKET)
         .drop("bsz")
     )
-    left = capped.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
-    right = capped.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
-    return (
+
+
+_MINHASH_CTES = f"""
+    WITH arr AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+                                     i -> concat_ws(' ', w[i], w[i + 1])))
+                   AS shingle
+        FROM arr
+    ),
+    sig AS (
+        SELECT doc_id, seed,
+               MIN(substring(md5(CAST(seed // 4 AS VARCHAR) || ':' || shingle),
+                             1 + 8 * (seed % 4), 8)) AS mh
+        FROM shingles
+        CROSS JOIN (SELECT unnest(generate_series(0, {_N_HASHES - 1})) AS seed)
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, CAST(seed // {_ROWS_PER_BAND} AS BIGINT) AS band_idx,
+               string_agg(mh, '' ORDER BY seed) AS band_key
+        FROM sig GROUP BY doc_id, seed // {_ROWS_PER_BAND}
+    ),
+    capped AS (
+        SELECT * FROM bands
+        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_key) <= {_MAX_BUCKET}
+    )
+"""
+
+
+@query(
+    "q_minhash_est",
+    oracle=_MINHASH_CTES
+    + """
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM capped a
+        JOIN capped b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(avg(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END), 6)
+             AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+    GROUP BY c.doc_a, c.doc_b
+    """,
+)
+def q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated Jaccard similarity for the LSH candidate pairs — the
+    signature-agreement fraction (P[min-hash collision] = J is the
+    MinHash identity), i.e. the SCORING half of the near-dup pipeline:
+    q_near_dup generates candidates, this ranks them without ever
+    touching the documents again.
+
+    The signatures are the same 16 md5 lanes as q_near_dup (shared
+    helper), so the whole estimate is engine-portable and fully
+    oracled. Plan shape: candidates from the capped band self-join,
+    then two hash joins against the 16-lane signature relation — all
+    keyed on doc_id, linear in candidates; the estimate itself is an
+    inline expression over the 16 lane-equality flags (no per-seed
+    explode on the Spark side — the oracle's long format and this wide
+    format agree because avg over 16 flags = sum/16).
+    """
+    minhashes = _minhash_signatures(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bands = _capped_bands(minhashes)
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
+    cand = (
         left.join(right, ["band_idx", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.countDistinct("band_idx").alias("n_shared_bands"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = minhashes.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_N_HASHES)],
+    )
+    b = minhashes.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_N_HASHES)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1.0).otherwise(0.0)
+        for i in range(_N_HASHES)
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / float(_N_HASHES), 6).alias("est_jaccard"),
+        )
     )
 
 

@@ -994,3 +994,111 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rn = F.row_number().over(W.partitionBy("lang").orderBy("skey", "doc_id"))
     return keyed.withColumn("rn", rn).filter(F.col("rn") <= 5).drop("rn")
+
+
+_CHUNK = 64  # tokens per chunk — the pretraining/RAG window size knob
+_STRIDE = 48  # chunk step (overlap = _CHUNK - _STRIDE = 16 tokens)
+_MIN_TAIL = 16  # tail chunks shorter than this are dropped (unless sole)
+
+
+@query(
+    "q_chunk_split",
+    oracle=f"""
+    WITH arr AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), expl AS (
+        SELECT doc_id, w, unnest(range(1, len(w) + 1, {_STRIDE})) AS s
+        FROM arr
+    ), chunks AS (
+        SELECT doc_id,
+               CAST((s - 1) // {_STRIDE} AS BIGINT) AS chunk_idx,
+               w[s : least(s + {_CHUNK - 1}, len(w))] AS chunk
+        FROM expl
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(chunk) AS BIGINT) AS chunk_len,
+           md5(array_to_string(chunk, ' ')) AS chunk_hash
+    FROM chunks
+    WHERE len(chunk) >= {_MIN_TAIL} OR chunk_idx = 0
+    """,
+)
+def q_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for pretraining/RAG ingestion: overlapping
+    {chunk}-token windows every {stride} tokens (16-token overlap so no
+    boundary context is lost), runt tails dropped unless they are the
+    document's only chunk, each chunk content-hashed for downstream
+    chunk-level dedup.
+
+    Pure higher-order expressions — ``sequence`` generates the chunk
+    starts, ``slice`` cuts each window, ``posexplode`` numbers them —
+    so the fan-out happens inside codegen with zero Python and zero
+    shuffles: chunking is a MAP-side operation whose output feeds
+    whatever partitioner the next stage needs. Spark's inclusive
+    ``sequence(1, n, s)`` equals DuckDB's exclusive
+    ``range(1, n+1, s)`` by construction; 1-based ``slice`` matches
+    DuckDB's inclusive list slicing.
+    """
+    d = table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    n = F.size(arr)
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n, F.lit(_STRIDE)),
+                lambda s: F.slice(arr, s, _CHUNK),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size("chunk").cast("long").alias("chunk_len"),
+            F.md5(F.concat_ws(" ", "chunk")).alias("chunk_hash"),
+        )
+        .filter((F.col("chunk_len") >= _MIN_TAIL) | (F.col("chunk_idx") == 0))
+    )
+
+
+@query(
+    "q_scrub_pattern",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT)
+             AS n_redactions,
+           CAST(count(DISTINCT regexp_replace(props, '[0-9]+', '#', 'g'))
+                AS BIGINT) AS n_distinct_shapes
+    FROM events GROUP BY event_type
+    """,
+)
+def q_scrub_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern scrubbing census — the PII-redaction mechanism (count,
+    replace, shape-profile regex hits per record class). Production
+    pipelines run this with email/phone/SSN alternations; this corpus
+    has no such strings, so the numeric-token pattern stands in — the
+    plan shape (one scan, regex in codegen, keyed rollup) is identical
+    whatever the alternation says.
+
+    Per event type: events scanned, total pattern hits
+    (``regexp_extract_all`` length — counts every hit, not just the
+    first), and distinct post-redaction shapes (how many templates
+    remain after masking — the k-anonymity-style diagnostic). Spark's
+    ``regexp_replace`` is global by default; DuckDB needs the ``'g'``
+    flag — same substitution either way.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.size(F.regexp_extract_all(F.col("props"), F.lit("[0-9]+"), F.lit(0))).alias("nm"),
+            F.regexp_replace("props", "[0-9]+", "#").alias("red"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("nm").cast("long").alias("n_redactions"),
+            F.countDistinct("red").alias("n_distinct_shapes"),
+        )
+    )
