@@ -584,9 +584,25 @@ def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MINHASH_SIG_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, mh0..mh15): the MinHash signature relation shared by
-    q_near_dup (banding) and q_minhash_est (lane-agreement estimate)."""
+    q_near_dup (banding) and q_minhash_est (lane-agreement estimate).
+    The shingle explosion + 16 min-aggregations is the expensive part
+    of BOTH queries and the result is one narrow row per doc, so it's
+    localCheckpoint'ed once per (session, sf) — same policy as the
+    Jaccard edge/label caches above."""
+    key = (id(spark), sf_dir)
+    if key in _MINHASH_SIG_CACHE:
+        return _MINHASH_SIG_CACHE[key]
+    sigs = _build_minhash_signatures(spark, sf_dir).localCheckpoint()
+    _MINHASH_SIG_CACHE[key] = sigs
+    return sigs
+
+
+def _build_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     arr = F.split("text", " ")
     # 2-word shingles as native transform over index sequence
