@@ -23,7 +23,11 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_flink_exactlyonce_example_spark.functions.similarity import cosine_sql, dot
+from kafka_flink_exactlyonce_example_spark.functions.similarity import (
+    cosine,
+    cosine_sql,
+    dot,
+)
 from kafka_flink_exactlyonce_example_spark.registry import query
 from kafka_flink_exactlyonce_example_spark.sources import table
 
@@ -501,6 +505,114 @@ def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return pairs.filter(sim >= 0.3).select(
         "vec_a", "vec_b", "label", F.round(sim, 6).alias("cos_sim")
+    )
+
+
+@query(
+    "q_semdedup",
+    oracle=f"""
+    WITH dims AS (
+        SELECT label, unnest(embedding) AS v,
+               unnest(range(0, len(embedding))) AS d
+        FROM embeddings
+    ), moments AS (
+        SELECT label, d, avg(CAST(v AS DOUBLE)) AS m
+        FROM dims GROUP BY label, d
+    ), cent AS (
+        SELECT label, list(m ORDER BY d) AS c
+        FROM moments GROUP BY label
+    ), scored AS (
+        SELECT e.vec_id, e.label, e.embedding,
+               round({cosine_sql('e.embedding', 'cent.c')}, 6) AS cosc
+        FROM embeddings e JOIN cent ON e.label = cent.label
+    ), dropped AS (
+        SELECT DISTINCT a.vec_id AS va
+        FROM scored a
+        JOIN scored b ON a.label = b.label AND a.vec_id <> b.vec_id
+        WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.3
+          AND (b.cosc < a.cosc OR (b.cosc = a.cosc AND b.vec_id < a.vec_id))
+    )
+    SELECT s.vec_id, s.label, s.cosc AS cos_centroid,
+           CAST(CASE WHEN d.va IS NULL THEN 0 ELSE 1 END AS BIGINT) AS dropped
+    FROM scored s LEFT JOIN dropped d ON s.vec_id = d.va
+    """,
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup decision table: within each
+    cluster, a vector is DROPPED iff some near-duplicate neighbor
+    (cosine ≥ 0.3, q_embed_dup's threshold) has higher keep-priority —
+    farther from the cluster centroid (lower rounded centroid cosine;
+    ties to the lower vec_id). Keeping the far-from-centroid member of
+    each duplicate pair preserves corpus diversity, which is the whole
+    SemDeDup argument for pruning web-scale embedding corpora.
+
+    The dominance rule is one pass over the cluster-blocked pair join
+    (no connected components needed — dedup only requires that at
+    least one member of every duplicate pair survives, and the
+    priority order guarantees each cluster's globally
+    farthest-involved vector is never dropped). Slightly more
+    aggressive than sequential greedy NN-dedup — acceptable for a
+    pruning pipeline, and fully deterministic: priorities compare the
+    6-decimal ROUNDED centroid cosine on both engines. Plan shape:
+    centroids from the posexplode moment pass broadcast onto one scan
+    (cosc), pair join blocked on label with the build side broadcast,
+    dropped set distinct'd, one broadcast anti-ish left join back —
+    linear in pairs-per-cluster, same 100 TB posture as q_embed_dup.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    dims = e.select("label", F.posexplode("embedding").alias("dim", "v"))
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, m))), x -> x.m)"
+            ).alias("c")
+        )
+    )
+    scored = e.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.round(cosine(F.col("embedding"), F.col("c")), 6).alias("cosc"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    norm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    a = scored.select(
+        F.col("vec_id").alias("va"),
+        "label",
+        F.col("embedding").alias("ea"),
+        norm.alias("na"),
+        F.col("cosc").alias("ca"),
+    )
+    b = scored.select(
+        F.col("vec_id").alias("vb"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("eb"),
+        norm.alias("nb"),
+        F.col("cosc").alias("cb"),
+    )
+    par = spark.sparkContext.defaultParallelism
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    dropped = (
+        a.repartition(par, "label")
+        .join(F.broadcast(b), (a.label == b.label_b) & (F.col("va") != F.col("vb")))
+        .filter(
+            (sim >= 0.3)
+            & (
+                (F.col("cb") < F.col("ca"))
+                | ((F.col("cb") == F.col("ca")) & (F.col("vb") < F.col("va")))
+            )
+        )
+        .select(F.col("va").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1).cast("long"))
+    )
+    return scored.join(F.broadcast(dropped), "vec_id", "left").select(
+        "vec_id",
+        "label",
+        F.col("cosc").alias("cos_centroid"),
+        F.coalesce("is_dropped", F.lit(0).cast("long")).alias("dropped"),
     )
 
 

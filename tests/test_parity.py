@@ -90,3 +90,31 @@ def test_ann_multiprobe_recall_beats_single_probe(spark, registry_loaded):
     assert len(mp) == len(exact), "some vectors found no candidate at all"
     recall = sum(1 for v, n in mp.items() if exact[v] == n) / len(mp)
     assert recall >= 0.85, f"top-1 recall {recall:.3f} below 0.85"
+
+
+def test_semdedup_keeps_a_representative(spark, registry_loaded):
+    """Dedup-safety invariant of the q_semdedup dominance rule: every
+    dropped vector must be dominated by some surviving chain — i.e. in
+    each cluster, the minimum-priority vector involved in any near-dup
+    pair (lowest rounded centroid-cosine, tie lowest vec_id) is never
+    dropped, and if the cluster has near-dup pairs at all, at least one
+    drop happens."""
+    rows = registry_loaded.QUERIES["q_semdedup"](spark, SMOKE_SF).collect()
+    pairs = registry_loaded.QUERIES["q_embed_dup"](spark, SMOKE_SF).collect()
+    by_id = {r["vec_id"]: r for r in rows}
+    paired_by_label = {}
+    for p in pairs:
+        paired_by_label.setdefault(p["label"], set()).update(
+            [p["vec_a"], p["vec_b"]]
+        )
+    assert paired_by_label, "fixture has no near-dup pairs to exercise"
+    for label, ids in paired_by_label.items():
+        prio = sorted(ids, key=lambda v: (by_id[v]["cos_centroid"], v))
+        keeper = prio[0]
+        assert by_id[keeper]["dropped"] == 0, (
+            f"label {label}: farthest-from-centroid paired vector "
+            f"{keeper} was dropped"
+        )
+        assert any(by_id[v]["dropped"] == 1 for v in ids), (
+            f"label {label}: near-dup pairs exist but nothing was dropped"
+        )
