@@ -58,6 +58,8 @@ ORDER_SENSITIVE = [
     "q_growth_accounting",
     "q_abc_class",
     "q_heaps",
+    "q_ann_multiprobe",
+    "q_semdedup",
     "q_control_chart",
     "q_rank_shift",
     "q_coverage_gaps",
