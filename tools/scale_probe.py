@@ -121,6 +121,46 @@ def main() -> None:
                 f"rate_vs_x1={rate / base_rate:4.2f}"
             )
 
+    # distributed global ordering (operators/scale.py): here the GRAIN
+    # itself grows — each replica shifts the orderkey domain so the
+    # contracted relation is 600k·mult distinct keys, the regime the
+    # range-partition + prefix-offset pattern exists for.
+    from kafka_flink_exactlyonce_example_spark.operators.scale import ordered_scan
+
+    base_rate = None
+    for mult in multiples:
+        li = table(spark, sf_dir, "lineitem")
+        parts = [
+            li.select(
+                (F.col("l_orderkey") + F.lit(i * 100_000_000)).alias("k"),
+                cents("l_extendedprice").alias("c"),
+            )
+            for i in range(mult)
+        ]
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        rev = big.groupBy("k").agg(F.sum("c").alias("cents"))
+        sc = ordered_scan(
+            rev,
+            [F.col("cents").desc(), F.col("k")],
+            sums={"cum": F.col("cents")},
+            rn="rk",
+        )
+        n = 600_000 * mult
+        t0 = time.perf_counter()
+        force(sc.groupBy().agg(F.max("rk").alias("n"), F.max("cum").alias("tot")))
+        dt = time.perf_counter() - t0
+        spark.catalog.clearCache()  # drop the per-call persisted grain
+        rate = n / dt / 1e6
+        if base_rate is None:
+            base_rate = rate
+        print(
+            f"oscan x{mult:<3d} rows={n/1e6:5.1f}M  "
+            f"wall={dt:6.2f}s  rate={rate:5.1f}M rows/s  "
+            f"rate_vs_x1={rate / base_rate:4.2f}"
+        )
+
 
 if __name__ == "__main__":
     main()
