@@ -682,3 +682,82 @@ def q_bitmap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             " s -> length(s))) AS INT)"
         ).alias("longest_streak"),
     )
+
+
+_HQ_BIN = 10.0  # fixed histogram bin width for the quantile sketch
+
+
+@query(
+    "q_hist_quantile",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type, CAST(FLOOR(value / {_HQ_BIN}) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), c AS (
+        SELECT event_type, bin, n,
+               sum(n) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum,
+               sum(n) OVER (PARTITION BY event_type) AS tot
+        FROM b
+    )
+    SELECT event_type,
+           CAST(max(tot) AS BIGINT) AS n_events,
+           round(min(CASE WHEN cum >= 0.50 * tot THEN bin END) * {_HQ_BIN}, 6)
+             AS p50_est,
+           round(min(CASE WHEN cum >= 0.95 * tot THEN bin END) * {_HQ_BIN}, 6)
+             AS p95_est,
+           round(min(CASE WHEN cum >= 0.99 * tot THEN bin END) * {_HQ_BIN}, 6)
+             AS p99_est
+    FROM c GROUP BY event_type
+    """,
+)
+def q_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles — the SCALE path q_percentile's exact
+    sort can't take at 100 TB: fixed-width bin counts are a MERGEABLE
+    sketch (bin counts add across partitions, machines, days), so the
+    whole estimate is one map-side-combinable aggregation plus window
+    arithmetic on the bounded bin grain; error is bounded by the bin
+    width (estimates quantize to lower bin edges, here width 10 on a
+    0..490 value domain).
+
+    The per-type cumulative runs over ≤50 bins — a bounded partitioned
+    window, not a data-scaled sort. The quantile rule (smallest bin
+    whose cumulative count reaches q·total) uses integer cum/tot and
+    one IEEE multiply, identical in both engines — an approximate
+    STATISTIC with an exact cross-engine oracle, same trick as the LSH
+    family."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / _HQ_BIN).cast("long").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    c = b.select(
+        "event_type",
+        "bin",
+        F.sum("n").over(wcum).alias("cum"),
+        F.sum("n").over(wall).alias("tot"),
+    )
+
+    def est(q: float):
+        return F.round(
+            F.min(F.when(F.col("cum") >= q * F.col("tot"), F.col("bin")))
+            * _HQ_BIN,
+            6,
+        )
+
+    return c.groupBy("event_type").agg(
+        F.max("tot").alias("n_events"),
+        est(0.50).alias("p50_est"),
+        est(0.95).alias("p95_est"),
+        est(0.99).alias("p99_est"),
+    )

@@ -677,3 +677,72 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("postings"),
     )
+
+
+@query(
+    "q_skew_diag",
+    oracle="""
+    WITH pk AS (
+        SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1
+    ), sk AS (
+        SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1
+    )
+    SELECT 'l_partkey' AS join_key,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(max(cnt) AS BIGINT) AS max_rows_per_key,
+           round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_key_share,
+           round(quantile_cont(cnt, 0.5), 6) AS median_rows,
+           round(quantile_cont(cnt, 0.99), 6) AS p99_rows,
+           round(max(cnt) / quantile_cont(cnt, 0.5), 6) AS skew_factor
+    FROM pk
+    UNION ALL
+    SELECT 'l_suppkey',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(cnt) AS BIGINT),
+           CAST(max(cnt) AS BIGINT),
+           round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6),
+           round(quantile_cont(cnt, 0.5), 6),
+           round(quantile_cont(cnt, 0.99), 6),
+           round(max(cnt) / quantile_cont(cnt, 0.5), 6)
+    FROM sk
+    """,
+)
+def q_skew_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the "do I need salting / AQE skew
+    handling?" pre-flight every big join should run: per candidate join
+    key, the key count distribution (n_keys, max rows behind one key,
+    top-key share of the table, median and p99 rows per key) and the
+    skew factor max/median. A skew_factor in the tens of thousands is
+    the signature of the mega-key that turns one shuffle partition into
+    the job's critical path.
+
+    One groupBy per key column (the contraction), then a single-row
+    combine per key — exact percentiles run on the KEY grain (n_keys
+    rows), not the fact table, so the sort cost is bounded by key
+    cardinality; sampling replaces the contraction at extreme key
+    counts without changing the report schema."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def stats(col: str) -> DataFrame:
+        per_key = li.groupBy(F.col(col).alias("k")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        return per_key.agg(
+            F.lit(col).alias("join_key"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.max("cnt").alias("max_rows_per_key"),
+            F.round(F.max("cnt").cast("double") / F.sum("cnt"), 6).alias(
+                "top_key_share"
+            ),
+            F.round(F.expr("percentile(cnt, 0.5)"), 6).alias("median_rows"),
+            F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("p99_rows"),
+            F.round(F.max("cnt") / F.expr("percentile(cnt, 0.5)"), 6).alias(
+                "skew_factor"
+            ),
+        )
+
+    return stats("l_partkey").unionByName(stats("l_suppkey"))
