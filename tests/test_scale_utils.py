@@ -1,0 +1,79 @@
+"""Unit tests for operators/scale.py — the distributed global-order
+primitives — on tiny literal frames where expected values are computed
+by hand. Partition-count edge cases matter most: 1 partition (pure
+local), more partitions than rows (empty partitions through every
+offset path), and a width that splits ties' neighborhoods."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_flink_exactlyonce_example_spark.operators.scale import (
+    global_ntile,
+    ordered_scan,
+)
+
+ROWS = [(k, v) for k, v in zip(range(10), [5, -3, 7, 0, 2, -8, 4, 1, 9, -1])]
+
+
+@pytest.mark.parametrize("nparts", [1, 3, 16])
+def test_ordered_scan_rn_and_prefix_sum(spark, nparts):
+    df = spark.createDataFrame(ROWS, ["k", "v"])
+    got = (
+        ordered_scan(
+            df,
+            [F.col("v").desc(), F.col("k")],
+            sums={"cum": F.col("v")},
+            rn="rn",
+            num_partitions=nparts,
+        )
+        .orderBy("rn")
+        .collect()
+    )
+    expected = sorted(ROWS, key=lambda t: (-t[1], t[0]))
+    run = 0
+    for i, (row, (k, v)) in enumerate(zip(got, expected), start=1):
+        run += v
+        assert row["rn"] == i
+        assert row["k"] == k
+        assert row["cum"] == run
+
+
+@pytest.mark.parametrize("nparts", [1, 4, 16])
+def test_ordered_scan_totals_and_single_row(spark, nparts):
+    df = spark.createDataFrame(ROWS, ["k", "v"])
+    got = ordered_scan(
+        df,
+        [F.col("k")],
+        rn=None,
+        totals_of={"n": F.count(F.lit(1)), "s": F.sum("v")},
+        num_partitions=nparts,
+    ).collect()
+    assert all(r["n"] == 10 and r["s"] == 16 for r in got)
+    one = spark.createDataFrame([(1, 42)], ["k", "v"])
+    row = ordered_scan(
+        one, [F.col("k")], sums={"cum": F.col("v")}, num_partitions=nparts
+    ).collect()[0]
+    assert row["_rn"] == 1 and row["cum"] == 42
+
+
+@pytest.mark.parametrize("nparts", [1, 3, 16])
+def test_global_ntile_matches_builtin(spark, nparts):
+    """The floor identity must equal Spark's own ntile for N not
+    divisible by k (first N mod k buckets take the extra row)."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(ROWS, ["k", "v"])
+    order = [F.col("v").desc(), F.col("k")]
+    got = {
+        r["k"]: r["t"]
+        for r in global_ntile(df, order, 3, "t", num_partitions=nparts).collect()
+    }
+    want = {
+        r["k"]: r["t"]
+        for r in df.select(
+            "k", F.ntile(3).over(Window.orderBy(*order)).cast("long").alias("t")
+        ).collect()
+    }
+    assert got == want
