@@ -1102,3 +1102,115 @@ def q_scrub_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("red").alias("n_distinct_shapes"),
         )
     )
+
+
+@query(
+    "q_prefix_dedup",
+    oracle="""
+    WITH pref AS (
+        SELECT doc_id, n_chars, md5(substring(text, 1, 64)) AS ph
+        FROM documents
+    )
+    SELECT ph,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(count(*) - 1 AS BIGINT) AS n_removable,
+           CAST(max(n_chars) - min(n_chars) AS BIGINT) AS len_spread
+    FROM pref
+    GROUP BY ph
+    HAVING count(*) > 1
+    """,
+)
+def q_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-hash duplicate census — the truncation-dup catcher web
+    corpora need: two fetches of one page truncated at different byte
+    limits have identical PREFIXES but different full-text hashes, so
+    exact dedup (q_exact_dedup) misses them. Hash the first 64 chars,
+    group, report groups of >1 with the keep-lowest-doc_id decision and
+    the length spread (a large spread = truncation, near-zero = true
+    dup caught late).
+
+    One scan + one groupBy on the 16-byte prefix hash — linear, fully
+    parallel, and the natural FIRST pass before the expensive MinHash
+    pipeline (a prefix-dup never reaches the shingle explosion)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            F.md5(F.substring("text", 1, 64).cast("binary")).alias("ph"),
+        )
+        .groupBy("ph")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            (F.count(F.lit(1)) - 1).alias("n_removable"),
+            (F.max("n_chars") - F.min("n_chars")).cast("long").alias("len_spread"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "q_train_split",
+    oracle="""
+    WITH assigned AS (
+        SELECT lang, n_chars,
+               CASE WHEN CAST(CAST(concat('0x', substring(md5(text), 1, 8))
+                                   AS UBIGINT) % 100 AS BIGINT) < 90
+                        THEN 'train'
+                    WHEN CAST(CAST(concat('0x', substring(md5(text), 1, 8))
+                                   AS UBIGINT) % 100 AS BIGINT) < 95
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT lang, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(CAST(count(*) AS DOUBLE)
+                 / sum(count(*)) OVER (PARTITION BY lang), 6) AS lang_share
+    FROM assigned
+    GROUP BY lang, split
+    """,
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5) by content
+    hash, with the per-language split census — the leakage-safe
+    alternative to rand() splits: a document lands in the same split on
+    every engine, run, and cluster width, and the same hash applied to
+    a future crawl keeps train/test membership stable (no example can
+    migrate across the boundary between dataset versions).
+
+    Every doc gets a label (unlike q_stratified_sample's one-sided
+    filter); the census checks the realized ratios per stratum. The
+    share window runs on the (lang × split) grain — ≤15 rows, bounded.
+    """
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    assigned = d.select(
+        "lang",
+        "n_chars",
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias("split"),
+    )
+    from pyspark.sql import Window as W
+
+    per = assigned.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    return per.select(
+        "lang",
+        "split",
+        "n_docs",
+        "total_chars",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(W.partitionBy("lang")),
+            6,
+        ).alias("lang_share"),
+    )
