@@ -721,3 +721,59 @@ def test_kafka_sink_builder_contract(spark, tmp_path):
     # as test_kafka_source_builder_contract
     assert writer is not None
     assert type(writer).__name__ == "DataStreamWriter"
+
+
+def test_streaming_chunk_split_matches_batch(spark, tmp_path):
+    """q_chunk_split is pure map-side expression work (sequence + slice
+    + posexplode, no shuffle, no state), so the SAME logical plan must
+    run unchanged as a stateless streaming transform and produce
+    byte-identical chunks — the property that lets the chunking stage
+    of an ingest pipeline sit directly on the stream with zero
+    state-store cost."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_exactlyonce_example_spark.operators.textstats import (
+        _CHUNK,
+        _MIN_TAIL,
+        _STRIDE,
+    )
+    from kafka_flink_exactlyonce_example_spark.sources import table
+
+    docs = table(spark, SMOKE_SF, "documents")
+    inp = str(tmp_path / "in")
+    docs.write.parquet(inp)
+
+    def chunk(df):
+        arr = F.split("text", " ")
+        n = F.size(arr)
+        chunks = df.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(split(text, ' ')), {_STRIDE}),"
+                    f" s -> slice(split(text, ' '), s, {_CHUNK}))"
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+        return chunks.select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.md5(F.concat_ws(" ", "chunk")).alias("chunk_hash"),
+            F.size("chunk").cast("long").alias("chunk_len"),
+        ).filter((F.col("chunk_len") >= _MIN_TAIL) | (F.col("chunk_idx") == 0))
+
+    stream = spark.readStream.schema(docs.schema).parquet(inp)
+    sink = IdempotentBatchSink(str(tmp_path / "out"))
+    q = run_exactly_once(
+        chunk(stream), sink, str(tmp_path / "ckpt"), output_mode="append"
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_hash"], r["chunk_len"])
+        for r in sink.read_committed(spark).collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_hash"], r["chunk_len"])
+        for r in chunk(docs).collect()
+    }
+    assert got == want and len(want) > 0
