@@ -40,6 +40,26 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Every relation ordered_scan persists, so long-lived services can
+# release them: each call appends here, and unpersist_all() drains the
+# list. One-shot jobs (bench, crosscheck, tests) can ignore this — the
+# blocks die with the session — but without it repeated invocations in
+# one session accumulate MEMORY_AND_DISK blocks indefinitely.
+_PERSISTED: list[DataFrame] = []
+
+
+def unpersist_all() -> int:
+    """Unpersist every relation ordered_scan has cached; return count."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n
+
 
 def ordered_scan(
     df: DataFrame,
@@ -75,6 +95,7 @@ def ordered_scan(
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _PERSISTED.append(part)
     w = Window.partitionBy("_pid").orderBy(*order_exprs)
     wcum = w.rowsBetween(Window.unboundedPreceding, 0)
     local = part.select(
@@ -108,7 +129,17 @@ def ordered_scan(
     if rn is not None:
         proj.append((F.col("_lrn") + F.col("_off_rn")).alias(rn))
     for name in sums:
-        proj.append((F.col(f"_lcum_{name}") + F.col(f"_off_{name}")).alias(name))
+        # coalesce the LOCAL cumulative to 0 so an all-NULL prefix inside
+        # one range partition still picks up the earlier partitions' sum
+        # (a global window ignores NULLs, so its running sum there is the
+        # prior partitions' total, not NULL). Known residual difference:
+        # if EVERY value in the whole prefix is NULL the global window
+        # yields NULL where this yields 0.
+        proj.append(
+            (F.coalesce(F.col(f"_lcum_{name}"), F.lit(0)) + F.col(f"_off_{name}")).alias(
+                name
+            )
+        )
     out = out.select(*proj)
 
     if totals_of:
@@ -146,8 +177,14 @@ def global_ntile(
         totals_of=all_totals,
         num_partitions=num_partitions,
     )
+    # Integer arithmetic only: `div` is Spark SQL's integer division, so
+    # the identity stays exact at any N — IEEE-double floor((rn-1)*k/N)
+    # is exact only while N*k < 2^53, past which a boundary row could
+    # land in the wrong bucket. (rn-1)*k fits in a long for any
+    # realistic N, k.
     tile = (
-        F.floor((F.col("_rn") - F.lit(1)) * F.lit(k) / F.col("_n_total")) + F.lit(1)
+        F.expr(f"((_rn - CAST(1 AS BIGINT)) * CAST({int(k)} AS BIGINT)) div _n_total")
+        + F.lit(1)
     ).cast("long")
     keep = [F.col(c) for c in df.columns] + [tile.alias(out)]
     keep += [F.col(name) for name in (totals_of or {})]

@@ -156,12 +156,18 @@ def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
-        "c_custkey",
-        "c_acctbal",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
+    """Global acctbal quartiles over the customer grain — a grain that
+    grows with the dataset, so a bare ``Window.orderBy`` (one task sorts
+    everything) is the wrong plan at 100 TB. Uses the distributed
+    ordered-scan ntile (operators/scale.py): range repartition → local
+    row_numbers → triangular-join prefix offsets → integer-exact ANSI
+    identity ``ntile(k) = (rn-1)*k div N + 1``, bit-identical to the
+    single-node ``ntile`` the oracle runs."""
+    from kafka_flink_exactlyonce_example_spark.operators.scale import global_ntile
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return global_ntile(
+        c, [F.col("c_acctbal"), F.col("c_custkey")], 4, "quartile"
     )
 
 

@@ -156,7 +156,7 @@ def test_global_scan_family_has_no_unpartitioned_window(spark, registry_loaded):
     may appear, or the single-partition sort bottleneck is back."""
     for q in (
         "q_pareto", "q_rfm", "q_abc_class", "q_whale_curve", "q_skyline",
-        "q_zipf", "q_heaps", "q_concurrency",
+        "q_zipf", "q_heaps", "q_concurrency", "q_win_ntile",
     ):
         plan = plan_string(registry_loaded.QUERIES[q](spark, SMOKE_SF))
         bad = [
@@ -173,6 +173,6 @@ def test_global_scan_family_range_partitions(spark, registry_loaded):
     the bounded size domain instead)."""
     for q in (
         "q_pareto", "q_rfm", "q_abc_class", "q_whale_curve",
-        "q_zipf", "q_heaps", "q_concurrency",
+        "q_zipf", "q_heaps", "q_concurrency", "q_win_ntile",
     ):
         assert_in_plan(registry_loaded.QUERIES[q](spark, SMOKE_SF), "rangepartitioning")

@@ -58,6 +58,42 @@ def test_ordered_scan_totals_and_single_row(spark, nparts):
     assert row["_rn"] == 1 and row["cum"] == 42
 
 
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_ordered_scan_null_prefix_matches_window(spark, nparts):
+    """A range partition whose sums expression is NULL for every row so
+    far must still inherit the earlier partitions' running sum (global
+    windows skip NULLs) — the coalesce-to-0 path. Documented residual:
+    an all-NULL global prefix yields 0 here where a window yields NULL,
+    so the probe starts with a non-null row."""
+    from pyspark.sql import Window
+
+    rows = [(1, 10), (2, None), (3, None), (4, 5), (5, None), (6, 1)]
+    df = spark.createDataFrame(rows, "k int, v int")
+    got = {
+        r["k"]: r["cum"]
+        for r in ordered_scan(
+            df, [F.col("k")], sums={"cum": F.col("v")}, num_partitions=nparts
+        ).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["k"]: r["cum"]
+        for r in df.select("k", F.sum("v").over(w).alias("cum")).collect()
+    }
+    assert got == want
+
+
+def test_unpersist_all_releases_cached_scans(spark):
+    from kafka_flink_exactlyonce_example_spark.operators import scale
+
+    scale.unpersist_all()  # drain anything earlier tests left behind
+    df = spark.createDataFrame(ROWS, ["k", "v"])
+    ordered_scan(df, [F.col("k")], num_partitions=2).count()
+    assert len(scale._PERSISTED) == 1
+    assert scale.unpersist_all() == 1
+    assert not scale._PERSISTED
+
+
 @pytest.mark.parametrize("nparts", [1, 3, 16])
 def test_global_ntile_matches_builtin(spark, nparts):
     """The floor identity must equal Spark's own ntile for N not
