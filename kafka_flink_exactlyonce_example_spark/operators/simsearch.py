@@ -19,6 +19,7 @@ from kafka_flink_exactlyonce_example_spark.functions.similarity import (
     cosine_sql,
     dot,
     dot_sql,
+    l2_norm,
 )
 from kafka_flink_exactlyonce_example_spark.registry import query
 from kafka_flink_exactlyonce_example_spark.sources import table
@@ -66,27 +67,42 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_label_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Average intra-cluster cosine per label: equi-join on the label
-    (hash-partitioned, pairs never leave their label's partition)."""
+    """Average intra-cluster cosine per label via the MOMENT IDENTITY —
+    no pair join at all.
+
+    Over unit-normalized vectors û, the sum of all pairwise cosines in
+    a label is ``(‖Σû‖² − Σ‖û‖²) / 2 = (‖Σû‖² − n) / 2``, so the mean
+    over the n(n−1)/2 ordered pairs is ``(‖Σû‖² − n) / (n(n−1))``. One
+    linear pass: normalize map-side, posexplode to (label, dim)
+    partials, two keyed aggregates — O(n·d) work, no O(n²) pair scan
+    and no broadcast of a data-scaled relation. This replaces the
+    round-2 label-blocked broadcast pair join (pair count grew
+    quadratically within each of the fixed 10 labels); the oracle keeps
+    the literal pair-join AVG as an independent cross-check of the
+    identity."""
     emb = table(spark, sf_dir, "embeddings")
-    e1 = emb.select("label", F.col("vec_id").alias("v1"), F.col("embedding").alias("a"))
-    e2 = emb.select(
-        F.col("label").alias("label2"),
-        F.col("vec_id").alias("v2"),
-        F.col("embedding").alias("b"),
+    nrm = emb.select(
+        "label",
+        F.transform(
+            "embedding", lambda x: x.cast("double") / l2_norm(F.col("embedding"))
+        ).alias("u"),
     )
-    par = spark.sparkContext.defaultParallelism
-    return (
-        # broadcast the build side: a label-equi SMJ would shuffle into
-        # 10 heavily-skewed keys; BHJ streams pairs with no exchange.
-        # repartition the probe side: the table is one parquet partition
-        # at this size and the O(pairs·dim) dot products must spread.
-        e1.repartition(par)
-        .join(F.broadcast(e2), (e1.label == e2.label2) & (e1.v1 < e2.v2))
+    # per-(label, dim) component sums of û, then ‖Σû‖² per label
+    comp = (
+        nrm.select("label", F.posexplode("u").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.sum("val").alias("s"))
         .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.avg(cosine(F.col("a"), F.col("b"))), 6).alias("avg_sim"),
+        .agg(F.sum(F.col("s") * F.col("s")).alias("ssq"))
+    )
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    n = F.col("n").cast("double")
+    return (
+        counts.join(comp, "label")
+        .select(
+            "label",
+            ((F.col("n") * (F.col("n") - 1)) / 2).cast("long").alias("n_pairs"),
+            F.round((F.col("ssq") - n) / (n * (n - 1)), 6).alias("avg_sim"),
         )
     )
 

@@ -87,6 +87,16 @@ def test_pair_families_broadcast_block_side(spark, registry_loaded):
         assert_in_plan(registry_loaded.QUERIES[q](spark, SMOKE_SF), "BroadcastHashJoin")
 
 
+def test_label_sim_moment_identity_no_pair_join(spark, registry_loaded):
+    """q_label_sim is the closed-form moment identity: one linear pass,
+    no pair join. The quadratic form needed vec_id for its v1<v2
+    predicate, so the surest pin is that vec_id never appears in the
+    plan — and no nested-loop/cartesian join may exist either."""
+    df = registry_loaded.QUERIES["q_label_sim"](spark, SMOKE_SF)
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin", "CartesianProduct")
+    assert "vec_id" not in plan_string(df)
+
+
 def test_lateral_topk_decorrelates_to_group_limit(spark, registry_loaded):
     """The correlated LATERAL ... ORDER BY ... LIMIT must decorrelate to
     WindowGroupLimit (map-side partial top-k per group) + a join — never
