@@ -24,10 +24,11 @@ classic two-pass alternative, fully parallel end to end:
    and added to the local values.
 
 Global row_number = local + offset; global prefix sum likewise. A
-global ``ntile(k)`` follows from the ANSI identity
-``ntile(k) == floor((rn - 1) * k / N) + 1`` (first ``N mod k`` buckets
-take the extra row — the same rule Spark and DuckDB implement), so the
-oracle keeps using plain ``ntile`` while the Spark side stays parallel.
+global ``ntile(k)`` follows from the exact ANSI piecewise form (first
+``N mod k`` buckets take ``N div k + 1`` rows, the rest ``N div k`` —
+the same rule Spark and DuckDB implement; see :func:`global_ntile`),
+so the oracle keeps using plain ``ntile`` while the Spark side stays
+parallel.
 
 Reference parity note: the reference (a ~150-line Flink word-count demo,
 SURVEY.md §0 ``[R]``) has no global-sort surface; this module exists for
@@ -160,10 +161,21 @@ def global_ntile(
 ) -> DataFrame:
     """Global ``ntile(k)`` in the given total order, no global window.
 
-    ``floor((rn-1)*k/N) + 1`` reproduces ANSI ntile exactly: with
-    ``N = q*k + r`` the first ``r`` buckets get ``q+1`` rows — the rule
-    both Spark's and DuckDB's ``ntile`` implement, so results are
-    bit-identical to the single-node form the oracle runs.
+    Uses the exact ANSI piecewise form. With ``N = q*k + r`` the first
+    ``r`` buckets get ``q+1`` rows and the rest ``q`` (the rule both
+    Spark's and DuckDB's ``ntile`` implement), so with ``T = (q+1)*r``:
+
+    - ``rn <= T``  → ``ceil(rn / (q+1)) = (rn + q) div (q+1)``
+    - ``rn  > T``  → ``r + ceil((rn - T) / q)``
+
+    (The simpler ``floor((rn-1)*k/N) + 1`` identity an earlier round
+    used is NOT ntile once ``N mod k >= 2`` — it spreads the remainder
+    rows over alternating buckets instead of the first ``r``; caught by
+    the sf0.001 parity run where N=150, k=4 puts row 76 in bucket 3
+    instead of ANSI's bucket 2.) All arithmetic is integer ``div``/
+    ``%``, exact at any N; when ``N < k`` the first branch always takes
+    (``T = N``) and yields ``bucket = rn``, matching ANSI, so the
+    ``q = 0`` division in the untaken ELSE never evaluates.
 
     ``totals_of`` passes through to :func:`ordered_scan` for callers
     that also need grand totals (computed from the same persisted scan).
@@ -177,14 +189,14 @@ def global_ntile(
         totals_of=all_totals,
         num_partitions=num_partitions,
     )
-    # Integer arithmetic only: `div` is Spark SQL's integer division, so
-    # the identity stays exact at any N — IEEE-double floor((rn-1)*k/N)
-    # is exact only while N*k < 2^53, past which a boundary row could
-    # land in the wrong bucket. (rn-1)*k fits in a long for any
-    # realistic N, k.
-    tile = (
-        F.expr(f"((_rn - CAST(1 AS BIGINT)) * CAST({int(k)} AS BIGINT)) div _n_total")
-        + F.lit(1)
+    kk = int(k)
+    tile = F.expr(
+        f"CASE WHEN _rn <= ((_n_total div {kk}) + 1) * (_n_total % {kk}) "
+        f"THEN (_rn + (_n_total div {kk})) div ((_n_total div {kk}) + 1) "
+        f"ELSE (_n_total % {kk}) "
+        f"  + (_rn - ((_n_total div {kk}) + 1) * (_n_total % {kk}) "
+        f"     + (_n_total div {kk}) - 1) div (_n_total div {kk}) "
+        f"END"
     ).cast("long")
     keep = [F.col(c) for c in df.columns] + [tile.alias(out)]
     keep += [F.col(name) for name in (totals_of or {})]

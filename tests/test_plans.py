@@ -81,10 +81,22 @@ def test_interval_join_is_hash_join(spark, registry_loaded):
 
 
 def test_pair_families_broadcast_block_side(spark, registry_loaded):
-    """Candidate-pair generators broadcast the build side (the blocked
-    dim-sized table) so the probe scan never shuffles."""
-    for q in ("q_embed_dup", "q_edit_distance"):
-        assert_in_plan(registry_loaded.QUERIES[q](spark, SMOKE_SF), "BroadcastHashJoin")
+    """q_edit_distance still broadcasts its genuinely-bounded build
+    side; q_embed_dup/q_semdedup no longer FORCE a broadcast of the
+    data-scaled corpus — their pair joins are shuffle equi-joins on the
+    corpus-scaled (label, cell) key (AQE may still pick broadcast at
+    toy scale, which is fine), and must never degrade to a
+    nested-loop/cartesian product."""
+    assert_in_plan(
+        registry_loaded.QUERIES["q_edit_distance"](spark, SMOKE_SF),
+        "BroadcastHashJoin",
+    )
+    for q in ("q_embed_dup", "q_semdedup"):
+        assert_not_in_plan(
+            registry_loaded.QUERIES[q](spark, SMOKE_SF),
+            "BroadcastNestedLoopJoin",
+            "CartesianProduct",
+        )
 
 
 def test_label_sim_moment_identity_no_pair_join(spark, registry_loaded):

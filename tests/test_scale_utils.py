@@ -95,21 +95,24 @@ def test_unpersist_all_releases_cached_scans(spark):
 
 
 @pytest.mark.parametrize("nparts", [1, 3, 16])
-def test_global_ntile_matches_builtin(spark, nparts):
-    """The floor identity must equal Spark's own ntile for N not
-    divisible by k (first N mod k buckets take the extra row)."""
+@pytest.mark.parametrize("ntiles", [3, 4, 7, 15])
+def test_global_ntile_matches_builtin(spark, nparts, ntiles):
+    """The piecewise form must equal Spark's own ntile across remainder
+    regimes: N=10 with k=3 (r=1), k=4 (r=2 — the case the old floor
+    identity got wrong), k=7 (q=1, r=3), and k=15 > N (every row its
+    own bucket)."""
     from pyspark.sql import Window
 
     df = spark.createDataFrame(ROWS, ["k", "v"])
     order = [F.col("v").desc(), F.col("k")]
     got = {
         r["k"]: r["t"]
-        for r in global_ntile(df, order, 3, "t", num_partitions=nparts).collect()
+        for r in global_ntile(df, order, ntiles, "t", num_partitions=nparts).collect()
     }
     want = {
         r["k"]: r["t"]
         for r in df.select(
-            "k", F.ntile(3).over(Window.orderBy(*order)).cast("long").alias("t")
+            "k", F.ntile(ntiles).over(Window.orderBy(*order)).cast("long").alias("t")
         ).collect()
     }
     assert got == want
