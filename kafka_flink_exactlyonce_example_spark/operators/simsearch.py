@@ -833,3 +833,79 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("p_id").alias("vec_id"), F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg10"))
     )
+
+
+@query(
+    "q_embed_outliers",
+    oracle=f"""
+    WITH cent AS (
+        SELECT label, list(m ORDER BY i) AS c
+        FROM (
+            SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+            FROM embeddings, generate_series(1, 64) t(i)
+            GROUP BY label, i
+        )
+        GROUP BY label
+    ), scored AS (
+        SELECT e.vec_id, e.label,
+               ROUND(list_sum(list_transform(list_zip(e.embedding, cent.c),
+                   p -> (CAST(p[1] AS DOUBLE) - p[2])
+                        * (CAST(p[1] AS DOUBLE) - p[2]))), 6) AS dist2
+        FROM embeddings e JOIN cent USING (label)
+    )
+    SELECT vec_id, label, dist2,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY label
+                                     ORDER BY dist2 DESC, vec_id) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 3
+    """,
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier report: the 3 vectors farthest (squared
+    L2) from their cluster centroid, per label — the quality pass that
+    surfaces mislabeled / corrupted / adversarial embeddings before
+    they poison a similarity index or a semdedup run.
+
+    Plan: centroids via the posexplode moment pass (label-grain,
+    broadcast), distance as ONE deterministic left-to-right zip_with
+    fold per vector (mirroring the oracle's list_zip chain so both
+    engines accumulate in identical order), then a top-3-per-group
+    window on the rounded score. The window partitions by label —
+    bounded key count, and the per-partition sort is the same
+    spill-safe shape as q_topk_per_group; at extreme scale you'd chain
+    the group-limit optimization (rank <= k pushes down to a partial
+    top-k per partition in Spark's WindowGroupLimit, visible in the
+    plan)."""
+    emb = table(spark, sf_dir, "embeddings")
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cent = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+            ).alias("c")
+        )
+    )
+    dist2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "c",
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", F.round(dist2, 6).alias("dist2")
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dist2").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("vec_id", "label", "dist2", "rnk")
+    )

@@ -1214,3 +1214,282 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lang_share"),
     )
+
+
+@query(
+    "q_c4_rules",
+    oracle=f"""
+    WITH flags AS (
+        SELECT lang,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                                         w -> w <> '')) < 20
+                    THEN 1 ELSE 0 END AS f_short,
+               CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                                         w -> w IN {_STOP_SQL})) = 0
+                    THEN 1 ELSE 0 END AS f_no_stop,
+               CASE WHEN regexp_matches(text, '[.!?]\\s*$')
+                    THEN 0 ELSE 1 END AS f_no_punct,
+               CASE WHEN list_max(list_transform(
+                        list_filter(string_split(text, ' '), w -> w <> ''),
+                        w -> len(w))) > 15
+                    THEN 1 ELSE 0 END AS f_long_word
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(f_short) AS BIGINT) AS n_too_short,
+           CAST(SUM(f_no_stop) AS BIGINT) AS n_no_stopword,
+           CAST(SUM(f_no_punct) AS BIGINT) AS n_no_terminal_punct,
+           CAST(SUM(f_long_word) AS BIGINT) AS n_long_word,
+           CAST(SUM(CASE WHEN f_short = 0 AND f_no_stop = 0
+                         AND f_long_word = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keep
+    FROM flags GROUP BY lang
+    """,
+)
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style heuristic filter census per language: too-short docs
+    (<20 words), docs with no stopword, docs without terminal
+    punctuation, docs with an over-long word (>15 chars), and the keep
+    count under the data-relevant rules (the terminal-punctuation rule
+    is census-only here — the synthetic corpus has no punctuation at
+    all, so gating on it would zero the keep set; in a real C4 run it
+    joins the conjunction). Every flag is a native regexp/array
+    expression evaluated map-side in one scan — the whole census is
+    one shuffle (the lang groupBy), linear at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    f_short = (F.size(words) < 20).cast("int")
+    f_no_stop = (
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "),
+                lambda w: F.array_contains(stop_arr, w),
+            )
+        )
+        == 0
+    ).cast("int")
+    f_no_punct = (~F.col("text").rlike("[.!?]\\s*$")).cast("int")
+    f_long = (F.array_max(F.transform(words, F.length)) > 15).cast("int")
+    flags = d.select(
+        "lang",
+        f_short.alias("f_short"),
+        f_no_stop.alias("f_no_stop"),
+        f_no_punct.alias("f_no_punct"),
+        f_long.alias("f_long"),
+    )
+    return flags.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f_short").alias("n_too_short"),
+        F.sum("f_no_stop").alias("n_no_stopword"),
+        F.sum("f_no_punct").alias("n_no_terminal_punct"),
+        F.sum("f_long").alias("n_long_word"),
+        F.sum(
+            F.when(
+                (F.col("f_short") == 0)
+                & (F.col("f_no_stop") == 0)
+                & (F.col("f_long") == 0),
+                1,
+            ).otherwise(0)
+        ).alias("n_keep"),
+    )
+
+
+@query(
+    "q_mixture_weights",
+    oracle="""
+    WITH per_src AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(list_filter(string_split(text, ' '),
+                                        w -> w <> ''))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), shared AS (
+        SELECT *,
+               CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS nat_share,
+               pow(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 0.7)
+                   AS w_raw
+        FROM per_src
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(nat_share, 6) AS nat_share,
+           ROUND(w_raw / SUM(w_raw) OVER (), 6) AS weight,
+           ROUND(1000000 * w_raw / SUM(w_raw) OVER (), 3)
+               AS expected_tokens_per_m
+    FROM shared
+    """,
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mixture weights per source — the
+    sampling-weight table every multi-source training run needs:
+    natural token share p_s, resampling weight w_s ∝ p_s^(1/T) with
+    T ≈ 1.43 (exponent 0.7 — upweights small sources, the multilingual
+    -sampling trick), and expected tokens per 1M-token batch.
+
+    Scale shape: one linear scan aggregates tokens per source (the
+    map-side sum of an array length — the token stream is never
+    exploded), then all shares/normalizations happen on the SOURCE
+    grain, which is bounded (20 rows here; thousands at worst in a
+    real crawl), so the unpartitioned window sums are metadata-scale,
+    not data-scale."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("n_tokens"),
+    )
+    tot = per_src.agg(F.sum("n_tokens").cast("double").alias("_t"))
+    shared = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("_t")).alias("nat_share"),
+        F.pow(F.col("n_tokens").cast("double") / F.col("_t"), 0.7).alias("w_raw"),
+    )
+    wtot = shared.agg(F.sum("w_raw").alias("_w"))
+    return shared.crossJoin(F.broadcast(wtot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("nat_share", 6).alias("nat_share"),
+        F.round(F.col("w_raw") / F.col("_w"), 6).alias("weight"),
+        F.round(F.lit(1000000) * F.col("w_raw") / F.col("_w"), 3).alias(
+            "expected_tokens_per_m"
+        ),
+    )
+
+
+@query(
+    "q_bigram_ppl",
+    oracle="""
+    WITH arrs AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), w -> w <> '') AS arr
+        FROM documents
+    ), bgs AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(arr)),
+                                     i -> arr[i] || ' ' || arr[i + 1])) AS bg
+        FROM arrs WHERE len(arr) >= 2
+    ), c12 AS (
+        SELECT bg, CAST(COUNT(*) AS DOUBLE) AS c FROM bgs GROUP BY bg
+    ), c1 AS (
+        SELECT split_part(bg, ' ', 1) AS w1,
+               CAST(COUNT(*) AS DOUBLE) AS c
+        FROM bgs GROUP BY split_part(bg, ' ', 1)
+    ), vocab AS (
+        SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
+        FROM (SELECT unnest(arr) AS w FROM arrs)
+    )
+    SELECT b.doc_id, any_value(b.lang) AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-ln((c12.c + 1) / (c1.c + vocab.v))), 6) AS ce
+    FROM bgs b
+    JOIN c12 ON c12.bg = b.bg
+    JOIN c1 ON c1.w1 = split_part(b.bg, ' ', 1)
+    CROSS JOIN vocab
+    GROUP BY b.doc_id
+    """,
+)
+def q_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram cross-entropy under the corpus's own add-1
+    -smoothed bigram LM — the sequence-aware sibling of q_unigram_ce
+    (KenLM-style LM filtering, degenerated to a self-model):
+    ce(doc) = avg over bigrams of −ln[(c(w1w2)+1) / (c(w1·)+V)].
+    Low = formulaic word order, high = shuffled-bag text; both are
+    filter targets a unigram model cannot see.
+
+    Plan: bigrams via the same sequence→concat chain as q_near_dup's
+    shingles (map-side, zero shuffles to build), corpus counts are two
+    groupBys on the bounded bigram/unigram vocabulary, and the scoring
+    join BROADCASTS those model tables onto the bigram stream — the
+    CCNet shape: model tiny, stream linear, swap the self-model table
+    for a reference LM's table and the plan is unchanged."""
+    d = table(spark, sf_dir, "documents")
+    arr = F.filter(F.split("text", " "), lambda w: w != "")
+    arrs = d.select("doc_id", "lang", arr.alias("arr")).filter(F.size("arr") >= 2)
+    bgs = arrs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(arr) - 1),"
+                " i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    c12 = bgs.groupBy("bg").agg(F.count(F.lit(1)).cast("double").alias("c12"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    c1 = (
+        bgs.select(w1.alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    )
+    vocab = (
+        d.select(F.explode(arr).alias("w"))
+        .agg(F.countDistinct("w").cast("double").alias("v"))
+    )
+    return (
+        bgs.join(F.broadcast(c12), "bg")
+        .join(F.broadcast(c1), w1 == F.col("w1"))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(-F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v")))), 6
+            ).alias("ce"),
+        )
+    )
+
+
+@query(
+    "q_source_dup_rate",
+    oracle="""
+    WITH hashes AS (
+        SELECT doc_id, source, md5(lower(trim(text))) AS h FROM documents
+    ), counts AS (
+        SELECT h, COUNT(*) AS n_copies FROM hashes GROUP BY h
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+           ROUND(SUM(CASE WHEN n_copies > 1 THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*), 6) AS dup_rate
+    FROM hashes JOIN counts USING (h)
+    GROUP BY source
+    """,
+)
+def q_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source — the per-provenance data-quality
+    report that decides which crawl/source needs dedup attention before
+    mixing (a doc counts as duplicated if its normalized-text digest
+    appears more than once ANYWHERE in the corpus, so cross-source
+    copies count for both sources). Digest groupBy + one shuffle join
+    back on the 16-byte hash (never the text), then a source-grain
+    rollup: three linear stages, no data-scaled broadcast."""
+    d = table(spark, sf_dir, "documents")
+    hashes = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("h"),
+    )
+    counts = hashes.groupBy("h").agg(F.count(F.lit(1)).alias("n_copies"))
+    return (
+        hashes.join(counts, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).alias(
+                "n_dup_docs"
+            ),
+            F.round(
+                F.sum(F.when(F.col("n_copies") > 1, 1.0).otherwise(0.0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_rate"),
+        )
+    )
