@@ -162,5 +162,57 @@ def main() -> None:
         )
 
 
+    # corpus-scaled IVF cell blocking (operators/dedup._ivf_cells): the
+    # embedding corpus grows mult× (shifted vec_ids) while _CELL_TARGET
+    # is pinned small so the k ∝ √n split path actually runs. Healthy =
+    # pairs-per-vector grows ~√mult (block size B = n/k ∝ √n at the
+    # balanced IVF operating point — assignment n·k and pair scan n·B
+    # meet at n^1.5); fixed-label blocking grows it ∝ mult (quadratic
+    # total pairs), the round-2 weak flag this blocking replaced.
+    # Measured at sf0.1: x1 → 99.8 pairs/vec, x10 → 206.6 (2.07×,
+    # vs 10× under label blocking).
+    from kafka_flink_exactlyonce_example_spark.operators import dedup as ddp
+
+    ddp._CELL_TARGET = 64
+    ddp._SEED_MOD = 16
+    emb0 = table(spark, sf_dir, "embeddings")
+    n0 = emb0.count()
+    base_ppv = None
+    for mult in multiples:
+        parts = [
+            emb0.select(
+                (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                "label",
+                "embedding",
+            )
+            for i in range(mult)
+        ]
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        t0 = time.perf_counter()
+        cells = ddp._ivf_cells(big)
+        a = cells.select(F.col("vec_id").alias("va"), "label", "cell")
+        b = cells.select(
+            F.col("vec_id").alias("vb"),
+            F.col("label").alias("lb"),
+            F.col("cell").alias("cb"),
+        )
+        n_pairs = a.join(
+            b,
+            (a.label == b.lb) & (a.cell == b.cb) & (F.col("va") < F.col("vb")),
+        ).count()
+        dt = time.perf_counter() - t0
+        n = n0 * mult
+        ppv = n_pairs / n
+        if base_ppv is None:
+            base_ppv = ppv
+        print(
+            f"ivf   x{mult:<3d} vecs={n:7d}  pairs={n_pairs:9d}  "
+            f"pairs/vec={ppv:7.1f}  wall={dt:6.2f}s  "
+            f"ppv_vs_x1={ppv / base_ppv:4.2f}"
+        )
+
+
 if __name__ == "__main__":
     main()
