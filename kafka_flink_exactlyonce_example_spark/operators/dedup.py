@@ -118,10 +118,10 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query(
-    "q_jaccard_pairs",
-    oracle=_MINHASH_CTES
-    + """    , cand AS (
+# LSH candidates + exact word-set Jaccard scoring — shared between the
+# graded verifier (q_jaccard_pairs) and the scale-path CC labeling
+# (q_lsh_dup_groups). Appends to _MINHASH_CTES.
+_LSH_SCORED_CTES = """    , cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM capped a
         JOIN capped b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
@@ -143,6 +143,14 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN sets sa ON sa.doc_id = c.doc_a
         JOIN sets sb ON sb.doc_id = c.doc_b AND sa.lang = sb.lang
     )
+"""
+
+
+@query(
+    "q_jaccard_pairs",
+    oracle=_MINHASH_CTES
+    + _LSH_SCORED_CTES
+    + """
     SELECT doc_a, doc_b,
            ROUND(n_common / (n_sum - n_common), 6) AS jaccard
     FROM scored
@@ -427,12 +435,22 @@ def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cache_key in _DUP_LABELS_CACHE:
         return _DUP_LABELS_CACHE[cache_key]
     d = table(spark, sf_dir, "documents")
+    edges = _jaccard_scored_pairs(spark, sf_dir)  # materialized once/session
+    labels = _cc_min_label(spark, d, edges)
+    _DUP_LABELS_CACHE[cache_key] = labels
+    return labels
+
+
+def _cc_min_label(spark: SparkSession, d: DataFrame, edges: DataFrame) -> DataFrame:
+    """Pregel-style min-label connected components over (doc_a, doc_b)
+    edges; returns (doc_id, group_id) labels, localCheckpoint'ed. The
+    loop body q_dup_groups documents — shared so the scale-path LSH
+    edge set (q_lsh_dup_groups) runs the identical algorithm."""
     # per-round stages are small (labels = 1 row/vertex), so fixed task
     # overhead dominates at full parallelism — run the loop at 1/4 the
     # cores (measured 3x faster at sf0.1; still 250 tasks on a
     # 1000-core cluster, where edge volume grows into them)
     par = max(4, spark.sparkContext.defaultParallelism // 4)
-    edges = _jaccard_scored_pairs(spark, sf_dir)  # materialized once/session
     sym = (
         edges.select(
             F.explode(
@@ -487,7 +505,6 @@ def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     sym.unpersist()
-    _DUP_LABELS_CACHE[cache_key] = labels
     return labels
 
 
@@ -1256,4 +1273,77 @@ def q_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_groups"),
         F.sum("group_size").alias("n_docs"),
         F.sum(F.col("group_size") - 1).alias("n_removable"),
+    )
+
+
+@query(
+    "q_lsh_dup_groups",
+    oracle=_MINHASH_CTES.replace("WITH", "WITH RECURSIVE", 1)
+    + _LSH_SCORED_CTES
+    + """
+    , edges AS (
+        SELECT doc_a, doc_b FROM scored
+        WHERE n_common / (n_sum - n_common) >= 0.8
+    ), sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION ALL
+        SELECT doc_b, doc_a FROM edges
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    labels AS (
+        SELECT d.doc_id, d.lang,
+               LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS group_id
+        FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        GROUP BY d.doc_id, d.lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT group_id) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - COUNT(DISTINCT group_id) AS BIGINT) AS n_dropped,
+           ROUND(1.0 - CAST(COUNT(DISTINCT group_id) AS DOUBLE) / COUNT(*), 6)
+               AS drop_rate
+    FROM labels GROUP BY lang
+    """,
+)
+def q_lsh_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-yield report over the SCALE-PATH near-dup graph: connected
+    components computed on the LSH-candidate-verified edge set
+    (q_jaccard_pairs — capped banded MinHash candidates, exact
+    word-set Jaccard ≥ 0.8 within lang), then per language: docs in,
+    groups out (one survivor per component), drop count and rate.
+
+    This is the end-to-end composition a 100 TB dedup actually runs —
+    LSH generate → exact verify → CC → keep one per group — with every
+    stage linear-ish in the corpus: candidates bounded by _MAX_BUCKET,
+    scoring joins keyed on doc_id, and the identical Pregel
+    min-propagation + pointer-jumping loop q_dup_groups documents
+    (shared _cc_min_label), O(log diameter) rounds. The exhaustive
+    within-lang edge relation (q_dup_groups) remains the small-N
+    ground-truth twin; this query is the one whose plan survives the
+    scale-up. Oracle: DuckDB recursive-CTE closure over the identical
+    edge definition — an independent algorithm, same fixpoint."""
+    d = table(spark, sf_dir, "documents")
+    # edges: the LSH-scored verifier's output (doc_a, doc_b)
+    from kafka_flink_exactlyonce_example_spark.registry import QUERIES
+
+    edges = QUERIES["q_jaccard_pairs"](spark, sf_dir).select("doc_a", "doc_b")
+    labels = _cc_min_label(spark, d.select("doc_id"), edges)
+    return (
+        d.select("doc_id", "lang")
+        .join(labels, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("group_id").alias("n_kept"),
+            (F.count(F.lit(1)) - F.countDistinct("group_id")).alias("n_dropped"),
+            F.round(
+                F.lit(1.0)
+                - F.countDistinct("group_id").cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("drop_rate"),
+        )
     )
