@@ -777,3 +777,60 @@ def test_streaming_chunk_split_matches_batch(spark, tmp_path):
         for r in chunk(docs).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_c4_flags_match_batch(spark, tmp_path):
+    """The q_c4_rules per-document FLAG stage is stateless map-side
+    expression work (regexp + array predicates, no shuffle), so the
+    identical logical plan must run as a streaming transform and emit
+    the same flags per doc — the property that lets the C4-style
+    ingest filter gate documents ON THE STREAM, dropping rejects
+    before they ever hit storage, with zero state-store cost (only
+    the census rollup is stateful, and that runs downstream)."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_exactlyonce_example_spark.operators.textstats import (
+        _STOPWORDS,
+    )
+    from kafka_flink_exactlyonce_example_spark.sources import table
+
+    docs = table(spark, SMOKE_SF, "documents")
+    inp = str(tmp_path / "in")
+    docs.write.parquet(inp)
+
+    def flags(df):
+        words = F.filter(F.split("text", " "), lambda w: w != "")
+        stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+        return df.select(
+            "doc_id",
+            (F.size(words) < 20).cast("int").alias("f_short"),
+            (
+                F.size(
+                    F.filter(
+                        F.split(F.lower(F.col("text")), " "),
+                        lambda w: F.array_contains(stop_arr, w),
+                    )
+                )
+                == 0
+            ).cast("int").alias("f_no_stop"),
+            (~F.col("text").rlike("[.!?]\\s*$")).cast("int").alias("f_no_punct"),
+            (F.array_max(F.transform(words, F.length)) > 15)
+            .cast("int")
+            .alias("f_long"),
+        )
+
+    stream = spark.readStream.schema(docs.schema).parquet(inp)
+    sink = IdempotentBatchSink(str(tmp_path / "out"))
+    q = run_exactly_once(
+        flags(stream), sink, str(tmp_path / "ckpt"), output_mode="append"
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["f_short"], r["f_no_stop"], r["f_no_punct"], r["f_long"])
+        for r in sink.read_committed(spark).collect()
+    }
+    want = {
+        r["doc_id"]: (r["f_short"], r["f_no_stop"], r["f_no_punct"], r["f_long"])
+        for r in flags(docs).collect()
+    }
+    assert got == want and len(want) > 0
