@@ -575,6 +575,21 @@ _CELL_TARGET = 4096
 _SEED_MOD = 1024
 
 
+# cell assignment per (session, sf): q_embed_dup and q_semdedup share
+# the same blocking relation — materialize once (same policy as the
+# MinHash signature cache).
+_IVF_CELLS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _ivf_cells_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = _session_key(spark, sf_dir)
+    if key not in _IVF_CELLS_CACHE:
+        _IVF_CELLS_CACHE[key] = _ivf_cells(
+            table(spark, sf_dir, "embeddings")
+        ).localCheckpoint()
+    return _IVF_CELLS_CACHE[key]
+
+
 def _ivf_cells(e: DataFrame) -> DataFrame:
     """Corpus-scaled blocking key for the embedding pair-join family.
 
@@ -675,7 +690,7 @@ def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (intra-cluster sims peak ~0.47; real near-dup pipelines use ~0.95
     on tighter embeddings).
     """
-    e = _ivf_cells(table(spark, sf_dir, "embeddings"))
+    e = _ivf_cells_for(spark, sf_dir)
     # norms are per-ROW quantities: compute them once per side before
     # the join (not per pair — that would triple the array traversals
     # in the pair loop). sqrt(dot(v,v)) here is the same FP op chain as
@@ -764,7 +779,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the label and the label-blocked oracle stays exact.
     """
     raw = table(spark, sf_dir, "embeddings")
-    e = _ivf_cells(raw)
+    e = _ivf_cells_for(spark, sf_dir)
     dims = raw.select("label", F.posexplode("embedding").alias("dim", "v"))
     cent = (
         dims.groupBy("label", "dim")
