@@ -65,6 +65,14 @@ ORDER_SENSITIVE = [
     "q_coverage_gaps",
     "q_drawdown",
     "q_whale_curve",
+    # round 3: distributed ntile (range-partition boundary placement),
+    # hash-seeded IVF cell assignment + argmax ties, LSH-candidate
+    # scoring, top-k-per-label outliers, fixed hash-sampled probes
+    "q_win_ntile",
+    "q_embed_dup",
+    "q_jaccard_pairs",
+    "q_lsh_dup_groups",
+    "q_embed_outliers",
 ]
 
 
