@@ -1493,3 +1493,162 @@ def q_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+@query(
+    "q_gram_novelty",
+    oracle="""
+    WITH arr AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id, lang,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+                                     i -> concat_ws(' ', w[i], w[i + 1])))
+                   AS shingle
+        FROM arr
+    ),
+    freq AS (
+        SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM shingles GROUP BY shingle
+    )
+    SELECT s.doc_id, any_value(s.lang) AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           ROUND(SUM(CASE WHEN f.n_docs = 1 THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*), 6) AS novelty
+    FROM shingles s JOIN freq f USING (shingle)
+    GROUP BY s.doc_id
+    """,
+)
+def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 2-gram novelty: the fraction of a doc's distinct
+    word bigrams that occur in NO other document — low novelty means
+    boilerplate/recombined text (memorization risk in reverse: the doc
+    adds nothing the corpus doesn't already have), high novelty means
+    genuinely new sequences. The same signal dataset curators use to
+    pick what to keep when a token budget forces pruning.
+
+    Plan: the q_near_dup shingle chain (map-side sequence+concat,
+    distinct per doc), ONE shuffle to count document frequency per
+    gram, then a shuffle equi-join back on the gram key (the gram
+    relation is data-scaled — never broadcast) and a per-doc rollup.
+    Since the shingle relation is distinct per (doc, gram), COUNT(*)
+    per gram IS document frequency — no countDistinct needed."""
+    d = table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    shingles = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
+                    " i -> concat_ws(' ', element_at(split(text, ' '), i),"
+                    " element_at(split(text, ' '), i + 1)))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        shingles.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0)).alias("n_novel"),
+            F.round(
+                F.sum(F.when(F.col("n_docs") == 1, 1.0).otherwise(0.0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+@query(
+    "q_vocab_drift",
+    oracle="""
+    WITH assigned AS (
+        SELECT CASE WHEN CAST(CAST(concat('0x', substring(md5(text), 1, 8))
+                                   AS UBIGINT) % 100 AS BIGINT) < 90
+                    THEN 'train' ELSE 'other' END AS split,
+               text
+        FROM documents
+    ), words AS (
+        SELECT split, unnest(string_split(text, ' ')) AS word FROM assigned
+    ), wf AS (SELECT * FROM words WHERE word <> ''),
+    counts AS (
+        SELECT word,
+               CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS c_tr,
+               CAST(SUM(CASE WHEN split = 'other' THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS c_ot
+        FROM wf GROUP BY word
+    ), tot AS (
+        SELECT SUM(c_tr) AS n_tr, SUM(c_ot) AS n_ot,
+               CAST(COUNT(*) AS DOUBLE) AS v
+        FROM counts
+    ), llr AS (
+        SELECT word, CAST(c_tr AS BIGINT) AS n_train,
+               CAST(c_ot AS BIGINT) AS n_other,
+               ROUND(ln((c_tr + 0.5) / (n_tr + 0.5 * v))
+                     - ln((c_ot + 0.5) / (n_ot + 0.5 * v)), 6) AS log_odds
+        FROM counts CROSS JOIN tot
+    )
+    SELECT word, n_train, n_other, log_odds
+    FROM llr
+    ORDER BY round(abs(log_odds), 6) DESC, word
+    LIMIT 10
+    """,
+)
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-holdout vocabulary drift: the 10 words with the largest
+    smoothed log-odds ratio between the content-hash train split
+    (q_train_split's rule, bucket < 90) and the rest — the check that a
+    hash split didn't accidentally concentrate a topic/source on one
+    side, and the same statistic (add-½ smoothed LLR) used to detect
+    distribution shift between dataset versions.
+
+    Plan: one scan assigns splits map-side (content hash, no shuffle),
+    one groupBy on the word key, totals from the bounded vocab grain
+    broadcast back, global top-10 as TakeOrdered on the ROUNDED
+    absolute statistic (+ word tie-break) so both engines rank
+    identically."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    words = d.select(
+        F.when(bucket < 90, "train").otherwise("other").alias("split"),
+        F.explode(F.split("text", " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    counts = words.groupBy("word").agg(
+        F.sum(F.when(F.col("split") == "train", 1.0).otherwise(0.0)).alias("c_tr"),
+        F.sum(F.when(F.col("split") == "other", 1.0).otherwise(0.0)).alias("c_ot"),
+    )
+    tot = counts.agg(
+        F.sum("c_tr").alias("n_tr"),
+        F.sum("c_ot").alias("n_ot"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    llr = F.round(
+        F.log((F.col("c_tr") + 0.5) / (F.col("n_tr") + 0.5 * F.col("v")))
+        - F.log((F.col("c_ot") + 0.5) / (F.col("n_ot") + 0.5 * F.col("v"))),
+        6,
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "word",
+            F.col("c_tr").cast("long").alias("n_train"),
+            F.col("c_ot").cast("long").alias("n_other"),
+            llr.alias("log_odds"),
+        )
+        .orderBy(F.round(F.abs(F.col("log_odds")), 6).desc(), "word")
+        .limit(10)
+    )

@@ -198,3 +198,29 @@ def test_global_scan_family_range_partitions(spark, registry_loaded):
         "q_zipf", "q_heaps", "q_concurrency", "q_win_ntile",
     ):
         assert_in_plan(registry_loaded.QUERIES[q](spark, SMOKE_SF), "rangepartitioning")
+
+
+def test_bigram_model_tables_broadcast(spark, registry_loaded):
+    """q_bigram_ppl's scoring stage must broadcast the bounded model
+    tables (bigram/unigram counts) onto the bigram stream — the CCNet
+    shape — and never degrade to a nested-loop join."""
+    df = registry_loaded.QUERIES["q_bigram_ppl"](spark, SMOKE_SF)
+    assert_in_plan(df, "BroadcastHashJoin")
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_gram_novelty_no_broadcast_of_gram_relation(spark, registry_loaded):
+    """q_gram_novelty's gram-frequency join is on a DATA-SCALED key
+    relation — the code must not force it broadcast (no literal
+    F.broadcast), and the plan must stay equi-join (no BNLJ)."""
+    df = registry_loaded.QUERIES["q_gram_novelty"](spark, SMOKE_SF)
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin", "CartesianProduct")
+
+
+def test_vocab_drift_is_take_ordered(spark, registry_loaded):
+    """The global top-10 must plan as TakeOrderedAndProject, not a full
+    sort."""
+    assert_in_plan(
+        registry_loaded.QUERIES["q_vocab_drift"](spark, SMOKE_SF),
+        "TakeOrderedAndProject",
+    )
