@@ -42,74 +42,89 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # The driver's correctness gate grades the FIRST 50 keys of ``queries()``
 # in dict-insertion order (observed round 1: CORRECTNESS_r01.json ==
-# list(QUERIES)[:50]). These 50 span every SURVEY.md §2 family so each
-# gets a driver-issued green row: the reference-core streaming analogs
-# (§2.1/§2.9) first, then the full §2.10 LLM-pipeline surface, then one
-# representative per relational family (§2.2–§2.8, §2.11). Registration
-# order is grading-window only — all queries run identically either way.
+# list(QUERIES)[:50]). Registration order is grading-window only — all
+# queries run identically either way.
+#
+# Round-4 window policy (VERDICT r03 item 1): the rotation list is
+# derived FROM DATA — ``set(union of CORRECTNESS_r01..r03 keys)`` — not
+# from memory (round 3's rotation re-graded six already-graded keys).
+# The window holds (a) one keep per SURVEY §2 family whose members are
+# all already driver-graded, (b) every key whose IMPLEMENTATION changes
+# this round (the CC trio now on LSH-verified edges, adaptive-K
+# q_ann_lsh, shingle-cached q_gram_novelty, de-weaked q_win_ntile) so
+# the new plans earn fresh driver rows, and (c) 37 keys that have NEVER
+# had a driver row in any round — led by the two ungraded §2.8 core keys
+# q_math_funcs / q_array_funcs, then the never-graded LLM-pipeline and
+# analytics surface. tests/test_registry_order.py asserts the
+# first-ever property against the CORRECTNESS_r0*.json files directly.
+_ROTATED_IN_R4: tuple[str, ...] = (
+    # §2.8 scalar core — the only never-graded SURVEY §2 keys
+    "q_math_funcs",
+    "q_array_funcs",
+    # §2.9 streaming — never-graded sibling
+    "q_downsample",
+    # §2.10 dedup — never-graded (incl. the round-3 scale-path pair)
+    "q_semdedup",
+    "q_minhash_est",
+    "q_lsh_dup_groups",
+    "q_lsh_recall",
+    # §2.10 similarity / ANN — never-graded
+    "q_ann_multiprobe",
+    "q_centroid",
+    "q_feature_scale",
+    "q_cluster_purity",
+    "q_ndcg",
+    "q_embed_outliers",
+    # §2.11 UDF surface — never-graded (rows-only by contract)
+    "q_multimodal_meta",
+    # SQL subquery surface — never-graded
+    "q_subquery_scalar",
+    "q_subquery_in",
+    # §2.10 text/curation — never-graded (round-2/3 additions)
+    "q_chunk_split",
+    "q_prefix_dedup",
+    "q_train_split",
+    "q_scrub_pattern",
+    "q_c4_rules",
+    "q_mixture_weights",
+    "q_bigram_ppl",
+    "q_source_dup_rate",
+    "q_gram_novelty",
+    "q_vocab_drift",
+    "q_cooccurrence",
+    "q_edit_distance",
+    # analytics/BI — never-graded representatives
+    "q_hist_quantile",
+    "q_percentile",
+    "q_histogram",
+    "q_funnel",
+    "q_retention",
+    # data-management — never-graded representatives
+    "q_skew_diag",
+    "q_pagerank",
+    "q_scd2",
+    "q_dq_checks",
+)
+
 _PRIORITY: tuple[str, ...] = (
-    # reference core (§2.1) + streaming semantics (§2.9)
+    # reference core (§2.1) — flagship identity, kept
     "q_wordcount",
-    "q_serialize",
-    "q_tumbling_window",
-    "q_sliding_window",
-    "q_session_window",
-    "q_late_data",
-    "q_stream_dedup",
-    "q_keyed_state",
-    "q_cep_pattern",
-    "q_cumulate_window",
-    "q_window_topn",
-    # §2.10 LLM-pipeline: dedup family
-    "q_exact_dedup",
-    "q_near_dup",
-    "q_jaccard_pairs",
-    "q_simhash",
-    "q_dup_groups",
+    # family keeps: every member already driver-graded; one stays for span
+    "q_scan_project",  # §2.2
+    "q_join_inner",  # §2.3
+    "q_agg_multi",  # §2.4
+    "q_win_ntile",  # §2.5 — re-grade the round-3 de-weaked global_ntile
+    "q_sort_limit",  # §2.6 only member
+    "q_union_all",  # §2.7
+    "q_image_pipeline",  # §2.10 multimodal (rows-only by contract)
+    "q_pipeline_curate",  # §2.10 end-to-end
+    # impl changes THIS round — need fresh driver rows with the new plans
+    "q_dup_groups",  # CC trio now consumes LSH-verified edges
     "q_dedup_keep_best",
     "q_dup_stats",
-    "q_embed_dup",
-    # §2.10: similarity / ANN
-    "q_cosine_topk",
-    "q_label_sim",
-    "q_knn_join",
-    "q_ann_ivf",
-    "q_ann_lsh",
-    # §2.10: text analysis / quality
-    "q_text_stats",
-    "q_tfidf",
-    "q_bm25",
-    "q_repetition",
-    "q_lang_quality",
-    "q_unigram_ce",
-    "q_contamination",
-    # §2.10: tokenize / pack / shard / sample
-    "q_token_count",
-    "q_fingerprint",
-    "q_pack_sequences",
-    "q_shard_assign",
-    "q_stratified_sample",
-    "q_weighted_sample",
-    # §2.10: multimodal (+ §2.8 JSON props)
-    "q_json_extract",
-    "q_image_pipeline",
-    "q_frame_sample",
-    "q_audio_features",
-    "q_pipeline_curate",
-    # relational representatives (§2.2–§2.8, §2.11). These slots ROTATE
-    # each round among same-family siblings (round-2 verdict item 4):
-    # the driver grades only the first 50 keys, so rotating the
-    # interchangeable representative per family accumulates driver-green
-    # coverage across rounds without losing family span. Round 3 swaps
-    # in 7 first-time keys (round-2 representatives in parentheses):
-    "q_case_expr",  # (r2: q_filter_pred)
-    "q_join_range",  # (r2: q_star_join — still the entry() flagship)
-    "q_join_semi",  # (r2: q_join_broadcast)
-    "q_agg_distinct",  # (r2: q_agg_multi)
-    "q_win_rank",  # (r2: q_topk_per_group)
-    "q_sort_limit",  # only §2.6 member — cannot rotate
-    "q_intersect",  # (r2: q_union_all)
-    "q_udtf_smoke",  # (r2: q_udf_smoke)
+    "q_ann_lsh",  # corpus-adaptive bit-count K
+    # 37 first-ever keys (see _ROTATED_IN_R4 for the derivation)
+    *_ROTATED_IN_R4,
 )
 
 
