@@ -145,6 +145,31 @@ _LSH_SCORED_CTES = """    , cand AS (
     )
 """
 
+# Transitive closure over the LSH-verified edge set — appended after
+# _MINHASH_CTES (as WITH RECURSIVE) + _LSH_SCORED_CTES. This is the
+# oracle twin of the scale-path edge relation the whole CC family now
+# consumes (_lsh_verified_edges).
+_LSH_EDGE_CLOSURE_CTES = """    , edges AS (
+        SELECT doc_a, doc_b FROM scored
+        WHERE n_common / (n_sum - n_common) >= 0.8
+    ), sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION ALL
+        SELECT doc_b, doc_a FROM edges
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+"""
+
+_LSH_CC_PREFIX = (
+    _MINHASH_CTES.replace("WITH", "WITH RECURSIVE", 1)
+    + _LSH_SCORED_CTES
+    + _LSH_EDGE_CLOSURE_CTES
+)
+
 
 @query(
     "q_jaccard_pairs",
@@ -172,16 +197,15 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring joins are plain equi-joins on doc_id, and no data-scaled
     relation is broadcast. The signature relation is the shared
     per-(session, sf) MinHash cache, so candidates cost nothing extra
-    after q_near_dup / q_minhash_est have run. The exhaustive edge
-    relation lives on in _jaccard_edges as the connected-components
-    family's documented small-N ground truth (its docstring carries
-    the same scale scoping this query used to), and q_lsh_recall
-    measures exactly what the candidate route gives up on this corpus
+    after q_near_dup / q_minhash_est have run. These verified pairs ARE
+    the connected-components family's edge relation since round 4
+    (_lsh_verified_edges); the exhaustive form lives on in
+    _jaccard_edges only as q_lsh_recall's audit-time ground truth, and
+    q_lsh_recall measures exactly what the candidate route gives up on this corpus
     (spoiler: the loss is an artifact of the 31-word synthetic
     vocabulary inflating word-set Jaccard, not of the banding math —
     see its docstring for the measured numbers)."""
-    minhashes = _minhash_signatures(spark, sf_dir)
-    bands = _capped_bands(minhashes)
+    bands = _capped_bands_for(spark, sf_dir)
     left = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
     cand = (
@@ -216,33 +240,6 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# shared by q_jaccard_pairs / q_dup_groups: the candidate-pair plan
-_JACCARD_EDGES_SQL = """
-    WITH words AS (
-        SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS word
-        FROM documents
-    ), words_f AS (
-        SELECT * FROM words WHERE word <> ''
-    ), sizes AS (
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM words_f GROUP BY doc_id
-    ), inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(COUNT(*) AS BIGINT) AS n_common
-        FROM words_f a JOIN words_f b
-          ON a.word = b.word AND a.lang = b.lang AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-    ), edges AS (
-        SELECT doc_a, doc_b
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
-    )
-"""
-
-
-_JACCARD_EDGES_RECURSIVE = _JACCARD_EDGES_SQL.replace("WITH", "WITH RECURSIVE", 1)
-
 def _session_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Cache key for per-(session, sf) materializations. Keyed on the
     Spark applicationId, NOT id(spark): CPython reuses object ids after
@@ -252,29 +249,55 @@ def _session_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return (spark.sparkContext.applicationId, sf_dir)
 
 
-# converged label DataFrames per (session, sf_dir): q_dedup_keep_best
-# composes on q_dup_groups, and bench runs both in one session — reuse
-# the localCheckpoint'ed result instead of re-running the loop
+# converged label DataFrames per (session, sf_dir): q_dedup_keep_best,
+# q_dup_stats, and q_lsh_dup_groups all compose on q_dup_groups, and
+# bench runs them in one session — reuse the localCheckpoint'ed result
+# instead of re-running the loop
 _DUP_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
-# scored candidate pairs per (session, sf_dir): the pair join is the
-# expensive stage shared by q_jaccard_pairs / q_dup_groups /
-# q_dedup_keep_best — materialize it once per session
+# exhaustive scored pairs per (session, sf_dir): the ground-truth twin,
+# consumed ONLY by q_lsh_recall (the audit that measures what the LSH
+# candidate route misses) — materialized once per session
 _JACCARD_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+# LSH-verified near-dup edges per (session, sf_dir): q_jaccard_pairs'
+# output (capped banded candidates → exact word-set Jaccard ≥ 0.8),
+# the edge relation the whole CC family runs on
+_LSH_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _jaccard_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_a, doc_b, jaccard) for word-set Jaccard ≥ 0.8 within lang —
-    one localCheckpoint'ed materialization per session."""
+    """(doc_a, doc_b, jaccard) for EXHAUSTIVE word-set Jaccard ≥ 0.8
+    within lang — the small-N ground truth, one localCheckpoint'ed
+    materialization per session. Audit-time only (q_lsh_recall)."""
     key = _session_key(spark, sf_dir)
     if key not in _JACCARD_PAIRS_CACHE:
         _JACCARD_PAIRS_CACHE[key] = _jaccard_edges(spark, sf_dir).localCheckpoint()
     return _JACCARD_PAIRS_CACHE[key]
 
 
+def _lsh_verified_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b) near-dup edges from the SCALE path: capped LSH
+    band candidates scored by exact word-set Jaccard ≥ 0.8
+    (q_jaccard_pairs). Linear-ish in corpus size by construction
+    (candidates bounded by _MAX_BUCKET per band bucket); materialized
+    once per (session, sf) for the CC family."""
+    key = _session_key(spark, sf_dir)
+    if key not in _LSH_EDGES_CACHE:
+        _LSH_EDGES_CACHE[key] = (
+            q_jaccard_pairs(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .localCheckpoint()
+        )
+    return _LSH_EDGES_CACHE[key]
+
+
 def _jaccard_edges(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
-    """Near-dup edges (doc_a < doc_b, word-set Jaccard ≥ threshold) —
-    the same plan as q_jaccard_pairs, minus the score column.
+    """EXHAUSTIVE near-dup edges (doc_a < doc_b, word-set Jaccard ≥
+    threshold) over all within-lang pairs — the small-N ground truth
+    that q_lsh_recall audits the LSH candidate route against. O(n²)
+    within each language block, so audit-time only; every production
+    consumer runs on _lsh_verified_edges instead.
 
     Two physical strategies behind one logical contract:
 
@@ -387,18 +410,8 @@ def _jaccard_edges(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> 
 
 @query(
     "q_dup_groups",
-    oracle=f"""
-    {_JACCARD_EDGES_RECURSIVE},
-    sym AS (
-        SELECT doc_a AS a, doc_b AS b FROM edges
-        UNION ALL
-        SELECT doc_b, doc_a FROM edges
-    ),
-    reach(a, b) AS (
-        SELECT a, b FROM sym
-        UNION
-        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-    )
+    oracle=_LSH_CC_PREFIX
+    + """
     SELECT d.doc_id,
            CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT) AS group_id
     FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
@@ -410,6 +423,14 @@ def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled with its duplicate-group id (= min doc_id in the component;
     singletons label themselves). The iterative operator the DataFrame
     API can't express in one plan.
+
+    The edge relation is the SCALE path (round-3 verdict item 2):
+    capped banded-MinHash candidates verified by exact word-set
+    Jaccard ≥ 0.8 (:func:`_lsh_verified_edges`) — linear-ish in corpus
+    size, no O(n²) within-lang pair join anywhere in this plan. The
+    exhaustive edge relation survives only as q_lsh_recall's audit-time
+    ground truth (:func:`_jaccard_scored_pairs`); the oracle closure
+    below runs over the IDENTICAL LSH-verified edge definition.
 
     Spark-first: Pregel-style min-label propagation — per round, each
     vertex takes the min of its label and its neighbors' labels (one
@@ -439,7 +460,7 @@ def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cache_key in _DUP_LABELS_CACHE:
         return _DUP_LABELS_CACHE[cache_key]
     d = table(spark, sf_dir, "documents")
-    edges = _jaccard_scored_pairs(spark, sf_dir)  # materialized once/session
+    edges = _lsh_verified_edges(spark, sf_dir)  # materialized once/session
     labels = _cc_min_label(spark, d, edges)
     _DUP_LABELS_CACHE[cache_key] = labels
     return labels
@@ -514,19 +535,9 @@ def _cc_min_label(spark: SparkSession, d: DataFrame, edges: DataFrame) -> DataFr
 
 @query(
     "q_dedup_keep_best",
-    oracle=f"""
-    {_JACCARD_EDGES_RECURSIVE},
-    sym AS (
-        SELECT doc_a AS a, doc_b AS b FROM edges
-        UNION ALL
-        SELECT doc_b, doc_a FROM edges
-    ),
-    reach(a, b) AS (
-        SELECT a, b FROM sym
-        UNION
-        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-    ),
-    groups AS (
+    oracle=_LSH_CC_PREFIX
+    + """
+    , groups AS (
         SELECT d.doc_id, d.n_chars,
                CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT) AS group_id
         FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
@@ -571,12 +582,16 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the label itself and the label-blocked oracle SQL stays exact — the
 # configuration the round-2 verdict prescribed.
 _CELL_TARGET = 4096
-# seed-candidate sampling rate (1/1024 of rows, by xxhash64 of vec_id):
-# candidate seeds are ranked within the label by a second, independent
-# hash so seed choice is deterministic; labels with fewer candidates
-# than k fall back to one guaranteed min-hash seed (min_by — a plain
-# reduce, no data-scaled window anywhere in the path).
-_SEED_MOD = 1024
+# seed-candidate oversampling factor: the hash-sampling modulus is
+# derived PER LABEL as floor(n_label / (_SEED_OVERSAMPLE * k)), so the
+# expected candidate count is ~_SEED_OVERSAMPLE * k regardless of how
+# big the label grows — the within-label ranking window therefore sorts
+# a BOUNDED set (round-3 ADVICE: a fixed 1/1024 rate left the ranked
+# set growing as n/1024, a data-scaled single-task sort). Candidate
+# seeds are ranked by a second, independent hash so seed choice is
+# deterministic; labels with zero sampled candidates fall back to one
+# guaranteed min-hash seed (min_by — a plain reduce).
+_SEED_OVERSAMPLE = 64
 
 
 # cell assignment per (session, sf): q_embed_dup and q_semdedup share
@@ -601,24 +616,34 @@ def _ivf_cells(e: DataFrame) -> DataFrame:
     vec_id of the nearest (by cosine, ties → smallest id) of the
     label's k deterministic seed vectors, k = max(1,
     floor(sqrt(n_label/_CELL_TARGET))). All stages are shuffle-parallel:
-    per-label counts (reduce), hash-sampled seed candidates (map-side
-    filter) ranked by an independent hash within the tiny candidate
-    set, a guaranteed min-hash fallback seed per label (min_by reduce),
-    and a broadcast-seeds assignment scan (seeds are √n-scaled — far
-    under broadcast limits for any corpus whose pair join is worth
-    blocking). No window ever partitions by a data-scaled key."""
+    per-label counts (reduce), hash-sampled seed candidates whose
+    sampling modulus scales with n_label/k so the candidate set stays
+    ~_SEED_OVERSAMPLE·k rows no matter the corpus size, ranked by an
+    independent hash within that bounded set, a guaranteed min-hash
+    fallback seed per label (min_by reduce), and a broadcast-seeds
+    assignment scan (seeds are √n-scaled — far under broadcast limits
+    for any corpus whose pair join is worth blocking). No window ever
+    partitions by a data-scaled row set."""
     counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("_n"))
     counts = counts.select(
         "label",
+        "_n",
         F.greatest(
             F.lit(1), F.floor(F.sqrt(F.col("_n") / F.lit(_CELL_TARGET)))
         ).cast("int").alias("_k"),
     )
     h1 = F.xxhash64(F.col("vec_id"))
     h2 = F.md5(F.concat(F.lit("seed:"), F.col("vec_id").cast("string")))
+    seed_mod = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.floor(
+            F.col("_n")
+            / (F.lit(_SEED_OVERSAMPLE).cast("bigint") * F.col("_k").cast("bigint"))
+        ),
+    ).cast("bigint")
     cand = (
-        e.filter(F.pmod(h1, F.lit(_SEED_MOD)) == 0)
-        .join(F.broadcast(counts), "label")
+        e.join(F.broadcast(counts), "label")
+        .filter(F.pmod(h1, seed_mod) == 0)
         .withColumn(
             "_srn",
             F.row_number().over(
@@ -911,11 +936,10 @@ def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oversized buckets dropped before pairing — the C(k,2) blowup a
     boilerplate band key would cause is bounded by construction, on
     both engines identically (the oracle QUALIFYs the same cap). The
-    ``bands`` relation (4 small rows per doc) is persisted because
-    both join sides and the size window consume it.
+    ``bands`` relation (4 small rows per doc) is session-cached because
+    both join sides and every downstream dedup query consume it.
     """
-    minhashes = _minhash_signatures(spark, sf_dir)
-    bands = _capped_bands(minhashes)
+    bands = _capped_bands_for(spark, sf_dir)
     left = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
     return (
@@ -945,24 +969,10 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    arr = F.split("text", " ")
-    # 2-word shingles as native transform over index sequence
-    shingled = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(arr) - 1, F.lit(1))),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(arr, i), F.element_at(arr, i + 1)
-                ),
-            )
-        ).alias("shingle"),
-    ).distinct()
     # 4 independent 8-hex-char lanes per md5 digest → 16 minhashes from
     # only 4 md5 calls per shingle (Spark's codegen subexpression
     # elimination computes each seeded digest once across the 16 aggs)
-    return shingled.groupBy("doc_id").agg(
+    return shingles_for(spark, sf_dir).groupBy("doc_id").agg(
         *[
             F.min(
                 F.substring(
@@ -976,64 +986,18 @@ def _build_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _capped_bands(minhashes: DataFrame) -> DataFrame:
-    """Band relation (doc_id, band_idx, band_key) with the mega-bucket
-    cap applied; persisted — the self-join consumes it twice."""
-    bands = minhashes.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat(
-                        *[
-                            F.col(f"mh{b * _ROWS_PER_BAND + r}")
-                            for r in range(_ROWS_PER_BAND)
-                        ]
-                    )
-                    for b in range(_BANDS)
-                ]
-            )
-        ).alias("band_idx", "band_key"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    wsz = Window.partitionBy("band_idx", "band_key")
-    return (
-        bands.withColumn("bsz", F.count(F.lit(1)).over(wsz))
-        .filter(F.col("bsz") <= _MAX_BUCKET)
-        .drop("bsz")
-    )
+_SHINGLES_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-    minhashes = _minhash_signatures(spark, sf_dir)
-    bands = _capped_bands(minhashes)
-    left = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
-    right = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
-    return (
-        left.join(right, ["band_idx", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.countDistinct("band_idx").alias("n_shared_bands"))
-    )
-
-
-_MINHASH_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
-def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, mh0..mh15): the MinHash signature relation shared by
-    q_near_dup (banding) and q_minhash_est (lane-agreement estimate).
-    The shingle explosion + 16 min-aggregations is the expensive part
-    of BOTH queries and the result is one narrow row per doc, so it's
-    localCheckpoint'ed once per (session, sf) — same policy as the
-    Jaccard edge/label caches above."""
+def shingles_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) word-2-gram relation, materialized
+    once per (session, sf). Shared by the MinHash signature build and
+    q_gram_novelty (textstats) — round-3 bench showed the explode +
+    distinct chain running twice per consumer with no reuse, ~3 s of
+    the 6 s q_gram_novelty cost at sf0.1."""
     key = _session_key(spark, sf_dir)
-    if key in _MINHASH_SIG_CACHE:
-        return _MINHASH_SIG_CACHE[key]
-    sigs = _build_minhash_signatures(spark, sf_dir).localCheckpoint()
-    _MINHASH_SIG_CACHE[key] = sigs
-    return sigs
-
-
-def _build_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if key in _SHINGLES_CACHE:
+        return _SHINGLES_CACHE[key]
     d = table(spark, sf_dir, "documents")
     arr = F.split("text", " ")
     # 2-word shingles as native transform over index sequence
@@ -1047,27 +1011,33 @@ def _build_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("shingle"),
-    ).distinct()
-    # 4 independent 8-hex-char lanes per md5 digest → 16 minhashes from
-    # only 4 md5 calls per shingle (Spark's codegen subexpression
-    # elimination computes each seeded digest once across the 16 aggs)
-    return shingled.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{i // 4}:"), F.col("shingle"))),
-                    1 + 8 * (i % 4),
-                    8,
-                )
-            ).alias(f"mh{i}")
-            for i in range(_N_HASHES)
-        ]
-    )
+    ).distinct().localCheckpoint()
+    _SHINGLES_CACHE[key] = shingled
+    return shingled
+
+
+_BANDS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _capped_bands_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped band relation, materialized once per (session, sf).
+    Round-3 ADVICE: the per-call ``persist`` here leaked one
+    MEMORY_AND_DISK copy per invocation (q_near_dup, q_jaccard_pairs,
+    q_minhash_est, and the CC family each re-derived it); a session
+    cache both fixes the leak and removes the repeated band window."""
+    key = _session_key(spark, sf_dir)
+    if key in _BANDS_CACHE:
+        return _BANDS_CACHE[key]
+    bands = _capped_bands(_minhash_signatures(spark, sf_dir)).localCheckpoint()
+    _BANDS_CACHE[key] = bands
+    return bands
 
 
 def _capped_bands(minhashes: DataFrame) -> DataFrame:
     """Band relation (doc_id, band_idx, band_key) with the mega-bucket
-    cap applied; persisted — the self-join consumes it twice."""
+    cap applied. The bucket-size window runs on the same shuffle the
+    band self-join needs anyway; callers go through the session cache
+    (:func:`_capped_bands_for`), which materializes the result once."""
     bands = minhashes.select(
         "doc_id",
         F.posexplode(
@@ -1083,7 +1053,7 @@ def _capped_bands(minhashes: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("band_idx", "band_key"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     wsz = Window.partitionBy("band_idx", "band_key")
     return (
         bands.withColumn("bsz", F.count(F.lit(1)).over(wsz))
@@ -1129,10 +1099,8 @@ def q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode on the Spark side — the oracle's long format and this wide
     format agree because avg over 16 flags = sum/16).
     """
-    minhashes = _minhash_signatures(spark, sf_dir).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    bands = _capped_bands(minhashes)
+    minhashes = _minhash_signatures(spark, sf_dir)
+    bands = _capped_bands_for(spark, sf_dir)
     left = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
     cand = (
@@ -1239,19 +1207,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dup_stats",
-    oracle=f"""
-    {_JACCARD_EDGES_RECURSIVE},
-    sym AS (
-        SELECT doc_a AS a, doc_b AS b FROM edges
-        UNION ALL
-        SELECT doc_b, doc_a FROM edges
-    ),
-    reach(a, b) AS (
-        SELECT a, b FROM sym
-        UNION
-        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-    ),
-    labels AS (
+    oracle=_LSH_CC_PREFIX
+    + """
+    , labels AS (
         SELECT d.doc_id,
                CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT)
                  AS group_id
@@ -1297,23 +1255,9 @@ def q_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_lsh_dup_groups",
-    oracle=_MINHASH_CTES.replace("WITH", "WITH RECURSIVE", 1)
-    + _LSH_SCORED_CTES
+    oracle=_LSH_CC_PREFIX
     + """
-    , edges AS (
-        SELECT doc_a, doc_b FROM scored
-        WHERE n_common / (n_sum - n_common) >= 0.8
-    ), sym AS (
-        SELECT doc_a AS a, doc_b AS b FROM edges
-        UNION ALL
-        SELECT doc_b, doc_a FROM edges
-    ),
-    reach(a, b) AS (
-        SELECT a, b FROM sym
-        UNION
-        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-    ),
-    labels AS (
+    , labels AS (
         SELECT d.doc_id, d.lang,
                LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS group_id
         FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
@@ -1340,17 +1284,15 @@ def q_lsh_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage linear-ish in the corpus: candidates bounded by _MAX_BUCKET,
     scoring joins keyed on doc_id, and the identical Pregel
     min-propagation + pointer-jumping loop q_dup_groups documents
-    (shared _cc_min_label), O(log diameter) rounds. The exhaustive
-    within-lang edge relation (q_dup_groups) remains the small-N
-    ground-truth twin; this query is the one whose plan survives the
-    scale-up. Oracle: DuckDB recursive-CTE closure over the identical
-    edge definition — an independent algorithm, same fixpoint."""
+    (shared _cc_min_label), O(log diameter) rounds. Since round 4 the
+    whole CC family runs on these edges (verdict item 2), so this
+    report is two aggregations over q_dup_groups' session-cached
+    labels. The exhaustive within-lang edge relation survives only as
+    q_lsh_recall's audit-time ground truth. Oracle: DuckDB
+    recursive-CTE closure over the identical edge definition — an
+    independent algorithm, same fixpoint."""
     d = table(spark, sf_dir, "documents")
-    # edges: the LSH-scored verifier's output (doc_a, doc_b)
-    from kafka_flink_exactlyonce_example_spark.registry import QUERIES
-
-    edges = QUERIES["q_jaccard_pairs"](spark, sf_dir).select("doc_a", "doc_b")
-    labels = _cc_min_label(spark, d.select("doc_id"), edges)
+    labels = q_dup_groups(spark, sf_dir)
     return (
         d.select("doc_id", "lang")
         .join(labels, "doc_id")

@@ -99,6 +99,10 @@ def q_label_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n").cast("double")
     return (
         counts.join(comp, "label")
+        # n >= 2: a singleton label has no pairs — the oracle's pair
+        # join emits no row for it, and n(n-1) would divide by zero
+        # (round-3 ADVICE: latent NaN-vs-missing-row divergence)
+        .filter(F.col("n") >= 2)
         .select(
             "label",
             ((F.col("n") * (F.col("n") - 1)) / 2).cast("long").alias("n_pairs"),

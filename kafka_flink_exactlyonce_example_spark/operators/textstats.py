@@ -1530,33 +1530,24 @@ def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuinely new sequences. The same signal dataset curators use to
     pick what to keep when a token budget forces pruning.
 
-    Plan: the q_near_dup shingle chain (map-side sequence+concat,
-    distinct per doc), ONE shuffle to count document frequency per
-    gram, then a shuffle equi-join back on the gram key (the gram
-    relation is data-scaled — never broadcast) and a per-doc rollup.
-    Since the shingle relation is distinct per (doc, gram), COUNT(*)
-    per gram IS document frequency — no countDistinct needed."""
+    Plan: the SHARED distinct (doc, 2-gram) shingle relation
+    (dedup.shingles_for — one materialization per session, also feeding
+    the MinHash signature build; round-3 bench paid the explode +
+    distinct chain twice with no reuse), ONE shuffle to count document
+    frequency per gram, then a shuffle equi-join back on the gram key
+    (the gram relation is data-scaled — never broadcast), a per-doc
+    rollup, and a doc-grain join for lang. Since the shingle relation
+    is distinct per (doc, gram), COUNT(*) per gram IS document
+    frequency — no countDistinct needed."""
+    from kafka_flink_exactlyonce_example_spark.operators.dedup import shingles_for
+
     d = table(spark, sf_dir, "documents")
-    arr = F.split("text", " ")
-    shingles = d.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
-                    " i -> concat_ws(' ', element_at(split(text, ' '), i),"
-                    " element_at(split(text, ' '), i + 1)))"
-                )
-            )
-        ).alias("shingle"),
-    )
+    shingles = shingles_for(spark, sf_dir)
     freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
-    return (
+    per_doc = (
         shingles.join(freq, "shingle")
         .groupBy("doc_id")
         .agg(
-            F.first("lang").alias("lang"),
             F.count(F.lit(1)).alias("n_grams"),
             F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0)).alias("n_novel"),
             F.round(
@@ -1565,6 +1556,9 @@ def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("novelty"),
         )
+    )
+    return per_doc.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "n_grams", "n_novel", "novelty"
     )
 
 

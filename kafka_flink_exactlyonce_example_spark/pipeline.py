@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_flink_exactlyonce_example_spark.operators.dedup import (
-    _JACCARD_EDGES_RECURSIVE,
+    _LSH_CC_PREFIX,
     q_dedup_keep_best,
 )
 from kafka_flink_exactlyonce_example_spark.registry import query
@@ -65,19 +65,9 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_pipeline_curate",
-    oracle=f"""
-    {_JACCARD_EDGES_RECURSIVE},
-    sym AS (
-        SELECT doc_a AS a, doc_b AS b FROM edges
-        UNION ALL
-        SELECT doc_b, doc_a FROM edges
-    ),
-    reach(a, b) AS (
-        SELECT a, b FROM sym
-        UNION
-        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-    ),
-    groups AS (
+    oracle=_LSH_CC_PREFIX
+    + f"""
+    , groups AS (
         SELECT d.doc_id, d.n_chars,
                CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT) AS group_id
         FROM documents d LEFT JOIN reach r ON r.a = d.doc_id

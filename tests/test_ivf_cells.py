@@ -38,7 +38,7 @@ def test_cells_split_when_label_outgrows_target(spark, monkeypatch):
     # 200 rows/label, target 8 -> k = floor(sqrt(200/8)) = 5 cells/label;
     # sample every row so candidate seeds always cover k.
     monkeypatch.setattr(dedup, "_CELL_TARGET", 8)
-    monkeypatch.setattr(dedup, "_SEED_MOD", 1)
+    monkeypatch.setattr(dedup, "_SEED_OVERSAMPLE", 10**9)  # mod=1: sample every row
     e = _toy_embeddings(spark, 400)
     out = dedup._ivf_cells(e).collect()
     # total partition: every vector appears exactly once
@@ -56,7 +56,7 @@ def test_cells_split_when_label_outgrows_target(spark, monkeypatch):
 
 def test_cells_deterministic_across_runs(spark, monkeypatch):
     monkeypatch.setattr(dedup, "_CELL_TARGET", 8)
-    monkeypatch.setattr(dedup, "_SEED_MOD", 1)
+    monkeypatch.setattr(dedup, "_SEED_OVERSAMPLE", 10**9)  # mod=1: sample every row
     e = _toy_embeddings(spark, 300)
     a = sorted(map(tuple, dedup._ivf_cells(e).select("vec_id", "cell").collect()))
     b = sorted(
@@ -73,7 +73,7 @@ def test_embed_dup_pairs_stay_within_cells(spark, monkeypatch):
     two sides share a cell — the property that bounds the join at
     scale."""
     monkeypatch.setattr(dedup, "_CELL_TARGET", 8)
-    monkeypatch.setattr(dedup, "_SEED_MOD", 1)
+    monkeypatch.setattr(dedup, "_SEED_OVERSAMPLE", 10**9)  # mod=1: sample every row
     e = _toy_embeddings(spark, 200)
     cells = {r["vec_id"]: r["cell"] for r in dedup._ivf_cells(e).collect()}
 
@@ -98,3 +98,27 @@ def test_embed_dup_pairs_stay_within_cells(spark, monkeypatch):
     assert pairs, "split blocks produced no pairs at all"
     for r in pairs:
         assert cells[r["vec_a"]] == cells[r["vec_b"]]
+
+
+def test_graded_sfs_stay_under_split_threshold():
+    """Round-3 ADVICE: q_embed_dup/q_semdedup block pairs on
+    (label, cell) while their oracles stay label-blocked; exactness
+    depends on every graded-SF label staying under the k=1 split
+    threshold (n_label < 4*_CELL_TARGET => floor(sqrt(n/4096)) <= 1).
+    Guard it against testdata regeneration drift: if this ever fires,
+    either shrink the graded SF or make the oracles cell-aware."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    checked = 0
+    for path in sorted(glob.glob("/root/testdata/sf*/embeddings.parquet")):
+        labels = pq.read_table(path, columns=["label"]).column("label")
+        counts = labels.value_counts()
+        biggest = max(c["counts"].as_py() for c in counts)
+        assert biggest < 4 * dedup._CELL_TARGET, (
+            f"{path}: label with {biggest} rows >= {4 * dedup._CELL_TARGET} "
+            "— k>1 splits would diverge from the label-blocked oracle"
+        )
+        checked += 1
+    assert checked >= 1

@@ -174,7 +174,6 @@ def main() -> None:
     from kafka_flink_exactlyonce_example_spark.operators import dedup as ddp
 
     ddp._CELL_TARGET = 64
-    ddp._SEED_MOD = 16
     emb0 = table(spark, sf_dir, "embeddings")
     n0 = emb0.count()
     base_ppv = None
