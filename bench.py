@@ -38,6 +38,8 @@ def main() -> None:
     registry.load_all()
     spark = get_spark(app_name="bench")
 
+    from kafka_flink_exactlyonce_example_spark.operators import scale
+
     # warmup: JIT + parquet footer caches, not measured
     _force(registry.QUERIES["q_wordcount"](spark, sf_dir))
 
@@ -46,6 +48,13 @@ def main() -> None:
         t0 = time.perf_counter()
         _force(registry.QUERIES[name](spark, sf_dir))
         times[name] = round(time.perf_counter() - t0, 3)
+        # drain ordered_scan's per-invocation persists between queries
+        # (round-3 verdict item 7): they are never reused across
+        # queries, and 193 accumulated MEMORY_AND_DISK relations is
+        # storage pressure the 128 GiB sandbox doesn't owe us. The
+        # session caches (MinHash/IVF/shingles/û) are NOT drained —
+        # cross-query reuse is their whole point.
+        scale.unpersist_all()
 
     full = Path(__file__).resolve().parent / "BENCH_FULL.json"
     full.write_text(json.dumps({"sf": sf, "queries": times}, indent=1))

@@ -205,7 +205,15 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (spoiler: the loss is an artifact of the 31-word synthetic
     vocabulary inflating word-set Jaccard, not of the banding math —
     see its docstring for the measured numbers)."""
-    bands = _capped_bands_for(spark, sf_dir)
+    return _verified_pairs_frame(
+        table(spark, sf_dir, "documents"), _capped_bands_for(spark, sf_dir)
+    )
+
+
+def _verified_pairs_frame(d: DataFrame, bands: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard): capped LSH candidates scored by exact
+    word-set Jaccard ≥ 0.8 within lang — frame-level so the scale
+    probe can run the identical chain on a synthetic corpus."""
     left = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
     cand = (
@@ -214,7 +222,6 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    d = table(spark, sf_dir, "documents")
     ws = F.array_distinct(F.filter(F.split("text", " "), lambda w: w != ""))
     docs = d.select("doc_id", "lang", ws.alias("ws"), F.size(ws).alias("n"))
     a = docs.select(
@@ -969,10 +976,14 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _signatures_frame(shingles_for(spark, sf_dir))
+
+
+def _signatures_frame(shingled: DataFrame) -> DataFrame:
     # 4 independent 8-hex-char lanes per md5 digest → 16 minhashes from
     # only 4 md5 calls per shingle (Spark's codegen subexpression
     # elimination computes each seeded digest once across the 16 aggs)
-    return shingles_for(spark, sf_dir).groupBy("doc_id").agg(
+    return shingled.groupBy("doc_id").agg(
         *[
             F.min(
                 F.substring(
@@ -999,9 +1010,17 @@ def shingles_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key in _SHINGLES_CACHE:
         return _SHINGLES_CACHE[key]
     d = table(spark, sf_dir, "documents")
+    shingled = _shingles_frame(d).localCheckpoint()
+    _SHINGLES_CACHE[key] = shingled
+    return shingled
+
+
+def _shingles_frame(d: DataFrame) -> DataFrame:
+    """Frame-level shingle builder (tools/scale_probe feeds synthetic
+    corpora through the same chain the cached wrappers use)."""
     arr = F.split("text", " ")
     # 2-word shingles as native transform over index sequence
-    shingled = d.select(
+    return d.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -1011,9 +1030,7 @@ def shingles_for(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("shingle"),
-    ).distinct().localCheckpoint()
-    _SHINGLES_CACHE[key] = shingled
-    return shingled
+    ).distinct()
 
 
 _BANDS_CACHE: dict[tuple[str, str], DataFrame] = {}

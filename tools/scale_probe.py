@@ -212,6 +212,53 @@ def main() -> None:
             f"ppv_vs_x1={ppv / base_ppv:4.2f}"
         )
 
+    # CC scale path (round-3 verdict item 6): the full LSH-dedup
+    # composition the graded trio now runs — shingle → MinHash →
+    # capped bands → candidates → exact verify → Pregel CC. Copies get
+    # a per-copy word suffix so their vocabularies are DISJOINT: each
+    # copy reproduces the base corpus's near-dup structure with no
+    # cross-copy edges, so a healthy (linear-ish) plan shows edges
+    # ∝ mult and wall-time growing ~linearly, while any quadratic
+    # stage would blow up visibly at x10.
+    docs0 = table(spark, sf_dir, "documents")
+    base_edges = None
+    base_rate_cc = None
+    for mult in multiples:
+        parts = [
+            docs0.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                F.concat(
+                    F.regexp_replace(F.col("text"), " ", f"_c{i} "),
+                    F.lit(f"_c{i}"),
+                ).alias("text"),
+                "lang",
+            )
+            for i in range(mult)
+        ]
+        d = parts[0]
+        for p in parts[1:]:
+            d = d.unionByName(p)
+        t0 = time.perf_counter()
+        bands = ddp._capped_bands(ddp._signatures_frame(ddp._shingles_frame(d)))
+        edges = (
+            ddp._verified_pairs_frame(d, bands)
+            .select("doc_a", "doc_b")
+            .localCheckpoint()
+        )
+        n_edges = edges.count()
+        labels = ddp._cc_min_label(spark, d.select("doc_id"), edges)
+        n_groups = labels.select("group_id").distinct().count()
+        dt = time.perf_counter() - t0
+        n_docs = labels.count()
+        rate = n_docs / dt
+        if base_edges is None:
+            base_edges, base_rate_cc = max(n_edges, 1), rate
+        print(
+            f"cc    x{mult:<3d} docs={n_docs:7d}  edges={n_edges:6d} "
+            f"(x{n_edges / base_edges:4.1f})  groups={n_groups:7d}  "
+            f"wall={dt:6.2f}s  docs/sec_vs_x1={rate / base_rate_cc:4.2f}"
+        )
+
 
 if __name__ == "__main__":
     main()
