@@ -746,3 +746,158 @@ def q_skew_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return stats("l_partkey").unionByName(stats("l_suppkey"))
+
+
+# --------------------------------------------------------------------------
+# q_bloom_prefilter — broadcast bloom-filter semi-join prefilter
+# --------------------------------------------------------------------------
+
+@query(
+    "q_bloom_prefilter",
+    oracle="""
+    WITH build AS (
+        SELECT DISTINCT c_custkey AS k FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+    ), ks AS (SELECT unnest([1, 2, 3]) AS i),
+    bits AS (
+        SELECT DISTINCT
+               CAST(CAST(concat('0x', substring(
+                        md5(concat(CAST(i AS VARCHAR), ':',
+                                   CAST(k AS VARCHAR))), 1, 8))
+                    AS UBIGINT) % 4096 AS BIGINT) AS p
+        FROM build CROSS JOIN ks
+    ), probe_pos AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(CAST(concat('0x', substring(
+                        md5(concat(CAST(i AS VARCHAR), ':',
+                                   CAST(o_custkey AS VARCHAR))), 1, 8))
+                    AS UBIGINT) % 4096 AS BIGINT) AS p
+        FROM orders CROSS JOIN ks
+    ), hits AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS nh
+        FROM probe_pos JOIN bits USING (p)
+        GROUP BY o_orderkey, o_custkey
+    ), flagged AS (
+        SELECT o.o_orderkey,
+               CASE WHEN h.nh = 3 THEN 1 ELSE 0 END AS bloom_pass,
+               CASE WHEN o.o_custkey IN (SELECT k FROM build)
+                    THEN 1 ELSE 0 END AS is_member
+        FROM orders o LEFT JOIN hits h ON o.o_orderkey = h.o_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+           CAST(SUM(is_member) AS BIGINT) AS n_true_hits,
+           CAST(SUM(bloom_pass) AS BIGINT) AS n_bloom_pass,
+           CAST(SUM(CASE WHEN bloom_pass = 1 AND is_member = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           ROUND(SUM(CASE WHEN bloom_pass = 1 AND is_member = 0
+                          THEN 1.0 ELSE 0.0 END)
+                 / NULLIF(COUNT(*) - SUM(is_member), 0), 6) AS fp_rate,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set,
+           ROUND((SELECT COUNT(*) FROM bits) / 4096.0, 6) AS fill_ratio
+    FROM flagged
+    """,
+)
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast bloom-filter prefilter for a selective dim→fact
+    semi-join — the runtime-filter pattern that makes 100 TB semi-joins
+    cheap: build an m=4096-bit / K=3 bloom over the FILTERED dim keys
+    (customers in the BUILDING segment), broadcast it (the bit set is
+    ≤4096 rows ≈ 512 bytes of actual filter — bounded BY CONSTRUCTION
+    regardless of corpus size), and test every fact row map-side before
+    the real join ever shuffles. The report quantifies exactly what the
+    filter buys: true member rows, bloom passes, false positives, the
+    measured fp rate (vs the (1−e^(−Kn/m))^K analytic bound), and the
+    filter's fill ratio.
+
+    Hash functions are md5-derived (engine-portable, same trick as the
+    LSH plane signs), so the oracle reproduces the filter bit-for-bit.
+    Plan shape: the bit relation is DISTINCT over 3·|build| ints →
+    broadcast hash join onto the fact's 3 exploded probe positions —
+    the fact side is scanned once, never shuffled on data scale (the
+    groupBy key is (orderkey, custkey), AQE-coalesced); at cluster
+    scale you'd push the same bit set into a scan-level filter via
+    Spark's own runtime row-group filtering, which this models."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    ks = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("i")
+
+    def pos(i_col, key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            i_col.cast("string"), F.lit(":"), key_col.cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 4096
+        )
+
+    build = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    bits = (
+        build.select("k", ks)
+        .select(pos(F.col("i"), F.col("k")).alias("p"))
+        .distinct()
+    )
+    probe_pos = orders.select("o_orderkey", "o_custkey", ks).select(
+        "o_orderkey",
+        "o_custkey",
+        pos(F.col("i"), F.col("o_custkey")).alias("p"),
+    )
+    hits = (
+        probe_pos.join(F.broadcast(bits), "p")
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("nh"))
+    )
+    member = orders.join(
+        F.broadcast(build),
+        orders["o_custkey"] == build["k"],
+        "left",
+    ).select(
+        "o_orderkey",
+        F.when(F.col("k").isNotNull(), 1).otherwise(0).alias("is_member"),
+    )
+    flagged = member.join(hits, "o_orderkey", "left").select(
+        "o_orderkey",
+        "is_member",
+        F.when(F.col("nh") == 3, 1).otherwise(0).alias("bloom_pass"),
+    )
+    n_bits = bits.agg(
+        F.count(F.lit(1)).alias("bits_set"),
+        F.round(F.count(F.lit(1)) / 4096.0, 6).alias("fill_ratio"),
+    )
+    return (
+        flagged.agg(
+            F.count(F.lit(1)).alias("n_probe"),
+            F.sum("is_member").alias("n_true_hits"),
+            F.sum("bloom_pass").alias("n_bloom_pass"),
+            F.sum(
+                F.when((F.col("bloom_pass") == 1) & (F.col("is_member") == 0), 1)
+                .otherwise(0)
+            ).alias("n_false_pos"),
+            F.round(
+                F.sum(
+                    F.when(
+                        (F.col("bloom_pass") == 1) & (F.col("is_member") == 0), 1.0
+                    ).otherwise(0.0)
+                )
+                / F.nullif(
+                    (F.count(F.lit(1)) - F.sum("is_member")).cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("fp_rate"),
+        )
+        .crossJoin(F.broadcast(n_bits))
+    )

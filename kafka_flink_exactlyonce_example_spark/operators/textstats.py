@@ -1360,10 +1360,12 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_bigram_ppl",
-    oracle="""
-    WITH arrs AS (
+# Shared add-1-smoothed bigram cross-entropy relation (doc_id, lang,
+# n_bigrams, ce) — consumed by q_bigram_ppl (the per-doc report) and
+# q_ppl_bucket (the CCNet-style head/middle/tail assignment). The CTE
+# string is the oracle-side twin.
+_BIGRAM_CE_CTE = """
+    arrs AS (
         SELECT doc_id, lang,
                list_filter(string_split(text, ' '), w -> w <> '') AS arr
         FROM documents
@@ -1381,31 +1383,22 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), vocab AS (
         SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
         FROM (SELECT unnest(arr) AS w FROM arrs)
+    ), ce_rel AS (
+        SELECT b.doc_id, any_value(b.lang) AS lang,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(-ln((c12.c + 1) / (c1.c + vocab.v))), 6) AS ce
+        FROM bgs b
+        JOIN c12 ON c12.bg = b.bg
+        JOIN c1 ON c1.w1 = split_part(b.bg, ' ', 1)
+        CROSS JOIN vocab
+        GROUP BY b.doc_id
     )
-    SELECT b.doc_id, any_value(b.lang) AS lang,
-           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(AVG(-ln((c12.c + 1) / (c1.c + vocab.v))), 6) AS ce
-    FROM bgs b
-    JOIN c12 ON c12.bg = b.bg
-    JOIN c1 ON c1.w1 = split_part(b.bg, ' ', 1)
-    CROSS JOIN vocab
-    GROUP BY b.doc_id
-    """,
-)
-def q_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document bigram cross-entropy under the corpus's own add-1
-    -smoothed bigram LM — the sequence-aware sibling of q_unigram_ce
-    (KenLM-style LM filtering, degenerated to a self-model):
-    ce(doc) = avg over bigrams of −ln[(c(w1w2)+1) / (c(w1·)+V)].
-    Low = formulaic word order, high = shuffled-bag text; both are
-    filter targets a unigram model cannot see.
+"""
 
-    Plan: bigrams via the same sequence→concat chain as q_near_dup's
-    shingles (map-side, zero shuffles to build), corpus counts are two
-    groupBys on the bounded bigram/unigram vocabulary, and the scoring
-    join BROADCASTS those model tables onto the bigram stream — the
-    CCNet shape: model tiny, stream linear, swap the self-model table
-    for a reference LM's table and the plan is unchanged."""
+
+def _bigram_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_bigrams, ce): per-doc add-1 bigram CE under the
+    corpus's own LM. Plan rationale in q_bigram_ppl's docstring."""
     d = table(spark, sf_dir, "documents")
     arr = F.filter(F.split("text", " "), lambda w: w != "")
     arrs = d.select("doc_id", "lang", arr.alias("arr")).filter(F.size("arr") >= 2)
@@ -1443,6 +1436,30 @@ def q_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ce"),
         )
     )
+
+
+@query(
+    "q_bigram_ppl",
+    oracle=f"""
+    WITH {_BIGRAM_CE_CTE}
+    SELECT doc_id, lang, n_bigrams, ce FROM ce_rel
+    """,
+)
+def q_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram cross-entropy under the corpus's own add-1
+    -smoothed bigram LM — the sequence-aware sibling of q_unigram_ce
+    (KenLM-style LM filtering, degenerated to a self-model):
+    ce(doc) = avg over bigrams of −ln[(c(w1w2)+1) / (c(w1·)+V)].
+    Low = formulaic word order, high = shuffled-bag text; both are
+    filter targets a unigram model cannot see.
+
+    Plan: bigrams via the same sequence→concat chain as q_near_dup's
+    shingles (map-side, zero shuffles to build), corpus counts are two
+    groupBys on the bounded bigram/unigram vocabulary, and the scoring
+    join BROADCASTS those model tables onto the bigram stream — the
+    CCNet shape: model tiny, stream linear, swap the self-model table
+    for a reference LM's table and the plan is unchanged."""
+    return _bigram_ce(spark, sf_dir)
 
 
 @query(
@@ -1645,4 +1662,291 @@ def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.round(F.abs(F.col("log_odds")), 6).desc(), "word")
         .limit(10)
+    )
+
+
+@query(
+    "q_gopher_rules",
+    oracle=f"""
+    WITH w AS (
+        SELECT source,
+               list_filter(string_split(text, ' '), w -> w <> '') AS arr,
+               list_filter(string_split(lower(text), ' '),
+                           w -> w IN {_STOP_SQL}) AS stops
+        FROM documents
+    ), f AS (
+        SELECT source,
+               len(arr) AS nw,
+               CAST(list_sum(list_transform(arr, w -> len(w)))
+                    AS BIGINT) AS sumlen,
+               len(list_distinct(arr)) AS nd,
+               len(list_distinct(stops)) AS nstop
+        FROM w
+    ), flags AS (
+        SELECT source,
+               CASE WHEN nw < 50 OR nw > 100000 THEN 1 ELSE 0 END AS f_wc,
+               CASE WHEN sumlen < 3 * nw OR sumlen > 10 * nw
+                    THEN 1 ELSE 0 END AS f_mwl,
+               CASE WHEN 2 * nd < nw THEN 1 ELSE 0 END AS f_rep,
+               CASE WHEN nstop < 2 THEN 1 ELSE 0 END AS f_stop
+        FROM f
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(f_wc) AS BIGINT) AS n_wordcount_out,
+           CAST(SUM(f_mwl) AS BIGINT) AS n_meanlen_out,
+           CAST(SUM(f_rep) AS BIGINT) AS n_repetitious,
+           CAST(SUM(f_stop) AS BIGINT) AS n_few_stopwords,
+           CAST(SUM(CASE WHEN f_wc = 0 AND f_mwl = 0 AND f_rep = 0
+                         AND f_stop = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keep
+    FROM flags GROUP BY source
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule census per source — the second canon
+    heuristic filter bank next to q_c4_rules' per-lang census: word
+    count outside [50, 100000], mean word length outside [3, 10]
+    (evaluated as the INTEGER comparison 3·n ≤ Σlen(w) ≤ 10·n so both
+    engines decide boundaries identically with no float division),
+    repetitiousness (distinct words < half the tokens — the bag-level
+    stand-in for Gopher's duplicate-line fraction), and fewer than two
+    distinct function words. n_keep is the conjunction.
+
+    Every flag is a native array/length expression evaluated map-side
+    in one scan; the only shuffle is the bounded source-grain groupBy.
+    At 100 TB this is the cheapest filter pass there is — a single
+    linear scan whose output is a 20-row census table."""
+    d = table(spark, sf_dir, "documents")
+    arr = F.filter(F.split("text", " "), lambda w: w != "")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stops = F.filter(
+        F.split(F.lower(F.col("text")), " "),
+        lambda w: F.array_contains(stop_arr, w),
+    )
+    nw = F.size(arr)
+    sumlen = F.aggregate(
+        F.transform(arr, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    nd = F.size(F.array_distinct(arr))
+    nstop = F.size(F.array_distinct(stops))
+    f_wc = ((nw < 50) | (nw > 100000)).cast("int")
+    f_mwl = ((sumlen < 3 * nw) | (sumlen > 10 * nw)).cast("int")
+    f_rep = (2 * nd < nw).cast("int")
+    f_stop = (nstop < 2).cast("int")
+    flags = d.select(
+        "source",
+        f_wc.alias("f_wc"),
+        f_mwl.alias("f_mwl"),
+        f_rep.alias("f_rep"),
+        f_stop.alias("f_stop"),
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f_wc").alias("n_wordcount_out"),
+        F.sum("f_mwl").alias("n_meanlen_out"),
+        F.sum("f_rep").alias("n_repetitious"),
+        F.sum("f_stop").alias("n_few_stopwords"),
+        F.sum(
+            F.when(
+                (F.col("f_wc") == 0)
+                & (F.col("f_mwl") == 0)
+                & (F.col("f_rep") == 0)
+                & (F.col("f_stop") == 0),
+                1,
+            ).otherwise(0)
+        ).alias("n_keep"),
+    )
+
+
+@query(
+    "q_dsir_weights",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split(text, ' '), w -> w <> ''))
+                   AS w
+        FROM documents
+    ), feats AS (
+        SELECT doc_id, lang,
+               CAST(CAST(concat('0x', substring(md5(w), 1, 8)) AS UBIGINT)
+                    % 64 AS BIGINT) AS b
+        FROM words
+    ), tgt AS (
+        SELECT b, CAST(COUNT(*) AS DOUBLE) AS ct FROM feats
+        WHERE lang = 'en' GROUP BY b
+    ), src AS (
+        SELECT b, CAST(COUNT(*) AS DOUBLE) AS cs FROM feats GROUP BY b
+    ), totals AS (
+        SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS nt,
+               CAST(COUNT(*) AS DOUBLE) AS ns
+        FROM feats
+    ), lam AS (
+        SELECT s.b,
+               ln((COALESCE(t.ct, 0) + 1) / (totals.nt + 64))
+                   - ln((s.cs + 1) / (totals.ns + 64)) AS lam
+        FROM src s LEFT JOIN tgt t ON s.b = t.b CROSS JOIN totals
+    )
+    SELECT f.doc_id, any_value(f.lang) AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(lam.lam), 6) AS logw
+    FROM feats f JOIN lam ON lam.b = f.b
+    GROUP BY f.doc_id
+    ORDER BY ROUND(SUM(lam.lam), 6) DESC, f.doc_id
+    LIMIT 20
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Data Selection via Importance Resampling) importance
+    weights over hashed unigram features: every token hashes into one
+    of 64 md5-derived feature buckets, target (lang='en') and source
+    (whole corpus) bag-of-buckets models are add-1 smoothed, and each
+    document scores logw = Σ_tokens [ln p_tgt(b) − ln p_src(b)] — the
+    log importance ratio DSIR resamples by. Top 20 docs returned.
+
+    Scale shape: the feature stream is one explode (linear); BOTH model
+    tables live on the 64-bucket grain — bounded regardless of corpus
+    size, broadcast onto the stream (the whole point of DSIR's hashing
+    trick: model size is fixed by construction, so the scoring join
+    never shuffles the data side). Final top-20 plans as
+    TakeOrderedAndProject on the rounded weight with doc_id tie-break.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("w"),
+    )
+    feats = words.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 8), 16, 10)
+            .cast("long")
+            % 64
+        ).alias("b"),
+    )
+    tgt = (
+        feats.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("double").alias("ct"))
+    )
+    src = feats.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("cs"))
+    totals = feats.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("double")
+        .alias("nt"),
+        F.count(F.lit(1)).cast("double").alias("ns"),
+    )
+    lam = (
+        src.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0.0)) + 1) / (F.col("nt") + 64))
+                - F.log((F.col("cs") + 1) / (F.col("ns") + 64))
+            ).alias("lam"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lam"), 6).alias("logw"),
+        )
+    )
+    return scored.orderBy(F.col("logw").desc(), "doc_id").limit(20)
+
+
+@query(
+    "q_ppl_bucket",
+    oracle=f"""
+    WITH {_BIGRAM_CE_CTE},
+    b AS (
+        SELECT lang, ce,
+               ntile(3) OVER (PARTITION BY lang ORDER BY ce, doc_id)
+                   AS bucket
+        FROM ce_rel
+    )
+    SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(MIN(ce), 6) AS ce_min,
+           ROUND(MAX(ce), 6) AS ce_max,
+           ROUND(AVG(ce), 6) AS ce_avg
+    FROM b GROUP BY lang, bucket
+    """,
+)
+def q_ppl_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: per language, rank documents
+    by their bigram-LM cross-entropy (shared relation with
+    q_bigram_ppl) and assign head/middle/tail tertiles — the classic
+    "keep the head, maybe the middle, drop the tail" curation gate.
+
+    Distributed shape: per-lang ntile WITHOUT a per-lang window sort.
+    One global ordered_scan over (lang, ce, doc_id) — range-partitioned,
+    so no task ever sorts a data-scaled partition — yields a global row
+    number; the per-lang local rank is recovered by subtracting the
+    lang's first global rank (a 5-row broadcast join), and the exact
+    ANSI ntile piecewise form (operators/scale.py:154's integer
+    arithmetic, here with per-lang N as a column) converts rank →
+    tertile. The oracle runs DuckDB's own ntile over the identical
+    (ce, doc_id) order, so the piecewise identity is cross-checked
+    against a second independent implementation on every run. Ordering
+    ties are impossible across engines because ce is the ROUNDED value
+    q_bigram_ppl already hash-matches, with doc_id as total-order
+    tie-break. Output is the bounded (lang × 3) census."""
+    from kafka_flink_exactlyonce_example_spark.operators.scale import ordered_scan
+
+    ce = _bigram_ce(spark, sf_dir)
+    scanned = ordered_scan(
+        ce.select("doc_id", "lang", "ce"),
+        [F.col("lang"), F.col("ce"), F.col("doc_id")],
+        rn="_grn",
+    )
+    bounds = scanned.groupBy("lang").agg(
+        F.min("_grn").alias("_first"), F.count(F.lit(1)).alias("_n")
+    )
+    j = scanned.join(F.broadcast(bounds), "lang")
+    lrn = F.col("_grn") - F.col("_first") + 1
+    # integer div arithmetic via expr to stay in exact long math
+    assigned = j.select(
+        "lang",
+        "ce",
+        lrn.alias("_lrn"),
+        F.col("_n"),
+    ).withColumn(
+        "bucket",
+        F.expr(
+            "CASE WHEN _lrn <= ((_n div 3) + 1) * (_n % 3) "
+            "THEN (_lrn + (_n div 3)) div ((_n div 3) + 1) "
+            "ELSE (_n % 3) + (_lrn - ((_n div 3) + 1) * (_n % 3) "
+            "     + (_n div 3) - 1) div (_n div 3) END"
+        ).cast("long"),
+    )
+    return (
+        assigned.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("ce"), 6).alias("ce_min"),
+            F.round(F.max("ce"), 6).alias("ce_max"),
+            F.round(F.avg("ce"), 6).alias("ce_avg"),
+        )
+        .select(
+            "lang",
+            "bucket",
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail")
+            .alias("tier"),
+            "n_docs",
+            "ce_min",
+            "ce_max",
+            "ce_avg",
+        )
     )
