@@ -1402,3 +1402,151 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@query(
+    "q_dedup_cascade",
+    oracle=_MINHASH_CTES.replace("WITH", "WITH RECURSIVE", 1)
+    + _LSH_SCORED_CTES
+    + """
+    , edges AS (
+        SELECT doc_a, doc_b FROM scored
+        WHERE n_common / (n_sum - n_common) >= 0.8
+    ), h AS (
+        SELECT doc_id, md5(lower(trim(text))) AS eh,
+               md5(substring(text, 1, 64)) AS ph
+        FROM documents
+    ), s1 AS (
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM h GROUP BY eh
+    ), h2 AS (
+        SELECT h.* FROM h JOIN s1 USING (doc_id)
+    ), s2 AS (
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM h2 GROUP BY ph
+    ), edges_f AS (
+        SELECT e.doc_a, e.doc_b
+        FROM edges e
+        JOIN s2 a ON e.doc_a = a.doc_id
+        JOIN s2 b ON e.doc_b = b.doc_id
+    ), sym2 AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges_f
+        UNION ALL
+        SELECT doc_b, doc_a FROM edges_f
+    ),
+    reach2(a, b) AS (
+        SELECT a, b FROM sym2
+        UNION
+        SELECT r.a, s.b FROM reach2 r JOIN sym2 s ON r.b = s.a
+    ),
+    labels AS (
+        SELECT s.doc_id,
+               LEAST(s.doc_id, COALESCE(MIN(r.b), s.doc_id)) AS g
+        FROM s2 s LEFT JOIN reach2 r ON r.a = s.doc_id
+        GROUP BY s.doc_id
+    ),
+    n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s1),
+    n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s2),
+    n3 AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS n FROM labels)
+    SELECT stage_idx, stage, n_in, n_kept,
+           n_in - n_kept AS n_removed,
+           ROUND(1.0 - n_kept / (SELECT CAST(n AS DOUBLE) FROM n0), 6)
+               AS cum_frac_removed
+    FROM (
+        SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
+               (SELECT n FROM n0) AS n_in, (SELECT n FROM n0) AS n_kept
+        UNION ALL
+        SELECT 1, 'exact', (SELECT n FROM n0), (SELECT n FROM n1)
+        UNION ALL
+        SELECT 2, 'prefix', (SELECT n FROM n1), (SELECT n FROM n2)
+        UNION ALL
+        SELECT 3, 'neardup', (SELECT n FROM n2), (SELECT n FROM n3)
+    )
+    """,
+)
+def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup CASCADE census — the report a curation run emits
+    after its dedup phase: exact (content-hash keep-lowest) → prefix
+    (64-char truncation-dup keep-lowest, among exact survivors) →
+    near-dup (connected components over the LSH-verified edge set
+    RESTRICTED to surviving endpoints, keep one per component). Each
+    stage consumes the previous stage's survivors, so the row for
+    stage k reports what that stage ALONE still caught — the marginal
+    value of each pass, which is what decides whether the expensive
+    MinHash stage earns its compute at 100 TB.
+
+    Scale shape: stages 1–2 are digest groupBys (16-byte keys shuffle,
+    never text); stage 3 filters the session-cached LSH-verified edges
+    with two semi-joins on doc_id and runs the shared Pregel
+    min-label/pointer-jump loop (:func:`_cc_min_label`) over the
+    restricted subgraph — O(log diameter) rounds, no O(n²) pair join
+    anywhere. Note the restriction matters semantically: a component
+    connected only THROUGH a doc removed by an earlier stage splits,
+    exactly as a sequential pipeline would see it; the oracle builds
+    the identical filtered subgraph before its recursive closure."""
+    d = table(spark, sf_dir, "documents")
+    hashes = d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("eh"),
+        F.md5(F.substring("text", 1, 64).cast("binary")).alias("ph"),
+    )
+    s1 = hashes.groupBy("eh").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    h2 = hashes.join(s1, "doc_id", "leftsemi")
+    s2 = h2.groupBy("ph").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    edges = _lsh_verified_edges(spark, sf_dir)
+    edges_f = edges.join(
+        s2.withColumnRenamed("doc_id", "doc_a"), "doc_a", "leftsemi"
+    ).join(s2.withColumnRenamed("doc_id", "doc_b"), "doc_b", "leftsemi")
+    labels = _cc_min_label(spark, s2, edges_f)
+    c0 = d.agg(F.count(F.lit(1)).alias("n0"))
+    c1 = s1.agg(F.count(F.lit(1)).alias("n1"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n2"))
+    c3 = labels.agg(F.countDistinct("group_id").alias("n3"))
+    summary = (
+        c0.crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(c3))
+    )
+    stages = summary.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).cast("long").alias("stage_idx"),
+                    F.lit("raw").alias("stage"),
+                    F.col("n0").alias("n_in"),
+                    F.col("n0").alias("n_kept"),
+                    F.col("n0").alias("_tot"),
+                ),
+                F.struct(
+                    F.lit(1).cast("long").alias("stage_idx"),
+                    F.lit("exact").alias("stage"),
+                    F.col("n0").alias("n_in"),
+                    F.col("n1").alias("n_kept"),
+                    F.col("n0").alias("_tot"),
+                ),
+                F.struct(
+                    F.lit(2).cast("long").alias("stage_idx"),
+                    F.lit("prefix").alias("stage"),
+                    F.col("n1").alias("n_in"),
+                    F.col("n2").alias("n_kept"),
+                    F.col("n0").alias("_tot"),
+                ),
+                F.struct(
+                    F.lit(3).cast("long").alias("stage_idx"),
+                    F.lit("neardup").alias("stage"),
+                    F.col("n2").alias("n_in"),
+                    F.col("n3").alias("n_kept"),
+                    F.col("n0").alias("_tot"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    return stages.select(
+        "stage_idx",
+        "stage",
+        "n_in",
+        "n_kept",
+        (F.col("n_in") - F.col("n_kept")).alias("n_removed"),
+        F.round(
+            1.0 - F.col("n_kept") / F.col("_tot").cast("double"), 6
+        ).alias("cum_frac_removed"),
+    )

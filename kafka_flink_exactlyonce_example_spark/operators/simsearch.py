@@ -1000,3 +1000,109 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("vec_id", "label", "dist2", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# q_embed_project — Johnson–Lindenstrauss random-projection distortion audit
+# --------------------------------------------------------------------------
+
+_JL_DIMS = 8     # projected dimensionality
+_JL_SEED = 99    # plane-table seed, disjoint from the LSH tables (0..7)
+_JL_PROBES = 16  # FIXED audit pairs — must not scale with the corpus
+
+
+def _jl_planes() -> list[list[float]]:
+    return _lsh_planes(_JL_SEED, _JL_DIMS)
+
+
+def _jl_proj_sql(col: str) -> str:
+    lits = []
+    for w in _jl_planes():
+        lit = "[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in w) + "]"
+        lits.append(dot_sql(col, lit))
+    return "[" + ", ".join(lits) + "]"
+
+
+@query(
+    "q_embed_project",
+    oracle=f"""
+    WITH probes AS (
+        SELECT vec_id, embedding,
+               row_number() OVER (
+                   ORDER BY md5('jl:' || CAST(vec_id AS VARCHAR)), vec_id
+               ) AS rn
+        FROM embeddings
+        QUALIFY rn <= {2 * _JL_PROBES}
+    ), proj AS (
+        SELECT vec_id, embedding, rn,
+               {_jl_proj_sql('embedding')} AS p
+        FROM probes
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_orig,
+           ROUND({cosine_sql('a.p', 'b.p')}, 6) AS cos_proj,
+           ROUND(ABS({cosine_sql('a.embedding', 'b.embedding')}
+                     - {cosine_sql('a.p', 'b.p')}), 6) AS abs_err
+    FROM proj a JOIN proj b ON b.rn = a.rn + {_JL_PROBES}
+    WHERE a.rn <= {_JL_PROBES}
+    """,
+)
+def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random-projection audit: project the
+    64-dim embeddings onto {_JL_DIMS} deterministic splitmix-derived
+    hyperplanes (the same portable plane generator as the LSH index,
+    disjoint seed) and measure, on 16 FIXED md5-sampled probe pairs,
+    how much pairwise cosine the 8× compression distorts — the
+    go/no-go audit before switching an ANN index or a near-dup pass to
+    the compressed representation.
+
+    Scale shape: the projection itself is a pure map-side transform
+    (K dots per vector, no shuffle) that would apply to the full
+    corpus unchanged; only the AUDIT is sampled, and its probe count
+    is a constant — 32 hash-ordered vectors via a distributed
+    top-k (TakeOrderedAndProject), never a data-scaled window. The
+    16-pair compare is metadata-scale. Planes are pure-integer
+    splitmix64 literals, so the oracle reproduces the projection
+    bit-for-bit (same left-to-right fold as every other dot in
+    functions/similarity.py)."""
+    emb = table(spark, sf_dir, "embeddings")
+    h = F.md5(F.concat(F.lit("jl:"), F.col("vec_id").cast("string")))
+    probes = (
+        emb.select("vec_id", "embedding", h.alias("_h"))
+        .orderBy("_h", "vec_id")
+        .limit(2 * _JL_PROBES)
+    )
+    w = Window.orderBy("_h", "vec_id")  # 32-row relation — bounded
+    proj_arr = F.array(
+        *[
+            dot(F.col("embedding"), F.array(*[F.lit(x) for x in plane]))
+            for plane in _jl_planes()
+        ]
+    )
+    proj = probes.select(
+        "vec_id",
+        "embedding",
+        F.row_number().over(w).alias("rn"),
+        proj_arr.alias("p"),
+    )
+    a = proj.filter(F.col("rn") <= _JL_PROBES).select(
+        F.col("rn").alias("rn"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("p").alias("pa"),
+    )
+    b = proj.filter(F.col("rn") > _JL_PROBES).select(
+        (F.col("rn") - _JL_PROBES).alias("rn"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("p").alias("pb"),
+    )
+    co = cosine(F.col("ea"), F.col("eb"))
+    cp = cosine(F.col("pa"), F.col("pb"))
+    return a.join(b, "rn").select(
+        "vec_a",
+        "vec_b",
+        F.round(co, 6).alias("cos_orig"),
+        F.round(cp, 6).alias("cos_proj"),
+        F.round(F.abs(co - cp), 6).alias("abs_err"),
+    )

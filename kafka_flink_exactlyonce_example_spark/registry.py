@@ -91,19 +91,27 @@ _ROTATED_IN_R4: tuple[str, ...] = (
     "q_source_dup_rate",
     "q_gram_novelty",
     "q_vocab_drift",
-    "q_cooccurrence",
-    "q_edit_distance",
     # analytics/BI — never-graded representatives
     "q_hist_quantile",
-    "q_percentile",
-    "q_histogram",
-    "q_funnel",
-    "q_retention",
     # data-management — never-graded representatives
     "q_skew_diag",
     "q_pagerank",
     "q_scd2",
     "q_dq_checks",
+)
+
+# Operators BUILT in round 4 — first-ever by construction (the keys did
+# not exist when CORRECTNESS_r01..r03 were written); in-window so the
+# new plans earn driver rows immediately. The rotated-out round-5
+# deferrals: q_cooccurrence, q_edit_distance, q_percentile,
+# q_histogram, q_funnel, q_retention.
+_NEW_IN_R4: tuple[str, ...] = (
+    "q_gopher_rules",
+    "q_dsir_weights",
+    "q_ppl_bucket",
+    "q_bloom_prefilter",
+    "q_dedup_cascade",
+    "q_embed_project",
 )
 
 _PRIORITY: tuple[str, ...] = (
@@ -123,8 +131,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_keep_best",
     "q_dup_stats",
     "q_ann_lsh",  # corpus-adaptive bit-count K
-    # 37 first-ever keys (see _ROTATED_IN_R4 for the derivation)
+    # 31 rotated first-ever keys + 6 round-4-new keys (37 first-ever)
     *_ROTATED_IN_R4,
+    *_NEW_IN_R4,
 )
 
 

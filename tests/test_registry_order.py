@@ -63,12 +63,15 @@ def test_first50_spans_every_family(registry_loaded):
 
 
 def test_rotated_keys_are_first_ever(registry_loaded):
-    """VERDICT r03 item 1 'done' criterion: every _ROTATED_IN_R4 key is
-    absent from ALL prior CORRECTNESS files (>= 7 required; we rotate 37).
-    This is the regression guard that makes a memory-built rotation list
-    impossible: the assertion reads the driver's own artifacts."""
+    """VERDICT r03 item 1 'done' criterion: every _ROTATED_IN_R4 and
+    _NEW_IN_R4 key is absent from ALL prior CORRECTNESS files (>= 7
+    required; we field 37 first-ever keys). This is the regression
+    guard that makes a memory-built rotation list impossible: the
+    assertion reads the driver's own artifacts."""
     prior = _prior_round_keys()
-    rotated = set(registry_loaded._ROTATED_IN_R4)
+    rotated = set(registry_loaded._ROTATED_IN_R4) | set(
+        registry_loaded._NEW_IN_R4
+    )
     assert len(rotated) >= 7
     regraded = rotated & prior
     assert not regraded, f"rotation keys already driver-graded: {sorted(regraded)}"
@@ -76,9 +79,11 @@ def test_rotated_keys_are_first_ever(registry_loaded):
 
 
 def test_changed_impls_stay_in_window(registry_loaded):
-    """Keys whose plans change in round 4 must be graded with the new
-    implementation, not coast on a stale green row."""
+    """Keys whose plans change in round 4 — and the round-4-new
+    operators — must be graded with the new implementation, not coast
+    on a stale green row."""
     changed = {"q_dup_groups", "q_dedup_keep_best", "q_dup_stats", "q_ann_lsh"}
+    changed |= set(registry_loaded._NEW_IN_R4)
     assert changed <= set(_first50(registry_loaded))
 
 
