@@ -1106,3 +1106,142 @@ def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cp, 6).alias("cos_proj"),
         F.round(F.abs(co - cp), 6).alias("abs_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_kmeans — fixed-iteration Lloyd's clustering (deterministic, oracled)
+# --------------------------------------------------------------------------
+
+_KM_K = 4        # clusters
+_KM_DIM = 64     # embedding dimensionality (TESTDATA fixture)
+
+
+def _km_dist2_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+        f"* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+
+
+@query(
+    "q_kmeans",
+    oracle=f"""
+    WITH seeds AS (
+        SELECT embedding AS cv,
+               row_number() OVER (
+                   ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id
+               ) AS c
+        FROM embeddings
+        QUALIFY c <= {_KM_K}
+    ), a1 AS (
+        SELECT vec_id, embedding, c,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY {_km_dist2_sql('embedding', 'cv')}, c
+               ) AS rnk
+        FROM embeddings CROSS JOIN seeds
+        QUALIFY rnk = 1
+    ), cent1 AS (
+        SELECT c, i.i AS dim,
+               ROUND(AVG(CAST(embedding[i.i] AS DOUBLE)), 6) AS v
+        FROM a1 CROSS JOIN (SELECT unnest(range(1, {_KM_DIM + 1})) AS i) i
+        GROUP BY c, i.i
+    ), cent1a AS (
+        SELECT c, list(v ORDER BY dim) AS cv FROM cent1 GROUP BY c
+    ), a2 AS (
+        SELECT vec_id, embedding, c,
+               {_km_dist2_sql('embedding', 'cv')} AS d2,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY {_km_dist2_sql('embedding', 'cv')}, c
+               ) AS rnk
+        FROM embeddings CROSS JOIN cent1a
+        QUALIFY rnk = 1
+    )
+    SELECT CAST(c AS BIGINT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(SUM(d2), 6) AS inertia,
+           CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+    FROM a2 GROUP BY c
+    """,
+)
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (Lloyd's), k={_KM_K}, exactly two label assignments with
+    one centroid update between them — the canonical ITERATIVE ML
+    operator expressed as DataFrame rounds, the dense-vector sibling of
+    the CC family's Pregel loop. Deterministic end to end: seeds are
+    the first k vectors in md5 order (no RNG), and the updated
+    centroids are ROUNDED to 6 dp before the second assignment, so
+    both engines re-assign from bit-identical centroids (the same
+    cross-engine determinism trick as the ordered-scan's rounded keys;
+    without it, avg() summation order could flip near-tied argmins).
+
+    Scale shape per round: the centroid table is k rows — broadcast
+    onto one linear scan; the argmin is a map-side-combining
+    min(struct(dist2, c)) — no window over a data-scaled partition; the
+    centroid update is posexplode → (c, dim)-grain avg (k·64 rows,
+    bounded) → array rebuild. This is exactly how MLlib's k-means runs
+    at cluster scale (broadcast centers + per-partition partial sums);
+    a production run loops until movement < ε instead of a fixed 2
+    rounds — each added round is the same two stages.
+
+    Output: per-cluster census (size, inertia, min member id)."""
+    emb = table(spark, sf_dir, "embeddings")
+    h = F.md5(F.concat(F.lit("km:"), F.col("vec_id").cast("string")))
+    seeds = (
+        emb.select("vec_id", "embedding", h.alias("_h"))
+        .orderBy("_h", "vec_id")
+        .limit(_KM_K)
+    )
+    w = Window.orderBy("_h", "vec_id")  # k-row relation — bounded
+    seeds = seeds.select(
+        F.col("embedding").alias("cv"), F.row_number().over(w).alias("c")
+    )
+
+    def dist2(a, b):
+        diffs = F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        )
+        return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        scored = emb.crossJoin(F.broadcast(centroids)).select(
+            "vec_id",
+            "embedding",
+            "c",
+            dist2(F.col("embedding"), F.col("cv")).alias("d2"),
+        )
+        # argmin as one map-side-combining aggregate: min(struct) is
+        # lexicographic (d2 first, c tie-break); every row of a vec_id
+        # group carries the identical embedding, so first() is stable
+        return scored.groupBy("vec_id").agg(
+            F.first("embedding").alias("embedding"),
+            F.min(F.struct("d2", "c")).alias("_b"),
+        ).select(
+            "vec_id",
+            "embedding",
+            F.col("_b.c").alias("c"),
+            F.col("_b.d2").alias("d2"),
+        )
+
+    a1 = assign(seeds)
+    cent1 = (
+        a1.select("c", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("c", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("v"))
+        .groupBy("c")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "v"))),
+                lambda s: s.getField("v"),
+            ).alias("cv")
+        )
+    )
+    a2 = assign(cent1)
+    return a2.groupBy(F.col("c").cast("long").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.sum("d2"), 6).alias("inertia"),
+        F.min("vec_id").alias("min_vec_id"),
+    )

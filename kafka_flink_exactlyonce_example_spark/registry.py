@@ -96,7 +96,6 @@ _ROTATED_IN_R4: tuple[str, ...] = (
     # data-management — never-graded representatives
     "q_skew_diag",
     "q_pagerank",
-    "q_scd2",
     "q_dq_checks",
 )
 
@@ -104,7 +103,7 @@ _ROTATED_IN_R4: tuple[str, ...] = (
 # not exist when CORRECTNESS_r01..r03 were written); in-window so the
 # new plans earn driver rows immediately. The rotated-out round-5
 # deferrals: q_cooccurrence, q_edit_distance, q_percentile,
-# q_histogram, q_funnel, q_retention.
+# q_histogram, q_funnel, q_retention, q_scd2.
 _NEW_IN_R4: tuple[str, ...] = (
     "q_gopher_rules",
     "q_dsir_weights",
@@ -112,6 +111,7 @@ _NEW_IN_R4: tuple[str, ...] = (
     "q_bloom_prefilter",
     "q_dedup_cascade",
     "q_embed_project",
+    "q_kmeans",
 )
 
 _PRIORITY: tuple[str, ...] = (
@@ -131,7 +131,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_keep_best",
     "q_dup_stats",
     "q_ann_lsh",  # corpus-adaptive bit-count K
-    # 31 rotated first-ever keys + 6 round-4-new keys (37 first-ever)
+    # 30 rotated first-ever keys + 7 round-4-new keys (37 first-ever)
     *_ROTATED_IN_R4,
     *_NEW_IN_R4,
 )
