@@ -1665,6 +1665,34 @@ def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gopher_flags(d: DataFrame) -> DataFrame:
+    """(source, f_wc, f_mwl, f_rep, f_stop) per document — the
+    stateless map-side flag stage of q_gopher_rules, shared with its
+    streaming twin test. Integer comparisons only: mean word length in
+    [3, 10] is evaluated as 3·n ≤ Σlen(w) ≤ 10·n, so no float boundary
+    can diverge between engines or between batch and stream."""
+    arr = F.filter(F.split("text", " "), lambda w: w != "")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stops = F.filter(
+        F.split(F.lower(F.col("text")), " "),
+        lambda w: F.array_contains(stop_arr, w),
+    )
+    nw = F.size(arr)
+    sumlen = F.aggregate(
+        F.transform(arr, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    nd = F.size(F.array_distinct(arr))
+    nstop = F.size(F.array_distinct(stops))
+    return d.select(
+        "doc_id",
+        "source",
+        ((nw < 50) | (nw > 100000)).cast("int").alias("f_wc"),
+        ((sumlen < 3 * nw) | (sumlen > 10 * nw)).cast("int").alias("f_mwl"),
+        (2 * nd < nw).cast("int").alias("f_rep"),
+        (nstop < 2).cast("int").alias("f_stop"),
+    )
+
+
 @query(
     "q_gopher_rules",
     oracle=f"""
@@ -1716,31 +1744,12 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every flag is a native array/length expression evaluated map-side
     in one scan; the only shuffle is the bounded source-grain groupBy.
     At 100 TB this is the cheapest filter pass there is — a single
-    linear scan whose output is a 20-row census table."""
+    linear scan whose output is a 20-row census table. The flag stage
+    itself is stateless (:func:`gopher_flags`), so it gates documents
+    ON THE STREAM exactly like the C4 twin
+    (tests/test_streaming.py proves byte-identical stream output)."""
     d = table(spark, sf_dir, "documents")
-    arr = F.filter(F.split("text", " "), lambda w: w != "")
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    stops = F.filter(
-        F.split(F.lower(F.col("text")), " "),
-        lambda w: F.array_contains(stop_arr, w),
-    )
-    nw = F.size(arr)
-    sumlen = F.aggregate(
-        F.transform(arr, F.length), F.lit(0).cast("long"), lambda a, x: a + x
-    )
-    nd = F.size(F.array_distinct(arr))
-    nstop = F.size(F.array_distinct(stops))
-    f_wc = ((nw < 50) | (nw > 100000)).cast("int")
-    f_mwl = ((sumlen < 3 * nw) | (sumlen > 10 * nw)).cast("int")
-    f_rep = (2 * nd < nw).cast("int")
-    f_stop = (nstop < 2).cast("int")
-    flags = d.select(
-        "source",
-        f_wc.alias("f_wc"),
-        f_mwl.alias("f_mwl"),
-        f_rep.alias("f_rep"),
-        f_stop.alias("f_stop"),
-    )
+    flags = gopher_flags(d)
     return flags.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("f_wc").alias("n_wordcount_out"),

@@ -834,3 +834,37 @@ def test_streaming_c4_flags_match_batch(spark, tmp_path):
         for r in flags(docs).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_gopher_flags_match_batch(spark, tmp_path):
+    """q_gopher_rules' flag stage (gopher_flags) is stateless map-side
+    expression work — array folds and INTEGER threshold comparisons
+    only — so the identical logical plan must run as a streaming
+    transform and emit the same flags per doc. Together with the C4
+    twin this proves both canon heuristic filter banks gate documents
+    on the stream with zero state-store cost; only the bounded
+    source-grain census is stateful and runs downstream."""
+    from kafka_flink_exactlyonce_example_spark.operators.textstats import (
+        gopher_flags,
+    )
+    from kafka_flink_exactlyonce_example_spark.sources import table
+
+    docs = table(spark, SMOKE_SF, "documents")
+    inp = str(tmp_path / "in")
+    docs.write.parquet(inp)
+
+    stream = spark.readStream.schema(docs.schema).parquet(inp)
+    sink = IdempotentBatchSink(str(tmp_path / "out"))
+    q = run_exactly_once(
+        gopher_flags(stream), sink, str(tmp_path / "ckpt"), output_mode="append"
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["f_wc"], r["f_mwl"], r["f_rep"], r["f_stop"])
+        for r in sink.read_committed(spark).collect()
+    }
+    want = {
+        r["doc_id"]: (r["f_wc"], r["f_mwl"], r["f_rep"], r["f_stop"])
+        for r in gopher_flags(docs).collect()
+    }
+    assert got == want and len(want) > 0
