@@ -108,3 +108,34 @@ def test_aqe_skew_join_splits_hot_partition(spark):
         for k, v in prev.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_salted_join_equals_unsalted(spark, registry_loaded):
+    """The correctness claim of q_salted_join: summing the per-salt
+    rows reproduces EXACTLY the unsalted join's totals — salting
+    re-routes rows across reducers, it must never change results."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_exactlyonce_example_spark.functions.money import cents
+    from kafka_flink_exactlyonce_example_spark.sources import table
+    from tests.conftest import SMOKE_SF
+
+    salted = registry_loaded.QUERIES["q_salted_join"](spark, SMOKE_SF).collect()
+    li = table(spark, SMOKE_SF, "lineitem")
+    s = table(spark, SMOKE_SF, "supplier")
+    plain = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                cents(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            ).alias("revenue_cents"),
+        )
+        .collect()[0]
+    )
+    assert sum(r["n_rows"] for r in salted) == plain["n_rows"]
+    assert sum(r["revenue_cents"] for r in salted) == plain["revenue_cents"]
+    # the balance the salt buys: no salt bucket holds more than 2x the
+    # uniform share of rows
+    rows = [r["n_rows"] for r in salted]
+    assert max(rows) <= 2 * (sum(rows) / len(rows))
