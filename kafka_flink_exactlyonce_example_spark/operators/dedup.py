@@ -1550,3 +1550,124 @@ def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.col("n_kept") / F.col("_tot").cast("double"), 6
         ).alias("cum_frac_removed"),
     )
+
+
+@query(
+    "q_incremental_dedup",
+    oracle=_MINHASH_CTES.replace("WITH", "WITH RECURSIVE", 1)
+    + _LSH_SCORED_CTES
+    + """
+    , edges AS (
+        SELECT doc_a, doc_b FROM scored
+        WHERE n_common / (n_sum - n_common) >= 0.8
+    ), split AS (
+        SELECT doc_id, lang,
+               CASE WHEN CAST(CAST(concat('0x', substring(
+                             md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 10 AS BIGINT) = 0
+                    THEN 1 ELSE 0 END AS is_new,
+               md5(lower(trim(text))) AS h
+        FROM documents
+    ), corpus_h AS (
+        SELECT DISTINCT h FROM split WHERE is_new = 0
+    ), corpus_ids AS (
+        SELECT doc_id FROM split WHERE is_new = 0
+    ), near_new AS (
+        SELECT DISTINCT n.doc_id
+        FROM split n
+        JOIN (SELECT doc_a AS x, doc_b AS y FROM edges
+              UNION ALL SELECT doc_b, doc_a FROM edges) e ON e.x = n.doc_id
+        JOIN corpus_ids c ON c.doc_id = e.y
+        WHERE n.is_new = 1
+    ), flagged AS (
+        SELECT s.doc_id, s.lang,
+               CASE WHEN ch.h IS NOT NULL THEN 1 ELSE 0 END AS f_exact,
+               CASE WHEN nn.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_near
+        FROM split s
+        LEFT JOIN corpus_h ch ON ch.h = s.h
+        LEFT JOIN near_new nn ON nn.doc_id = s.doc_id
+        WHERE s.is_new = 1
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_new,
+           CAST(SUM(f_exact) AS BIGINT) AS n_exact_dup,
+           CAST(SUM(f_near) AS BIGINT) AS n_near_dup,
+           CAST(SUM(CASE WHEN f_exact = 0 AND f_near = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clean
+    FROM flagged GROUP BY lang
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the gate a PRODUCTION pipeline runs
+    on every new crawl batch, instead of re-deduping the world: a
+    deterministic ~10% hash split plays the \"new batch\", the rest is
+    the \"existing corpus\", and each new doc is checked (a) exactly —
+    its normalized digest semi-joined against the corpus digest set —
+    and (b) near — it appears in a verified LSH edge whose other
+    endpoint is in the corpus. Per-lang census of new / exact-dup /
+    near-dup / clean.
+
+    Scale shape: the exact check is a 16-byte-digest semi-join (the
+    corpus side would be a bloom/digest index in production — see
+    q_bloom_prefilter for exactly that pattern); the near check REUSES
+    the session-cached LSH-verified edge relation — at scale the
+    corpus's band index is a stored table and only the new batch gets
+    shingled and hashed, so the marginal cost is linear in the BATCH,
+    not the corpus. Everything here is semi-joins and keyed rollups;
+    nothing rescans corpus text."""
+    d = table(spark, sf_dir, "documents")
+    is_new = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("inc:"), F.col("doc_id").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+        == 0
+    )
+    split = d.select(
+        "doc_id",
+        "lang",
+        is_new.cast("int").alias("is_new"),
+        F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("h"),
+    )
+    new = split.filter(F.col("is_new") == 1)
+    corpus = split.filter(F.col("is_new") == 0)
+    corpus_h = corpus.select("h").distinct()
+    corpus_ids = corpus.select("doc_id")
+    edges = _lsh_verified_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("doc_a").alias("x"), F.col("doc_b").alias("y")
+    ).unionAll(edges.select(F.col("doc_b").alias("x"), F.col("doc_a").alias("y")))
+    near_new = (
+        sym.join(corpus_ids.withColumnRenamed("doc_id", "y"), "y", "leftsemi")
+        .select(F.col("x").alias("doc_id"))
+        .distinct()
+    )
+    flagged = (
+        new.join(
+            corpus_h.withColumn("_e", F.lit(1)), "h", "left"
+        )
+        .join(near_new.withColumn("_n", F.lit(1)), "doc_id", "left")
+        .select(
+            "lang",
+            F.coalesce("_e", F.lit(0)).alias("f_exact"),
+            F.coalesce("_n", F.lit(0)).alias("f_near"),
+        )
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum("f_exact").alias("n_exact_dup"),
+        F.sum("f_near").alias("n_near_dup"),
+        F.sum(
+            F.when((F.col("f_exact") == 0) & (F.col("f_near") == 0), 1).otherwise(0)
+        ).alias("n_clean"),
+    )
