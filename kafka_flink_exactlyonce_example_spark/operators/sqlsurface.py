@@ -339,3 +339,140 @@ def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.sum(share * F.log(share)), 6).alias("entropy_nats"),
         F.round(F.max(share), 6).alias("max_share"),
     )
+
+
+_RRF_K = 60   # the standard reciprocal-rank-fusion damping constant
+_RRF_TOP = 32  # per-retriever candidate depth — FIXED, not corpus-scaled
+
+
+@query(
+    "q_rank_fusion",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), words_f AS (SELECT * FROM words WHERE word <> ''),
+    dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM words_f GROUP BY doc_id
+    ),
+    corpus AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM words_f WHERE word IN {_BM25_TERMS!r} GROUP BY doc_id, word
+    ),
+    df AS (
+        SELECT word, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM words_f WHERE word IN {_BM25_TERMS!r} GROUP BY word
+    ),
+    bm AS (
+        SELECT tf.doc_id,
+               ROUND(SUM(
+                   ln((n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * (tf.tf * ({_K1} + 1.0))
+                   / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / corpus.avgdl))
+               ), 6) AS bm25
+        FROM tf
+        JOIN df ON tf.word = df.word
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN corpus
+        GROUP BY tf.doc_id
+    ),
+    bm_top AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_sparse
+        FROM bm QUALIFY r_sparse <= {_RRF_TOP}
+    ),
+    anchor AS (SELECT embedding AS a FROM embeddings WHERE vec_id = 0),
+    cos AS (
+        SELECT vec_id AS doc_id,
+               ROUND(list_sum(list_transform(list_zip(embedding, a),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(embedding,
+                        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(a,
+                        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6)
+                   AS sim
+        FROM embeddings, anchor WHERE vec_id <> 0
+    ),
+    cos_top AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY sim DESC, doc_id) AS r_dense
+        FROM cos QUALIFY r_dense <= {_RRF_TOP}
+    ),
+    fused AS (
+        SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+               b.r_sparse, c.r_dense,
+               ROUND(COALESCE(1.0 / ({_RRF_K} + b.r_sparse), 0)
+                     + COALESCE(1.0 / ({_RRF_K} + c.r_dense), 0), 6) AS rrf
+        FROM bm_top b FULL OUTER JOIN cos_top c ON b.doc_id = c.doc_id
+    )
+    SELECT doc_id, CAST(r_sparse AS BIGINT) AS r_sparse,
+           CAST(r_dense AS BIGINT) AS r_dense, rrf
+    FROM fused
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrievers — the hybrid-search
+    primitive every RAG / retrieval-curation stack runs: sparse = BM25
+    over the fixed query terms (q_bm25's exact scoring chain), dense =
+    cosine against the anchor embedding (q_cosine_topk's chain), each
+    truncated to its top-32 by the distributed top-k, then
+    RRF(d) = Σ_lists 1/(60 + rank_list(d)) over a full-outer join of
+    the two candidate lists, top-10 out.
+
+    Scale shape: both retrievers end in TakeOrderedAndProject at a
+    FIXED depth (32), so the rank windows run on 32-row bounded
+    relations — global ranking of the full corpus is never
+    materialized (RRF only ever needs each retriever's top-k; that is
+    the point of the formula). The fusion join and final sort are
+    metadata-scale. Ranks are assigned on ROUNDED scores with doc_id
+    tie-breaks, so both engines truncate identical candidate sets."""
+    from kafka_flink_exactlyonce_example_spark.registry import QUERIES
+
+    bm = QUERIES["q_bm25"](spark, sf_dir)
+    bm_top = (
+        bm.orderBy(F.desc("bm25"), "doc_id")
+        .limit(_RRF_TOP)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+            .alias("r_sparse"),
+        )
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    anchor = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("a"))
+    from kafka_flink_exactlyonce_example_spark.functions.similarity import cosine
+
+    cos = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("a")), 6).alias("sim"),
+        )
+    )
+    cos_top = (
+        cos.orderBy(F.desc("sim"), "doc_id")
+        .limit(_RRF_TOP)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("sim"), "doc_id"))
+            .alias("r_dense"),
+        )
+    )
+    fused = bm_top.join(cos_top, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("r_sparse").cast("long").alias("r_sparse"),
+        F.col("r_dense").cast("long").alias("r_dense"),
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("r_sparse")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("r_dense")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
