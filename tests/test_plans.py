@@ -224,3 +224,70 @@ def test_vocab_drift_is_take_ordered(spark, registry_loaded):
         registry_loaded.QUERIES["q_vocab_drift"](spark, SMOKE_SF),
         "TakeOrderedAndProject",
     )
+
+
+def test_round4_ppl_bucket_range_partitions_no_per_lang_sort(
+    spark, registry_loaded
+):
+    """q_ppl_bucket's per-lang ntile must ride the distributed
+    ordered_scan (range repartition visible) and never a data-scaled
+    unpartitioned window."""
+    df = registry_loaded.QUERIES["q_ppl_bucket"](spark, SMOKE_SF)
+    plan = plan_string(df)
+    assert "rangepartitioning" in plan
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if ln.strip().startswith("Window") and "], [], [" in ln
+    ]
+    assert not bad, f"unpartitioned Window nodes: {bad}"
+
+
+def test_round4_dsir_top20_is_take_ordered(spark, registry_loaded):
+    """q_dsir_weights' global top-20 must plan as TakeOrderedAndProject
+    (distributed top-k), and the 64-bucket model join must broadcast."""
+    df = registry_loaded.QUERIES["q_dsir_weights"](spark, SMOKE_SF)
+    assert_in_plan(df, "TakeOrderedAndProject")
+    assert_in_plan(df, "BroadcastHashJoin")
+
+
+def test_round4_bloom_bits_broadcast(spark, registry_loaded):
+    """q_bloom_prefilter's ≤4096-row bit relation must reach the fact
+    side as a broadcast hash join — the whole point of the filter."""
+    assert_in_plan(
+        registry_loaded.QUERIES["q_bloom_prefilter"](spark, SMOKE_SF),
+        "BroadcastHashJoin",
+    )
+
+
+def test_round4_kmeans_argmin_is_aggregate_not_window(spark, registry_loaded):
+    """q_kmeans' per-vector argmin is a map-side-combining aggregate,
+    NOT a rank window: the only Window node allowed is the seed-rank
+    one, which sits on the 4-row post-limit seed relation (bounded by
+    construction)."""
+    df = registry_loaded.QUERIES["q_kmeans"](spark, SMOKE_SF)
+    plan = plan_string(df)
+    n_windows = sum(
+        1 for ln in plan.splitlines() if ln.strip().startswith("Window ")
+    )
+    assert n_windows <= 1, f"unexpected Window nodes: {n_windows}"
+
+
+def test_round4_salted_join_broadcasts_replicated_dim(spark, registry_loaded):
+    """q_salted_join replicates the BOUNDED dim ×8 and broadcasts it;
+    the fact side must not be exchanged for the join itself."""
+    assert_in_plan(
+        registry_loaded.QUERIES["q_salted_join"](spark, SMOKE_SF),
+        "BroadcastHashJoin",
+    )
+
+
+def test_round4_cascade_no_exhaustive_pair_join(spark, registry_loaded):
+    """q_dedup_cascade's near-dup stage must consume the LSH-verified
+    edge relation filtered by SEMI-joins — no cartesian pair
+    generation. (The BroadcastNestedLoopJoin nodes present are the
+    single-row census-count crossJoins, bounded by construction.)"""
+    df = registry_loaded.QUERIES["q_dedup_cascade"](spark, SMOKE_SF)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan, "survivor filtering must be semi-joins"
