@@ -203,8 +203,14 @@ def test_global_scan_family_range_partitions(spark, registry_loaded):
 def test_bigram_model_tables_broadcast(spark, registry_loaded):
     """q_bigram_ppl's scoring stage must broadcast the bounded model
     tables (bigram/unigram counts) onto the bigram stream — the CCNet
-    shape — and never degrade to a nested-loop join."""
-    df = registry_loaded.QUERIES["q_bigram_ppl"](spark, SMOKE_SF)
+    shape — and never degrade to a nested-loop join. Inspect the FRAME
+    builder: the registered query returns the session-cached
+    localCheckpoint, whose plan is an opaque scan."""
+    from kafka_flink_exactlyonce_example_spark.operators.textstats import (
+        _bigram_ce_frame,
+    )
+
+    df = _bigram_ce_frame(spark, SMOKE_SF)
     assert_in_plan(df, "BroadcastHashJoin")
     assert_not_in_plan(df, "CartesianProduct")
 
