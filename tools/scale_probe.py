@@ -259,6 +259,70 @@ def main() -> None:
             f"wall={dt:6.2f}s  docs/sec_vs_x1={rate / base_rate_cc:4.2f}"
         )
 
+    # Adaptive-K ANN (round-4): candidate fan-out must stay BOUNDED as
+    # the corpus grows, because the integer bit-count ladder raises K
+    # (finer buckets) with n. Synthetic deterministic pseudo-random
+    # vectors (md5-derived components — uniform over buckets) isolate
+    # the index behavior from the fixture's cluster structure. Healthy
+    # = cand/vec roughly flat (it saturates near target·L once the
+    # ladder engages); a FIXED K would grow it ∝ mult.
+    from kafka_flink_exactlyonce_example_spark.operators import simsearch as sim
+
+    base_n_emb = table(spark, sf_dir, "embeddings").count()
+    base_cpv = None
+    for mult in multiples:
+        n = base_n_emb * mult
+        comp = F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda dd: (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("e:"),
+                                F.col("vec_id").cast("string"),
+                                F.lit(":"),
+                                dd.cast("string"),
+                            ).cast("binary")
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2_000_001
+            ).cast("double")
+            / 1_000_000.0
+            - 1.0,
+        )
+        emb = spark.range(n).select(
+            F.col("id").alias("vec_id"), comp.alias("embedding")
+        )
+        k = sim._adaptive_bits(n, sim._LSH_BITS, sim._LSH_TARGET_BUCKET)
+        t0 = time.perf_counter()
+        b = sim._lsh_bucket_frame(emb, k).localCheckpoint()
+        x = b.select("vec_id", "tbl", "bucket")
+        y = sim._capped_index(b).select(
+            F.col("vec_id").alias("neighbor_id"), "tbl", "bucket"
+        )
+        n_cand = (
+            x.join(y, ["tbl", "bucket"])
+            .filter(F.col("vec_id") != F.col("neighbor_id"))
+            .select("vec_id", "neighbor_id")
+            .distinct()
+            .count()
+        )
+        dt = time.perf_counter() - t0
+        cpv = n_cand / n
+        if base_cpv is None:
+            base_cpv = max(cpv, 1e-9)
+        print(
+            f"annk  x{mult:<3d} vecs={n:7d}  K={k:2d}  cand={n_cand:9d}  "
+            f"cand/vec={cpv:7.1f}  wall={dt:6.2f}s  "
+            f"cpv_vs_x1={cpv / base_cpv:4.2f}"
+        )
+
 
 if __name__ == "__main__":
     main()
