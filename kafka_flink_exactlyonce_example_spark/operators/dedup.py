@@ -1671,3 +1671,93 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("f_exact") == 0) & (F.col("f_near") == 0), 1).otherwise(0)
         ).alias("n_clean"),
     )
+
+
+_SWEEP_THRESHOLDS = (0.5, 0.625, 0.75, 0.875, 1.0)
+
+
+@query(
+    "q_dup_threshold_sweep",
+    oracle=_MINHASH_CTES
+    + f"""
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM capped a
+        JOIN capped b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                     AND a.doc_id < b.doc_id
+    ), est AS (
+        SELECT c.doc_a, c.doc_b,
+               round(avg(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END), 6)
+                 AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+        GROUP BY c.doc_a, c.doc_b
+    ), ths AS (
+        SELECT unnest([{", ".join(str(t) for t in _SWEEP_THRESHOLDS)}])
+            AS threshold
+    ), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    sides AS (
+        SELECT t.threshold, e.doc_a AS d
+        FROM ths t JOIN est e ON e.est_jaccard >= t.threshold
+        UNION ALL
+        SELECT t.threshold, e.doc_b
+        FROM ths t JOIN est e ON e.est_jaccard >= t.threshold
+    )
+    SELECT threshold,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs_involved,
+           ROUND(COUNT(DISTINCT d) / n.n_docs, 6) AS frac_docs
+    FROM sides CROSS JOIN n
+    GROUP BY threshold, n.n_docs
+    """,
+)
+def q_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold tuning sweep — the report you run BEFORE
+    committing a Jaccard cutoff for a full dedup pass: for each
+    candidate threshold, how many LSH-candidate pairs the
+    MinHash-ESTIMATED Jaccard (16-lane agreement, so estimates are
+    multiples of 1/16) would keep, how many distinct documents they
+    touch, and what fraction of the corpus that is. Thresholds are the
+    lane-quantized ladder 0.5 … 1.0.
+
+    Cost: the signature and capped-band relations are the session
+    caches every other MinHash query shares, so the sweep itself is
+    one aggregation over the estimated-pairs relation per threshold —
+    the pair relation is linear in corpus size (capped candidates),
+    and the 5-row threshold spine rides a broadcast nested loop over
+    it exactly once. n_pairs is counted once per pair (the doc-side
+    explode double-counts pairs, so the count divides by 2)."""
+    from kafka_flink_exactlyonce_example_spark.registry import QUERIES
+
+    est = QUERIES["q_minhash_est"](spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    ths = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in _SWEEP_THRESHOLDS])
+        ).alias("threshold")
+    )
+    kept = est.crossJoin(F.broadcast(ths)).filter(
+        F.col("est_jaccard") >= F.col("threshold")
+    )
+    sides = kept.select(
+        "threshold",
+        F.explode(F.array("doc_a", "doc_b")).alias("d"),
+    )
+    return (
+        sides.groupBy("threshold")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
+            F.countDistinct("d").alias("n_docs_involved"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "threshold",
+            "n_pairs",
+            "n_docs_involved",
+            F.round(F.col("n_docs_involved") / F.col("n_docs"), 6).alias(
+                "frac_docs"
+            ),
+        )
+    )
