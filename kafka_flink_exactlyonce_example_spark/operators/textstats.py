@@ -1978,3 +1978,88 @@ def q_ppl_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ce_avg",
         )
     )
+
+
+@query(
+    "q_curriculum",
+    oracle=f"""
+    WITH {_BIGRAM_CE_CTE},
+    feats AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), w -> w <> '') AS arr
+        FROM documents
+    ), sig AS (
+        SELECT f.doc_id, f.lang,
+               ROUND(CAST(len(list_distinct(f.arr)) AS DOUBLE)
+                     / len(f.arr), 6) AS ttr,
+               c.ce,
+               CASE WHEN len(f.arr) >= 50 AND len(f.arr) <= 100000
+                    THEN 1 ELSE 0 END AS keep_wc
+        FROM feats f JOIN ce_rel c ON c.doc_id = f.doc_id
+    ), scored AS (
+        SELECT doc_id, lang, ce,
+               ROUND(2.0 * ttr - ce / 10 + keep_wc, 6) AS score
+        FROM sig
+    ), tiled AS (
+        SELECT *, ntile(10) OVER (ORDER BY score DESC, doc_id) AS decile
+        FROM scored
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(MIN(score), 6) AS score_lo,
+           ROUND(MAX(score), 6) AS score_hi,
+           ROUND(AVG(ce), 6) AS avg_ce,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_en
+    FROM tiled GROUP BY decile
+    """,
+)
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum / quality-tier assignment — the multi-signal ranking
+    a staged training run samples from: each document scores a
+    transparent composite of lexical diversity (type-token ratio,
+    higher better), bigram-LM cross-entropy (lower better; shared
+    session-cached relation with q_bigram_ppl/q_ppl_bucket), and the
+    Gopher word-count keep rule as a bonus — then the corpus is cut
+    into GLOBAL quality deciles and summarized per decile (size, score
+    range, mean CE, English share).
+
+    The global ntile runs on the distributed ordered_scan
+    (operators/scale.py) — range-partitioned two-pass, never a
+    single-partition window sort, the same machinery the §2.12
+    pareto/RFM family rides. All ranking keys are ROUNDED composites
+    with doc_id tie-break, so both engines cut identical deciles; the
+    oracle cross-checks with DuckDB's own ntile(10)."""
+    from kafka_flink_exactlyonce_example_spark.operators.scale import global_ntile
+
+    d = table(spark, sf_dir, "documents")
+    arr = F.filter(F.split("text", " "), lambda w: w != "")
+    feats = d.select(
+        "doc_id",
+        "lang",
+        F.round(
+            F.size(F.array_distinct(arr)).cast("double") / F.size(arr), 6
+        ).alias("ttr"),
+        ((F.size(arr) >= 50) & (F.size(arr) <= 100000)).cast("int").alias(
+            "keep_wc"
+        ),
+    )
+    ce = _bigram_ce(spark, sf_dir).select("doc_id", "ce")
+    scored = feats.join(ce, "doc_id").select(
+        "doc_id",
+        "lang",
+        "ce",
+        F.round(
+            2.0 * F.col("ttr") - F.col("ce") / 10 + F.col("keep_wc"), 6
+        ).alias("score"),
+    )
+    tiled = global_ntile(
+        scored, [F.col("score").desc(), F.col("doc_id")], 10, "decile"
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("score"), 6).alias("score_lo"),
+        F.round(F.max("score"), 6).alias("score_hi"),
+        F.round(F.avg("ce"), 6).alias("avg_ce"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+    )
