@@ -73,6 +73,20 @@ ORDER_SENSITIVE = [
     "q_jaccard_pairs",
     "q_lsh_dup_groups",
     "q_embed_outliers",
+    # round 4: rounded-weight top-20 (DSIR), fused top-10 with fixed
+    # per-retriever truncation (RRF), argmin ties + seed ranks
+    # (k-means), per-lang ntile boundaries on the ordered scan
+    # (ppl_bucket), md5-ordered probe pairs (JL projection), composite
+    # decile cuts (curriculum), estimated-jaccard threshold boundaries
+    # (sweep), restricted-subgraph CC labels (cascade)
+    "q_dsir_weights",
+    "q_rank_fusion",
+    "q_kmeans",
+    "q_ppl_bucket",
+    "q_embed_project",
+    "q_curriculum",
+    "q_dup_threshold_sweep",
+    "q_dedup_cascade",
 ]
 
 
