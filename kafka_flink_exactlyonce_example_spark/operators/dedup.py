@@ -1761,3 +1761,116 @@ def q_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_WIN_K = 4   # char k-gram width
+_WIN_W = 4   # winnowing window (hashes per window); E[density] = 2/(w+1)
+
+
+@query(
+    "q_winnow_fingerprint",
+    oracle=f"""
+    WITH hs AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(len(text) - {_WIN_K} + 1, 1) + 1),
+                   i -> CAST(CAST(concat('0x', substring(
+                            md5(substring(text, i, {_WIN_K})), 1, 8))
+                        AS UBIGINT) AS BIGINT)) AS h
+        FROM documents
+    ), wins AS (
+        SELECT doc_id, h,
+               list_transform(
+                   range(1, greatest(len(h) - {_WIN_W} + 1, 1) + 1),
+                   i -> list_min(array_slice(h, i, i + {_WIN_W} - 1))) AS w
+        FROM hs
+    ), fp AS (
+        SELECT doc_id, len(h) AS n_kgrams, len(w) AS n_windows,
+               list_distinct(w) AS fps
+        FROM wins
+    ), shared AS (
+        SELECT f, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM (SELECT DISTINCT doc_id, unnest(fps) AS f FROM fp)
+        GROUP BY f
+    ), per_doc AS (
+        SELECT p.doc_id, d.f, shared.n_docs
+        FROM (SELECT DISTINCT doc_id, unnest(fps) AS f FROM fp) d
+        JOIN fp p ON p.doc_id = d.doc_id
+        JOIN shared ON shared.f = d.f
+    )
+    SELECT fp.doc_id,
+           CAST(fp.n_kgrams AS BIGINT) AS n_kgrams,
+           CAST(fp.n_windows AS BIGINT) AS n_windows,
+           CAST(len(fp.fps) AS BIGINT) AS n_fp,
+           ROUND(CAST(len(fp.fps) AS DOUBLE) / fp.n_windows, 6) AS density,
+           CAST(COALESCE(SUM(CASE WHEN pd.n_docs > 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_shared_fp
+    FROM fp
+    LEFT JOIN per_doc pd ON pd.doc_id = fp.doc_id
+    GROUP BY fp.doc_id, fp.n_kgrams, fp.n_windows, fp.fps
+    """,
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken's MOSS
+    algorithm): per document, hash every char 4-gram, slide a
+    4-hash window, keep each window's MINIMUM hash — the distinct
+    survivors are the fingerprint set, guaranteed to catch any shared
+    substring of length ≥ k + w − 1 while storing only ~2/(w+1) of
+    the grams (expected density 0.4). The report gives each doc's
+    gram/window/fingerprint counts, realized density, and how many of
+    its fingerprints appear in OTHER documents — the winnowing
+    near-dup signal.
+
+    All array-native: the rolling hash chain, windows, and mins are
+    one map-side transform chain (zero shuffles to fingerprint);
+    the share census is one explode → groupBy on the 8-byte
+    fingerprint key → join back — the same digest-not-text shuffle
+    discipline as q_exact_dedup. Selecting by hash VALUE (not
+    position) keeps the fingerprint set well-defined without the
+    rightmost-tie rule, which only matters for positional audit
+    trails."""
+    d = table(spark, sf_dir, "documents")
+    h = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {_WIN_K} + 1, 1)),"
+        f" i -> cast(conv(substring(md5(cast(substring(text, i, {_WIN_K})"
+        f" as binary)), 1, 8), 16, 10) as bigint))"
+    )
+    hs = d.select("doc_id", h.alias("h"))
+    wins = hs.select(
+        "doc_id",
+        F.size("h").alias("n_kgrams"),
+        F.expr(
+            f"transform(sequence(1, greatest(size(h) - {_WIN_W} + 1, 1)),"
+            f" i -> array_min(slice(h, i, {_WIN_W})))"
+        ).alias("w"),
+    )
+    fp = wins.select(
+        "doc_id",
+        "n_kgrams",
+        F.size("w").alias("n_windows"),
+        F.array_distinct("w").alias("fps"),
+    )
+    exploded = fp.select("doc_id", F.explode("fps").alias("f")).distinct()
+    shared = exploded.groupBy("f").agg(F.count(F.lit(1)).alias("n_docs"))
+    shared_per_doc = (
+        exploded.join(shared, "f")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+                "n_shared_fp"
+            )
+        )
+    )
+    return (
+        fp.join(shared_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_kgrams",
+            "n_windows",
+            F.size("fps").alias("n_fp"),
+            F.round(F.size("fps").cast("double") / F.col("n_windows"), 6).alias(
+                "density"
+            ),
+            F.coalesce("n_shared_fp", F.lit(0)).cast("long").alias("n_shared_fp"),
+        )
+    )
