@@ -1874,3 +1874,133 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_shared_fp", F.lit(0)).cast("long").alias("n_shared_fp"),
         )
     )
+
+
+@query(
+    "q_triangle_count",
+    oracle=_MINHASH_CTES
+    + """
+    , edges AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM capped a
+        JOIN capped b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                     AND a.doc_id < b.doc_id
+    ), sym AS (
+        SELECT doc_a AS u, doc_b AS v FROM edges
+        UNION ALL SELECT doc_b, doc_a FROM edges
+    ), deg AS (
+        SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u
+    ), oriented AS (
+        SELECT CASE WHEN (da.d, e.doc_a) < (db.d, e.doc_b)
+                    THEN e.doc_a ELSE e.doc_b END AS u,
+               CASE WHEN (da.d, e.doc_a) < (db.d, e.doc_b)
+                    THEN e.doc_b ELSE e.doc_a END AS v
+        FROM edges e
+        JOIN deg da ON da.u = e.doc_a
+        JOIN deg db ON db.u = e.doc_b
+    ), tri AS (
+        SELECT e1.u, e1.v, e2.v AS w
+        FROM oriented e1
+        JOIN oriented e2 ON e2.u = e1.v
+        JOIN oriented e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_vertices,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles,
+           (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg)
+               AS n_wedges,
+           ROUND(CASE WHEN (SELECT SUM(d * (d - 1) / 2) FROM deg) > 0
+                      THEN 3.0 * (SELECT COUNT(*) FROM tri)
+                           / (SELECT SUM(d * (d - 1) / 2) FROM deg)
+                      ELSE 0.0 END, 6) AS clustering
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the near-dup graph with the
+    DEGREE-ORIENTATION trick — the canonical distributed graph
+    analytic: orient every edge from its (degree, id)-smaller endpoint
+    to the larger, so each triangle is counted EXACTLY once by joining
+    oriented wedges (u→v, v→w) against oriented closers (u→w), and —
+    the scale property — every join's fan-out per vertex is bounded by
+    O(√m) because high-degree hubs only ever appear on the arrow-head
+    side. Per-language census: dup-graph vertices, edges, triangles,
+    wedges, and the global clustering coefficient 3Δ/wedges — the
+    measure of whether the graph is cliquish or chainy.
+
+    The graph here is the LSH CANDIDATE graph (band-sharing pairs from
+    the session-cached capped bands) — the right graph to audit:
+    band buckets are cliques by construction, so its triangle density
+    measures how much the banding over-clusters relative to the
+    verified edge set (the verified ≥0.8 graph on this corpus is all
+    disjoint pairs — zero wedges — which is itself the finding: the
+    verifier prunes candidate cliques down to clean pairs). One
+    global census row: 3Δ ≤ W holds by construction (each triangle
+    closes exactly three wedges), so clustering ∈ [0, 1]. Degrees, orientation, and both joins are plain shuffle equi-joins
+    on doc ids — no adjacency ever materializes per-vertex, which is
+    what lets the same plan run on a billion-edge graph."""
+    bands = _capped_bands_for(spark, sf_dir)
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
+    edges = (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sym = edges.select(F.col("doc_a").alias("u")).unionAll(
+        edges.select(F.col("doc_b").alias("u"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    e = (
+        edges.join(deg.withColumnRenamed("u", "doc_a"), "doc_a")
+        .withColumnRenamed("deg", "da")
+        .join(
+            deg.withColumnRenamed("u", "doc_b").withColumnRenamed("deg", "db"),
+            "doc_b",
+        )
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    oriented = e.select(
+        F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("u"),
+        F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("v"),
+    )
+    e1 = oriented.select(F.col("u"), F.col("v"))
+    e2 = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = oriented.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    tri = (
+        e1.join(e2, "v")
+        .join(
+            e3,
+            (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")),
+            "leftsemi",
+        )
+        .select("u", "v", "w")
+    )
+    nv = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
+    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    nt = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    nw = deg.agg(
+        F.sum((F.col("deg") * (F.col("deg") - 1) / 2).cast("long")).alias(
+            "n_wedges"
+        )
+    )
+    return (
+        nv.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nw))
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_triangles",
+            F.coalesce("n_wedges", F.lit(0)).alias("n_wedges"),
+            F.round(
+                F.when(
+                    F.coalesce("n_wedges", F.lit(0)) > 0,
+                    3.0 * F.col("n_triangles") / F.col("n_wedges"),
+                ).otherwise(0.0),
+                6,
+            ).alias("clustering"),
+        )
+    )
