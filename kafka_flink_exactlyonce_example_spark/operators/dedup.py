@@ -2004,3 +2004,86 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+@query(
+    "q_minhash_calibration",
+    oracle=_MINHASH_CTES
+    + _LSH_SCORED_CTES
+    + """
+    , est AS (
+        SELECT c.doc_a, c.doc_b,
+               round(avg(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END), 6)
+                 AS est_jaccard
+        FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM capped a
+              JOIN capped b ON a.band_idx = b.band_idx
+                           AND a.band_key = b.band_key
+                           AND a.doc_id < b.doc_id) c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+        GROUP BY c.doc_a, c.doc_b
+    ), joined AS (
+        SELECT e.doc_a, e.doc_b,
+               CASE WHEN e.est_jaccard >= 0.8 THEN 1 ELSE 0 END AS p,
+               CASE WHEN s.doc_a IS NOT NULL
+                     AND s.n_common / (s.n_sum - s.n_common) >= 0.8
+                    THEN 1 ELSE 0 END AS t
+        FROM est e
+        LEFT JOIN scored s ON s.doc_a = e.doc_a AND s.doc_b = e.doc_b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cand,
+           CAST(SUM(p * t) AS BIGINT) AS tp,
+           CAST(SUM(p * (1 - t)) AS BIGINT) AS fp,
+           CAST(SUM((1 - p) * t) AS BIGINT) AS fn,
+           CAST(SUM((1 - p) * (1 - t)) AS BIGINT) AS tn,
+           ROUND(SUM(p * t) / NULLIF(CAST(SUM(p) AS DOUBLE), 0), 6)
+               AS precision_est,
+           ROUND(SUM(p * t) / NULLIF(CAST(SUM(t) AS DOUBLE), 0), 6)
+               AS recall_est
+    FROM joined
+    """,
+)
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-estimator calibration — the confusion matrix a pipeline
+    owner reads before trusting the 16-lane estimate as a cheap
+    substitute for exact scoring: over the capped LSH candidate set,
+    classify each pair by estimate ≥ 0.8 vs exact word-set
+    Jaccard ≥ 0.8 (within-lang) and report tp/fp/fn/tn plus the
+    estimator's precision and recall. With 16 lanes the estimate is
+    quantized at 1/16, so this answers \"how many exact-verify scans
+    could the estimator replace, and at what miss cost\" — the
+    decision between a one-pass estimated dedup and the two-pass
+    verified one.
+
+    Everything composes session caches: signatures, capped bands, and
+    the verified scorer; the confusion join is one pair-key equi-join
+    between two relations that are both linear in corpus size."""
+    from kafka_flink_exactlyonce_example_spark.registry import QUERIES
+
+    est = QUERIES["q_minhash_est"](spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    exact = _verified_pairs_frame(d, _capped_bands_for(spark, sf_dir)).select(
+        "doc_a", "doc_b", F.lit(1).alias("t")
+    )
+    joined = est.join(exact, ["doc_a", "doc_b"], "left").select(
+        F.when(F.col("est_jaccard") >= 0.8, 1).otherwise(0).alias("p"),
+        F.coalesce("t", F.lit(0)).alias("t"),
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.sum(F.col("p") * F.col("t")).alias("tp"),
+        F.sum(F.col("p") * (1 - F.col("t"))).alias("fp"),
+        F.sum((1 - F.col("p")) * F.col("t")).alias("fn"),
+        F.sum((1 - F.col("p")) * (1 - F.col("t"))).alias("tn"),
+        F.round(
+            F.sum(F.col("p") * F.col("t"))
+            / F.nullif(F.sum("p").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("precision_est"),
+        F.round(
+            F.sum(F.col("p") * F.col("t"))
+            / F.nullif(F.sum("t").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("recall_est"),
+    )
