@@ -2063,3 +2063,96 @@ def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("ce"), 6).alias("avg_ce"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
     )
+
+
+@query(
+    "q_dataset_card",
+    oracle=f"""
+    WITH {_BIGRAM_CE_CTE},
+    base AS (
+        SELECT doc_id, source, lang,
+               list_filter(string_split(text, ' '), w -> w <> '') AS arr,
+               md5(lower(trim(text))) AS h
+        FROM documents
+    ), per_doc AS (
+        SELECT b.doc_id, b.source, b.lang,
+               len(b.arr) AS n_tokens,
+               ROUND(CAST(len(list_distinct(b.arr)) AS DOUBLE)
+                     / len(b.arr), 6) AS ttr,
+               c.ce
+        FROM base b JOIN ce_rel c ON c.doc_id = b.doc_id
+    ), dup AS (
+        SELECT h, COUNT(*) AS n_copies FROM base GROUP BY h
+    ), flags AS (
+        SELECT b.doc_id, b.source,
+               CASE WHEN d.n_copies > 1 THEN 1 ELSE 0 END AS is_dup
+        FROM base b JOIN dup d ON d.h = b.h
+    )
+    SELECT p.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT p.lang) AS BIGINT) AS n_langs,
+           ROUND(SUM(CASE WHEN f.is_dup = 1 THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*), 6) AS dup_rate,
+           ROUND(AVG(p.ttr), 6) AS avg_ttr,
+           ROUND(AVG(p.ce), 6) AS avg_ce,
+           ROUND(MIN(p.ce), 6) AS ce_min,
+           ROUND(MAX(p.ce), 6) AS ce_max
+    FROM per_doc p JOIN flags f ON f.doc_id = p.doc_id
+    GROUP BY p.source
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the one-table datasheet a corpus
+    release ships: volume (docs, tokens), language spread, exact-dup
+    rate (normalized-digest collisions ANYWHERE in the corpus),
+    lexical diversity (mean type-token ratio), and LM fit (mean / min
+    / max bigram cross-entropy from the shared session-cached CE
+    relation). Twenty rows that answer "what am I mixing in" before
+    q_mixture_weights decides how much of it to sample.
+
+    Composes only linear pieces: the digest groupBy (16-byte keys),
+    the cached CE relation, and map-side array stats; the final rollup
+    is one bounded source-grain groupBy. At 100 TB this is a
+    single-pass report over relations the dedup/quality stages already
+    materialized."""
+    d = table(spark, sf_dir, "documents")
+    arr = F.filter(F.split("text", " "), lambda w: w != "")
+    base = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(arr).alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(arr)).cast("double") / F.size(arr), 6
+        ).alias("ttr"),
+        F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("h"),
+    )
+    dup = base.groupBy("h").agg(F.count(F.lit(1)).alias("n_copies"))
+    ce = _bigram_ce(spark, sf_dir).select("doc_id", "ce")
+    joined = (
+        base.join(dup, "h")
+        .join(ce, "doc_id")
+        .select(
+            "source",
+            "lang",
+            "n_tokens",
+            "ttr",
+            "ce",
+            F.when(F.col("n_copies") > 1, 1).otherwise(0).alias("is_dup"),
+        )
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(
+            F.sum(F.when(F.col("is_dup") == 1, 1.0).otherwise(0.0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+        F.round(F.avg("ttr"), 6).alias("avg_ttr"),
+        F.round(F.avg("ce"), 6).alias("avg_ce"),
+        F.round(F.min("ce"), 6).alias("ce_min"),
+        F.round(F.max("ce"), 6).alias("ce_max"),
+    )
