@@ -1828,29 +1828,59 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline as q_exact_dedup. Selecting by hash VALUE (not
     position) keeps the fingerprint set well-defined without the
     rightmost-tie rule, which only matters for positional audit
-    trails."""
+    trails.
+
+    Implementation note (measured, not theoretical): building the hash
+    array as a nested expression and slicing it per window made
+    Catalyst's projection collapse INLINE the whole md5-transform into
+    every window's slice — higher-order-function lambdas defeat
+    codegen subexpression elimination, so each doc recomputed O(n²)
+    md5s (a single task burned minutes at sf0.1). The winnowing pass
+    is therefore a per-doc SLIDING-WINDOW MIN over exploded
+    (doc, position, hash) rows — each k-gram hashed exactly once, one
+    keyed shuffle, the rows-between frame truncating at the tail
+    exactly like the oracle's array_slice on a short array — no
+    per-doc array is ever materialized."""
     d = table(spark, sf_dir, "documents")
-    h = F.expr(
-        f"transform(sequence(1, greatest(length(text) - {_WIN_K} + 1, 1)),"
-        f" i -> cast(conv(substring(md5(cast(substring(text, i, {_WIN_K})"
-        f" as binary)), 1, 8), 16, 10) as bigint))"
-    )
-    hs = d.select("doc_id", h.alias("h"))
-    wins = hs.select(
+    pos = d.select(
         "doc_id",
-        F.size("h").alias("n_kgrams"),
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("text") - _WIN_K + 1, F.lit(1))
+            )
+        ).alias("i"),
+        "text",
+    )
+    hashed = pos.select(
+        "doc_id",
+        "i",
         F.expr(
-            f"transform(sequence(1, greatest(size(h) - {_WIN_W} + 1, 1)),"
-            f" i -> array_min(slice(h, i, {_WIN_W})))"
-        ).alias("w"),
+            f"cast(conv(substring(md5(cast(substring(text, i, {_WIN_K})"
+            f" as binary)), 1, 8), 16, 10) as bigint)"
+        ).alias("hv"),
     )
-    fp = wins.select(
+    cntw = Window.partitionBy("doc_id")
+    slidew = (
+        Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, _WIN_W - 1)
+    )
+    wm = hashed.select(
         "doc_id",
-        "n_kgrams",
-        F.size("w").alias("n_windows"),
-        F.array_distinct("w").alias("fps"),
+        "i",
+        F.count(F.lit(1)).over(cntw).alias("n_kgrams"),
+        F.min("hv").over(slidew).alias("m"),
     )
-    exploded = fp.select("doc_id", F.explode("fps").alias("f")).distinct()
+    # windows start at i = 1..max(n-w+1, 1); the rows-between frame
+    # truncates at the tail exactly like the oracle's array_slice on a
+    # short array
+    wins_rows = wm.filter(
+        F.col("i") <= F.greatest(F.col("n_kgrams") - _WIN_W + 1, F.lit(1))
+    )
+    fpcounts = wins_rows.groupBy("doc_id").agg(
+        F.first("n_kgrams").alias("n_kgrams"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.countDistinct("m").alias("n_fp"),
+    )
+    exploded = wins_rows.select("doc_id", F.col("m").alias("f")).distinct()
     shared = exploded.groupBy("f").agg(F.count(F.lit(1)).alias("n_docs"))
     shared_per_doc = (
         exploded.join(shared, "f")
@@ -1862,13 +1892,13 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        fp.join(shared_per_doc, "doc_id", "left")
+        fpcounts.join(shared_per_doc, "doc_id", "left")
         .select(
             "doc_id",
             "n_kgrams",
             "n_windows",
-            F.size("fps").alias("n_fp"),
-            F.round(F.size("fps").cast("double") / F.col("n_windows"), 6).alias(
+            "n_fp",
+            F.round(F.col("n_fp").cast("double") / F.col("n_windows"), 6).alias(
                 "density"
             ),
             F.coalesce("n_shared_fp", F.lit(0)).cast("long").alias("n_shared_fp"),
