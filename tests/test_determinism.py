@@ -87,6 +87,8 @@ ORDER_SENSITIVE = [
     "q_curriculum",
     "q_dup_threshold_sweep",
     "q_dedup_cascade",
+    "q_winnow_fingerprint",
+    "q_triangle_count",
 ]
 
 
