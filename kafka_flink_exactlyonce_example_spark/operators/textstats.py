@@ -2156,3 +2156,102 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("ce"), 6).alias("ce_min"),
         F.round(F.max("ce"), 6).alias("ce_max"),
     )
+
+
+_CMS_D = 4     # hash rows
+_CMS_W = 256   # counters per row
+
+
+@query(
+    "q_cms_topk",
+    oracle=f"""
+    WITH words AS (
+        SELECT unnest(list_filter(string_split(text, ' '), w -> w <> ''))
+            AS word
+        FROM documents
+    ), exact AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS exact_count
+        FROM words GROUP BY word
+    ), rows_ AS (SELECT unnest(range(0, {_CMS_D})) AS r),
+    positions AS (
+        SELECT w.word, r.r,
+               CAST(CAST(concat('0x', substring(
+                        md5(CAST(r.r AS VARCHAR) || ':' || w.word), 1, 8))
+                    AS UBIGINT) % {_CMS_W} AS BIGINT) AS b
+        FROM words w CROSS JOIN rows_ r
+    ), counters AS (
+        SELECT r, b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM positions GROUP BY r, b
+    ), top AS (
+        SELECT word, exact_count FROM exact
+        ORDER BY exact_count DESC, word LIMIT 20
+    ), est AS (
+        SELECT t.word, t.exact_count, MIN(c.c) AS cms_est
+        FROM top t
+        JOIN (SELECT DISTINCT word, r, b FROM positions) p
+          ON p.word = t.word
+        JOIN counters c ON c.r = p.r AND c.b = p.b
+        GROUP BY t.word, t.exact_count
+    )
+    SELECT word, exact_count, CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - exact_count AS BIGINT) AS overcount
+    FROM est
+    """,
+)
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch accuracy report: build a d={_CMS_D} × w={_CMS_W}
+    CMS over the token stream (md5-derived row hashes — engine-portable,
+    so the sketch is bit-identical and exactly oracle-checkable),
+    estimate the top-20 words' counts as min over rows of their
+    counters, and report the guaranteed-one-sided overcount against the
+    exact counts. THE mergeable streaming sketch: at 100 TB the 1024
+    counters sum across partitions/executors/days with plain addition
+    (the groupBy's map-side combine IS the merge), memory is constant
+    by construction, and est ≥ exact always (collisions only inflate).
+
+    Plan: one token explode feeds both the exact counts (word groupBy)
+    and the sketch (a {_CMS_D}-way position explode → BOUNDED
+    (row, bucket) groupBy of {_CMS_D * _CMS_W} counters); the top-20
+    estimate joins 80 position rows against the broadcast counter
+    table. Nothing data-scaled is broadcast; the counter relation is
+    fixed-size regardless of corpus."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("word")
+    )
+    exact = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_count"))
+    rows = F.explode(F.array(*[F.lit(r) for r in range(_CMS_D)])).alias("r")
+    positions = words.select("word", rows).select(
+        "word",
+        "r",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("r").cast("string"), F.lit(":"), F.col("word")
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        ).alias("b"),
+    )
+    counters = positions.groupBy("r", "b").agg(F.count(F.lit(1)).alias("c"))
+    top = exact.orderBy(F.desc("exact_count"), "word").limit(20)
+    top_pos = top.join(positions.select("word", "r", "b").distinct(), "word")
+    return (
+        top_pos.join(F.broadcast(counters), ["r", "b"])
+        .groupBy("word", "exact_count")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            "word",
+            "exact_count",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_count")).alias("overcount"),
+        )
+    )
