@@ -106,13 +106,20 @@ def stream_stream_interval_join(
     ts_col: str = "ts",
     lookback: str = "1 hour",
     watermark: str = "2 hours",
+    join_type: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join (Flink's intervalJoin): each left
     row matches right rows with the same key whose timestamp falls in
     [left.ts - lookback, left.ts]. Both sides carry watermarks so the
     state store can evict right rows older than the interval — without
     them the join state grows unboundedly. Output columns are
-    prefixed l_/r_ to stay unambiguous."""
+    prefixed l_/r_ to stay unambiguous.
+
+    ``join_type="left_outer"`` gives Flink's outer intervalJoin: an
+    unmatched left row is held in state until the watermark proves no
+    future right row can land in its interval, then emitted once with
+    NULL right columns — the eviction-driven null emission
+    tests/test_streaming.py proves end to end."""
     l = left.withWatermark(ts_col, watermark).select(
         F.col(key).alias("l_key"),
         F.col(ts_col).alias("l_ts"),
@@ -128,7 +135,7 @@ def stream_stream_interval_join(
         & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
         & (F.col("r_ts") <= F.col("l_ts"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, join_type)
 
 
 def stream_static_enrich(

@@ -868,3 +868,69 @@ def test_streaming_gopher_flags_match_batch(spark, tmp_path):
         for r in gopher_flags(docs).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_stream_left_outer_interval_join_emits_null_after_watermark(
+    spark, tmp_path
+):
+    """Flink outer-intervalJoin parity: an unmatched left row must be
+    emitted WITH NULL right columns — but only after the watermark
+    proves no future right row can fall in its interval (state
+    eviction drives the emission, not batch boundaries). Files trigger
+    one at a time so the watermark demonstrably advances past the
+    unmatched row's interval before the stream ends."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_exactlyonce_example_spark.streaming import (
+        stream_stream_interval_join,
+    )
+
+    vdir, pdir = str(tmp_path / "views"), str(tmp_path / "purch")
+    os.makedirs(vdir), os.makedirs(pdir)
+    # batch data: purchase u1@10:30 matches view u1@10:25; purchase
+    # u3@10:31 has NO view -> must surface as (3, NULL) eventually
+    with open(f"{vdir}/f0.json", "w") as f:
+        f.write(json.dumps({"user_id": 1, "ts": "2024-01-01 10:25:00", "page": "a"}) + "\n")
+    with open(f"{pdir}/f0.json", "w") as f:
+        f.write(json.dumps({"user_id": 1, "ts": "2024-01-01 10:30:00", "amount": 9.99}) + "\n")
+        f.write(json.dumps({"user_id": 3, "ts": "2024-01-01 10:31:00", "amount": 1.0}) + "\n")
+    # advance BOTH streams' event time far past 10:31 + lookback so the
+    # global watermark (min across inputs) closes u3's interval...
+    with open(f"{vdir}/f1.json", "w") as f:
+        f.write(json.dumps({"user_id": 8, "ts": "2024-01-01 13:00:00", "page": "z"}) + "\n")
+    with open(f"{pdir}/f1.json", "w") as f:
+        f.write(json.dumps({"user_id": 9, "ts": "2024-01-01 13:00:00", "amount": 0.5}) + "\n")
+    # ...and one more batch on each side so the eviction pass runs
+    with open(f"{vdir}/f2.json", "w") as f:
+        f.write(json.dumps({"user_id": 8, "ts": "2024-01-01 14:00:00", "page": "z"}) + "\n")
+    with open(f"{pdir}/f2.json", "w") as f:
+        f.write(json.dumps({"user_id": 9, "ts": "2024-01-01 14:00:00", "amount": 0.5}) + "\n")
+    import time as _time
+
+    now = _time.time()
+    for d in (vdir, pdir):
+        for i, name in enumerate(("f0.json", "f1.json", "f2.json")):
+            os.utime(os.path.join(d, name), (now + 10 * i, now + 10 * i))
+
+    v = file_stream(
+        spark, vdir, "user_id long, ts string, page string", fmt="json",
+        maxFilesPerTrigger="1",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    p = file_stream(
+        spark, pdir, "user_id long, ts string, amount double", fmt="json",
+        maxFilesPerTrigger="1",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    joined = stream_stream_interval_join(
+        p, v, lookback="10 minutes", watermark="10 seconds",
+        join_type="left_outer",
+    )
+    sink = IdempotentBatchSink(str(tmp_path / "out"))
+    q = run_exactly_once(joined, sink, str(tmp_path / "ckpt"), output_mode="append")
+    q.awaitTermination(240)
+    rows = {
+        (r["l_key"], r["r_page"]) for r in sink.read_committed(spark).collect()
+    }
+    assert (1, "a") in rows, f"matched pair missing: {rows}"
+    assert (3, None) in rows, (
+        f"unmatched left row never emitted with NULLs after watermark: {rows}"
+    )
