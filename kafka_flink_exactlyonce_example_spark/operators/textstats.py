@@ -2255,3 +2255,85 @@ def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") - F.col("exact_count")).alias("overcount"),
         )
     )
+
+
+@query(
+    "q_class_balance",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('bal:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    ), cap AS (
+        SELECT MIN(n) AS cap FROM (
+            SELECT COUNT(*) AS n FROM documents GROUP BY lang
+        )
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN rk <= cap.cap THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           ROUND(SUM(CASE WHEN rk <= cap.cap THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*), 6) AS keep_frac,
+           CAST(MIN(CASE WHEN rk <= cap.cap THEN doc_id END) AS BIGINT)
+               AS sample_min_doc
+    FROM ranked CROSS JOIN cap
+    GROUP BY lang, cap.cap
+    """,
+)
+def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-class downsampling census — the class-rebalancing
+    pass a multilingual training mix runs: every language is capped at
+    the SMALLEST language's document count, members chosen by
+    deterministic md5 order (engine-portable, version-stable — the
+    same doc survives every rerun and every cluster width).
+
+    Distributed shape: the per-language rank is NOT a per-lang window
+    sort (a data-scaled partition at 100 TB). Like q_ppl_bucket, one
+    global ordered_scan over (lang, md5, doc_id) — range-partitioned,
+    no single-task sort — yields a global row number; per-lang local
+    rank = global rank − the lang's first rank (a 5-row broadcast).
+    The cap is a bounded aggregate broadcast onto the census. The
+    oracle runs DuckDB's own partitioned row_number over the identical
+    order, cross-checking the rank-reconstruction identity."""
+    from kafka_flink_exactlyonce_example_spark.operators.scale import ordered_scan
+
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("bal:"), F.col("doc_id").cast("string")).cast("binary"))
+    base = d.select("doc_id", "lang", h.alias("_h"))
+    scanned = ordered_scan(
+        base, [F.col("lang"), F.col("_h"), F.col("doc_id")], rn="_grn"
+    )
+    bounds = scanned.groupBy("lang").agg(F.min("_grn").alias("_first"))
+    cap = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("cap"))
+    )
+    ranked = (
+        scanned.join(F.broadcast(bounds), "lang")
+        .crossJoin(F.broadcast(cap))
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("_grn") - F.col("_first") + 1).alias("rk"),
+            "cap",
+        )
+    )
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.sum(F.when(F.col("rk") <= F.col("cap"), 1).otherwise(0)).alias(
+            "n_kept"
+        ),
+        F.round(
+            F.sum(F.when(F.col("rk") <= F.col("cap"), 1.0).otherwise(0.0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("keep_frac"),
+        F.min(F.when(F.col("rk") <= F.col("cap"), F.col("doc_id"))).alias(
+            "sample_min_doc"
+        ),
+    )
