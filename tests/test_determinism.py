@@ -89,6 +89,8 @@ ORDER_SENSITIVE = [
     "q_dedup_cascade",
     "q_winnow_fingerprint",
     "q_triangle_count",
+    "q_cms_topk",
+    "q_class_balance",
 ]
 
 
