@@ -2117,3 +2117,101 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall_est"),
     )
+
+
+@query(
+    "q_shard_dup_locality",
+    oracle=_MINHASH_CTES
+    + _LSH_SCORED_CTES
+    + """
+    , edges AS (
+        SELECT doc_a, doc_b FROM scored
+        WHERE n_common / (n_sum - n_common) >= 0.8
+    ), shards AS (
+        SELECT doc_id,
+               CAST(CAST(concat('0x', substring(md5(text), 1, 8)) AS UBIGINT)
+                    % 16 AS BIGINT) AS shard,
+               md5(lower(trim(text))) AS h
+        FROM documents
+    ), exact_groups AS (
+        SELECT h, CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards
+        FROM shards GROUP BY h HAVING COUNT(*) > 1
+    ), near AS (
+        SELECT e.doc_a, e.doc_b,
+               CASE WHEN sa.shard = sb.shard THEN 1 ELSE 0 END AS same_shard
+        FROM edges e
+        JOIN shards sa ON sa.doc_id = e.doc_a
+        JOIN shards sb ON sb.doc_id = e.doc_b
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact_groups)
+               AS n_exact_dup_groups,
+           (SELECT CAST(COALESCE(SUM(CASE WHEN n_shards = 1 THEN 1 ELSE 0
+                                     END), 0) AS BIGINT) FROM exact_groups)
+               AS n_exact_single_shard,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM near) AS n_near_edges,
+           (SELECT CAST(COALESCE(SUM(same_shard), 0) AS BIGINT) FROM near)
+               AS n_near_same_shard,
+           (SELECT ROUND(COALESCE(AVG(1 - same_shard), 0.0), 6) FROM near)
+               AS frac_near_cross_shard
+    """,
+)
+def q_shard_dup_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-locality audit of duplication under content-hash sharding
+    — the report that decides whether shard-local dedup suffices at
+    100 TB: EXACT duplicates land in one shard BY CONSTRUCTION (same
+    text → same md5 → same shard; the census cross-checks
+    n_exact_single_shard == n_exact_dup_groups), but NEAR-duplicates
+    have different texts and therefore independent shard hashes —
+    the measured frac_near_cross_shard (≈ 15/16 in expectation) is
+    exactly why near-dup dedup must run GLOBALLY (the LSH band
+    shuffle) while exact dedup can run shard-local as a cheap first
+    pass. Composes the session-cached LSH-verified edges with the
+    q_shard_assign hash; two keyed joins, all counts bounded."""
+    d = table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % 16
+    )
+    shards = d.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("h"),
+    )
+    exact_groups = (
+        shards.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("shard").alias("n_shards"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+    eg = exact_groups.agg(
+        F.count(F.lit(1)).alias("n_exact_dup_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_shards") == 1, 1).otherwise(0)), F.lit(0)
+        ).alias("n_exact_single_shard"),
+    )
+    edges = _lsh_verified_edges(spark, sf_dir)
+    near = (
+        edges.join(
+            shards.select(F.col("doc_id").alias("doc_a"), F.col("shard").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            shards.select(F.col("doc_id").alias("doc_b"), F.col("shard").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            F.when(F.col("sa") == F.col("sb"), 1).otherwise(0).alias("same_shard")
+        )
+    )
+    nr = near.agg(
+        F.count(F.lit(1)).alias("n_near_edges"),
+        F.coalesce(F.sum("same_shard"), F.lit(0)).alias("n_near_same_shard"),
+        F.round(
+            F.coalesce(F.avg(1 - F.col("same_shard")), F.lit(0.0)), 6
+        ).alias("frac_near_cross_shard"),
+    )
+    return eg.crossJoin(F.broadcast(nr))
