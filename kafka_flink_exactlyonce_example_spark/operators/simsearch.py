@@ -1300,3 +1300,75 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("d2"), 6).alias("inertia"),
         F.min("vec_id").alias("min_vec_id"),
     )
+
+
+_HN_PROBES = 8  # FIXED probe count — eval harness, not corpus-scaled
+
+
+@query(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH probes AS (
+        SELECT vec_id AS probe_id, label AS probe_label, embedding AS p,
+               row_number() OVER (
+                   ORDER BY md5('hn:' || CAST(vec_id AS VARCHAR)), vec_id
+               ) AS rn
+        FROM embeddings
+        QUALIFY rn <= {_HN_PROBES}
+    ), scored AS (
+        SELECT pr.probe_id, pr.probe_label, e.vec_id, e.label AS neg_label,
+               ROUND({cosine_sql('e.embedding', 'pr.p')}, 6) AS sim
+        FROM embeddings e CROSS JOIN probes pr
+        WHERE e.label <> pr.probe_label
+    )
+    SELECT probe_id, probe_label, vec_id, neg_label, sim
+    FROM scored
+    QUALIFY row_number() OVER (
+        PARTITION BY probe_id ORDER BY sim DESC, vec_id
+    ) <= 3
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for 8 FIXED
+    md5-sampled probe vectors, the 3 most-similar vectors with a
+    DIFFERENT label — the examples a contrastive loss learns most
+    from, and the standard retrieval-training data-prep pass.
+
+    Scale shape: the 8-probe relation broadcasts onto one corpus scan
+    (label-mismatch filter applied map-side in the same pass); the
+    per-probe top-3 is a rank window over partitionBy(probe_id) that
+    Catalyst executes as WindowGroupLimit — map-side PARTIAL top-k per
+    probe before the shuffle, the same plan shape q_topk_per_group /
+    q_lateral_topk pin in tests/test_plans.py — so no task ever sorts
+    a data-scaled partition. Ranking on the ROUNDED similarity with
+    vec_id tie-break keeps both engines' top-3 identical."""
+    emb = table(spark, sf_dir, "embeddings")
+    h = F.md5(F.concat(F.lit("hn:"), F.col("vec_id").cast("string")))
+    probes = (
+        emb.select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("label").alias("probe_label"),
+            F.col("embedding").alias("p"),
+            h.alias("_h"),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(_HN_PROBES)
+        .drop("_h")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("label") != F.col("probe_label"))
+        .select(
+            "probe_id",
+            "probe_label",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            F.round(cosine(F.col("embedding"), F.col("p")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .drop("_rn")
+    )
