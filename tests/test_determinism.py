@@ -91,6 +91,7 @@ ORDER_SENSITIVE = [
     "q_triangle_count",
     "q_cms_topk",
     "q_class_balance",
+    "q_hard_negatives",
 ]
 
 
