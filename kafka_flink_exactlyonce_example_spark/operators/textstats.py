@@ -2337,3 +2337,122 @@ def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_min_doc"
         ),
     )
+
+
+_KN_D = 0.75  # absolute discount
+
+
+@query(
+    "q_kn_ppl",
+    oracle=f"""
+    WITH {_BIGRAM_CE_CTE},
+    kn_c1 AS (
+        SELECT split_part(bg, ' ', 1) AS w1,
+               CAST(COUNT(*) AS DOUBLE) AS c1,
+               CAST(COUNT(DISTINCT split_part(bg, ' ', 2)) AS DOUBLE)
+                   AS n1p_fwd
+        FROM bgs GROUP BY split_part(bg, ' ', 1)
+    ), kn_cont AS (
+        SELECT split_part(bg, ' ', 2) AS w2,
+               CAST(COUNT(DISTINCT split_part(bg, ' ', 1)) AS DOUBLE)
+                   AS n1p_bwd
+        FROM bgs GROUP BY split_part(bg, ' ', 2)
+    ), kn_types AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_types
+        FROM (SELECT DISTINCT bg FROM bgs)
+    ), kn AS (
+        SELECT b.doc_id, any_value(b.lang) AS lang,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(-ln(
+                   GREATEST(c12.c - {_KN_D}, 0) / c1.c1
+                   + ({_KN_D} * c1.n1p_fwd / c1.c1)
+                     * (cont.n1p_bwd / kn_types.n_types)
+               )), 6) AS ce_kn
+        FROM bgs b
+        JOIN c12 ON c12.bg = b.bg
+        JOIN kn_c1 c1 ON c1.w1 = split_part(b.bg, ' ', 1)
+        JOIN kn_cont cont ON cont.w2 = split_part(b.bg, ' ', 2)
+        CROSS JOIN kn_types
+        GROUP BY b.doc_id
+    )
+    SELECT k.doc_id, k.lang, k.n_bigrams, k.ce_kn,
+           c.ce AS ce_add1,
+           ROUND(c.ce - k.ce_kn, 6) AS delta
+    FROM kn k JOIN ce_rel c ON c.doc_id = k.doc_id
+    """,
+)
+def q_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram cross-entropy per document —
+    the PROPER LM smoothing next to q_bigram_ppl's add-1 baseline:
+    P(w2|w1) = max(c(w1w2)−D, 0)/c(w1·) + D·N1+(w1·)/c(w1·) ·
+    N1+(·w2)/N1+(··), with absolute discount D = 0.75. The
+    continuation probability (how many CONTEXTS a word follows, not
+    how often) is what makes KN the default in KenLM-style quality
+    filtering; the report also joins the add-1 CE so the per-doc
+    delta shows exactly which documents the smoothing choice re-ranks
+    (formulaic docs with rare-but-fixed collocations move most).
+
+    Scale shape: identical to the add-1 chain — the bigram stream is
+    the same map-side explode, and ALL model tables (c12, c1 with
+    fan-out counts, continuation counts, one scalar type count) live
+    on the bounded vocabulary grain and broadcast onto the stream;
+    one per-doc groupBy. The add-1 side rides the session-cached
+    _bigram_ce relation."""
+    d = table(spark, sf_dir, "documents")
+    arr = F.filter(F.split("text", " "), lambda w: w != "")
+    arrs = d.select("doc_id", "lang", arr.alias("arr")).filter(F.size("arr") >= 2)
+    bgs = arrs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(arr) - 1),"
+                " i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    w2 = F.split(F.col("bg"), " ").getItem(1)
+    c12 = bgs.groupBy("bg").agg(F.count(F.lit(1)).cast("double").alias("c12"))
+    c1 = (
+        bgs.select(w1.alias("w1"), w2.alias("_w2"))
+        .groupBy("w1")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("c1"),
+            F.countDistinct("_w2").cast("double").alias("n1p_fwd"),
+        )
+    )
+    cont = (
+        bgs.select(w1.alias("_w1"), w2.alias("w2"))
+        .groupBy("w2")
+        .agg(F.countDistinct("_w1").cast("double").alias("n1p_bwd"))
+    )
+    types = bgs.select("bg").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n_types")
+    )
+    p = (
+        F.greatest(F.col("c12") - _KN_D, F.lit(0.0)) / F.col("c1")
+        + (_KN_D * F.col("n1p_fwd") / F.col("c1"))
+        * (F.col("n1p_bwd") / F.col("n_types"))
+    )
+    kn = (
+        bgs.join(F.broadcast(c12), "bg")
+        .join(F.broadcast(c1), w1 == F.col("w1"))
+        .join(F.broadcast(cont), w2 == F.col("w2"))
+        .crossJoin(F.broadcast(types))
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 6).alias("ce_kn"),
+        )
+    )
+    add1 = _bigram_ce(spark, sf_dir).select("doc_id", F.col("ce").alias("ce_add1"))
+    return kn.join(add1, "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "ce_kn",
+        "ce_add1",
+        F.round(F.col("ce_add1") - F.col("ce_kn"), 6).alias("delta"),
+    )
