@@ -186,3 +186,55 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(stage, schema=out_schema)
+
+
+@query("q_phash_dedup")  # rows-only: Python decode stage feeds native dedup
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup — the multimodal sibling of
+    q_exact_dedup/q_simhash and the one dedup modality the text family
+    can't cover: decode (stub) → 8×8 nearest resize → mean-threshold
+    bits → 64-bit pHash, computed in ONE Arrow-batched mapInPandas
+    stage; the dedup itself then runs NATIVELY on the returned hash
+    (64-bit groupBy keep-lowest, exactly the digest discipline of
+    q_exact_dedup — only 8 bytes per image ever shuffle, never
+    payloads). Output: one row per pHash bucket with >1 image —
+    keeper, copy count, and an example duplicate.
+
+    At 100 TB the Python stage is the only non-JVM hop and is bounded
+    by Arrow batch size; swap the stub for PIL and the plan is
+    unchanged. Rows-only by the multimodal contract (DuckDB can't run
+    the Python stage), deterministic across runs by construction."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        (F.col("doc_id") % 16 + 16).cast("int").alias("width"),
+        (F.col("doc_id") % 8 + 8).cast("int").alias("height"),
+    )
+    out_schema = "doc_id long, phash long"
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = _decode_image(r.payload, r.width, r.height)
+                small = _resize_nearest(img, 8, 8).astype(np.float64)
+                bits = (small > small.mean()).flatten()
+                ph = 0
+                for b in bits:  # 64 bits → one long
+                    ph = (ph << 1) | int(b)
+                # keep within signed int64 for the Spark long column
+                if ph >= 1 << 63:
+                    ph -= 1 << 64
+                rows.append((r.doc_id, ph))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    hashed = d.mapInPandas(stage, schema=out_schema)
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.max("doc_id").alias("example_dup"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
