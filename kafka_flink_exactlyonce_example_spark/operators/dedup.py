@@ -2215,3 +2215,139 @@ def q_shard_dup_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("frac_near_cross_shard"),
     )
     return eg.crossJoin(F.broadcast(nr))
+
+
+_SH_BANDS = 4          # 32-bit sig → 4 byte-wide bands
+_SH_MAX_HAMMING = 3    # pigeonhole: ≤3 flipped bits leave ≥1 band intact
+_SH_MAX_BUCKET = 256   # band-bucket cap (house rule, oracle-mirrored)
+
+
+@query(
+    "q_simhash_hamming",
+    oracle=f"""
+    WITH words AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), words_f AS (SELECT * FROM words WHERE word <> ''),
+    hashed AS (
+        SELECT doc_id, CAST({_HEX_TO_INT_SQL} AS BIGINT) AS h
+        FROM (SELECT doc_id, md5(word) AS m FROM words_f)
+    ),
+    votes AS (
+        SELECT doc_id,
+           {_SIMHASH_VOTES_SQL}
+        FROM hashed GROUP BY doc_id
+    ),
+    sigs AS (
+        SELECT doc_id, CAST({_SIMHASH_SIG_SQL} AS BIGINT) AS simhash FROM votes
+    ),
+    bands AS (
+        SELECT doc_id, simhash, b.b AS band_idx,
+               (simhash >> (8 * CAST(b.b AS INTEGER))) & 255 AS band_val
+        FROM sigs CROSS JOIN (SELECT unnest(range(0, {_SH_BANDS})) AS b) b
+    ),
+    capped AS (
+        SELECT * FROM bands
+        QUALIFY row_number() OVER (
+            PARTITION BY band_idx, band_val
+            ORDER BY md5('shc:' || CAST(doc_id AS VARCHAR)), doc_id
+        ) <= {_SH_MAX_BUCKET}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sig_a,
+               b.doc_id AS doc_b, b.simhash AS sig_b
+        FROM capped a
+        JOIN capped b ON a.band_idx = b.band_idx
+                     AND a.band_val = b.band_val
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= {_SH_MAX_HAMMING}
+    """,
+)
+def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup RETRIEVAL at hamming distance ≤ {_SH_MAX_HAMMING}
+    — the index q_simhash's hamming-0 buckets only hint at: split the
+    32-bit signature into {_SH_BANDS} byte-wide bands; by pigeonhole,
+    any pair within hamming {_SH_MAX_HAMMING} agrees EXACTLY on at
+    least one band, so same-band-value pairs are a lossless candidate
+    set, then the cheap popcount(xor) verifier keeps true near-dups.
+    This is how SimHash dedup actually ships (Google's web-crawl
+    design: 64-bit sigs, k-band pigeonhole, bit-level verify).
+
+    Scale shape: band buckets are capped at {_SH_MAX_BUCKET} members
+    in deterministic md5 order (the house mega-bucket rule, mirrored
+    in the oracle's QUALIFY) so candidate fan-out is bounded; the
+    verify is integer popcount on two longs — no text, no arrays, the
+    cheapest verifier in the whole dedup family. Signature build is
+    one scan + 32 conditional sums (shared logic with q_simhash)."""
+    words = _doc_words(spark, sf_dir).withColumn(
+        "h", F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+    )
+    votes = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"bit{k}")
+            for k in range(32)
+        ]
+    )
+    sig = reduce(
+        lambda acc, k: acc
+        + F.when(F.col(f"bit{k}") > 0, F.lit(2**k)).otherwise(F.lit(0)),
+        range(32),
+        F.lit(0).cast("long"),
+    )
+    sigs = votes.select("doc_id", sig.alias("simhash"))
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("band_val"),
+                    )
+                    for b in range(_SH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band_idx", "bb.band_val")
+    wcap = Window.partitionBy("band_idx", "band_val").orderBy(
+        F.md5(F.concat(F.lit("shc:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    capped = (
+        bands.withColumn("_rn", F.row_number().over(wcap))
+        .filter(F.col("_rn") <= _SH_MAX_BUCKET)
+        .drop("_rn")
+    )
+    a = capped.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sig_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sig_b"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "sig_a", "doc_b", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.filter(hamming <= _SH_MAX_HAMMING)
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+    )
