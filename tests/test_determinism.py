@@ -92,6 +92,7 @@ ORDER_SENSITIVE = [
     "q_cms_topk",
     "q_class_balance",
     "q_hard_negatives",
+    "q_simhash_hamming",
 ]
 
 
