@@ -2456,3 +2456,144 @@ def q_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ce_add1",
         F.round(F.col("ce_add1") - F.col("ce_kn"), 6).alias("delta"),
     )
+
+
+@query(
+    "q_tokenizer_fertility",
+    oracle="""
+    WITH per_doc AS (
+        SELECT lang,
+               len(list_filter(string_split(text, ' '), w -> w <> ''))
+                   AS n_words,
+               len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re,
+               CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS n_bpe,
+               n_chars
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           ROUND(SUM(CAST(n_re AS DOUBLE)) / SUM(n_words), 6)
+               AS re_fertility,
+           ROUND(SUM(CAST(n_bpe AS DOUBLE)) / SUM(n_words), 6)
+               AS bpe_fertility,
+           ROUND(SUM(CAST(n_chars AS DOUBLE)) / SUM(n_bpe), 6)
+               AS chars_per_token
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — the tokenizer-eval metric a
+    multilingual run checks before committing a vocabulary: tokens
+    produced per whitespace word under (a) the BPE-ish regex
+    tokenizer and (b) the chars/4 budget heuristic, plus realized
+    chars-per-token. High fertility in a language = its text costs
+    more context window per word — the signal that drives vocab
+    rebalancing. One map-side scan + a bounded lang rollup; ratios as
+    sum/sum (not avg-of-ratios) so long docs weigh proportionally,
+    computed identically in both engines."""
+    d = table(spark, sf_dir, "documents")
+    n_words = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    n_re = F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0))
+    n_bpe = F.ceil(F.col("n_chars").cast("double") / 4.0).cast("long")
+    per = d.select(
+        "lang",
+        n_words.alias("n_words"),
+        n_re.alias("n_re"),
+        n_bpe.alias("n_bpe"),
+        "n_chars",
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.round(
+            F.sum(F.col("n_re").cast("double")) / F.sum("n_words"), 6
+        ).alias("re_fertility"),
+        F.round(
+            F.sum(F.col("n_bpe").cast("double")) / F.sum("n_words"), 6
+        ).alias("bpe_fertility"),
+        F.round(
+            F.sum(F.col("n_chars").cast("double")) / F.sum("n_bpe"), 6
+        ).alias("chars_per_token"),
+    )
+
+
+@query(
+    "q_stopword_discovery",
+    oracle="""
+    WITH words AS (
+        SELECT DISTINCT doc_id, lang,
+               unnest(list_filter(string_split(text, ' '), w -> w <> ''))
+                   AS word
+        FROM documents
+    ), lang_docs AS (
+        SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang
+    ), df AS (
+        SELECT w.word, w.lang,
+               CAST(COUNT(DISTINCT w.doc_id) AS BIGINT) AS df
+        FROM words w GROUP BY w.word, w.lang
+    ), frac AS (
+        SELECT d.word, d.lang,
+               CAST(d.df AS DOUBLE) / ld.n_docs AS doc_frac
+        FROM df d JOIN lang_docs ld ON ld.lang = d.lang
+    ), ubiq AS (
+        SELECT word,
+               CAST(COUNT(*) AS BIGINT) AS n_langs_ubiquitous,
+               ROUND(MIN(doc_frac), 6) AS min_doc_frac,
+               ROUND(AVG(doc_frac), 6) AS avg_doc_frac
+        FROM frac WHERE doc_frac >= 0.6
+        GROUP BY word
+    )
+    SELECT word, n_langs_ubiquitous, min_doc_frac, avg_doc_frac
+    FROM ubiq WHERE n_langs_ubiquitous = 5
+    ORDER BY avg_doc_frac DESC, word
+    """,
+)
+def q_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven stopword discovery — replaces the curated list
+    the quality heuristics assume with one the data itself proposes: a
+    word is a stopword candidate if it appears in ≥60% of documents in
+    EVERY language (ubiquity across languages separates function-word
+    behavior from topical vocabulary). Reports the candidates with
+    their minimum and mean per-lang document fractions.
+
+    One distinct (doc, lang, word) postings scan, a (word, lang)
+    doc-frequency groupBy, a 5-row lang-size broadcast, and a bounded
+    word-grain rollup — linear at any corpus size, and the output
+    feeds straight back into q_c4_rules/q_gopher_rules in a corpus
+    where no hand list exists (the bootstrap every new-language
+    pipeline needs)."""
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias(
+                "word"
+            ),
+        )
+        .distinct()
+    )
+    lang_docs = d.groupBy("lang").agg(F.countDistinct("doc_id").alias("n_docs"))
+    df = words.groupBy("word", "lang").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    frac = df.join(F.broadcast(lang_docs), "lang").select(
+        "word",
+        "lang",
+        (F.col("df").cast("double") / F.col("n_docs")).alias("doc_frac"),
+    )
+    ubiq = (
+        frac.filter(F.col("doc_frac") >= 0.6)
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_langs_ubiquitous"),
+            F.round(F.min("doc_frac"), 6).alias("min_doc_frac"),
+            F.round(F.avg("doc_frac"), 6).alias("avg_doc_frac"),
+        )
+    )
+    return (
+        ubiq.filter(F.col("n_langs_ubiquitous") == 5)
+        .orderBy(F.desc("avg_doc_frac"), "word")
+    )
