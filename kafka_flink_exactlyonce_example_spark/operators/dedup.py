@@ -28,6 +28,7 @@ from kafka_flink_exactlyonce_example_spark.functions.similarity import (
     cosine_sql,
     dot,
 )
+from kafka_flink_exactlyonce_example_spark.operators.scale import _PERSISTED
 from kafka_flink_exactlyonce_example_spark.registry import query
 from kafka_flink_exactlyonce_example_spark.sources import table
 
@@ -834,6 +835,10 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.round(cosine(F.col("embedding"), F.col("c")), 6).alias("cosc"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # data-scaled persist → drainable list (VERDICT r04 item 4), so
+    # long-lived sessions can release it via scale.unpersist_all()
+    # instead of accumulating a corpus-sized block per invocation.
+    _PERSISTED.append(scored)
     norm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
     a = scored.select(
         F.col("vec_id").alias("va"),

@@ -225,10 +225,14 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # three independent orderings consume the same contracted grain —
     # persist it once (lazy) so the orders scan + groupBy runs once,
-    # not once per score.
+    # not once per score. Customer grain is data-scaled → drainable
+    # list, same policy as ordered_scan's own persists.
     from pyspark import StorageLevel
 
+    from kafka_flink_exactlyonce_example_spark.operators.scale import _PERSISTED
+
     cust = cust.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(cust)
     orderings = {
         "r_score": [F.col("recency_days").asc(), F.col("o_custkey")],
         "f_score": [F.col("frequency").desc(), F.col("o_custkey")],

@@ -45,95 +45,157 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # list(QUERIES)[:50]). Registration order is grading-window only — all
 # queries run identically either way.
 #
-# Round-4 window policy (VERDICT r03 item 1): the rotation list is
-# derived FROM DATA — ``set(union of CORRECTNESS_r01..r03 keys)`` — not
-# from memory (round 3's rotation re-graded six already-graded keys).
-# The window holds (a) one keep per SURVEY §2 family whose members are
-# all already driver-graded, (b) every key whose IMPLEMENTATION changes
-# this round (the CC trio now on LSH-verified edges, adaptive-K
-# q_ann_lsh, shingle-cached q_gram_novelty, de-weaked q_win_ntile) so
-# the new plans earn fresh driver rows, and (c) 37 keys that have NEVER
-# had a driver row in any round — led by the two ungraded §2.8 core keys
-# q_math_funcs / q_array_funcs, then the never-graded LLM-pipeline and
-# analytics surface. tests/test_registry_order.py asserts the
-# first-ever property against the CORRECTNESS_r0*.json files directly.
-_ROTATED_IN_R4: tuple[str, ...] = (
-    # §2.8 scalar core — the only never-graded SURVEY §2 keys
-    "q_math_funcs",
-    "q_array_funcs",
-    # §2.9 streaming — never-graded sibling
-    "q_downsample",
-    # §2.10 dedup — never-graded (incl. the round-3 scale-path pair)
-    "q_semdedup",
-    "q_minhash_est",
-    "q_lsh_dup_groups",
-    "q_lsh_recall",
-    # §2.10 similarity / ANN — never-graded
-    "q_ann_multiprobe",
-    "q_centroid",
-    "q_feature_scale",
-    "q_cluster_purity",
-    "q_ndcg",
-    "q_embed_outliers",
-    # §2.11 UDF surface — never-graded (rows-only by contract)
-    "q_multimodal_meta",
-    # SQL subquery surface — never-graded
-    "q_subquery_scalar",
-    "q_subquery_in",
-    # §2.10 text/curation — never-graded (round-2/3 additions)
-    "q_chunk_split",
-    "q_prefix_dedup",
-    "q_train_split",
-    "q_scrub_pattern",
-    "q_c4_rules",
-    "q_mixture_weights",
-    "q_bigram_ppl",
-    "q_source_dup_rate",
-    "q_gram_novelty",
-    "q_vocab_drift",
-    # analytics/BI — never-graded representatives
-    "q_hist_quantile",
-    # data-management — never-graded representatives
-    "q_skew_diag",
-    "q_pagerank",
-    "q_dq_checks",
-)
+# The round this window was built FOR. tests/test_registry_order.py uses
+# it to scope the "first-ever" guard to CORRECTNESS files from rounds
+# STRICTLY BEFORE this one — the round-4 guard globbed ALL r0*.json and
+# flagged its own success once the driver landed CORRECTNESS_r04.json
+# (VERDICT r04 item 1).
+_ROTATION_ROUND = 5
 
-# Operators BUILT in round 4 — first-ever by construction (the keys did
-# not exist when CORRECTNESS_r01..r03 were written); in-window so the
-# new plans earn driver rows immediately. The rotated-out round-5
-# deferrals: q_cooccurrence, q_edit_distance, q_percentile,
-# q_histogram, q_funnel, q_retention, q_scd2.
-_NEW_IN_R4: tuple[str, ...] = (
-    "q_gopher_rules",
-    "q_dsir_weights",
-    "q_ppl_bucket",
-    "q_bloom_prefilter",
-    "q_dedup_cascade",
-    "q_embed_project",
-    "q_kmeans",
+# Round-5 window policy (same data-driven machinery as round 4, VERDICT
+# r03 item 1 / r04 item 2): the rotation list is derived FROM DATA —
+# ``set(union of CORRECTNESS_r01..r04 keys)`` — never from memory. The
+# window holds (a) one keep per SURVEY §2 family whose members are all
+# already driver-graded (keeps VARY across rounds so repeated grading
+# re-covers different members), (b) every key whose IMPLEMENTATION
+# changes this round (the bigram-LM family's model-table joins lose
+# their static broadcast hints — VERDICT r04 items 3/5 — so the new
+# plans earn fresh driver rows), and (c) 36 keys that have NEVER had a
+# driver row in any round — the 25 keys VERDICT r04 item 2 names (the
+# post-freeze round-4 ops + the seven deferred analytics keys) plus 11
+# more from the never-graded text/datamgmt/analytics surface.
+_ROTATED_IN_R5: tuple[str, ...] = (
+    # VERDICT r04 item 2's named 25: post-freeze round-4 ops …
+    "q_incremental_dedup",
+    "q_rank_fusion",
+    "q_dup_threshold_sweep",
+    "q_curriculum",
+    "q_winnow_fingerprint",
+    "q_minhash_calibration",
+    "q_dataset_card",
+    "q_cms_topk",
+    "q_class_balance",
+    "q_triangle_count",
+    "q_shard_dup_locality",
+    "q_hard_negatives",
+    "q_kn_ppl",
+    "q_phash_dedup",
+    "q_simhash_hamming",
+    "q_tokenizer_fertility",
+    "q_stopword_discovery",
+    "q_salted_join",
+    # … + the seven round-4-deferred analytics keys
+    "q_cooccurrence",
+    "q_edit_distance",
+    "q_percentile",
+    "q_histogram",
+    "q_funnel",
+    "q_retention",
+    "q_scd2",
+    # 11 more never-graded keys: text/corpus …
+    "q_keyphrase",  # also impl-changed this round (wt hint dropped)
+    "q_zipf",
+    "q_bpe_pairs",
+    "q_word_position",
+    # … data management …
+    "q_char_ngram",
+    "q_inverted_index",
+    "q_forward_fill",
+    "q_embed_quantize",
+    # … analytics/BI
+    "q_pivot",
+    "q_markov",
+    "q_heaps",
 )
 
 _PRIORITY: tuple[str, ...] = (
     # reference core (§2.1) — flagship identity, kept
     "q_wordcount",
-    # family keeps: every member already driver-graded; one stays for span
-    "q_scan_project",  # §2.2
-    "q_join_inner",  # §2.3
-    "q_agg_multi",  # §2.4
-    "q_win_ntile",  # §2.5 — re-grade the round-3 de-weaked global_ntile
+    # family keeps (different members than round 4's keeps, for span):
+    "q_case_expr",  # §2.2
+    "q_agg_distinct",  # §2.4
+    "q_topk_per_group",  # §2.5
     "q_sort_limit",  # §2.6 only member
-    "q_union_all",  # §2.7
-    "q_image_pipeline",  # §2.10 multimodal (rows-only by contract)
+    "q_intersect",  # §2.7
+    "q_json_extract",  # §2.8
+    "q_tumbling_window",  # §2.9
     "q_pipeline_curate",  # §2.10 end-to-end
-    # impl changes THIS round — need fresh driver rows with the new plans
-    "q_dup_groups",  # CC trio now consumes LSH-verified edges
-    "q_dedup_keep_best",
-    "q_dup_stats",
-    "q_ann_lsh",  # corpus-adaptive bit-count K
-    # 30 rotated first-ever keys + 7 round-4-new keys (37 first-ever)
-    *_ROTATED_IN_R4,
-    *_NEW_IN_R4,
+    "q_udf_smoke",  # §2.11 (rows-only by contract)
+    # impl changes THIS round — model-table joins now scale-safe
+    # (static broadcast hints dropped; AQE picks the strategy at
+    # runtime): re-earn driver rows with the new plans.
+    "q_bigram_ppl",
+    "q_ppl_bucket",  # rides the cached _bigram_ce relation
+    "q_tfidf",
+    "q_unigram_ce",
+    # 36 never-driver-graded keys (q_keyphrase in the list is ALSO
+    # impl-changed this round)
+    *_ROTATED_IN_R5,
+)
+
+# The ordered round-6+ backlog: every registered key that has NO driver
+# row in CORRECTNESS_r01..r04 AND is not in this round's window. Future
+# rounds pop from the front (VERDICT r04 item 7: each rotation becomes
+# a mechanical pop). tests/test_registry_order.py asserts this tuple
+# plus _ROTATED_IN_R5 exactly partitions the never-graded set.
+_ROTATION_BACKLOG: tuple[str, ...] = (
+    # analytics/BI
+    "q_minmax_by",
+    "q_string_agg",
+    "q_null_handling",
+    "q_regex_clean",
+    "q_sample",
+    "q_approx_quantile",
+    "q_ab_test",
+    "q_pareto",
+    "q_median_mad",
+    "q_yoy",
+    "q_running_distinct",
+    "q_bitmap_days",
+    # data management
+    "q_anomaly",
+    "q_zorder",
+    "q_table_checksum",
+    # mining / BI-stats
+    "q_skyline",
+    "q_basket_pairs",
+    "q_rfm",
+    "q_weighted_median",
+    "q_mode",
+    "q_ewma",
+    "q_changepoint",
+    "q_attribution",
+    "q_interarrival",
+    "q_survival",
+    "q_autocorr",
+    "q_seasonality",
+    "q_cuped",
+    "q_event_paths",
+    "q_srm",
+    "q_winsorize",
+    "q_rolling_slope",
+    "q_twap",
+    "q_concurrency",
+    "q_cohort_ltv",
+    "q_benford",
+    "q_chi2_indep",
+    "q_growth_accounting",
+    "q_abc_class",
+    "q_control_chart",
+    "q_repeat_revenue",
+    "q_sla",
+    "q_affinity",
+    "q_mde",
+    "q_dup_payments",
+    "q_rank_shift",
+    "q_price_index",
+    "q_session_stats",
+    "q_hour_heatmap",
+    "q_coverage_gaps",
+    "q_conversion_lag",
+    "q_mutual_info",
+    "q_drawdown",
+    "q_whale_curve",
 )
 
 

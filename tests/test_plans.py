@@ -200,19 +200,50 @@ def test_global_scan_family_range_partitions(spark, registry_loaded):
         assert_in_plan(registry_loaded.QUERIES[q](spark, SMOKE_SF), "rangepartitioning")
 
 
-def test_bigram_model_tables_broadcast(spark, registry_loaded):
-    """q_bigram_ppl's scoring stage must broadcast the bounded model
-    tables (bigram/unigram counts) onto the bigram stream — the CCNet
-    shape — and never degrade to a nested-loop join. Inspect the FRAME
-    builder: the registered query returns the session-cached
-    localCheckpoint, whose plan is an opaque scan."""
+def test_bigram_model_tables_not_hint_broadcast(spark, registry_loaded):
+    """VERDICT r04 item 3: the bigram-LM model tables (bigram-type and
+    unigram counts) are CORPUS-DERIVED and unbounded under Heaps' law,
+    so the scoring joins must NOT carry a static broadcast hint — the
+    analyzed plan may contain at most ONE ResolvedHint, the 1-row
+    vocab-size scalar (bounded by construction). AQE is free to
+    broadcast the small tables at runtime; what's pinned is that the
+    CODE never forces it. Also: still an equi-join chain, never a
+    cartesian product. Inspect the FRAME builder: the registered query
+    returns the session-cached localCheckpoint, whose plan is an
+    opaque scan."""
     from kafka_flink_exactlyonce_example_spark.operators.textstats import (
         _bigram_ce_frame,
     )
 
     df = _bigram_ce_frame(spark, SMOKE_SF)
-    assert_in_plan(df, "BroadcastHashJoin")
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") <= 1, (
+        "corpus-derived model table behind a static broadcast hint:\n" + analyzed
+    )
     assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_no_static_broadcast_of_vocab_grain_models(spark, registry_loaded):
+    """The round-4 sweep (VERDICT r04 item 5) extended the same rule to
+    every vocabulary/bigram-grain model join in textstats: q_tfidf,
+    q_unigram_ce, q_keyphrase, q_cooccurrence, q_kn_ppl. Each may hint
+    only its genuinely bounded sides (1-row scalars, source/lang
+    grains): assert the analyzed-plan hint count stays at the audited
+    bound, and no plan degrades to a cartesian product."""
+    max_hints = {
+        "q_tfidf": 1,  # 1-row corpus count only
+        "q_unigram_ce": 1,  # 1-row token total only
+        "q_keyphrase": 2,  # source marginals + 1-row grand total
+        "q_cooccurrence": 1,  # 1-row doc count only
+        "q_kn_ppl": 1,  # 1-row type count (add-1 side is an opaque
+        # localCheckpoint scan, its hints already spent)
+    }
+    for qname, bound in max_hints.items():
+        df = registry_loaded.QUERIES[qname](spark, SMOKE_SF)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        n = analyzed.count("ResolvedHint")
+        assert n <= bound, f"{qname}: {n} broadcast hints (audited bound {bound})"
+        assert_not_in_plan(df, "CartesianProduct")
 
 
 def test_gram_novelty_no_broadcast_of_gram_relation(spark, registry_loaded):

@@ -3,10 +3,15 @@ FIRST 50 keys of ``queries()`` in dict order (round-1 evidence:
 CORRECTNESS_r01.json keys == list(QUERIES)[:50]). These tests pin that
 the 50-key window (a) spans every SURVEY.md §2 family, (b) rotates in
 keys that have NEVER had a driver row — asserted against the
-CORRECTNESS_r0*.json files themselves, not memory (round-3 verdict:
-6 of 7 "first-time" keys were in fact round-1-graded because the list
-was built from memory), and (c) includes every key whose implementation
-changed this round so the new plan earns a fresh driver row."""
+CORRECTNESS files of rounds STRICTLY BEFORE ``registry._ROTATION_ROUND``
+(the round-4 guard globbed ALL r0*.json and failed against its own
+round's just-landed artifact, VERDICT r04 item 1 — scoping by the
+declared rotation round makes the guard survive the round it protects),
+and (c) includes every key whose implementation changed this round so
+the new plan earns a fresh driver row. A fourth contract (VERDICT r04
+item 7): ``_ROTATION_BACKLOG`` + this round's first-ever keys must
+exactly partition the never-graded set, so each future rotation is a
+mechanical pop from the backlog."""
 
 from __future__ import annotations
 
@@ -14,15 +19,19 @@ import glob
 import inspect
 import json
 import pathlib
+import re
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 
-def _prior_round_keys() -> set[str]:
-    """Union of every key the driver has ever graded, from data."""
+def _graded_keys_before(round_no: int) -> set[str]:
+    """Union of every key the driver graded in rounds < round_no, from
+    the driver's own artifacts (never from memory — round-3 lesson)."""
     keys: set[str] = set()
-    for path in glob.glob(str(REPO / "CORRECTNESS_r0*.json")):
-        keys.update(json.load(open(path)))
+    for path in glob.glob(str(REPO / "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m and int(m.group(1)) < round_no:
+            keys.update(json.load(open(path)))
     return keys
 
 
@@ -63,28 +72,50 @@ def test_first50_spans_every_family(registry_loaded):
 
 
 def test_rotated_keys_are_first_ever(registry_loaded):
-    """VERDICT r03 item 1 'done' criterion: every _ROTATED_IN_R4 and
-    _NEW_IN_R4 key is absent from ALL prior CORRECTNESS files (>= 7
-    required; we field 37 first-ever keys). This is the regression
-    guard that makes a memory-built rotation list impossible: the
-    assertion reads the driver's own artifacts."""
-    prior = _prior_round_keys()
-    rotated = set(registry_loaded._ROTATED_IN_R4) | set(
-        registry_loaded._NEW_IN_R4
-    )
-    assert len(rotated) >= 7
+    """Every _ROTATED_IN_R5 key is absent from ALL CORRECTNESS files of
+    rounds before _ROTATION_ROUND (>= 30 required by VERDICT r04 item
+    2's done criterion; we field 36). Reading the driver's artifacts —
+    scoped to prior rounds only — keeps a memory-built rotation list
+    impossible without flagging the guard's own success."""
+    prior = _graded_keys_before(registry_loaded._ROTATION_ROUND)
+    rotated = set(registry_loaded._ROTATED_IN_R5)
+    assert len(rotated) >= 30
     regraded = rotated & prior
     assert not regraded, f"rotation keys already driver-graded: {sorted(regraded)}"
     assert rotated <= set(_first50(registry_loaded))
 
 
 def test_changed_impls_stay_in_window(registry_loaded):
-    """Keys whose plans change in round 4 — and the round-4-new
-    operators — must be graded with the new implementation, not coast
-    on a stale green row."""
-    changed = {"q_dup_groups", "q_dedup_keep_best", "q_dup_stats", "q_ann_lsh"}
-    changed |= set(registry_loaded._NEW_IN_R4)
+    """Keys whose plans change in round 5 (bigram-LM model joins lose
+    their static broadcast hints, VERDICT r04 items 3/5) must be graded
+    with the new implementation, not coast on a stale green row."""
+    changed = {
+        "q_bigram_ppl",
+        "q_ppl_bucket",
+        "q_tfidf",
+        "q_unigram_ce",
+        "q_kn_ppl",
+        "q_keyphrase",
+        "q_cooccurrence",
+        "q_stopword_discovery",
+    }
     assert changed <= set(_first50(registry_loaded))
+
+
+def test_backlog_partitions_never_graded_set(registry_loaded):
+    """_ROTATION_BACKLOG ∪ _ROTATED_IN_R5 == the never-driver-graded
+    keys (computed from the prior rounds' artifacts), with no overlap
+    and no duplicates — so round 6's window is a mechanical pop."""
+    prior = _graded_keys_before(registry_loaded._ROTATION_ROUND)
+    never = {k for k in registry_loaded.QUERIES if k not in prior}
+    rotated = set(registry_loaded._ROTATED_IN_R5)
+    backlog = list(registry_loaded._ROTATION_BACKLOG)
+    assert len(backlog) == len(set(backlog))
+    assert not (set(backlog) & rotated), "backlog overlaps this round's window"
+    assert set(backlog) | rotated == never, (
+        f"partition mismatch: missing={sorted(never - rotated - set(backlog))} "
+        f"extra={sorted((rotated | set(backlog)) - never)}"
+    )
 
 
 def test_reorder_is_complete_and_lossless(registry_loaded):
