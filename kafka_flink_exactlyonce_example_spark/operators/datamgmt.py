@@ -901,3 +901,181 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(n_bits))
     )
+
+
+# --------------------------------------------------------------------------
+# q_cdc_merge — MERGE INTO / CDC latest-wins upsert semantics
+# --------------------------------------------------------------------------
+
+@query(
+    "q_cdc_merge",
+    oracle="""
+    WITH keyed AS (
+        SELECT o_orderkey % 1000 AS entity_key, o_orderkey, o_orderdate,
+               o_orderstatus, o_totalprice,
+               (o_orderdate >= DATE '1997-01-01') AS is_change
+        FROM orders
+    ), base AS (
+        SELECT * FROM (
+            SELECT entity_key, o_orderstatus, o_totalprice,
+                   row_number() OVER (PARTITION BY entity_key
+                                      ORDER BY o_orderdate DESC,
+                                               o_orderkey DESC) AS rn
+            FROM keyed WHERE NOT is_change
+        ) WHERE rn = 1
+    ), merged AS (
+        SELECT * FROM (
+            SELECT entity_key, o_orderstatus, o_totalprice, is_change,
+                   row_number() OVER (PARTITION BY entity_key
+                                      ORDER BY o_orderdate DESC,
+                                               o_orderkey DESC) AS rn
+            FROM keyed
+        ) WHERE rn = 1
+    )
+    SELECT m.o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) FILTER (WHERE b.entity_key IS NULL) AS BIGINT)
+               AS n_inserted,
+           CAST(COUNT(*) FILTER (WHERE b.entity_key IS NOT NULL
+                                   AND m.is_change) AS BIGINT) AS n_updated,
+           CAST(COUNT(*) FILTER (WHERE b.entity_key IS NOT NULL
+                                   AND NOT m.is_change) AS BIGINT)
+               AS n_unchanged,
+           CAST(SUM(FLOOR(m.o_totalprice * 100.0 + 0.5)) AS BIGINT)
+               AS merged_cents
+    FROM merged m LEFT JOIN base b ON b.entity_key = m.entity_key
+    GROUP BY m.o_orderstatus
+    """,
+)
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / CDC-upsert semantics, lakehouse-style (Delta/Iceberg
+    `MERGE` with latest-wins conflict resolution), expressed as a pure
+    DataFrame plan: pre-cutoff rows are the BASE snapshot, post-cutoff
+    rows the CHANGE feed; both collapse under one keyed window argmax
+    (most recent (o_orderdate, o_orderkey) per entity key — orderkey
+    mod 1000 simulates a mutable-entity key with collisions so updates
+    actually occur), and the audit classifies every surviving key as
+    inserted / updated / unchanged with a totals checksum per status.
+
+    Scale shape: the merge is ONE row_number window partitioned by the
+    entity key over base ∪ changes — a single keyed shuffle, the same
+    thing Delta's merge does per file group after its join-based file
+    pruning; no broadcast (both sides scale with the table), and the
+    base-presence probe is a key-grain LEFT JOIN of two contracted
+    (one-row-per-key) relations. At 100 TB the win over row-at-a-time
+    upsert is exactly this formulation: O(n log n) within partitions,
+    fully parallel, deterministic tie-break so re-running the merge is
+    idempotent."""
+    keyed = table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 1000).alias("entity_key"),
+        "o_orderkey",
+        "o_orderdate",
+        "o_orderstatus",
+        "o_totalprice",
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date")).alias(
+            "is_change"
+        ),
+    )
+    w = Window.partitionBy("entity_key").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    base = (
+        keyed.filter(~F.col("is_change"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("entity_key")
+        .withColumn("in_base", F.lit(True))
+    )
+    merged = (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("entity_key", "o_orderstatus", "o_totalprice", "is_change")
+    )
+    return (
+        merged.join(base, "entity_key", "left")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(
+                F.when(F.col("in_base").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_inserted"),
+            F.sum(
+                F.when(F.col("in_base").isNotNull() & F.col("is_change"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_updated"),
+            F.sum(
+                F.when(F.col("in_base").isNotNull() & ~F.col("is_change"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_unchanged"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+            ).cast("long").alias("merged_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_kanon — k-anonymity census over quasi-identifiers
+# --------------------------------------------------------------------------
+
+@query(
+    "q_kanon",
+    oracle="""
+    WITH classes AS (
+        SELECT lang, source, n_chars // 100 AS len_bucket,
+               CAST(COUNT(*) AS BIGINT) AS class_size
+        FROM documents GROUP BY 1, 2, 3
+    ), bucketed AS (
+        SELECT CASE WHEN class_size = 1 THEN '1'
+                    WHEN class_size < 5 THEN '2-4'
+                    WHEN class_size < 10 THEN '5-9'
+                    ELSE '10+' END AS size_band,
+               class_size
+        FROM classes
+    )
+    SELECT size_band,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(class_size) AS BIGINT) AS n_docs,
+           ROUND(SUM(class_size) * 1.0 /
+                 (SELECT SUM(class_size) FROM bucketed), 6) AS doc_frac
+    FROM bucketed GROUP BY size_band
+    """,
+)
+def q_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity census over quasi-identifiers — the privacy /
+    re-identification audit a training-data release runs before
+    publishing: every (lang, source, length-bucket) combination is an
+    equivalence class, and documents in small classes (size < k) are
+    re-identifiable by those attributes alone. Reports the class-size
+    band histogram with document fractions — the '1' band is the
+    k=2 violation set a release either generalizes (coarser buckets)
+    or suppresses.
+
+    Two hash aggregations, both map-side-partial: corpus → class grain
+    (bounded by the QI-combination count, far below |docs|), then class
+    → 4 bands; the normalizing total rides a 1-row broadcast via a
+    scalar subquery on the oracle side and a window-free crossJoin
+    here. Linear at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    classes = d.groupBy(
+        "lang", "source", (F.col("n_chars") / 100).cast("long").alias("len_bucket")
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    banded = classes.select(
+        F.when(F.col("class_size") == 1, "1")
+        .when(F.col("class_size") < 5, "2-4")
+        .when(F.col("class_size") < 10, "5-9")
+        .otherwise("10+")
+        .alias("size_band"),
+        "class_size",
+    )
+    bands = banded.groupBy("size_band").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("class_size").alias("n_docs"),
+    )
+    tot = bands.agg(F.sum("n_docs").alias("_tot"))
+    return bands.crossJoin(F.broadcast(tot)).select(
+        "size_band",
+        "n_classes",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("_tot"), 6).alias("doc_frac"),
+    )

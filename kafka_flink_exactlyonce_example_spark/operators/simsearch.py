@@ -1372,3 +1372,61 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= 3)
         .drop("_rn")
     )
+
+
+@query(
+    "q_embed_norm_qc",
+    oracle=f"""
+    WITH scored AS (
+        SELECT label,
+               len(embedding) AS dim,
+               sqrt({dot_sql('embedding', 'embedding')}) AS nrm
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(dim) AS BIGINT) AS dim_min,
+           CAST(MAX(dim) AS BIGINT) AS dim_max,
+           ROUND(AVG(nrm), 6) AS mean_norm,
+           ROUND(MIN(nrm), 6) AS min_norm,
+           ROUND(MAX(nrm), 6) AS max_norm,
+           CAST(COUNT(*) FILTER (WHERE nrm < 1e-6) AS BIGINT) AS n_zero,
+           CAST(COUNT(*) FILTER (WHERE nrm BETWEEN 0.99 AND 1.01)
+                AS BIGINT) AS n_unit
+    FROM scored GROUP BY label
+    """,
+)
+def q_embed_norm_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding quality control per label — the sanity gate an ANN
+    index build runs BEFORE indexing: dimension uniformity (a ragged
+    dim means a broken encoder batch), L2-norm distribution (zero
+    vectors break cosine; a wide norm spread on a model that should
+    emit unit vectors means a missing normalize step), and the
+    zero/unit-norm counts that decide whether to renormalize or drop.
+
+    One map-side pass (zip_with/aggregate dot product in codegen, no
+    Python) + a bounded label rollup. At 100 TB this is the cheap
+    full-scan audit whose failure aborts the expensive index build —
+    run it first, always. Norms accumulate in float64 on both engines
+    (elements cast before multiply) so round(·, 6) is stable."""
+    e = table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    scored = e.select(
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        nrm.alias("nrm"),
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("dim").alias("dim_min"),
+        F.max("dim").alias("dim_max"),
+        F.round(F.avg("nrm"), 6).alias("mean_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.sum(F.when(F.col("nrm") < 1e-6, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+        F.sum(F.when(F.col("nrm").between(0.99, 1.01), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unit"),
+    )

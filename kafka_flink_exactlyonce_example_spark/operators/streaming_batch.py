@@ -443,3 +443,155 @@ def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .withColumn("rnk", F.col("rnk").cast("int"))
     )
+
+
+@query(
+    "q_window_join",
+    oracle=f"""
+    WITH c AS (
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_TS_FMT_DUCK}')
+                   AS window_start,
+               user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_clicks,
+               CAST(SUM({cents_sql('value')}) AS BIGINT) AS click_cents
+        FROM events WHERE event_type = 'click'
+        GROUP BY 1, 2
+    ), p AS (
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_TS_FMT_DUCK}')
+                   AS window_start,
+               user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM({cents_sql('value')}) AS BIGINT) AS purchase_cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    )
+    SELECT c.window_start, c.user_id,
+           c.n_clicks, c.click_cents, p.n_purchases, p.purchase_cents
+    FROM c JOIN p ON c.window_start = p.window_start
+                 AND c.user_id = p.user_id
+    """,
+)
+def q_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink SQL *Window Join* parity (the tumbling-window-aligned
+    stream⋈stream join — distinct from q_interval_join's per-row time
+    bounds): clicks meet purchases of the SAME user in the SAME 1-hour
+    tumbling window. Each side is aggregated to the (user, window)
+    grain BEFORE the join — the contract-then-join shape that makes
+    the streaming form's state bounded (one accumulator row per key
+    and window, closed by the watermark) and the batch plan two
+    partial+final hash aggs plus one co-partitioned equi-join on
+    (window_start, user_id). No broadcast: both sides scale with the
+    stream; the join key includes the window so state never crosses
+    windows. The streaming twin is two windowed aggregations joined on
+    window end — Flink's WindowJoin operator materializes exactly this
+    relation per fired window."""
+    ev = table(spark, sf_dir, "events")
+
+    def side(etype: str, n_name: str, cents_name: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias(n_name),
+                F.sum(cents("value")).alias(cents_name),
+            )
+            .select(
+                F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
+                "user_id",
+                n_name,
+                cents_name,
+            )
+        )
+
+    clicks = side("click", "n_clicks", "click_cents")
+    purchases = side("purchase", "n_purchases", "purchase_cents")
+    return clicks.join(purchases, ["window_start", "user_id"])
+
+
+@query(
+    "q_multires_rollup",
+    oracle=f"""
+    WITH h1 AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS b,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM({cents_sql('value')}) AS BIGINT) AS value_cents,
+               ROUND(MIN(value), 6) AS lo,
+               ROUND(MAX(value), 6) AS hi
+        FROM events GROUP BY 1, 2
+    ), h6 AS (
+        SELECT time_bucket(INTERVAL '6 hours', b) AS b, event_type,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               CAST(SUM(value_cents) AS BIGINT) AS value_cents,
+               MIN(lo) AS lo, MAX(hi) AS hi
+        FROM h1 GROUP BY 1, 2
+    ), d1 AS (
+        SELECT time_bucket(INTERVAL '1 day', b) AS b, event_type,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               CAST(SUM(value_cents) AS BIGINT) AS value_cents,
+               MIN(lo) AS lo, MAX(hi) AS hi
+        FROM h6 GROUP BY 1, 2
+    ), lv AS (
+        SELECT '1h' AS level, * FROM h1
+        UNION ALL SELECT '6h', * FROM h6
+        UNION ALL SELECT '1d', * FROM d1
+    )
+    SELECT level, strftime(b, '{_TS_FMT_DUCK}') AS bucket_start,
+           event_type, n_events, value_cents, lo, hi,
+           ROUND(CAST(value_cents AS DOUBLE) / n_events / 100.0, 6)
+               AS avg_value
+    FROM lv
+    """,
+)
+def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable continuous-aggregate HIERARCHY (TimescaleDB's
+    multi-resolution rollup): the 1-hour base aggregate is computed
+    from raw events ONCE, then the 6-hour and 1-day levels are derived
+    by re-aggregating the NEXT-FINER level — never the fact table.
+    Only mergeable accumulators survive the hierarchy (count/sum →
+    sum, min/max → min/max); avg is re-derived as sum/count at every
+    level, because averaging averages is wrong the moment bucket
+    populations differ — the invariant that makes incremental rollup
+    refresh correct at 100 TB (refresh cost ∝ changed 1h buckets, not
+    raw rows; each coarser level reads ≤ 1/6 the rows of the finer).
+    One shuffle against the facts + two re-aggs of contracted grains,
+    union'd with a level tag."""
+    ev = table(spark, sf_dir, "events")
+    h1 = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents("value")).alias("value_cents"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    ).select(F.col("w.start").alias("b"), "event_type", "n_events",
+             "value_cents", "lo", "hi")
+
+    def coarsen(finer: DataFrame, seconds: int) -> DataFrame:
+        bucket = F.timestamp_seconds(
+            (F.unix_timestamp("b") / seconds).cast("long") * seconds
+        )
+        return finer.groupBy(bucket.alias("b"), "event_type").agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_cents").alias("value_cents"),
+            F.min("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+        )
+
+    h6 = coarsen(h1, 6 * 3600)
+    d1 = coarsen(h6, 24 * 3600)
+    lv = (
+        h1.select(F.lit("1h").alias("level"), "*")
+        .unionByName(h6.select(F.lit("6h").alias("level"), "*"))
+        .unionByName(d1.select(F.lit("1d").alias("level"), "*"))
+    )
+    return lv.select(
+        "level",
+        F.date_format("b", _TS_FMT_SPARK).alias("bucket_start"),
+        "event_type",
+        "n_events",
+        "value_cents",
+        "lo",
+        "hi",
+        F.round(
+            F.col("value_cents").cast("double") / F.col("n_events") / 100.0, 6
+        ).alias("avg_value"),
+    )

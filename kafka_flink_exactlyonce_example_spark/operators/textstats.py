@@ -2628,3 +2628,319 @@ def q_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ubiq.filter(F.col("n_langs_ubiquitous") == 5)
         .orderBy(F.desc("avg_doc_frac"), "word")
     )
+
+
+@query(
+    "q_byte_fallback",
+    oracle="""
+    WITH per_doc AS (
+        SELECT lang,
+               CAST(length(text) AS BIGINT) AS n_all,
+               CAST(length(regexp_replace(text, '[^a-z0-9]', '', 'g'))
+                    AS BIGINT) AS n_alnum,
+               CAST(length(text) - length(replace(text, ' ', ''))
+                    AS BIGINT) AS n_space
+        FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(n_all) AS BIGINT) AS total_chars,
+           ROUND(SUM(CAST(n_alnum AS DOUBLE)) / SUM(n_all), 6)
+               AS alnum_frac,
+           ROUND(SUM(CAST(n_space AS DOUBLE)) / SUM(n_all), 6)
+               AS space_frac,
+           ROUND(SUM(CAST(n_all - n_alnum - n_space AS DOUBLE))
+                 / SUM(n_all), 6) AS other_frac
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q_byte_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per language — the byte-fallback
+    estimate a tokenizer team checks before freezing a vocab: text
+    outside the tokenizer's character coverage ('other' here: neither
+    [a-z0-9] nor space) is what degenerates into byte tokens, and a
+    language with a high other-fraction needs vocabulary coverage, not
+    more merges. Pure map-side length arithmetic (regexp_replace +
+    length, whole-stage codegen'd) with one bounded lang rollup;
+    fractions are sum-of-sums so long documents weigh proportionally.
+    DuckDB needs the 'g' flag to mirror Spark's replace-all
+    regexp_replace semantics — the oracle carries it."""
+    d = table(spark, sf_dir, "documents")
+    n_all = F.length("text").cast("long")
+    n_alnum = F.length(F.regexp_replace("text", "[^a-z0-9]", "")).cast("long")
+    n_space = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+    ).cast("long")
+    per = d.select(
+        "lang", n_all.alias("n_all"), n_alnum.alias("n_alnum"),
+        n_space.alias("n_space"),
+    )
+    return per.groupBy("lang").agg(
+        F.sum("n_all").alias("total_chars"),
+        F.round(
+            F.sum(F.col("n_alnum").cast("double")) / F.sum("n_all"), 6
+        ).alias("alnum_frac"),
+        F.round(
+            F.sum(F.col("n_space").cast("double")) / F.sum("n_all"), 6
+        ).alias("space_frac"),
+        F.round(
+            F.sum(
+                (F.col("n_all") - F.col("n_alnum") - F.col("n_space")).cast(
+                    "double"
+                )
+            )
+            / F.sum("n_all"),
+            6,
+        ).alias("other_frac"),
+    )
+
+
+_TOPV = 50  # top-V vocabulary size for the OOV-rate model
+
+
+@query(
+    "q_oov_rate",
+    oracle=f"""
+    WITH words AS (
+        SELECT lang, unnest(list_filter(string_split(text, ' '),
+                                        w -> w <> '')) AS word
+        FROM documents
+    ), vocab AS (
+        SELECT word FROM (
+            SELECT word, row_number() OVER (ORDER BY COUNT(*) DESC, word)
+                       AS rk
+            FROM words GROUP BY word
+        ) WHERE rk <= {_TOPV}
+    )
+    SELECT w.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE v.word IS NULL) AS BIGINT)
+               AS n_oov,
+           ROUND(COUNT(*) FILTER (WHERE v.word IS NULL) * 1.0 / COUNT(*),
+                 6) AS oov_rate,
+           CAST(COUNT(DISTINCT CASE WHEN v.word IS NULL THEN w.word END)
+                AS BIGINT) AS n_oov_types
+    FROM words w LEFT JOIN vocab v ON v.word = w.word
+    GROUP BY w.lang
+    """,
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language under a top-V + OOV-bucket
+    vocabulary (V = 50 here; millions in production) — the coverage
+    metric that decides whether a frozen vocab serves a language, and
+    the BOUNDED-BY-CONSTRUCTION model-table pattern this round's
+    verdict prescribed for LM scoring: unlike the corpus self-model
+    tables (vocabulary grain, Heaps'-law growth, must NOT be
+    force-broadcast), the top-V relation is capped at V rows by a
+    distributed top-k (TakeOrdered — count desc, word tie-break, so
+    both engines freeze the identical vocab), which makes F.broadcast
+    provably safe at ANY corpus size. The scoring join is then a
+    broadcast LEFT join onto the token stream — null = OOV — with one
+    bounded lang rollup. This is the shape q_bigram_ppl would take
+    with a reference LM: bounded model, linear stream, zero shuffle
+    of the corpus."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "lang",
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias(
+            "word"
+        ),
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "word")
+        .limit(_TOPV)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "word", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1.0).otherwise(0.0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+            F.countDistinct(
+                F.when(F.col("in_vocab").isNull(), F.col("word"))
+            ).alias("n_oov_types"),
+        )
+    )
+
+
+_TOPK_OVERLAP = 20  # per-lang top-k wordlist size for the overlap matrix
+
+
+@query(
+    "q_vocab_overlap",
+    oracle=f"""
+    WITH words AS (
+        SELECT lang, unnest(list_filter(string_split(text, ' '),
+                                        w -> w <> '')) AS word
+        FROM documents
+    ), topk AS (
+        SELECT lang, word FROM (
+            SELECT lang, word,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY COUNT(*) DESC, word) AS rk
+            FROM words GROUP BY lang, word
+        ) WHERE rk <= {_TOPK_OVERLAP}
+    ), langs AS (SELECT DISTINCT lang FROM documents),
+    grid AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b
+        FROM langs a JOIN langs b ON a.lang < b.lang
+    ), common AS (
+        SELECT ta.lang AS lang_a, tb.lang AS lang_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM topk ta JOIN topk tb
+          ON ta.word = tb.word AND ta.lang < tb.lang
+        GROUP BY 1, 2
+    )
+    SELECT g.lang_a, g.lang_b,
+           COALESCE(c.n_common, 0) AS n_common,
+           ROUND(COALESCE(c.n_common, 0) * 1.0 /
+                 ({2 * _TOPK_OVERLAP} - COALESCE(c.n_common, 0)), 6)
+               AS jaccard
+    FROM grid g LEFT JOIN common c
+      ON c.lang_a = g.lang_a AND c.lang_b = g.lang_b
+    """,
+)
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language top-K wordlist overlap (K = 20): pairwise Jaccard
+    between each language's most frequent words — the multilingual
+    vocab-design diagnostic that decides how much of a shared
+    vocabulary budget languages can pool (scripts that share function
+    words compress; disjoint scripts need their own token budget).
+
+    The per-lang top-K is a rank-filter over the (lang, word) count
+    grain — Spark plans rk <= K as WindowGroupLimit, a map-side
+    partial top-k, so the full vocabulary never sorts; after the cap
+    the relation is |langs|·K rows, BOUNDED, and the pairwise
+    intersection join + dense lang×lang grid (left join so
+    zero-overlap pairs still report 0) run on that bounded relation
+    only. Jaccard = |∩| / (2K − |∩|) since both lists have exactly K
+    members."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "lang",
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias(
+            "word"
+        ),
+    )
+    counts = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c"))
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.col("c").desc(), "word")
+    )
+    topk = counts.withColumn("rk", rk).filter(F.col("rk") <= _TOPK_OVERLAP)
+    langs = d.select("lang").distinct()
+    grid = (
+        langs.select(F.col("lang").alias("lang_a"))
+        .join(
+            langs.select(F.col("lang").alias("lang_b")),
+            F.col("lang_a") < F.col("lang_b"),
+        )
+    )
+    ta = topk.select(F.col("lang").alias("lang_a"), "word")
+    tb = topk.select(F.col("lang").alias("lang_b"), "word")
+    common = (
+        ta.join(tb, (ta.word == tb.word) & (F.col("lang_a") < F.col("lang_b")))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return grid.join(common, ["lang_a", "lang_b"], "left").select(
+        "lang_a",
+        "lang_b",
+        F.coalesce("n_common", F.lit(0)).alias("n_common"),
+        F.round(
+            F.coalesce("n_common", F.lit(0))
+            / (F.lit(2 * _TOPK_OVERLAP) - F.coalesce("n_common", F.lit(0))),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+@query(
+    "q_psi_drift",
+    oracle="""
+    WITH tiled AS (
+        SELECT source,
+               ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+        FROM documents
+    ), corpus AS (
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_c FROM tiled
+        GROUP BY decile
+    ), srcs AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM tiled
+        GROUP BY source
+    ), grid AS (
+        SELECT s.source, s.n_s, c.decile, c.n_c FROM srcs s CROSS JOIN corpus c
+    ), cells AS (
+        SELECT g.source, g.n_s, g.decile,
+               COALESCE(t.cnt, 0) AS cnt, g.n_c,
+               (SELECT SUM(n_c) FROM corpus) AS n_tot
+        FROM grid g LEFT JOIN (
+            SELECT source, decile, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM tiled GROUP BY source, decile
+        ) t ON t.source = g.source AND t.decile = g.decile
+    )
+    SELECT source,
+           CAST(MAX(n_s) AS BIGINT) AS n_docs,
+           ROUND(SUM(
+               ((cnt + 0.5) / (n_s + 5.0) - (n_c + 0.5) / (n_tot + 5.0))
+               * ln(((cnt + 0.5) / (n_s + 5.0))
+                    / ((n_c + 0.5) / (n_tot + 5.0)))
+           ), 6) AS psi
+    FROM cells GROUP BY source
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per source against the corpus length
+    distribution — the standard production drift metric (PSI > 0.25 =
+    major shift): corpus documents are cut into GLOBAL length deciles,
+    each source's decile shares are compared to the corpus shares, and
+    PSI = Σ (p_s − p_c)·ln(p_s/p_c) over the 10 bins, with +0.5/+5
+    Laplace smoothing so empty cells stay finite and deterministic.
+    Complements q_vocab_drift (word-grain KL) with the numeric-feature
+    drift view a mixture rebalance reads first.
+
+    The decile cut rides the distributed global_ntile (range-partition
+    two-pass — no single-partition window; the oracle uses DuckDB's
+    own ntile, identical ANSI piecewise rule, (n_chars, doc_id) total
+    order). After the cut everything is bounded: a 10-row corpus
+    histogram, a |sources|-row margin, and a dense |sources|×10 grid
+    via broadcast joins."""
+    from kafka_flink_exactlyonce_example_spark.operators.scale import (
+        global_ntile,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    tiled = global_ntile(
+        d, [F.col("n_chars"), F.col("doc_id")], 10, "decile"
+    ).select("source", "decile")
+    corpus = tiled.groupBy("decile").agg(F.count(F.lit(1)).alias("n_c"))
+    srcs = tiled.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    cell = tiled.groupBy("source", "decile").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    n_tot = corpus.agg(F.sum("n_c").alias("n_tot"))
+    grid = srcs.crossJoin(F.broadcast(corpus)).crossJoin(F.broadcast(n_tot))
+    cells = grid.join(cell, ["source", "decile"], "left").select(
+        "source",
+        "n_s",
+        "decile",
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        "n_c",
+        "n_tot",
+    )
+    p_s = (F.col("cnt") + 0.5) / (F.col("n_s") + 5.0)
+    p_c = (F.col("n_c") + 0.5) / (F.col("n_tot") + 5.0)
+    return cells.groupBy("source").agg(
+        F.max("n_s").alias("n_docs"),
+        F.round(F.sum((p_s - p_c) * F.log(p_s / p_c)), 6).alias("psi"),
+    )

@@ -196,6 +196,17 @@ _ROTATION_BACKLOG: tuple[str, ...] = (
     "q_mutual_info",
     "q_drawdown",
     "q_whale_curve",
+    # NEW in round 5 (built after the window froze — first-ever by
+    # construction; round 6 pops them with the rest)
+    "q_window_join",
+    "q_multires_rollup",
+    "q_cdc_merge",
+    "q_kanon",
+    "q_byte_fallback",
+    "q_oov_rate",
+    "q_vocab_overlap",
+    "q_psi_drift",
+    "q_embed_norm_qc",
 )
 
 
