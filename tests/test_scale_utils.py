@@ -116,3 +116,27 @@ def test_global_ntile_matches_builtin(spark, nparts, ntiles):
         ).collect()
     }
     assert got == want
+
+
+def test_data_scaled_persists_register_in_drain_list(spark):
+    """VERDICT r04 item 4: every data-scaled persist outside scale.py
+    (q_semdedup's scored relation, q_rfm's customer contraction) must
+    land in the drainable _PERSISTED list so unpersist_all() leaves no
+    MEMORY_AND_DISK blocks behind in a long-lived session."""
+    from tests.conftest import SMOKE_SF
+
+    from kafka_flink_exactlyonce_example_spark import registry
+    from kafka_flink_exactlyonce_example_spark.operators import scale
+
+    registry.load_all()
+    scale.unpersist_all()  # drain anything earlier tests left behind
+    registry.QUERIES["q_semdedup"](spark, SMOKE_SF).count()
+    registry.QUERIES["q_rfm"](spark, SMOKE_SF).count()
+    assert len(scale._PERSISTED) >= 2  # semdedup scored + rfm cust(+scan)
+    n = scale.unpersist_all()
+    assert n >= 2
+    assert not scale._PERSISTED
+    # session caches (localCheckpoint relations keyed on applicationId:
+    # IVF cells, LSH signatures/bands, _bigram_ce) are intentionally
+    # long-lived and NOT part of this contract — cross-query reuse is
+    # their whole point, and they die with the session.
