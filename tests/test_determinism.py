@@ -93,6 +93,14 @@ ORDER_SENSITIVE = [
     "q_class_balance",
     "q_hard_negatives",
     "q_simhash_hamming",
+    # round 5: latest-wins merge argmax (cdc), global decile boundaries
+    # on the ordered scan (psi), rank-filtered top-K wordlists
+    # (overlap), top-V vocab freeze (oov) — each with a unique-key
+    # tie-break that must hold at any width
+    "q_cdc_merge",
+    "q_psi_drift",
+    "q_vocab_overlap",
+    "q_oov_rate",
 ]
 
 
