@@ -1079,3 +1079,67 @@ def q_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.round(F.col("n_docs") / F.col("_tot"), 6).alias("doc_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_compaction_plan — small-file compaction planner
+# --------------------------------------------------------------------------
+
+@query(
+    "q_compaction_plan",
+    oracle="""
+    WITH sharded AS (
+        SELECT source, lang, n_chars,
+               CAST(CAST(concat('0x', substring(md5(text), 1, 8)) AS UBIGINT)
+                    % 16 AS BIGINT) AS shard
+        FROM documents
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT shard) AS BIGINT) AS files_now,
+           CAST(CEIL(SUM(n_chars) / 65536.0) AS BIGINT) AS files_target,
+           CAST(COUNT(DISTINCT shard)
+                - CEIL(SUM(n_chars) / 65536.0) AS BIGINT) AS files_saved
+    FROM sharded GROUP BY source, lang
+    """,
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the lakehouse maintenance query
+    (Delta OPTIMIZE / Iceberg rewrite_data_files planning stage): for
+    each (source, lang) output partition, compare the CURRENT file
+    count under 16-way content-hash sharding (q_shard_assign's layout
+    — every non-empty shard is a file) against the TARGET count at a
+    64 KiB-of-text file size. `files_saved > 0` rows are the classic
+    small-file problem: partitions whose bytes justify far fewer files
+    than the fixed shard fan-out created — exactly what makes 100 TB
+    table scans open millions of tiny parquet footers.
+
+    One scan → (source, lang) groupBy with a distinct-shard count (16
+    max per group, so the distinct is bounded map-side state); the
+    md5-derived shard is the same deterministic expression
+    q_shard_assign writes with, so the plan audits the REAL layout."""
+    d = table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % 16
+    )
+    return (
+        d.select("source", "lang", "n_chars", shard.alias("shard"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("shard").alias("files_now"),
+            F.ceil(F.sum("n_chars") / 65536.0).cast("long").alias(
+                "files_target"
+            ),
+            (
+                F.countDistinct("shard")
+                - F.ceil(F.sum("n_chars") / 65536.0)
+            )
+            .cast("long")
+            .alias("files_saved"),
+        )
+    )

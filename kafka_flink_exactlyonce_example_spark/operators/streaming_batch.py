@@ -595,3 +595,84 @@ def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value_cents").cast("double") / F.col("n_events") / 100.0, 6
         ).alias("avg_value"),
     )
+
+
+@query(
+    "q_watermark_plan",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               epoch(ts) AS sec,
+               MAX(epoch(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS runmax
+        FROM events
+    ), late AS (
+        SELECT event_type, ROUND(runmax - sec, 6) AS lateness_s FROM seq
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE lateness_s > 0) AS BIGINT) AS n_late,
+           ROUND(COUNT(*) FILTER (WHERE lateness_s > 0) * 1.0 / COUNT(*), 6)
+               AS late_frac,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY lateness_s), 6)
+               AS p50_lateness_s,
+           ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY lateness_s), 6)
+               AS p95_lateness_s,
+           ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY lateness_s), 6)
+               AS p99_lateness_s,
+           ROUND(MAX(lateness_s), 6) AS max_lateness_s
+    FROM late GROUP BY event_type
+    """,
+)
+def q_watermark_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay planning report — the measurement that sizes
+    `withWatermark` before deploying any windowed streaming job: replay
+    the stream in ARRIVAL order (event_id — the ingestion sequence) and
+    measure each event's lateness against the per-user running maximum
+    event time. The p95/p99 columns are the candidate watermark delays
+    (delay < p99 drops ~1% of events into the late-data path;
+    q_late_data shows what happens to them), max is the zero-loss
+    bound, and the per-type split shows which stream needs the looser
+    bound.
+
+    One keyed window (running max per user — state bounded per key,
+    same shape the streaming runtime maintains) + an exact-percentile
+    rollup on the bounded event_type grain. Spark `percentile` mirrors
+    DuckDB `percentile_cont` (both linear-interpolate); lateness is
+    ROUNDED BEFORE ranking so interpolation happens on identical
+    inputs in both engines."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sec = F.col("ts").cast("double")
+    late = ev.select(
+        "event_type",
+        F.round(F.max(sec).over(w) - sec, 6).alias("lateness_s"),
+    )
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("lateness_s") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        F.round(
+            F.sum(F.when(F.col("lateness_s") > 0, 1.0).otherwise(0.0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("late_frac"),
+        F.round(F.expr("percentile(lateness_s, 0.5)"), 6).alias(
+            "p50_lateness_s"
+        ),
+        F.round(F.expr("percentile(lateness_s, 0.95)"), 6).alias(
+            "p95_lateness_s"
+        ),
+        F.round(F.expr("percentile(lateness_s, 0.99)"), 6).alias(
+            "p99_lateness_s"
+        ),
+        F.round(F.max("lateness_s"), 6).alias("max_lateness_s"),
+    )

@@ -2944,3 +2944,120 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_s").alias("n_docs"),
         F.round(F.sum((p_s - p_c) * F.log(p_s / p_c)), 6).alias("psi"),
     )
+
+
+@query(
+    "q_lang_id_confusion",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                                         w -> w IN {_STOP_SQL})) * 1.0
+                         / len(list_filter(string_split(text, ' '),
+                                           w -> w <> '')) >= 0.05
+                    THEN 'en' ELSE 'unknown' END AS guess
+        FROM documents
+    ), cm AS (
+        SELECT lang, guess, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM scored GROUP BY lang, guess
+    ), tot AS (
+        SELECT lang, SUM(n_docs) AS n_lang FROM cm GROUP BY lang
+    )
+    SELECT cm.lang, cm.guess, cm.n_docs,
+           ROUND(cm.n_docs * 1.0 / t.n_lang, 6) AS frac_of_lang
+    FROM cm JOIN tot t ON t.lang = cm.lang
+    """,
+)
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval confusion matrix for the stopword language-ID
+    heuristic (q_lang_quality's rule: stop-ratio ≥ 0.05 → 'en') against
+    the ground-truth lang column — the evaluation loop every heuristic
+    filter needs before it gates a corpus: per (truth, guess) cell
+    counts and row-normalized rates. The per-lang 'en'-guess rate off
+    the diagonal is the false-positive pressure the downstream English
+    pipeline inherits.
+
+    Classification is pure map-side array arithmetic (filter/size on
+    the split — no explode, no shuffle before the matrix groupBy);
+    the matrix and its margins are bounded (langs × 2 cells). Swap the
+    heuristic for a fastText-score column and the eval plan is
+    unchanged — that's the point of making eval an operator."""
+    d = table(spark, sf_dir, "documents")
+    arr = F.filter(F.split("text", " "), lambda w: w != "")
+    n_stop = F.size(
+        F.filter(F.split("text", " "), lambda w: w.isin(*_STOPWORDS))
+    )
+    guess = F.when(
+        n_stop * 1.0 / F.size(arr) >= 0.05, F.lit("en")
+    ).otherwise(F.lit("unknown"))
+    cm = (
+        d.select("lang", guess.alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = cm.groupBy("lang").agg(F.sum("n_docs").alias("n_lang"))
+    return cm.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "guess",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("n_lang"), 6).alias("frac_of_lang"),
+    )
+
+
+@query(
+    "q_calibration_bins",
+    oracle=f"""
+    WITH scored AS (
+        SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               len(list_filter(string_split(text, ' '),
+                               w -> w IN {_STOP_SQL})) * 1.0
+                   / len(list_filter(string_split(text, ' '),
+                                     w -> w <> '')) AS score
+        FROM documents
+    ), binned AS (
+        SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin, score, y
+        FROM scored
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(score), 6) AS mean_score,
+           ROUND(AVG(y), 6) AS obs_rate,
+           ROUND(ABS(AVG(score) - AVG(y)), 6) AS gap
+    FROM binned GROUP BY bin
+    """,
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for a score used as a classifier — is the
+    stop-ratio score CALIBRATED as P(lang = 'en')? Fixed-width bins
+    (floor(score·10), top-clamped) hold mean predicted score vs
+    observed positive rate; the per-bin gap is what a temperature
+    scaling or isotonic step would correct, and Σ (n_b/N)·gap_b is the
+    expected calibration error. Quality-filter thresholds are chosen
+    off this table — an uncalibrated score makes every threshold lie.
+
+    FIXED-WIDTH bins, deliberately not deciles: binning is then pure
+    map-side arithmetic (no global sort/ntile needed — contrast
+    q_psi_drift, which genuinely needs rank bins) and the rollup is a
+    bounded 10-row aggregate. Linear at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    arr = F.filter(F.split("text", " "), lambda w: w != "")
+    n_stop = F.size(
+        F.filter(F.split("text", " "), lambda w: w.isin(*_STOPWORDS))
+    )
+    scored = d.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        (n_stop * 1.0 / F.size(arr)).alias("score"),
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("score") * 10).cast("long"), F.lit(9)).alias(
+            "bin"
+        ),
+        "score",
+        "y",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("score"), 6).alias("mean_score"),
+        F.round(F.avg("y"), 6).alias("obs_rate"),
+        F.round(F.abs(F.avg("score") - F.avg("y")), 6).alias("gap"),
+    )

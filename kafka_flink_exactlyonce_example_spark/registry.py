@@ -207,6 +207,10 @@ _ROTATION_BACKLOG: tuple[str, ...] = (
     "q_vocab_overlap",
     "q_psi_drift",
     "q_embed_norm_qc",
+    "q_watermark_plan",
+    "q_lang_id_confusion",
+    "q_calibration_bins",
+    "q_compaction_plan",
 )
 
 

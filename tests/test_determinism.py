@@ -101,6 +101,7 @@ ORDER_SENSITIVE = [
     "q_psi_drift",
     "q_vocab_overlap",
     "q_oov_rate",
+    "q_watermark_plan",  # per-user running max in event_id order
 ]
 
 
