@@ -555,7 +555,14 @@ def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     refresh correct at 100 TB (refresh cost ∝ changed 1h buckets, not
     raw rows; each coarser level reads ≤ 1/6 the rows of the finer).
     One shuffle against the facts + two re-aggs of contracted grains,
-    union'd with a level tag."""
+    union'd with a level tag. The 1 h base is MATERIALIZED
+    (localCheckpoint) before the union — without the barrier Spark
+    re-computed the base under every union branch (3 fact scans,
+    verified: the branch aggregates canonicalize differently, so even
+    AQE's ReuseExchange can't dedupe them), which at 100 TB triples
+    the scan bill; the checkpoint is the hour×type grain, bounded by
+    the time range, i.e. exactly the materialized continuous
+    aggregate a hypertable stores anyway."""
     ev = table(spark, sf_dir, "events")
     h1 = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -563,7 +570,7 @@ def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("lo"),
         F.round(F.max("value"), 6).alias("hi"),
     ).select(F.col("w.start").alias("b"), "event_type", "n_events",
-             "value_cents", "lo", "hi")
+             "value_cents", "lo", "hi").localCheckpoint()
 
     def coarsen(finer: DataFrame, seconds: int) -> DataFrame:
         bucket = F.timestamp_seconds(

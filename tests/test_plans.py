@@ -328,3 +328,69 @@ def test_round4_cascade_no_exhaustive_pair_join(spark, registry_loaded):
     plan = plan_string(df)
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan, "survivor filtering must be semi-joins"
+
+
+def test_round5_vocab_overlap_plans_window_group_limit(spark, registry_loaded):
+    """The per-lang top-20 rank filter must plan as WindowGroupLimit
+    (map-side partial top-k) so the full vocabulary never sorts."""
+    df = registry_loaded.QUERIES["q_vocab_overlap"](spark, SMOKE_SF)
+    plan = plan_string(df)
+    assert "WindowGroupLimit" in plan
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_round5_oov_vocab_is_bounded_topk(spark, registry_loaded):
+    """q_oov_rate's top-V vocab freeze must be a distributed top-k
+    (TakeOrderedAndProject), never a global sort; the scoring join may
+    broadcast — the capped relation is bounded by construction."""
+    df = registry_loaded.QUERIES["q_oov_rate"](spark, SMOKE_SF)
+    assert_in_plan(df, "TakeOrderedAndProject")
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_round5_cdc_merge_single_keyed_window(spark, registry_loaded):
+    """The merge must stay a keyed-window plan: every Window node
+    partitioned (no single-partition sort), no cartesian anywhere."""
+    df = registry_loaded.QUERIES["q_cdc_merge"](spark, SMOKE_SF)
+    plan = plan_string(df)
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if ln.strip().startswith("Window") and "], [], [" in ln
+    ]
+    assert not bad, f"unpartitioned Window nodes: {bad}"
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_round5_multires_rollup_scans_facts_once(spark, registry_loaded):
+    """The 1h base must materialize before the union — without the
+    barrier each union branch re-computed the base from the fact table
+    (3 scans, and AQE's ReuseExchange cannot canonicalize the branch
+    aggregates together). The checkpointed plan shows ZERO parquet
+    scans (the single scan ran at materialization time)."""
+    df = registry_loaded.QUERIES["q_multires_rollup"](spark, SMOKE_SF)
+    assert plan_string(df).count("FileScan parquet") == 0
+
+
+def test_round5_watermark_plan_keyed_window(spark, registry_loaded):
+    """Running-max lateness must be per-user keyed state — a Window
+    with a partition spec, mirroring the streaming runtime's bounded
+    per-key state."""
+    df = registry_loaded.QUERIES["q_watermark_plan"](spark, SMOKE_SF)
+    plan = plan_string(df)
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if ln.strip().startswith("Window") and "], [], [" in ln
+    ]
+    assert not bad, f"unpartitioned Window nodes: {bad}"
+
+
+def test_round5_map_side_rollups_have_partial_aggs(spark, registry_loaded):
+    """The linear-scan round-5 reports must keep the partial→final
+    HashAggregate pair (map-side combine before the shuffle)."""
+    for q in ("q_kanon", "q_byte_fallback", "q_calibration_bins",
+              "q_lang_id_confusion", "q_compaction_plan",
+              "q_embed_norm_qc", "q_window_join"):
+        plan = plan_string(registry_loaded.QUERIES[q](spark, SMOKE_SF))
+        assert plan.count("HashAggregate") >= 2, f"{q}: no partial agg"
