@@ -7,6 +7,7 @@ from kafka_flink_exactlyonce_example_spark.streaming.jobs import (  # noqa: F401
     keyed_running_count_tws,
     stream_stream_interval_join,
     streaming_sessions,
+    streaming_window_join,
     streaming_wordcount,
     streaming_windowed_counts,
 )

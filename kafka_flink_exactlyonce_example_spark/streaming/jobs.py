@@ -138,6 +138,55 @@ def stream_stream_interval_join(
     return l.join(r, cond, join_type)
 
 
+def streaming_window_join(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming form of q_window_join (Flink SQL Window Join parity).
+
+    Spark's streaming engine rejects a JOIN of two streaming
+    aggregations (chained stateful operators in append mode), so the
+    batch twin's aggregate-then-join shape cannot run as written. The
+    SAME relation is expressible as ONE windowed aggregation with
+    conditional per-side accumulators, filtered to windows where both
+    sides occurred — which is exactly the state layout Flink's
+    WindowJoin operator maintains anyway (one accumulator pair per
+    (key, window), closed by the watermark). Fully supported in append
+    mode: rows emit once per (user, window) when the watermark passes
+    window end.
+
+    Watermark subtlety (runtime-tested): Catalyst pushes the type
+    filter BELOW the EventTimeWatermark node (deterministic predicate
+    on a non-event-time column), so only click/purchase events advance
+    the watermark — matching Flink's WindowJoin, where each side's
+    watermark comes from its own stream, and meaning an idle joined
+    pair of types never closes windows on other-type traffic alone."""
+    side = F.col(type_col)
+    agg = (
+        events.withWatermark(ts_col, watermark)
+        .filter(side.isin("click", "purchase"))
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(user_col))
+        .agg(
+            F.sum(F.when(side == "click", 1).otherwise(0)).alias("n_clicks"),
+            F.sum(F.when(side == "purchase", 1).otherwise(0)).alias(
+                "n_purchases"
+            ),
+        )
+    )
+    return agg.filter(
+        (F.col("n_clicks") > 0) & (F.col("n_purchases") > 0)
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col(user_col),
+        "n_clicks",
+        "n_purchases",
+    )
+
+
 def stream_static_enrich(
     stream: DataFrame,
     dim: DataFrame,

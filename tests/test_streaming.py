@@ -934,3 +934,84 @@ def test_stream_stream_left_outer_interval_join_emits_null_after_watermark(
     assert (3, None) in rows, (
         f"unmatched left row never emitted with NULLs after watermark: {rows}"
     )
+
+
+def test_streaming_window_join_twin(spark, tmp_path):
+    """q_window_join's streaming twin: Spark rejects joining two
+    streaming aggregations (chained stateful ops), so the twin is the
+    ONE-aggregation pivot form (conditional per-side accumulators per
+    (user, window), both-present filter) — the same state layout
+    Flink's WindowJoin keeps. Append mode: a (user, window) row emits
+    exactly once, after the watermark passes window end; a user with
+    clicks but no purchase in the window must NOT emit."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from kafka_flink_exactlyonce_example_spark.streaming import (
+        IdempotentBatchSink,
+        file_stream,
+        streaming_window_join,
+    )
+    from kafka_flink_exactlyonce_example_spark.streaming.jobs import (
+        run_exactly_once,
+    )
+
+    inp = str(tmp_path / "in")
+    _os.makedirs(inp)
+    # window [00:00, 01:00): user 1 has click+purchase (emits),
+    # user 2 clicks only (must not emit)
+    rows0 = [
+        {"user_id": 1, "event_type": "click", "ts": "2024-01-01 00:05:00"},
+        {"user_id": 1, "event_type": "click", "ts": "2024-01-01 00:15:00"},
+        {"user_id": 1, "event_type": "purchase", "ts": "2024-01-01 00:30:00"},
+        {"user_id": 2, "event_type": "click", "ts": "2024-01-01 00:40:00"},
+    ]
+    with open(_os.path.join(inp, "f0.json"), "w") as f:
+        for r in rows0:
+            f.write(_json.dumps(r) + "\n")
+    # much later CLICK advances the watermark past 01:00 + 10 min.
+    # It must be a click/purchase: Catalyst pushes the type filter
+    # BELOW the EventTimeWatermark node (deterministic predicate on a
+    # non-event-time column), so filtered-out types never advance the
+    # watermark — the same per-side watermark semantics Flink's
+    # WindowJoin has.
+    with open(_os.path.join(inp, "f1.json"), "w") as f:
+        f.write(
+            _json.dumps(
+                {"user_id": 3, "event_type": "click", "ts": "2024-01-01 06:00:00"}
+            )
+            + "\n"
+        )
+    # … and the watermark applies with a one-batch lag (it advances
+    # AFTER the batch that carried the late data plans), so a third
+    # batch is what actually emits the closed window
+    with open(_os.path.join(inp, "f2.json"), "w") as f:
+        f.write(
+            _json.dumps(
+                {"user_id": 3, "event_type": "click", "ts": "2024-01-01 07:00:00"}
+            )
+            + "\n"
+        )
+    now = _time.time()
+    for i, name in enumerate(("f0.json", "f1.json", "f2.json")):
+        _os.utime(_os.path.join(inp, name), (now + 10 * i, now + 10 * i))
+
+    ev = file_stream(
+        spark,
+        inp,
+        "user_id long, event_type string, ts string",
+        fmt="json",
+        maxFilesPerTrigger="1",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    joined = streaming_window_join(ev)
+    sink = IdempotentBatchSink(str(tmp_path / "out"))
+    q = run_exactly_once(joined, sink, str(tmp_path / "ckpt"), output_mode="append")
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], str(r["window_start"])): (r["n_clicks"], r["n_purchases"])
+        for r in sink.read_committed(spark).collect()
+    }
+    assert got == {(1, "2024-01-01 00:00:00"): (2, 1)}, f"unexpected: {got}"
