@@ -136,3 +136,60 @@ def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("l_extendedprice"), 6).alias("min_price"),
         F.round(F.max("l_extendedprice"), 6).alias("max_price"),
     )
+
+
+@query("q_hll_merge", oracle=None)
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (Apache DataSketches HLL via
+    hll_sketch_agg / hll_union_agg) — the 100 TB pattern for COUNT
+    DISTINCT across shards: each partition/source builds a fixed-size
+    sketch, sketches merge associatively (no re-scan, no shuffle of
+    raw values), and the merged estimate must agree with the
+    single-pass global sketch. This query PROVES that property on real
+    data: it builds per-source sketches, merges them, builds a global
+    sketch directly, and reports both estimates next to the exact
+    count — merged == global is the mergeability invariant (identical
+    binary sketch state), and the relative error vs exact sits inside
+    the published HLL bound for lgK=12 (~1.6%).
+
+    rows-only by the same contract as q_approx_distinct: sketch
+    internals are engine-specific (DuckDB's approx_distinct is a
+    different HLL implementation), so values can't hash-match an
+    oracle; the driver checks rows+schema, the test suite asserts the
+    invariants."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "source",
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias(
+            "word"
+        ),
+    )
+    per_src = words.groupBy("source").agg(
+        F.hll_sketch_agg("word", F.lit(12)).alias("sk")
+    )
+    merged = per_src.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    global_ = words.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("word", F.lit(12))).alias(
+            "est_global"
+        )
+    )
+    exact = words.agg(F.countDistinct("word").alias("n_exact"))
+    return (
+        exact.crossJoin(F.broadcast(global_))
+        .crossJoin(F.broadcast(merged))
+        .select(
+            "n_exact",
+            F.col("est_global").cast("long").alias("est_global"),
+            F.col("est_merged").cast("long").alias("est_merged"),
+            (F.col("est_merged") == F.col("est_global")).alias(
+                "merged_matches_global"
+            ),
+            F.round(
+                F.abs(F.col("est_global") - F.col("n_exact"))
+                / F.col("n_exact"),
+                6,
+            ).alias("rel_err"),
+        )
+    )

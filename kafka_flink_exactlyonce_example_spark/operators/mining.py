@@ -2560,3 +2560,177 @@ def q_whale_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("cents") / F.max("t"), 6).alias("revenue_share"),
         )
     )
+
+
+# Poisson(1) inverse CDF ladder: cumulative e^{-1}·Σ 1/k! — enough mass
+# that P(w > 6) < 1e-4; the tail clamps to 6. 17-digit literals so both
+# engines compare against bit-identical doubles.
+_POIS_CDF = (
+    (0, "0.36787944117144233"),
+    (1, "0.73575888234288467"),
+    (2, "0.91969860292860584"),
+    (3, "0.98101184312384615"),
+    (4, "0.99634015317265628"),
+    (5, "0.99940581518241827"),
+)
+_B_REPS = 32  # bootstrap replicates
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {p} THEN {k}" for k, p in _POIS_CDF
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+@query(
+    "q_poisson_bootstrap",
+    oracle=f"""
+    WITH reps AS (
+        SELECT o.o_orderkey, o.o_totalprice, r.b,
+               CAST(CAST(concat('0x', substring(
+                       md5(concat('boot', CAST(r.b AS VARCHAR), ':',
+                                  CAST(o.o_orderkey AS VARCHAR))), 1, 8))
+                    AS UBIGINT) AS DOUBLE) / 4294967296.0 AS u
+        FROM orders o
+        CROSS JOIN (SELECT unnest(range({_B_REPS})) AS b) r
+    ), weighted AS (
+        SELECT b, o_totalprice, {_pois_case_sql('u')} AS w FROM reps
+    ), rep_means AS (
+        SELECT b, SUM(w * o_totalprice) / SUM(w) AS m
+        FROM weighted GROUP BY b HAVING SUM(w) > 0
+    )
+    SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_orders,
+           ROUND((SELECT AVG(o_totalprice) FROM orders), 6) AS mean_full,
+           CAST(COUNT(*) AS BIGINT) AS n_reps,
+           ROUND(STDDEV_SAMP(m), 6) AS boot_se,
+           ROUND(percentile_cont(0.025) WITHIN GROUP (ORDER BY m), 6)
+               AS ci_lo,
+           ROUND(percentile_cont(0.975) WITHIN GROUP (ORDER BY m), 6)
+               AS ci_hi
+    FROM rep_means
+    """,
+)
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean order value —
+    THE bootstrap that scales: classical resampling needs N draws per
+    replicate from a materialized population (impossible distributed),
+    but multinomial(N, 1/N) per-row counts converge to iid Poisson(1),
+    so each row independently draws its weight per replicate from its
+    own deterministic hash — ONE pass over the data for all B
+    replicates, no global state, no resample shuffle (the Google
+    'Poisson bootstrap' used for exactly this reason on web-scale
+    logs). Deterministic twist: u = md5('boot{{b}}:{{key}}') as a
+    uniform, inverted through the Poisson(1) CDF ladder, so both
+    engines draw the SAME weights and the CI is reproducible run to
+    run — a property real pipelines want anyway for debuggability.
+
+    Plan: explode ×B=32 replicates map-side, per-replicate weighted
+    mean via partial+final hash agg (32 groups), then the tiny 32-row
+    replicate relation yields SE and percentile CI. Linear in rows·B;
+    replicate means use sum(w·x)/sum(w) — never avg-of-avgs."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    reps = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(_B_REPS - 1))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / 4294967296.0
+    )
+    w = F.lit(6)
+    for k, p in reversed(_POIS_CDF):
+        w = F.when(F.col("u") < float(p), k).otherwise(w)
+    weighted = reps.select("b", "o_totalprice", u.alias("u")).select(
+        "b", "o_totalprice", w.alias("w")
+    )
+    rep_means = (
+        weighted.groupBy("b")
+        .agg(
+            (F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w")).alias("m"),
+            F.sum("w").alias("_sw"),
+        )
+        .filter(F.col("_sw") > 0)
+    )
+    full = o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 6).alias("mean_full"),
+    )
+    return rep_means.crossJoin(F.broadcast(full)).agg(
+        F.first("n_orders").alias("n_orders"),
+        F.first("mean_full").alias("mean_full"),
+        F.count(F.lit(1)).alias("n_reps"),
+        F.round(F.stddev_samp("m"), 6).alias("boot_se"),
+        F.round(F.expr("percentile(m, 0.025)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
+    )
+
+
+@query(
+    "q_jackknife_source",
+    oracle="""
+    WITH per_src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT SUM(n_docs) AS n_tot, SUM(sum_chars) AS s_tot,
+               COUNT(*) AS g
+        FROM per_src
+    )
+    SELECT p.source, p.n_docs,
+           ROUND((t.s_tot - p.sum_chars) * 1.0
+                 / (t.n_tot - p.n_docs), 6) AS loo_mean,
+           ROUND((t.s_tot - p.sum_chars) * 1.0 / (t.n_tot - p.n_docs)
+                 - t.s_tot * 1.0 / t.n_tot, 6) AS influence
+    FROM per_src p CROSS JOIN tot t
+    """,
+)
+def q_jackknife_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out jackknife over mean document length — the
+    robustness audit that answers 'which provider is dragging the
+    corpus statistic?': each fold's mean is computed WITHOUT refolding
+    the data, from the global sufficient statistics minus the fold's
+    own (one corpus pass total, g folds of arithmetic) — the identity
+    that makes jackknifing free at 100 TB where naive per-fold
+    recomputation would be g full scans. The influence column (fold
+    mean − full mean) ranks sources by leverage; |influence| spikes
+    flag a provider whose removal shifts the corpus profile.
+
+    One groupBy to the bounded source grain, a 1-row totals broadcast,
+    pure arithmetic after."""
+    d = table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    tot = per_src.agg(
+        F.sum("n_docs").alias("n_tot"),
+        F.sum("sum_chars").alias("s_tot"),
+    )
+    loo = (F.col("s_tot") - F.col("sum_chars")) / (
+        F.col("n_tot") - F.col("n_docs")
+    )
+    full = F.col("s_tot") / F.col("n_tot")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(loo, 6).alias("loo_mean"),
+        F.round(loo - full, 6).alias("influence"),
+    )

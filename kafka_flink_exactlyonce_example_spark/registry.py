@@ -211,6 +211,9 @@ _ROTATION_BACKLOG: tuple[str, ...] = (
     "q_lang_id_confusion",
     "q_calibration_bins",
     "q_compaction_plan",
+    "q_poisson_bootstrap",
+    "q_jackknife_source",
+    "q_hll_merge",
 )
 
 

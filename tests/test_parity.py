@@ -118,3 +118,18 @@ def test_semdedup_keeps_a_representative(spark, registry_loaded):
         assert any(by_id[v]["dropped"] == 1 for v in ids), (
             f"label {label}: near-dup pairs exist but nothing was dropped"
         )
+
+
+def test_hll_merge_invariants(spark, registry_loaded):
+    """q_hll_merge is rows-only (sketch internals are engine-specific),
+    so its correctness contract lives here: the merged per-source
+    sketches must estimate EXACTLY what the single-pass global sketch
+    estimates (associative-merge invariant — same binary state), and
+    the estimate must sit within the published lgK=12 HLL error bound
+    of the exact count."""
+    from tests.conftest import SMOKE_SF
+
+    row = registry_loaded.QUERIES["q_hll_merge"](spark, SMOKE_SF).collect()[0]
+    assert row["merged_matches_global"] is True
+    assert row["rel_err"] < 0.05
+    assert row["n_exact"] > 0
