@@ -1430,3 +1430,176 @@ def q_embed_norm_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_unit"),
     )
+
+
+_MAXSIM_PROBES = 8  # fixed late-interaction query set
+
+
+@query(
+    "q_maxsim_retrieval",
+    oracle=f"""
+    WITH probes AS (
+        SELECT vec_id AS probe_id, embedding AS p,
+               row_number() OVER (
+                   ORDER BY md5('ms:' || CAST(vec_id AS VARCHAR)), vec_id
+               ) AS rn
+        FROM embeddings
+        QUALIFY rn <= {_MAXSIM_PROBES}
+    ), per_pair AS (
+        SELECT e.label, pr.probe_id,
+               MAX(ROUND({cosine_sql('e.embedding', 'pr.p')}, 6)) AS maxsim
+        FROM embeddings e CROSS JOIN probes pr
+        GROUP BY e.label, pr.probe_id
+    ), scored AS (
+        SELECT label, ROUND(SUM(maxsim), 6) AS score,
+               CAST(COUNT(*) AS BIGINT) AS n_terms
+        FROM per_pair GROUP BY label
+    )
+    SELECT label, score, n_terms
+    FROM scored
+    ORDER BY score DESC, label
+    LIMIT 5
+    """,
+)
+def q_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (MaxSim): treat each
+    label's vectors as one document's token embeddings and a fixed
+    8-vector probe set as the query's token embeddings; a document
+    scores Σ_q max_{v∈doc} cos(q, v) — each query token finds its best
+    match inside the document, independently. Late interaction is the
+    accuracy/scale middle ground between single-vector cosine
+    (q_cosine_topk) and full cross-attention, and its data-side shape
+    is exactly this: per-(doc, query-token) max, then per-doc sum.
+
+    Plan: the probe relation is bounded (8 rows, md5-frozen like
+    q_hard_negatives) and broadcasts onto ONE corpus scan; the MaxSim
+    reduction is two hash aggregations ((label, probe) max → label
+    sum) — both map-side-partial, no window, no pair shuffle; the
+    final top-5 is TakeOrdered on the bounded label grain. Rounding
+    before the max keeps the argmax engine-identical."""
+    emb = table(spark, sf_dir, "embeddings")
+    h = F.md5(F.concat(F.lit("ms:"), F.col("vec_id").cast("string")))
+    probes = (
+        emb.select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("p"),
+            h.alias("_h"),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(_MAXSIM_PROBES)
+        .drop("_h")
+    )
+    per_pair = (
+        emb.crossJoin(F.broadcast(probes))
+        .select(
+            "label",
+            "probe_id",
+            F.round(cosine(F.col("embedding"), F.col("p")), 6).alias("sim"),
+        )
+        .groupBy("label", "probe_id")
+        .agg(F.max("sim").alias("maxsim"))
+    )
+    return (
+        per_pair.groupBy("label")
+        .agg(
+            F.round(F.sum("maxsim"), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .orderBy(F.desc("score"), "label")
+        .limit(5)
+    )
+
+
+_MRL_DIMS = 8  # truncated prefix width for the matryoshka comparison
+
+
+@query(
+    "q_matryoshka_eval",
+    oracle=f"""
+    WITH probes AS (
+        SELECT vec_id AS probe_id, embedding AS p,
+               row_number() OVER (
+                   ORDER BY md5('mrl:' || CAST(vec_id AS VARCHAR)), vec_id
+               ) AS rn
+        FROM embeddings
+        QUALIFY rn <= 8
+    ), scored AS (
+        SELECT pr.probe_id, e.vec_id,
+               ROUND({cosine_sql('e.embedding', 'pr.p')}, 6) AS sim_full,
+               ROUND({cosine_sql('e.embedding[1:%d]' % _MRL_DIMS,
+                                 'pr.p[1:%d]' % _MRL_DIMS)}, 6) AS sim_trunc
+        FROM embeddings e CROSS JOIN probes pr
+        WHERE e.vec_id <> pr.probe_id
+    ), ranked AS (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY sim_full DESC, vec_id) AS r_full,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY sim_trunc DESC, vec_id) AS r_trunc
+        FROM scored
+    )
+    SELECT probe_id,
+           CAST(COUNT(*) FILTER (WHERE r_full <= 10 AND r_trunc <= 10)
+                AS BIGINT) AS overlap_at_10,
+           ROUND(COUNT(*) FILTER (WHERE r_full <= 10 AND r_trunc <= 10)
+                 / 10.0, 6) AS recall_at_10
+    FROM ranked GROUP BY probe_id
+    """,
+)
+def q_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-embedding evaluation: how much retrieval quality
+    survives truncating vectors to their first 8 of 64 dimensions?
+    For 8 fixed probes, compare full-dimension top-10 neighbors vs
+    truncated-dimension top-10 (overlap = recall@10 of the cheap
+    index). MRL-trained models keep this high, making the truncated
+    prefix a valid coarse index (search the 8-dim index, rerank
+    survivors at 64 dims — an 8× memory/bandwidth saving); this query
+    is the measurement that licenses that architecture on YOUR
+    vectors before you build it.
+
+    Plan: slice() is map-side (no second scan for the truncated view),
+    probes broadcast onto one scan, both rankings are per-probe
+    windows on the bounded probe grain executed as WindowGroupLimit-
+    eligible rank filters. Rounded sims + vec_id tie-break keep both
+    engines' top-10 sets identical."""
+    emb = table(spark, sf_dir, "embeddings")
+    h = F.md5(F.concat(F.lit("mrl:"), F.col("vec_id").cast("string")))
+    probes = (
+        emb.select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("p"),
+            h.alias("_h"),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(8)
+        .drop("_h")
+    )
+    trunc = F.slice(F.col("embedding"), 1, _MRL_DIMS)
+    trunc_p = F.slice(F.col("p"), 1, _MRL_DIMS)
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("p")), 6).alias(
+                "sim_full"
+            ),
+            F.round(cosine(trunc, trunc_p), 6).alias("sim_trunc"),
+        )
+    )
+    wf = Window.partitionBy("probe_id").orderBy(F.desc("sim_full"), "vec_id")
+    wt = Window.partitionBy("probe_id").orderBy(F.desc("sim_trunc"), "vec_id")
+    ranked = scored.select(
+        "probe_id",
+        "vec_id",
+        F.row_number().over(wf).alias("r_full"),
+        F.row_number().over(wt).alias("r_trunc"),
+    )
+    hit = (F.col("r_full") <= 10) & (F.col("r_trunc") <= 10)
+    return ranked.groupBy("probe_id").agg(
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("overlap_at_10"),
+        F.round(
+            F.sum(F.when(hit, 1.0).otherwise(0.0)) / 10.0, 6
+        ).alias("recall_at_10"),
+    )

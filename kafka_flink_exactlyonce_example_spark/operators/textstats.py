@@ -3061,3 +3061,55 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("y"), 6).alias("obs_rate"),
         F.round(F.abs(F.avg("score") - F.avg("y")), 6).alias("gap"),
     )
+
+
+@query(
+    "q_post_strat",
+    oracle="""
+    WITH strata AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               AVG(CAST(n_chars AS DOUBLE)) AS strat_mean
+        FROM documents GROUP BY lang
+    ), tot AS (
+        SELECT SUM(n_docs) AS n_tot, COUNT(*) AS g FROM strata
+    )
+    SELECT s.lang, s.n_docs,
+           ROUND(s.n_docs * 1.0 / t.n_tot, 6) AS corpus_share,
+           ROUND(1.0 / t.g, 6) AS target_share,
+           ROUND(s.strat_mean, 6) AS strat_mean,
+           ROUND((1.0 / t.g) / (s.n_docs * 1.0 / t.n_tot), 6)
+               AS resample_factor
+    FROM strata s CROSS JOIN tot t
+    """,
+)
+def q_post_strat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratification table — reweight an imbalanced corpus to a
+    target language mix (uniform here; swap in any target-share
+    column): per-stratum counts, realized vs target shares, stratum
+    means, and the resample factor (target/realized — >1 means
+    oversample this language, <1 downsample) that q_mixture_weights-
+    style samplers consume. The survey-statistics identity behind it:
+    the post-stratified corpus mean is Σ target_share·strat_mean,
+    computable from this table alone — no second pass, no per-row
+    weights materialized.
+
+    One groupBy to the bounded lang grain + a 1-row totals broadcast;
+    everything after is arithmetic."""
+    d = table(spark, sf_dir, "documents")
+    strata = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("n_chars").cast("double")).alias("strat_mean"),
+    )
+    tot = strata.agg(
+        F.sum("n_docs").alias("n_tot"), F.count(F.lit(1)).alias("g")
+    )
+    share = F.col("n_docs") / F.col("n_tot")
+    target = F.lit(1.0) / F.col("g")
+    return strata.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.round(share, 6).alias("corpus_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(F.col("strat_mean"), 6).alias("strat_mean"),
+        F.round(target / share, 6).alias("resample_factor"),
+    )

@@ -214,6 +214,10 @@ _ROTATION_BACKLOG: tuple[str, ...] = (
     "q_poisson_bootstrap",
     "q_jackknife_source",
     "q_hll_merge",
+    "q_maxsim_retrieval",
+    "q_matryoshka_eval",
+    "q_diversity_topk",
+    "q_post_strat",
 )
 
 

@@ -102,6 +102,10 @@ ORDER_SENSITIVE = [
     "q_vocab_overlap",
     "q_oov_rate",
     "q_watermark_plan",  # per-user running max in event_id order
+    "q_maxsim_retrieval",  # rounded-max argmax + label-ordered top-5
+    "q_matryoshka_eval",  # dual rank windows on rounded sims
+    "q_diversity_topk",  # per-group cap + global TakeOrdered
+    "q_poisson_bootstrap",  # replicate means from hashed weights
 ]
 
 

@@ -394,3 +394,24 @@ def test_round5_map_side_rollups_have_partial_aggs(spark, registry_loaded):
               "q_embed_norm_qc", "q_window_join"):
         plan = plan_string(registry_loaded.QUERIES[q](spark, SMOKE_SF))
         assert plan.count("HashAggregate") >= 2, f"{q}: no partial agg"
+
+
+def test_round5_diversity_topk_composes_group_limit_and_take_ordered(
+    spark, registry_loaded
+):
+    """Both ranking stages must keep their scale-safe physical forms:
+    per-group cap as WindowGroupLimit, global top-10 over the capped
+    relation as TakeOrderedAndProject."""
+    df = registry_loaded.QUERIES["q_diversity_topk"](spark, SMOKE_SF)
+    plan = plan_string(df)
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_round5_maxsim_is_two_hash_aggs_no_window(spark, registry_loaded):
+    """MaxSim must reduce via hash aggregations (map-side partial),
+    never a per-document window; the probe side must broadcast."""
+    df = registry_loaded.QUERIES["q_maxsim_retrieval"](spark, SMOKE_SF)
+    plan = plan_string(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
