@@ -323,6 +323,81 @@ def main() -> None:
             f"cpv_vs_x1={cpv / base_cpv:4.2f}"
         )
 
+    # bigram-LM model join (operators/textstats._bigram_ce_frame) with
+    # GROWING VOCABULARY — the Heaps'-law regime the round-5 de-broadcast
+    # exists for: each corpus replica prefixes every word with a replica
+    # tag, so unigram AND bigram TYPE counts grow ~mult× alongside the
+    # token stream. The model joins carry no static broadcast hint; AQE
+    # picks the strategy from runtime sizes. Healthy = wall ~linear in
+    # mult and no nested-loop/cartesian flip at any multiple (printed).
+    from kafka_flink_exactlyonce_example_spark.operators.textstats import (
+        _bigram_ce_frame,
+    )
+
+    docs0 = table(spark, sf_dir, "documents")
+    base_rate = None
+    for mult in multiples:
+        reps = [
+            docs0.select(
+                (F.col("doc_id") + F.lit(i * 100_000_000)).alias("doc_id"),
+                "lang",
+                F.concat(
+                    F.lit(f"r{i}_"),
+                    F.regexp_replace("text", " ", f" r{i}_"),
+                ).alias("text"),
+            )
+            for i in range(mult)
+        ]
+        big = reps[0]
+        for r in reps[1:]:
+            big = big.unionByName(r)
+        # inline the frame chain against the scaled corpus: same exprs
+        # as _bigram_ce_frame but fed from `big` instead of the table
+        arr = F.filter(F.split("text", " "), lambda w: w != "")
+        arrs = big.select("doc_id", "lang", arr.alias("arr")).filter(
+            F.size("arr") >= 2
+        )
+        bgs = arrs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(arr) - 1),"
+                    " i -> concat(element_at(arr, i), ' ',"
+                    " element_at(arr, i + 1)))"
+                )
+            ).alias("bg"),
+        )
+        c12 = bgs.groupBy("bg").agg(
+            F.count(F.lit(1)).cast("double").alias("c12")
+        )
+        w1 = F.split(F.col("bg"), " ").getItem(0)
+        c1 = (
+            bgs.select(w1.alias("w1"))
+            .groupBy("w1")
+            .agg(F.count(F.lit(1)).cast("double").alias("c1"))
+        )
+        scored = (
+            bgs.join(c12, "bg")
+            .join(c1, w1 == F.col("w1"))
+            .groupBy("doc_id")
+            .agg(F.avg(-F.log((F.col("c12") + 1) / (F.col("c1") + 31.0))).alias("ce"))
+        )
+        n_docs = 500 * mult  # sf0.1 documents rows per replica
+        t0 = time.perf_counter()
+        force(scored)
+        dt = time.perf_counter() - t0
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        bad = ("BroadcastNestedLoopJoin" in plan) or ("CartesianProduct" in plan)
+        n_types = c12.count()
+        rate = n_docs / dt
+        if base_rate is None:
+            base_rate = rate
+        print(
+            f"lmjoin x{mult:<3d} docs={n_docs:6d} bigram_types={n_types:8d}  "
+            f"wall={dt:6.2f}s  rate_vs_x1={rate / base_rate:4.2f}  "
+            f"degenerate_join={bad}"
+        )
+
 
 if __name__ == "__main__":
     main()
