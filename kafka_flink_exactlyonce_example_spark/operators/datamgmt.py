@@ -1143,3 +1143,76 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("files_saved"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_snapshot_diff — corpus snapshot diff (data-versioning audit)
+# --------------------------------------------------------------------------
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH snap_a AS (
+        SELECT doc_id, source, md5(text) AS h FROM documents
+        WHERE doc_id % 10 <> 0
+    ), snap_b AS (
+        SELECT doc_id, source,
+               md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                        ELSE text END) AS h
+        FROM documents WHERE doc_id % 10 <> 1
+    ), classified AS (
+        SELECT COALESCE(a.source, b.source) AS source,
+               CASE WHEN a.doc_id IS NULL THEN 'added'
+                    WHEN b.doc_id IS NULL THEN 'removed'
+                    WHEN a.h <> b.h THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+    )
+    SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM classified GROUP BY source, status
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions — the data-versioning
+    audit (Delta time-travel DESCRIBE HISTORY diff / LakeFS commit
+    diff) a pipeline runs when crawl N+1 lands: per source, how many
+    documents were added, removed, changed (same key, different
+    content digest), or unchanged. The two snapshots here are
+    deterministic hash-splits of the corpus with a synthetic mutation
+    (docs ≡ 0 mod 13 get ' v2' appended in B) so all four classes are
+    exercised and both engines build identical snapshots.
+
+    Scale shape: ONE full-outer join on the document key where each
+    side carries only (key, source, 16-byte digest) — text never
+    shuffles (digests computed map-side at scan); classification is a
+    projection over the join, census a bounded (source, status)
+    rollup. At 100 TB this is the cheap daily diff that decides
+    whether downstream dedup/stats need refresh at all."""
+    d = table(spark, sf_dir, "documents")
+    snap_a = d.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.col("source").alias("source_a"),
+        F.md5(F.col("text").cast("binary")).alias("h_a"),
+    )
+    snap_b = d.filter(F.col("doc_id") % 10 != 1).select(
+        "doc_id",
+        F.col("source").alias("source_b"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .cast("binary")
+        ).alias("h_b"),
+    )
+    classified = snap_a.join(snap_b, "doc_id", "full_outer").select(
+        F.coalesce("source_a", "source_b").alias("source"),
+        F.when(F.col("h_a").isNull(), "added")
+        .when(F.col("h_b").isNull(), "removed")
+        .when(F.col("h_a") != F.col("h_b"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return classified.groupBy("source", "status").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

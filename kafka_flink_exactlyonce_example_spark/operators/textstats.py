@@ -3113,3 +3113,81 @@ def q_post_strat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("strat_mean"), 6).alias("strat_mean"),
         F.round(target / share, 6).alias("resample_factor"),
     )
+
+
+_BUDGET_WS = (128, 256, 512, 1024, 2048)
+
+
+@query(
+    "q_context_budget",
+    oracle=f"""
+    WITH toks AS (
+        SELECT CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ), ws AS (SELECT unnest(ARRAY{list(_BUDGET_WS)}) AS w),
+    cells AS (
+        SELECT w, n_tokens,
+               LEAST(n_tokens, w) AS kept,
+               GREATEST(n_tokens - w, 0) AS truncated
+        FROM toks CROSS JOIN ws
+    )
+    SELECT w,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) FILTER (WHERE truncated > 0) AS BIGINT)
+               AS n_truncated_docs,
+           ROUND(SUM(truncated) * 1.0 / SUM(n_tokens), 6) AS trunc_loss,
+           ROUND(1.0 - SUM(kept) * 1.0 / (COUNT(*) * w), 6) AS pad_waste,
+           CAST(CEIL(SUM(n_tokens) * 1.0 / w) AS BIGINT) AS packed_seqs
+    FROM cells GROUP BY w
+    """,
+)
+def q_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window budget decision table — the W-sweep a training
+    run does before fixing sequence length: for each candidate window
+    W, the fraction of tokens LOST to truncation under
+    one-document-per-sequence (long docs cut at W), the fraction of
+    compute WASTED on padding (short docs padded to W), and the
+    sequence count under concat-and-pack (q_pack_sequences' layout,
+    where both problems vanish at the cost of cross-document
+    attention). Small W → high truncation, large W → high padding; the
+    crossover this table exposes is the standard argument for packing.
+
+    One map-side token estimate (chars/4, the q_tokenizer_fertility
+    budget heuristic) crossed with the FIXED 5-element W array —
+    explode ×5 map-side, one bounded rollup; sums-of-sums ratios.
+    Linear at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.ceil(F.col("n_chars").cast("double") / 4.0)
+        .cast("long")
+        .alias("n_tokens")
+    )
+    cells = toks.select(
+        "n_tokens",
+        F.explode(F.array(*[F.lit(w) for w in _BUDGET_WS])).alias("w"),
+    ).select(
+        "w",
+        "n_tokens",
+        F.least(F.col("n_tokens"), F.col("w")).alias("kept"),
+        F.greatest(F.col("n_tokens") - F.col("w"), F.lit(0)).alias(
+            "truncated"
+        ),
+    )
+    return cells.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.when(F.col("truncated") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_truncated_docs"),
+        F.round(F.sum("truncated") / F.sum("n_tokens"), 6).alias(
+            "trunc_loss"
+        ),
+        F.round(
+            1.0 - F.sum("kept") / (F.count(F.lit(1)) * F.first("w")), 6
+        ).alias("pad_waste"),
+        F.ceil(F.sum("n_tokens") / F.first("w")).cast("long").alias(
+            "packed_seqs"
+        ),
+    )

@@ -218,6 +218,8 @@ _ROTATION_BACKLOG: tuple[str, ...] = (
     "q_matryoshka_eval",
     "q_diversity_topk",
     "q_post_strat",
+    "q_context_budget",
+    "q_snapshot_diff",
 )
 
 
