@@ -3191,3 +3191,205 @@ def q_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "packed_seqs"
         ),
     )
+
+
+_QN_BIN = 50  # histogram bin width (chars) for the CDF relations
+
+
+@query(
+    "q_ks_test",
+    oracle=f"""
+    WITH binned AS (
+        SELECT source, n_chars // {_QN_BIN} AS b,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2
+    ), bins AS (SELECT DISTINCT b FROM binned),
+    srcs AS (
+        SELECT source, SUM(cnt) AS n_s FROM binned GROUP BY source
+    ), corpus_cdf AS (
+        SELECT b, SUM(SUM(cnt)) OVER (ORDER BY b) * 1.0
+                  / (SELECT SUM(cnt) FROM binned) AS f_c
+        FROM binned GROUP BY b
+    ), grid AS (
+        SELECT s.source, s.n_s, bi.b FROM srcs s CROSS JOIN bins bi
+    ), src_cdf AS (
+        SELECT g.source, g.b,
+               SUM(COALESCE(x.cnt, 0)) OVER (PARTITION BY g.source
+                                             ORDER BY g.b) * 1.0 / g.n_s
+                   AS f_s
+        FROM grid g LEFT JOIN binned x
+          ON x.source = g.source AND x.b = g.b
+    )
+    SELECT s.source,
+           ROUND(MAX(ABS(s.f_s - c.f_c)), 6) AS ks_stat,
+           CAST(arg_max(s.b, ROUND(ABS(s.f_s - c.f_c), 6) * 1000000 - s.b)
+                AS BIGINT) AS ks_bin
+    FROM src_cdf s JOIN corpus_cdf c ON c.b = s.b
+    GROUP BY s.source
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov statistic per source against the corpus
+    length distribution — the sup-norm companion to q_psi_drift's
+    divergence: KS = max_b |F_source(b) − F_corpus(b)| over the binned
+    CDFs, with the bin where the gap peaks (where the distributions
+    actually part ways — the actionable detail PSI's single number
+    hides). The KS/PSI pair is the standard drift dashboard.
+
+    Scale shape: ONE corpus pass contracts to the (source, bin) grain
+    (bin = chars div 50, bounded by max document length); every CDF,
+    dense grid, and sup-norm after that lives on bounded relations —
+    the windows here order BINS (dozens of rows), never documents.
+    argmax tie-break folds the bin into the rounded gap so both
+    engines pick the same peak."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    binned = d.groupBy(
+        "source", (F.col("n_chars") / _QN_BIN).cast("long").alias("b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    bins = binned.select("b").distinct()
+    srcs = binned.groupBy("source").agg(F.sum("cnt").alias("n_s"))
+    n_tot = binned.agg(F.sum("cnt").alias("n_tot"))
+    wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    corpus_cdf = (
+        binned.groupBy("b")
+        .agg(F.sum("cnt").alias("cb"))
+        .crossJoin(F.broadcast(n_tot))
+        .select("b", (F.sum("cb").over(wc) / F.col("n_tot")).alias("f_c"))
+    )
+    grid = srcs.crossJoin(F.broadcast(bins))
+    ws = Window.partitionBy("source").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    src_cdf = (
+        grid.join(binned, ["source", "b"], "left")
+        .select(
+            "source",
+            "b",
+            "n_s",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+        .select(
+            "source",
+            "b",
+            (F.sum("cnt").over(ws) / F.col("n_s")).alias("f_s"),
+        )
+    )
+    gap = F.round(F.abs(F.col("f_s") - F.col("f_c")), 6)
+    return (
+        src_cdf.join(corpus_cdf, "b")
+        .groupBy("source")
+        .agg(
+            F.round(F.max(F.abs(F.col("f_s") - F.col("f_c"))), 6).alias(
+                "ks_stat"
+            ),
+            F.max_by("b", gap * 1000000 - F.col("b")).cast("long").alias(
+                "ks_bin"
+            ),
+        )
+    )
+
+
+@query(
+    "q_quantile_normalize",
+    oracle=f"""
+    WITH binned AS (
+        SELECT source, n_chars // {_QN_BIN} AS b,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2
+    ), bins AS (SELECT DISTINCT b FROM binned),
+    srcs AS (
+        SELECT source, SUM(cnt) AS n_s FROM binned GROUP BY source
+    ), corpus_cdf AS (
+        SELECT b, SUM(SUM(cnt)) OVER (ORDER BY b) * 1.0
+                  / (SELECT SUM(cnt) FROM binned) AS f_c
+        FROM binned GROUP BY b
+    ), grid AS (
+        SELECT s.source, s.n_s, bi.b FROM srcs s CROSS JOIN bins bi
+    ), src_cdf AS (
+        SELECT g.source, g.b, g.n_s,
+               COALESCE(x.cnt, 0) AS cnt,
+               SUM(COALESCE(x.cnt, 0)) OVER (PARTITION BY g.source
+                                             ORDER BY g.b) * 1.0 / g.n_s
+                   AS f_s
+        FROM grid g LEFT JOIN binned x
+          ON x.source = g.source AND x.b = g.b
+    ), mapped AS (
+        SELECT s.source, s.b, s.cnt, s.f_s,
+               MIN(c.b) AS target_b
+        FROM src_cdf s JOIN corpus_cdf c
+          ON ROUND(c.f_c, 9) >= ROUND(s.f_s, 9)
+        GROUP BY s.source, s.b, s.cnt, s.f_s
+    )
+    SELECT source, b, CAST(cnt AS BIGINT) AS n_docs,
+           ROUND(f_s, 6) AS source_cdf,
+           CAST(target_b AS BIGINT) AS target_b,
+           CAST((target_b - b) * {_QN_BIN} AS BIGINT) AS shift_chars
+    FROM mapped WHERE cnt > 0
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization map per source — batch-effect correction
+    for corpus mixing: map each source's length distribution onto the
+    corpus distribution by matching CDFs (a document at source
+    quantile q moves to the corpus bin whose CDF first reaches q).
+    The emitted (source, bin) → target_bin table IS the transform —
+    applying it to documents is one broadcast join; the shift column
+    quantifies how hard each region of each source is being bent
+    (large |shift| = that source's lengths are unrepresentative).
+
+    The histogram-CDF trick makes this 100 TB-shaped: a naive
+    quantile normalization ranks every row within its source (a
+    per-source global sort); contracting to fixed-width bins first
+    means ONE corpus pass, then every CDF/inverse-CDF lives on the
+    bounded (source × bins) grid — the windows order bins, never
+    rows. CDFs compared at 9-dp rounding so the ≥ boundary resolves
+    identically in both engines."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    binned = d.groupBy(
+        "source", (F.col("n_chars") / _QN_BIN).cast("long").alias("b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    bins = binned.select("b").distinct()
+    srcs = binned.groupBy("source").agg(F.sum("cnt").alias("n_s"))
+    n_tot = binned.agg(F.sum("cnt").alias("n_tot"))
+    wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    corpus_cdf = (
+        binned.groupBy("b")
+        .agg(F.sum("cnt").alias("cb"))
+        .crossJoin(F.broadcast(n_tot))
+        .select("b", (F.sum("cb").over(wc) / F.col("n_tot")).alias("f_c"))
+    )
+    grid = srcs.crossJoin(F.broadcast(bins))
+    ws = Window.partitionBy("source").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    src_cdf = grid.join(binned, ["source", "b"], "left").select(
+        "source",
+        "b",
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        (
+            F.sum(F.coalesce("cnt", F.lit(0))).over(ws) / F.col("n_s")
+        ).alias("f_s"),
+    )
+    c = corpus_cdf.select(F.col("b").alias("cb_b"), "f_c")
+    mapped = (
+        src_cdf.join(
+            F.broadcast(c),
+            F.round(F.col("f_c"), 9) >= F.round(F.col("f_s"), 9),
+        )
+        .groupBy("source", "b", "cnt", "f_s")
+        .agg(F.min("cb_b").alias("target_b"))
+    )
+    return mapped.filter(F.col("cnt") > 0).select(
+        "source",
+        "b",
+        F.col("cnt").alias("n_docs"),
+        F.round(F.col("f_s"), 6).alias("source_cdf"),
+        "target_b",
+        ((F.col("target_b") - F.col("b")) * _QN_BIN).cast("long").alias(
+            "shift_chars"
+        ),
+    )

@@ -220,6 +220,8 @@ _ROTATION_BACKLOG: tuple[str, ...] = (
     "q_post_strat",
     "q_context_budget",
     "q_snapshot_diff",
+    "q_ks_test",
+    "q_quantile_normalize",
 )
 
 

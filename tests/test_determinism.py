@@ -106,6 +106,8 @@ ORDER_SENSITIVE = [
     "q_matryoshka_eval",  # dual rank windows on rounded sims
     "q_diversity_topk",  # per-group cap + global TakeOrdered
     "q_poisson_bootstrap",  # replicate means from hashed weights
+    "q_ks_test",  # bin-grain CDF windows + argmax peak bin
+    "q_quantile_normalize",  # CDF-boundary join at 9-dp rounding
 ]
 
 
