@@ -2597,7 +2597,7 @@ def _pois_case_sql(u: str) -> str:
     ), weighted AS (
         SELECT b, o_totalprice, {_pois_case_sql('u')} AS w FROM reps
     ), rep_means AS (
-        SELECT b, SUM(w * o_totalprice) / SUM(w) AS m
+        SELECT b, ROUND(SUM(w * o_totalprice) / SUM(w), 9) AS m
         FROM weighted GROUP BY b HAVING SUM(w) > 0
     )
     SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_orders,
@@ -2660,10 +2660,15 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = reps.select("b", "o_totalprice", u.alias("u")).select(
         "b", "o_totalprice", w.alias("w")
     )
+    # replicate means rounded to 9 dp so the downstream SE/percentile
+    # arithmetic sees bit-identical inputs in every engine and plan
+    # (unrounded double sums are aggregation-order-sensitive).
     rep_means = (
         weighted.groupBy("b")
         .agg(
-            (F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w")).alias("m"),
+            F.round(
+                F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w"), 9
+            ).alias("m"),
             F.sum("w").alias("_sw"),
         )
         .filter(F.col("_sw") > 0)

@@ -2888,15 +2888,21 @@ def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT source, decile, CAST(COUNT(*) AS BIGINT) AS cnt
             FROM tiled GROUP BY source, decile
         ) t ON t.source = g.source AND t.decile = g.decile
+    ),
+    ps AS (
+        SELECT source, n_s,
+               (CAST(cnt AS DOUBLE) + 0.5) / (CAST(n_s AS DOUBLE) + 5.0)
+                   AS p_s,
+               (CAST(n_c AS DOUBLE) + 0.5) / (CAST(n_tot AS DOUBLE) + 5.0)
+                   AS p_c
+        FROM cells
     )
     SELECT source,
            CAST(MAX(n_s) AS BIGINT) AS n_docs,
-           ROUND(SUM(
-               ((cnt + 0.5) / (n_s + 5.0) - (n_c + 0.5) / (n_tot + 5.0))
-               * ln(((cnt + 0.5) / (n_s + 5.0))
-                    / ((n_c + 0.5) / (n_tot + 5.0)))
-           ), 6) AS psi
-    FROM cells GROUP BY source
+           ROUND(SUM(CAST(ROUND(
+               ((p_s - p_c) * ln(p_s / p_c)) * 1000000000, 0)
+               AS BIGINT)) / 1000000000.0, 6) AS psi
+    FROM ps GROUP BY source
     """,
 )
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2940,9 +2946,22 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p_s = (F.col("cnt") + 0.5) / (F.col("n_s") + 5.0)
     p_c = (F.col("n_c") + 0.5) / (F.col("n_tot") + 5.0)
-    return cells.groupBy("source").agg(
-        F.max("n_s").alias("n_docs"),
-        F.round(F.sum((p_s - p_c) * F.log(p_s / p_c)), 6).alias("psi"),
+    # per-cell terms are summed as EXACT nano-unit integers: a 10-term
+    # double sum is aggregation-order-sensitive across plans (Spark-DF
+    # vs Spark-SQL vs DuckDB trees), and with these smoothed rational
+    # terms the sum lands EXACTLY on 6-dp half-way boundaries (found by
+    # the three-engine agreement test: …7425 rounding both ways). An
+    # integer sum is order-free, so the one double the final round sees
+    # is bit-identical in every engine and plan.
+    term = F.col("_t")
+    nano = F.round(term * 1e9, 0).cast("long")
+    return (
+        cells.withColumn("_t", (p_s - p_c) * F.log(p_s / p_c))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_docs"),
+            F.round(F.sum(nano) / 1e9, 6).alias("psi"),
+        )
     )
 
 
