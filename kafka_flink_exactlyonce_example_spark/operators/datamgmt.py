@@ -1216,3 +1216,136 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classified.groupBy("source", "status").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# --------------------------------------------------------------------------
+# q_interpolate — linear gap interpolation on the hourly spine
+# --------------------------------------------------------------------------
+
+@query(
+    "q_interpolate",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(FLOOR(MIN(epoch(ts)) / 3600.0) AS BIGINT) AS hmin,
+               CAST(FLOOR(MAX(epoch(ts)) / 3600.0) AS BIGINT) AS hmax
+        FROM events
+    ), spine AS (
+        SELECT t.event_type, s.hidx
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(range((SELECT hmin FROM bounds),
+                                        (SELECT hmax FROM bounds) + 1))
+                        AS hidx) s
+    ), known AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts) / 3600.0) AS BIGINT) AS hidx,
+               ROUND(AVG(value), 6) AS v
+        FROM events GROUP BY 1, 2
+    ), joined AS (
+        SELECT sp.event_type, sp.hidx, k.v,
+               last_value(k.v IGNORE NULLS) OVER w_prev AS prev_v,
+               last_value(CASE WHEN k.v IS NOT NULL THEN sp.hidx END
+                          IGNORE NULLS) OVER w_prev AS prev_i,
+               first_value(k.v IGNORE NULLS) OVER w_next AS next_v,
+               first_value(CASE WHEN k.v IS NOT NULL THEN sp.hidx END
+                           IGNORE NULLS) OVER w_next AS next_i
+        FROM spine sp LEFT JOIN known k
+          ON k.event_type = sp.event_type AND k.hidx = sp.hidx
+        WINDOW w_prev AS (PARTITION BY sp.event_type ORDER BY sp.hidx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_next AS (PARTITION BY sp.event_type ORDER BY sp.hidx
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, hidx,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                      WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                      THEN prev_v + (next_v - prev_v)
+                           * (CAST(hidx - prev_i AS DOUBLE)
+                              / CAST(next_i - prev_i AS DOUBLE))
+                      END, 6) AS value,
+           CASE WHEN v IS NOT NULL THEN 'observed'
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                    THEN 'interpolated'
+                ELSE 'edge' END AS src
+    FROM joined
+    """,
+)
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation on the hourly spine — the timeseries
+    repair that q_forward_fill's LOCF cannot do honestly for gauges:
+    a missing hour between two observed hours gets the straight-line
+    value (TimescaleDB `interpolate()` / pandas `interpolate('linear')`
+    semantics); leading/trailing gaps have no bracketing observation
+    and stay NULL, tagged 'edge' so downstream code can't mistake an
+    extrapolation policy for data.
+
+    One contraction of the fact table to the (type, hour) grain, a
+    spine anti-grid from two scalar bounds (spine size is set by the
+    TIME RANGE, not data volume), then two IGNORE-NULLS window passes
+    (previous/next known value + index) over the bounded spine — the
+    same last_value machinery as q_forward_fill plus the mirror-image
+    forward window. The interpolation expression runs on 6-dp-rounded
+    endpoint values, so both engines compute bit-identical fills.
+    DuckDB's `//` on epoch() DOUBLES does not floor (the house-
+    documented q_simhash_hamming trap — it bit again here as an
+    off-by-one spine hour), so the oracle uses explicit
+    FLOOR(epoch/3600.0); Spark's truncating cast floors because epochs
+    are positive."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    hidx = (F.col("ts").cast("double") / 3600).cast("long")
+    known = ev.select("event_type", hidx.alias("hidx"), "value").groupBy(
+        "event_type", "hidx"
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    bounds = ev.agg(
+        F.min(hidx).alias("hmin"), F.max(hidx).alias("hmax")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence(F.col("hmin"), F.col("hmax"))).alias("hidx"),
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hidx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hidx")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_i = F.when(F.col("v").isNotNull(), F.col("hidx"))
+    joined = spine.join(known, ["event_type", "hidx"], "left").select(
+        "event_type",
+        "hidx",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(known_i, ignorenulls=True).over(w_prev).alias("prev_i"),
+        F.first("v", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(known_i, ignorenulls=True).over(w_next).alias("next_i"),
+    )
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        (F.col("hidx") - F.col("prev_i")).cast("double")
+        / (F.col("next_i") - F.col("prev_i")).cast("double")
+    )
+    return joined.select(
+        "event_type",
+        "hidx",
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+                F.when(
+                    F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+                    interp,
+                )
+            ),
+            6,
+        ).alias("value"),
+        F.when(F.col("v").isNotNull(), "observed")
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            "interpolated",
+        )
+        .otherwise("edge")
+        .alias("src"),
+    )

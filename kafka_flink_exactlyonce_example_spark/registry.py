@@ -222,6 +222,7 @@ _ROTATION_BACKLOG: tuple[str, ...] = (
     "q_snapshot_diff",
     "q_ks_test",
     "q_quantile_normalize",
+    "q_interpolate",
 )
 
 

@@ -108,6 +108,7 @@ ORDER_SENSITIVE = [
     "q_poisson_bootstrap",  # replicate means from hashed weights
     "q_ks_test",  # bin-grain CDF windows + argmax peak bin
     "q_quantile_normalize",  # CDF-boundary join at 9-dp rounding
+    "q_interpolate",  # IGNORE-NULLS bracketing windows on the spine
 ]
 
 
