@@ -1,5 +1,7 @@
 from kafka_flink_exactlyonce_example_spark.streaming.exactly_once import (  # noqa: F401
+    ContinuousAggregateSink,
     IdempotentBatchSink,
+    derive_coarser,
 )
 from kafka_flink_exactlyonce_example_spark.streaming.jobs import (  # noqa: F401
     custom_sessionize,

@@ -148,3 +148,101 @@ class FanOutSink:
                 sink(batch_df, batch_id)
         finally:
             batch_df.unpersist()
+
+
+class ContinuousAggregateSink:
+    """Materialized continuous-aggregate maintenance — the streaming
+    half of q_multires_rollup's hypertable story: an UPDATE-mode
+    windowed aggregation emits each batch's changed (key, accumulator)
+    rows, and this sink folds them into a materialized base table by
+    LATEST-WINS key merge (update-mode rows carry the full new
+    accumulator for their window, not a delta, so replace-by-key is
+    the correct MERGE). Coarser levels (6 h / 1 d) are then derived
+    from the materialized base by :func:`derive_coarser` — refresh
+    cost ∝ changed base buckets, never raw events, exactly the
+    TimescaleDB continuous-aggregate refresh contract.
+
+    Exactly-once under replay, same two-phase protocol as
+    :class:`IdempotentBatchSink` but SNAPSHOT-versioned because the
+    output is a mutable table, not an append stream:
+
+      1. ``_commits/{batchId}`` exists → skip (replay of a committed
+         batch touches nothing);
+      2. build snapshot N = (snapshot N−1 anti-joined on the batch's
+         keys) ∪ batch rows, written to ``snap/batch_id={N}``
+         (overwrite — a torn attempt is clobbered);
+      3. rename-atomic marker. Readers resolve the LATEST committed
+         snapshot — a reader never sees a half-merged table.
+
+    Replay safety: Spark replays batch N with identical rows, and
+    snapshot N is a pure function of (snapshot N−1, batch N), so the
+    rebuilt snapshot is byte-identical. On a Delta/Iceberg lake steps
+    2+3 collapse into one atomic ``MERGE INTO`` commit (README table).
+    """
+
+    def __init__(self, out_dir: str, key_cols: list[str]) -> None:
+        self.out_dir = out_dir
+        self.key_cols = list(key_cols)
+        self.snap_dir = os.path.join(out_dir, "snap")
+        self.commits_dir = os.path.join(out_dir, "_commits")
+        os.makedirs(self.snap_dir, exist_ok=True)
+        os.makedirs(self.commits_dir, exist_ok=True)
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.commits_dir, str(batch_id))
+
+    def is_committed(self, batch_id: int) -> bool:
+        return os.path.exists(self._marker(batch_id))
+
+    def committed_batches(self) -> list[int]:
+        return sorted(
+            int(b) for b in os.listdir(self.commits_dir) if not b.startswith(".")
+        )
+
+    def _snap_path(self, batch_id: int) -> str:
+        return os.path.join(self.snap_dir, f"batch_id={batch_id}")
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return
+        spark = batch_df.sparkSession
+        prior = [b for b in self.committed_batches() if b < batch_id]
+        if prior:
+            prev = spark.read.parquet(self._snap_path(prior[-1]))
+            keys = batch_df.select(*self.key_cols)
+            merged = prev.join(keys, self.key_cols, "left_anti").unionByName(
+                batch_df
+            )
+        else:
+            merged = batch_df
+        merged.write.mode("overwrite").parquet(self._snap_path(batch_id))
+        fd, tmp = tempfile.mkstemp(dir=self.commits_dir, prefix=".tmp")
+        os.close(fd)
+        os.rename(tmp, self._marker(batch_id))
+
+    def read_current(self, spark: SparkSession) -> DataFrame:
+        committed = self.committed_batches()
+        if not committed:
+            raise FileNotFoundError(f"no committed snapshots under {self.out_dir}")
+        return spark.read.parquet(self._snap_path(committed[-1]))
+
+
+def derive_coarser(
+    base: DataFrame, bucket_col: str, seconds: int
+) -> DataFrame:
+    """Re-aggregate a materialized finer-level rollup to a coarser
+    bucket — count/sum/min/max are mergeable, so this never touches
+    raw events (avg is re-derived downstream as sum/count)."""
+    from pyspark.sql import functions as F
+
+    coarse = F.timestamp_seconds(
+        (F.unix_timestamp(bucket_col) / seconds).cast("long") * seconds
+    )
+    return base.groupBy(
+        coarse.alias(bucket_col), "event_type"
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("value_cents").alias("value_cents"),
+        F.min("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+    )
