@@ -1122,3 +1122,38 @@ def test_continuous_aggregate_maintenance(spark, tmp_path):
     got6 = derive_coarser(sink.read_current(spark), "b", 6 * 3600)
     exp6 = derive_coarser(expect, "b", 6 * 3600)
     assert key(got6) == key(exp6)
+
+
+def test_continuous_aggregate_crash_mid_commit(spark, tmp_path):
+    """Torn-snapshot recovery: a crash AFTER the snapshot write but
+    BEFORE the marker rename leaves snap/batch_id=N on disk with no
+    commit record. The replay must clobber the torn snapshot and
+    converge to the same state a clean run produces — the two-phase
+    property the IdempotentBatchSink crash test proves for the
+    append sink, here for the mutable-table sink."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_exactlyonce_example_spark.streaming.exactly_once import (
+        ContinuousAggregateSink,
+    )
+
+    sink = ContinuousAggregateSink(str(tmp_path / "ca"), ["k"])
+    b0 = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"])
+    sink(b0, 0)
+
+    b1 = spark.createDataFrame([("a", 10), ("c", 3)], ["k", "v"])
+    # simulate the crash: write the snapshot exactly as __call__ would,
+    # then "die" before the marker rename
+    prev = spark.read.parquet(sink._snap_path(0))
+    torn = prev.join(b1.select("k"), ["k"], "left_anti").unionByName(b1)
+    torn.limit(1).write.mode("overwrite").parquet(sink._snap_path(1))  # torn!
+    assert not sink.is_committed(1)
+    # current table is untouched by the torn attempt
+    cur = {r["k"]: r["v"] for r in sink.read_current(spark).collect()}
+    assert cur == {"a": 1, "b": 2}
+
+    # replay of batch 1 (same rows) clobbers the torn snapshot and commits
+    sink(b1, 1)
+    assert sink.is_committed(1)
+    cur = {r["k"]: r["v"] for r in sink.read_current(spark).collect()}
+    assert cur == {"a": 10, "b": 2, "c": 3}
