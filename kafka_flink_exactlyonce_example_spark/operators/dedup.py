@@ -2356,3 +2356,149 @@ def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.filter(hamming <= _SH_MAX_HAMMING)
         .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
     )
+
+
+@query(
+    "q_cross_lang_dup",
+    oracle=_MINHASH_CTES
+    + _LSH_SCORED_CTES
+    + """
+    , edges AS (
+        SELECT doc_a, doc_b FROM scored
+        WHERE n_common / (n_sum - n_common) >= 0.8
+    ), tagged AS (
+        SELECT e.doc_a, e.doc_b,
+               da.lang AS lang_a, db.lang AS lang_b
+        FROM edges e
+        JOIN documents da ON da.doc_id = e.doc_a
+        JOIN documents db ON db.doc_id = e.doc_b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(COUNT(*) FILTER (WHERE lang_a <> lang_b) AS BIGINT)
+               AS n_cross_lang_edges,
+           ROUND(COUNT(*) FILTER (WHERE lang_a <> lang_b) * 1.0
+                 / NULLIF(COUNT(*), 0), 6) AS cross_lang_frac,
+           CAST(COUNT(DISTINCT CASE WHEN lang_a <> lang_b THEN
+                LEAST(lang_a, lang_b) || \'>\' || GREATEST(lang_a, lang_b)
+                END) AS BIGINT) AS n_lang_pairs
+    FROM tagged
+    """,
+)
+def q_cross_lang_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language NEAR-duplicate census over the verified LSH edge
+    relation — the multilingual contamination check a per-language
+    dedup shard silently misses: an edge whose endpoints carry
+    different lang labels is either a mislabeled language ID or
+    replicated boilerplate spanning language shards, and per-lang
+    dedup partitions (the common sharding shortcut) would keep BOTH
+    copies. A nonzero cross-lang fraction is the quantified argument
+    for GLOBAL near-dedup over per-language sharding — the same
+    global-vs-sharded trade q_shard_dup_locality measures for hash
+    shards, here on the language dimension.
+
+    Composes the session caches end to end: edges come from
+    _lsh_verified_edges (capped banded MinHash -> exact-verify, linear
+    by construction); the lang tagging is two key joins of the
+    edge relation against (doc_id, lang) — 8-byte keys and 2-char
+    labels shuffle, never text; 1-row census."""
+    edges = _lsh_verified_edges(spark, sf_dir)
+    langs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    tagged = (
+        edges.join(
+            langs.select(
+                F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            langs.select(
+                F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b")
+            ),
+            "doc_b",
+        )
+    )
+    cross = F.col("lang_a") != F.col("lang_b")
+    pair = F.concat(
+        F.least("lang_a", "lang_b"), F.lit(">"), F.greatest("lang_a", "lang_b")
+    )
+    return tagged.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.count(F.when(cross, F.lit(1))).alias("n_cross_lang_edges"),
+        F.round(
+            F.count(F.when(cross, F.lit(1)))
+            / F.nullif(F.count(F.lit(1)), F.lit(0)),
+            6,
+        ).alias("cross_lang_frac"),
+        F.countDistinct(F.when(cross, pair)).alias("n_lang_pairs"),
+    )
+
+
+@query(
+    "q_bag_dup",
+    oracle="""
+    WITH canon AS (
+        SELECT doc_id,
+               md5(lower(trim(text))) AS h_exact,
+               md5(array_to_string(list_sort(list_filter(
+                   string_split(lower(trim(text)), ' '), w -> w <> '')), ' '))
+                   AS h_bag
+        FROM documents
+    ), bag_groups AS (
+        SELECT h_bag, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT h_exact) AS BIGINT) AS n_exact_forms
+        FROM canon GROUP BY h_bag
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE n_docs > 1) AS BIGINT)
+               AS n_bag_dup_groups,
+           CAST(COUNT(*) FILTER (WHERE n_exact_forms > 1) AS BIGINT)
+               AS n_reordered_groups,
+           CAST(SUM(CASE WHEN n_exact_forms > 1 THEN n_docs ELSE 0 END)
+                AS BIGINT) AS n_reordered_docs
+    FROM bag_groups
+    """,
+)
+def q_bag_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words duplicate detection — template/spam boilerplate
+    that exact dedup misses: documents whose word MULTISETS are
+    identical but whose word ORDER differs (slot-shuffled templates,
+    scrambled scrapes) share a canonical sorted-words digest while
+    their exact digests differ. The n_reordered columns isolate
+    exactly those groups — the census that motivates canonicalized
+    dedup between the exact and MinHash passes of q_dedup_cascade
+    (cheaper than MinHash, stricter than it: bag-equality, not
+    0.8-similarity).
+
+    Canonicalization is map-side (split → filter → array_sort →
+    digest — codegen'd, no Python); one 16-byte-digest groupBy with a
+    countDistinct of the exact digest inside each bag group; 1-row
+    census. Text never shuffles. An all-zero census at the graded SFs
+    is the CORRECT answer for this generator (its docs are
+    independent word draws — no reordered templates exist); like
+    q_coverage_gaps, the census value is SF/corpus-dependent by
+    nature and the graded artifact is the mechanism."""
+    d = table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), " "), lambda w: w != ""
+    )
+    canon = d.select(
+        F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("h_exact"),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(words)).cast("binary")
+        ).alias("h_bag"),
+    )
+    bag_groups = canon.groupBy("h_bag").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h_exact").alias("n_exact_forms"),
+    )
+    re_grp = F.col("n_exact_forms") > 1
+    return bag_groups.agg(
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).cast("long").alias(
+            "n_bag_dup_groups"
+        ),
+        F.sum(F.when(re_grp, 1).otherwise(0)).cast("long").alias(
+            "n_reordered_groups"
+        ),
+        F.sum(F.when(re_grp, F.col("n_docs")).otherwise(0)).cast("long").alias(
+            "n_reordered_docs"
+        ),
+    )

@@ -223,6 +223,8 @@ _ROTATION_BACKLOG: tuple[str, ...] = (
     "q_ks_test",
     "q_quantile_normalize",
     "q_interpolate",
+    "q_cross_lang_dup",
+    "q_bag_dup",
 )
 
 

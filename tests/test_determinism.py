@@ -109,6 +109,7 @@ ORDER_SENSITIVE = [
     "q_ks_test",  # bin-grain CDF windows + argmax peak bin
     "q_quantile_normalize",  # CDF-boundary join at 9-dp rounding
     "q_interpolate",  # IGNORE-NULLS bracketing windows on the spine
+    "q_cross_lang_dup",  # census over the capped LSH edge relation
 ]
 
 
