@@ -399,5 +399,51 @@ def main() -> None:
         )
 
 
+    # CDC latest-wins merge (operators/datamgmt.q_cdc_merge): base ∪
+    # changes through ONE keyed row_number window. Both the row volume
+    # AND the entity-key domain grow ×mult (shifted keys), the regime a
+    # lakehouse MERGE sees as the table grows. Healthy = wall ~linear,
+    # rate roughly flat.
+    base_rate = None
+    for mult in multiples:
+        o = table(spark, sf_dir, "orders")
+        parts = [
+            o.select(
+                ((F.col("o_orderkey") + F.lit(i * 100_000_000)) % F.lit(
+                    1000 * (i + 1)
+                )).alias("entity_key"),
+                (F.col("o_orderkey") + F.lit(i * 100_000_000)).alias("ok"),
+                "o_orderdate",
+                "o_totalprice",
+            )
+            for i in range(mult)
+        ]
+        big = parts[0]
+        for p_ in parts[1:]:
+            big = big.unionByName(p_)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("entity_key").orderBy(
+            F.col("o_orderdate").desc(), F.col("ok").desc()
+        )
+        merged = (
+            big.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s"))
+        )
+        n = 150_000 * mult  # sf0.1 orders rows
+        t0 = time.perf_counter()
+        force(merged)
+        dt = time.perf_counter() - t0
+        rate = n / dt / 1e6
+        if base_rate is None:
+            base_rate = rate
+        print(
+            f"merge x{mult:<3d} rows={n/1e6:5.1f}M  wall={dt:6.2f}s  "
+            f"rate={rate:5.1f}M rows/s  rate_vs_x1={rate / base_rate:4.2f}"
+        )
+
+
 if __name__ == "__main__":
     main()
