@@ -3412,3 +3412,57 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shift_chars"
         ),
     )
+
+
+@query(
+    "q_residual_quality",
+    oracle=f"""
+    WITH {_BIGRAM_CE_CTE},
+    with_len AS (
+        SELECT c.doc_id, c.ce, d.source, d.n_chars // 200 AS lb
+        FROM ce_rel c JOIN documents d ON d.doc_id = c.doc_id
+    ), bin_means AS (
+        SELECT lb, AVG(ce) AS bin_ce FROM with_len GROUP BY lb
+    )
+    SELECT w.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(w.ce), 6) AS mean_ce,
+           ROUND(AVG(w.ce - b.bin_ce), 6) AS mean_residual
+    FROM with_len w JOIN bin_means b ON b.lb = w.lb
+    GROUP BY w.source
+    """,
+)
+def q_residual_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-adjusted quality ranking — removes the length confound
+    from the bigram-CE quality signal before comparing sources: CE
+    correlates with document length (short docs have fewer bigrams and
+    noisier CE), so raw per-source mean CE partly ranks sources by
+    their LENGTH profile. Residualizing against length-bin means
+    (CE − mean CE of the doc's 200-char bin — stratified
+    residualization, the poor man's regression adjustment) isolates
+    how good each source is FOR ITS LENGTH MIX; a source whose raw
+    mean looks bad but whose residual is ~0 just writes short
+    documents, and down-weighting it would be a mistake the raw
+    ranking invites.
+
+    Composes the session-cached _bigram_ce relation with a bounded
+    length-bin mean table (bin grain is max-length/200) joined back —
+    AQE broadcasts the bin table at runtime; one bounded source
+    rollup. The same residualization slots over any quality score."""
+    ce = _bigram_ce(spark, sf_dir).select("doc_id", "ce")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", (F.col("n_chars") / 200).cast("long").alias("lb")
+    )
+    with_len = ce.join(d, "doc_id")
+    bin_means = with_len.groupBy("lb").agg(F.avg("ce").alias("bin_ce"))
+    return (
+        with_len.join(bin_means, "lb")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("ce"), 6).alias("mean_ce"),
+            F.round(F.avg(F.col("ce") - F.col("bin_ce")), 6).alias(
+                "mean_residual"
+            ),
+        )
+    )

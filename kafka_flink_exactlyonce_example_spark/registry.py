@@ -225,6 +225,7 @@ _ROTATION_BACKLOG: tuple[str, ...] = (
     "q_interpolate",
     "q_cross_lang_dup",
     "q_bag_dup",
+    "q_residual_quality",
 )
 
 
