@@ -615,21 +615,35 @@ def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     AND CURRENT ROW) AS runmax
         FROM events
     ), late AS (
-        SELECT event_type, ROUND(runmax - sec, 6) AS lateness_s FROM seq
+        SELECT event_type,
+               CAST(FLOOR(runmax - sec) AS BIGINT) AS late_bin,
+               (runmax - sec) > 0 AS is_late
+        FROM seq
+    ), hist AS (
+        SELECT event_type, late_bin,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CASE WHEN is_late THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cnt_late
+        FROM late GROUP BY event_type, late_bin
+    ), cdf AS (
+        SELECT event_type, late_bin, cnt, cnt_late,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY late_bin)
+                   AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM hist
     )
     SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(COUNT(*) FILTER (WHERE lateness_s > 0) AS BIGINT) AS n_late,
-           ROUND(COUNT(*) FILTER (WHERE lateness_s > 0) * 1.0 / COUNT(*), 6)
-               AS late_frac,
-           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY lateness_s), 6)
-               AS p50_lateness_s,
-           ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY lateness_s), 6)
-               AS p95_lateness_s,
-           ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY lateness_s), 6)
-               AS p99_lateness_s,
-           ROUND(MAX(lateness_s), 6) AS max_lateness_s
-    FROM late GROUP BY event_type
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(SUM(cnt_late) AS BIGINT) AS n_late,
+           ROUND(SUM(cnt_late) * 1.0 / MAX(n), 6) AS late_frac,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.50 * n) THEN late_bin END)
+                AS BIGINT) AS p50_lateness_s,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.95 * n) THEN late_bin END)
+                AS BIGINT) AS p95_lateness_s,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN late_bin END)
+                AS BIGINT) AS p99_lateness_s,
+           CAST(MAX(late_bin) AS BIGINT) AS max_lateness_s
+    FROM cdf GROUP BY event_type
     """,
 )
 def q_watermark_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -638,17 +652,24 @@ def q_watermark_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stream in ARRIVAL order (event_id — the ingestion sequence) and
     measure each event's lateness against the per-user running maximum
     event time. The p95/p99 columns are the candidate watermark delays
-    (delay < p99 drops ~1% of events into the late-data path;
-    q_late_data shows what happens to them), max is the zero-loss
-    bound, and the per-type split shows which stream needs the looser
-    bound.
+    in whole seconds (delay < p99 drops ~1% of events into the
+    late-data path; q_late_data shows what happens to them), max is
+    the zero-loss bound, and the per-type split shows which stream
+    needs the looser bound.
 
-    One keyed window (running max per user — state bounded per key,
-    same shape the streaming runtime maintains) + an exact-percentile
-    rollup on the bounded event_type grain. Spark `percentile` mirrors
-    DuckDB `percentile_cont` (both linear-interpolate); lateness is
-    ROUNDED BEFORE ranking so interpolation happens on identical
-    inputs in both engines."""
+    Scale shape (hardened in round 5 after self-audit): one keyed
+    window (running max per user — state bounded per key, the same
+    shape the streaming runtime maintains), then percentiles from a
+    SECONDS-GRAIN HISTOGRAM CDF — floor the lateness to integer
+    seconds, count per (type, bin), take the smallest bin whose
+    cumulative count reaches ⌈p·n⌉. The first formulation used
+    Spark's exact `percentile` aggregate, which buffers EVERY value
+    per group (OOM at billions of rows per type); the histogram
+    form's state is bounded by the lateness RANGE in seconds, its
+    windows order bins (not rows), and pure integer compare logic
+    makes both engines' answer identical with no
+    interpolation-semantics risk — a 1-second answer grid is exactly
+    the precision a watermark delay needs."""
     from pyspark.sql import Window
 
     ev = table(spark, sf_dir, "events")
@@ -660,26 +681,39 @@ def q_watermark_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     sec = F.col("ts").cast("double")
     late = ev.select(
         "event_type",
-        F.round(F.max(sec).over(w) - sec, 6).alias("lateness_s"),
+        F.floor(F.max(sec).over(w) - sec).cast("long").alias("late_bin"),
+        ((F.max(sec).over(w) - sec) > 0).alias("is_late"),
     )
-    return late.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.when(F.col("lateness_s") > 0, 1).otherwise(0))
-        .cast("long")
-        .alias("n_late"),
-        F.round(
-            F.sum(F.when(F.col("lateness_s") > 0, 1.0).otherwise(0.0))
-            / F.count(F.lit(1)),
-            6,
-        ).alias("late_frac"),
-        F.round(F.expr("percentile(lateness_s, 0.5)"), 6).alias(
-            "p50_lateness_s"
-        ),
-        F.round(F.expr("percentile(lateness_s, 0.95)"), 6).alias(
-            "p95_lateness_s"
-        ),
-        F.round(F.expr("percentile(lateness_s, 0.99)"), 6).alias(
-            "p99_lateness_s"
-        ),
-        F.round(F.max("lateness_s"), 6).alias("max_lateness_s"),
+    hist = late.groupBy("event_type", "late_bin").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("cnt_late"),
+    )
+    wb = Window.partitionBy("event_type").orderBy("late_bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("event_type")
+    cdf = hist.select(
+        "event_type",
+        "late_bin",
+        "cnt",
+        "cnt_late",
+        F.sum("cnt").over(wb).alias("cum"),
+        F.sum("cnt").over(wt).alias("n"),
+    )
+
+    def pick(p: float):
+        return F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(p) * F.col("n")), F.col("late_bin")
+            )
+        ).cast("long")
+
+    return cdf.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.sum("cnt_late").cast("long").alias("n_late"),
+        F.round(F.sum("cnt_late") / F.max("n"), 6).alias("late_frac"),
+        pick(0.50).alias("p50_lateness_s"),
+        pick(0.95).alias("p95_lateness_s"),
+        pick(0.99).alias("p99_lateness_s"),
+        F.max("late_bin").cast("long").alias("max_lateness_s"),
     )
