@@ -1603,3 +1603,171 @@ def q_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(hit, 1.0).otherwise(0.0)) / 10.0, 6
         ).alias("recall_at_10"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_pq_codebook — product quantization (the IVF-PQ compression stage)
+# --------------------------------------------------------------------------
+
+_PQ_M = 4          # subspaces
+_PQ_SUBDIM = 16    # dims per subspace (4 × 16 = 64)
+_PQ_K = 4          # codewords per subspace → 2 bits/subspace, 1 byte/vector
+
+
+@query(
+    "q_pq_codebook",
+    oracle=f"""
+    WITH seeds AS (
+        SELECT embedding,
+               row_number() OVER (
+                   ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id
+               ) AS c
+        FROM embeddings
+        QUALIFY c <= {_PQ_K}
+    ), sp AS (SELECT unnest(range(1, {_PQ_M + 1})) AS s),
+    subseeds AS (
+        SELECT sp.s, seeds.c,
+               list_slice(seeds.embedding,
+                          (sp.s - 1) * {_PQ_SUBDIM} + 1,
+                          sp.s * {_PQ_SUBDIM}) AS cv
+        FROM seeds CROSS JOIN sp
+    ), subs AS (
+        SELECT e.vec_id, sp.s,
+               list_slice(e.embedding,
+                          (sp.s - 1) * {_PQ_SUBDIM} + 1,
+                          sp.s * {_PQ_SUBDIM}) AS sub
+        FROM embeddings e CROSS JOIN sp
+    ), a1 AS (
+        SELECT vec_id, s, sub, c,
+               row_number() OVER (
+                   PARTITION BY vec_id, s
+                   ORDER BY {_km_dist2_sql('sub', 'cv')}, c
+               ) AS rnk
+        FROM subs JOIN subseeds USING (s)
+        QUALIFY rnk = 1
+    ), cent1 AS (
+        SELECT s, c, i.i AS dim,
+               ROUND(AVG(CAST(sub[i.i] AS DOUBLE)), 6) AS v
+        FROM a1 CROSS JOIN (SELECT unnest(range(1, {_PQ_SUBDIM + 1})) AS i) i
+        GROUP BY s, c, i.i
+    ), cent1a AS (
+        SELECT s, c, list(v ORDER BY dim) AS cv FROM cent1 GROUP BY s, c
+    ), a2 AS (
+        SELECT vec_id, s, c,
+               {_km_dist2_sql('sub', 'cv')} AS d2,
+               row_number() OVER (
+                   PARTITION BY vec_id, s
+                   ORDER BY {_km_dist2_sql('sub', 'cv')}, c
+               ) AS rnk
+        FROM subs JOIN cent1a USING (s)
+        QUALIFY rnk = 1
+    )
+    SELECT CAST(s AS BIGINT) AS subspace,
+           CAST(c AS BIGINT) AS code,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(d2), 6) AS mse,
+           CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+    FROM a2 GROUP BY s, c
+    """,
+)
+def q_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization codebook training — the compression stage
+    of an IVF-PQ index (the workhorse layout for billion-vector ANN):
+    split each 64-dim vector into {_PQ_M} × {_PQ_SUBDIM}-dim
+    subvectors, run per-subspace k-means (k = {_PQ_K} here; 256 in
+    production → 1 byte per subspace), and encode every vector as its
+    per-subspace nearest-codeword ids — 64 floats become {_PQ_M}
+    small codes, and asymmetric distance queries reduce to {_PQ_M}
+    table lookups. This op trains the codebooks exactly like q_kmeans
+    (md5-ordered seeds, one Lloyd update, centroids ROUNDED to 6 dp
+    before the second assignment so both engines re-assign from
+    bit-identical codewords) and reports the per-(subspace, code)
+    census with reconstruction MSE — the number that decides whether
+    the compression is usable before you build the index.
+
+    Scale shape: subvector extraction is map-side slice(); the
+    codeword table is {_PQ_M}·{_PQ_K} rows — broadcast; assignment is
+    the same map-side-combining min(struct) argmin as q_kmeans,
+    grouped by (vec, subspace); the update contracts to the bounded
+    ({_PQ_M}·{_PQ_K}·{_PQ_SUBDIM})-cell grain. One linear scan per
+    round, nothing data-scaled shuffles except the (vec, s, code)
+    assignment rows — 8-byte ids, never vectors."""
+    emb = table(spark, sf_dir, "embeddings")
+    h = F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string")))
+    w = Window.orderBy("_h", "vec_id")  # k-row relation — bounded
+    seeds = (
+        emb.select("vec_id", "embedding", h.alias("_h"))
+        .orderBy("_h", "vec_id")
+        .limit(_PQ_K)
+        .select("embedding", F.row_number().over(w).alias("c"))
+    )
+    sp = F.explode(
+        F.sequence(F.lit(1), F.lit(_PQ_M))
+    )
+    subseeds = seeds.select(
+        sp.alias("s"), "c", "embedding"
+    ).select(
+        "s",
+        "c",
+        F.expr(f"slice(embedding, (s - 1) * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})")
+        .alias("cv"),
+    )
+    subs = emb.select("vec_id", sp.alias("s"), "embedding").select(
+        "vec_id",
+        "s",
+        F.expr(f"slice(embedding, (s - 1) * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})")
+        .alias("sub"),
+    )
+
+    def dist2(a, b):
+        diffs = F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        )
+        return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+    def assign(codebook: DataFrame) -> DataFrame:
+        scored = subs.join(F.broadcast(codebook), "s").select(
+            "vec_id",
+            "s",
+            "sub",
+            "c",
+            dist2(F.col("sub"), F.col("cv")).alias("d2"),
+        )
+        return (
+            scored.groupBy("vec_id", "s")
+            .agg(
+                F.first("sub").alias("sub"),
+                F.min(F.struct("d2", "c")).alias("_b"),
+            )
+            .select(
+                "vec_id",
+                "s",
+                "sub",
+                F.col("_b.c").alias("c"),
+                F.col("_b.d2").alias("d2"),
+            )
+        )
+
+    a1 = assign(subseeds)
+    cent1 = (
+        a1.select("s", "c", F.posexplode("sub").alias("dim", "v"))
+        .groupBy("s", "c", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("v"))
+        .groupBy("s", "c")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "v"))),
+                lambda x: x.getField("v"),
+            ).alias("cv")
+        )
+    )
+    a2 = assign(cent1)
+    return a2.groupBy(
+        F.col("s").cast("long").alias("subspace"),
+        F.col("c").cast("long").alias("code"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("d2"), 6).alias("mse"),
+        F.min("vec_id").alias("min_vec_id"),
+    )

@@ -226,6 +226,7 @@ _ROTATION_BACKLOG: tuple[str, ...] = (
     "q_cross_lang_dup",
     "q_bag_dup",
     "q_residual_quality",
+    "q_pq_codebook",
 )
 
 

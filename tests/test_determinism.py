@@ -110,6 +110,7 @@ ORDER_SENSITIVE = [
     "q_quantile_normalize",  # CDF-boundary join at 9-dp rounding
     "q_interpolate",  # IGNORE-NULLS bracketing windows on the spine
     "q_cross_lang_dup",  # census over the capped LSH edge relation
+    "q_pq_codebook",  # md5 seeds + rounded-centroid re-assignment
 ]
 
 
