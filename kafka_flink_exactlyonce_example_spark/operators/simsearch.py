@@ -1614,6 +1614,93 @@ _PQ_SUBDIM = 16    # dims per subspace (4 × 16 = 64)
 _PQ_K = 4          # codewords per subspace → 2 bits/subspace, 1 byte/vector
 
 
+# per-(session, sf) trained PQ model: (codebook cent1, assignments a2)
+# localCheckpoint'ed once — q_pq_codebook reports the census, q_pq_adc
+# runs the query-time half on the same trained model.
+_PQ_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _pq_dist2(a, b):
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _pq_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(codebook, assignments): codebook = (s, c, cv[16]) after one
+    rounded Lloyd update; assignments = (vec_id, s, c, d2) under that
+    codebook. Plan rationale in q_pq_codebook's docstring."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _PQ_CACHE:
+        return _PQ_CACHE[key]
+    emb = table(spark, sf_dir, "embeddings")
+    h = F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string")))
+    w = Window.orderBy("_h", "vec_id")  # k-row relation — bounded
+    seeds = (
+        emb.select("vec_id", "embedding", h.alias("_h"))
+        .orderBy("_h", "vec_id")
+        .limit(_PQ_K)
+        .select("embedding", F.row_number().over(w).alias("c"))
+    )
+    sp = F.explode(F.sequence(F.lit(1), F.lit(_PQ_M)))
+    subseeds = seeds.select(sp.alias("s"), "c", "embedding").select(
+        "s",
+        "c",
+        F.expr(f"slice(embedding, (s - 1) * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})")
+        .alias("cv"),
+    )
+    subs = emb.select("vec_id", sp.alias("s"), "embedding").select(
+        "vec_id",
+        "s",
+        F.expr(f"slice(embedding, (s - 1) * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})")
+        .alias("sub"),
+    )
+
+    def assign(codebook: DataFrame) -> DataFrame:
+        scored = subs.join(F.broadcast(codebook), "s").select(
+            "vec_id",
+            "s",
+            "sub",
+            "c",
+            _pq_dist2(F.col("sub"), F.col("cv")).alias("d2"),
+        )
+        return (
+            scored.groupBy("vec_id", "s")
+            .agg(
+                F.first("sub").alias("sub"),
+                F.min(F.struct("d2", "c")).alias("_b"),
+            )
+            .select(
+                "vec_id",
+                "s",
+                "sub",
+                F.col("_b.c").alias("c"),
+                F.col("_b.d2").alias("d2"),
+            )
+        )
+
+    a1 = assign(subseeds)
+    cent1 = (
+        a1.select("s", "c", F.posexplode("sub").alias("dim", "v"))
+        .groupBy("s", "c", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("v"))
+        .groupBy("s", "c")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "v"))),
+                lambda x: x.getField("v"),
+            ).alias("cv")
+        )
+    )
+    a2 = assign(cent1).select("vec_id", "s", "c", "d2")
+    _PQ_CACHE[key] = (cent1.localCheckpoint(), a2.localCheckpoint())
+    return _PQ_CACHE[key]
+
+
 @query(
     "q_pq_codebook",
     oracle=f"""
@@ -1692,77 +1779,7 @@ def q_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     ({_PQ_M}·{_PQ_K}·{_PQ_SUBDIM})-cell grain. One linear scan per
     round, nothing data-scaled shuffles except the (vec, s, code)
     assignment rows — 8-byte ids, never vectors."""
-    emb = table(spark, sf_dir, "embeddings")
-    h = F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string")))
-    w = Window.orderBy("_h", "vec_id")  # k-row relation — bounded
-    seeds = (
-        emb.select("vec_id", "embedding", h.alias("_h"))
-        .orderBy("_h", "vec_id")
-        .limit(_PQ_K)
-        .select("embedding", F.row_number().over(w).alias("c"))
-    )
-    sp = F.explode(
-        F.sequence(F.lit(1), F.lit(_PQ_M))
-    )
-    subseeds = seeds.select(
-        sp.alias("s"), "c", "embedding"
-    ).select(
-        "s",
-        "c",
-        F.expr(f"slice(embedding, (s - 1) * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})")
-        .alias("cv"),
-    )
-    subs = emb.select("vec_id", sp.alias("s"), "embedding").select(
-        "vec_id",
-        "s",
-        F.expr(f"slice(embedding, (s - 1) * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})")
-        .alias("sub"),
-    )
-
-    def dist2(a, b):
-        diffs = F.zip_with(
-            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double"))
-        )
-        return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
-
-    def assign(codebook: DataFrame) -> DataFrame:
-        scored = subs.join(F.broadcast(codebook), "s").select(
-            "vec_id",
-            "s",
-            "sub",
-            "c",
-            dist2(F.col("sub"), F.col("cv")).alias("d2"),
-        )
-        return (
-            scored.groupBy("vec_id", "s")
-            .agg(
-                F.first("sub").alias("sub"),
-                F.min(F.struct("d2", "c")).alias("_b"),
-            )
-            .select(
-                "vec_id",
-                "s",
-                "sub",
-                F.col("_b.c").alias("c"),
-                F.col("_b.d2").alias("d2"),
-            )
-        )
-
-    a1 = assign(subseeds)
-    cent1 = (
-        a1.select("s", "c", F.posexplode("sub").alias("dim", "v"))
-        .groupBy("s", "c", "dim")
-        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("v"))
-        .groupBy("s", "c")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "v"))),
-                lambda x: x.getField("v"),
-            ).alias("cv")
-        )
-    )
-    a2 = assign(cent1)
+    _, a2 = _pq_train(spark, sf_dir)
     return a2.groupBy(
         F.col("s").cast("long").alias("subspace"),
         F.col("c").cast("long").alias("code"),
@@ -1770,4 +1787,170 @@ def q_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg("d2"), 6).alias("mse"),
         F.min("vec_id").alias("min_vec_id"),
+    )
+
+
+_PQ_PROBES = 8  # fixed ADC probe count — eval harness, not corpus-scaled
+
+
+@query(
+    "q_pq_adc",
+    oracle=f"""
+    WITH seeds AS (
+        SELECT embedding,
+               row_number() OVER (
+                   ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id
+               ) AS c
+        FROM embeddings
+        QUALIFY c <= {_PQ_K}
+    ), sp AS (SELECT unnest(range(1, {_PQ_M + 1})) AS s),
+    subseeds AS (
+        SELECT sp.s, seeds.c,
+               list_slice(seeds.embedding,
+                          (sp.s - 1) * {_PQ_SUBDIM} + 1,
+                          sp.s * {_PQ_SUBDIM}) AS cv
+        FROM seeds CROSS JOIN sp
+    ), subs AS (
+        SELECT e.vec_id, sp.s,
+               list_slice(e.embedding,
+                          (sp.s - 1) * {_PQ_SUBDIM} + 1,
+                          sp.s * {_PQ_SUBDIM}) AS sub
+        FROM embeddings e CROSS JOIN sp
+    ), a1 AS (
+        SELECT vec_id, s, sub, c,
+               row_number() OVER (
+                   PARTITION BY vec_id, s
+                   ORDER BY {_km_dist2_sql('sub', 'cv')}, c
+               ) AS rnk
+        FROM subs JOIN subseeds USING (s)
+        QUALIFY rnk = 1
+    ), cent1 AS (
+        SELECT s, c, i.i AS dim,
+               ROUND(AVG(CAST(sub[i.i] AS DOUBLE)), 6) AS v
+        FROM a1 CROSS JOIN (SELECT unnest(range(1, {_PQ_SUBDIM + 1})) AS i) i
+        GROUP BY s, c, i.i
+    ), cent1a AS (
+        SELECT s, c, list(v ORDER BY dim) AS cv FROM cent1 GROUP BY s, c
+    ), a2 AS (
+        SELECT vec_id, s, c,
+               row_number() OVER (
+                   PARTITION BY vec_id, s
+                   ORDER BY {_km_dist2_sql('sub', 'cv')}, c
+               ) AS rnk
+        FROM subs JOIN cent1a USING (s)
+        QUALIFY rnk = 1
+    ), probes AS (
+        SELECT vec_id AS probe_id, embedding AS p,
+               row_number() OVER (
+                   ORDER BY md5('pqa:' || CAST(vec_id AS VARCHAR)), vec_id
+               ) AS rn
+        FROM embeddings
+        QUALIFY rn <= {_PQ_PROBES}
+    ), lut AS (
+        SELECT pr.probe_id, cb.s, cb.c,
+               {_km_dist2_sql(
+                   "list_slice(pr.p, (cb.s - 1) * %d + 1, cb.s * %d)"
+                   % (_PQ_SUBDIM, _PQ_SUBDIM), "cb.cv")} AS pd2
+        FROM probes pr CROSS JOIN cent1a cb
+    ), adc AS (
+        SELECT l.probe_id, a.vec_id,
+               ROUND(SUM(l.pd2), 6) AS adc_d2
+        FROM a2 a JOIN lut l ON l.s = a.s AND l.c = a.c
+        WHERE a.vec_id NOT IN (SELECT probe_id FROM probes
+                               WHERE probe_id = a.vec_id)
+        GROUP BY l.probe_id, a.vec_id
+    ), exact AS (
+        SELECT pr.probe_id, e.vec_id,
+               ROUND({_km_dist2_sql('e.embedding', 'pr.p')}, 6) AS ex_d2
+        FROM embeddings e CROSS JOIN probes pr
+        WHERE e.vec_id <> pr.probe_id
+    ), r_adc AS (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY adc_d2, vec_id) AS r
+        FROM adc WHERE vec_id NOT IN (SELECT probe_id FROM probes)
+    ), r_ex AS (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY ex_d2, vec_id) AS r
+        FROM exact WHERE vec_id NOT IN (SELECT probe_id FROM probes)
+    )
+    SELECT a.probe_id,
+           CAST(COUNT(*) FILTER (WHERE a.r <= 5 AND b.r <= 5) AS BIGINT)
+               AS overlap_at_5,
+           ROUND(COUNT(*) FILTER (WHERE a.r <= 5 AND b.r <= 5) / 5.0, 6)
+               AS recall_at_5
+    FROM r_adc a JOIN r_ex b
+      ON b.probe_id = a.probe_id AND b.vec_id = a.vec_id
+    GROUP BY a.probe_id
+    """,
+)
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric distance computation — the QUERY-TIME half of IVF-PQ
+    on the codebook q_pq_codebook trains: for each probe, precompute a
+    distance lookup table (probe subvector → each codeword, M·K
+    bounded cells), then score every encoded vector as the SUM of M
+    table lookups — no float vector is touched at scan time, which is
+    the entire point of PQ (the index stores 1 byte/subspace, queries
+    stream codes). Reported per probe: top-5 overlap/recall of the
+    ADC ranking against exact L2 — the accuracy-vs-compression number
+    that decides K and M before the index ships.
+
+    Scale shape: the trained model rides the session _PQ_CACHE; the
+    per-probe LUT is probes×M×K rows — broadcast; the ADC score is
+    ONE equi-join of the (vec, s, code) assignment relation against
+    the LUT plus a (probe, vec) sum — 8-byte ids and code ints
+    shuffle, never vectors; exact scoring (the audit side only)
+    broadcasts 8 probes over one scan. Ranked on rounded scores with
+    vec_id tie-break; probes excluded from both rankings (their ADC
+    distance is their own quantization error, not retrieval)."""
+    emb = table(spark, sf_dir, "embeddings")
+    cent1, a2 = _pq_train(spark, sf_dir)
+    h = F.md5(F.concat(F.lit("pqa:"), F.col("vec_id").cast("string")))
+    probes = (
+        emb.select("vec_id", "embedding", h.alias("_h"))
+        .orderBy("_h", "vec_id")
+        .limit(_PQ_PROBES)
+        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p"))
+    )
+    psub = F.expr(f"slice(p, (s - 1) * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})")
+    lut = probes.crossJoin(F.broadcast(cent1)).select(
+        "probe_id",
+        "s",
+        "c",
+        _pq_dist2(psub, F.col("cv")).alias("pd2"),
+    )
+    probe_ids = probes.select(F.col("probe_id").alias("vec_id"))
+    adc = (
+        a2.join(probe_ids, "vec_id", "left_anti")
+        .join(F.broadcast(lut), ["s", "c"])
+        .groupBy("probe_id", "vec_id")
+        .agg(F.round(F.sum("pd2"), 6).alias("adc_d2"))
+    )
+    exact = (
+        emb.join(probe_ids, "vec_id", "left_anti")
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(_pq_dist2(F.col("embedding"), F.col("p")), 6).alias(
+                "ex_d2"
+            ),
+        )
+    )
+    wa = Window.partitionBy("probe_id").orderBy("adc_d2", "vec_id")
+    we = Window.partitionBy("probe_id").orderBy("ex_d2", "vec_id")
+    ra = adc.select(
+        "probe_id", "vec_id", F.row_number().over(wa).alias("r_a")
+    )
+    re_ = exact.select(
+        "probe_id", "vec_id", F.row_number().over(we).alias("r_e")
+    )
+    hit = (F.col("r_a") <= 5) & (F.col("r_e") <= 5)
+    return ra.join(re_, ["probe_id", "vec_id"]).groupBy("probe_id").agg(
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("overlap_at_5"),
+        F.round(F.sum(F.when(hit, 1.0).otherwise(0.0)) / 5.0, 6).alias(
+            "recall_at_5"
+        ),
     )

@@ -227,6 +227,7 @@ _ROTATION_BACKLOG: tuple[str, ...] = (
     "q_bag_dup",
     "q_residual_quality",
     "q_pq_codebook",
+    "q_pq_adc",
 )
 
 

@@ -111,6 +111,7 @@ ORDER_SENSITIVE = [
     "q_interpolate",  # IGNORE-NULLS bracketing windows on the spine
     "q_cross_lang_dup",  # census over the capped LSH edge relation
     "q_pq_codebook",  # md5 seeds + rounded-centroid re-assignment
+    "q_pq_adc",  # ADC vs exact rank windows on rounded distances
 ]
 
 
