@@ -138,6 +138,15 @@ _PRIORITY: tuple[str, ...] = (
 # rounds pop from the front (VERDICT r04 item 7: each rotation becomes
 # a mechanical pop). tests/test_registry_order.py asserts this tuple
 # plus _ROTATED_IN_R5 exactly partitions the never-graded set.
+#
+# ROUND-6 RECIPE (for the next builder): bump _ROTATION_ROUND to 6,
+# rebuild the first-ever set as set(all keys) − union(CORRECTNESS_r01..
+# r05), keep ~10 family-span reps (rotate to members not kept in r5),
+# include any key whose implementation changes in round 6, and fill
+# the remaining ~36 slots by popping this tuple from the front — the
+# round-5 additions at its tail (q_window_join … q_pq_adc) are
+# first-ever by construction and should ride within the first two
+# pops. After round 6, ~40 keys remain; round 7 closes the set.
 _ROTATION_BACKLOG: tuple[str, ...] = (
     # analytics/BI
     "q_minmax_by",
