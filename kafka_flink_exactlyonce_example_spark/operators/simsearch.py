@@ -1954,3 +1954,99 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_5"
         ),
     )
+
+
+@query(
+    "q_code_entropy",
+    oracle=f"""
+    WITH seeds AS (
+        SELECT embedding,
+               row_number() OVER (
+                   ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id
+               ) AS c
+        FROM embeddings
+        QUALIFY c <= {_PQ_K}
+    ), sp AS (SELECT unnest(range(1, {_PQ_M + 1})) AS s),
+    subseeds AS (
+        SELECT sp.s, seeds.c,
+               list_slice(seeds.embedding,
+                          (sp.s - 1) * {_PQ_SUBDIM} + 1,
+                          sp.s * {_PQ_SUBDIM}) AS cv
+        FROM seeds CROSS JOIN sp
+    ), subs AS (
+        SELECT e.vec_id, sp.s,
+               list_slice(e.embedding,
+                          (sp.s - 1) * {_PQ_SUBDIM} + 1,
+                          sp.s * {_PQ_SUBDIM}) AS sub
+        FROM embeddings e CROSS JOIN sp
+    ), a1 AS (
+        SELECT vec_id, s, sub, c,
+               row_number() OVER (
+                   PARTITION BY vec_id, s
+                   ORDER BY {_km_dist2_sql('sub', 'cv')}, c
+               ) AS rnk
+        FROM subs JOIN subseeds USING (s)
+        QUALIFY rnk = 1
+    ), cent1 AS (
+        SELECT s, c, i.i AS dim,
+               ROUND(AVG(CAST(sub[i.i] AS DOUBLE)), 6) AS v
+        FROM a1 CROSS JOIN (SELECT unnest(range(1, {_PQ_SUBDIM + 1})) AS i) i
+        GROUP BY s, c, i.i
+    ), cent1a AS (
+        SELECT s, c, list(v ORDER BY dim) AS cv FROM cent1 GROUP BY s, c
+    ), a2 AS (
+        SELECT vec_id, s, c,
+               row_number() OVER (
+                   PARTITION BY vec_id, s
+                   ORDER BY {_km_dist2_sql('sub', 'cv')}, c
+               ) AS rnk
+        FROM subs JOIN cent1a USING (s)
+        QUALIFY rnk = 1
+    ), occ AS (
+        SELECT s, c, CAST(COUNT(*) AS BIGINT) AS n FROM a2 GROUP BY s, c
+    ), tot AS (SELECT s, SUM(n) AS n_s FROM occ GROUP BY s)
+    SELECT CAST(o.s AS BIGINT) AS subspace,
+           CAST(COUNT(*) AS BIGINT) AS codes_used,
+           ROUND(SUM(-(o.n * 1.0 / t.n_s)
+                     * ln(o.n * 1.0 / t.n_s) / ln(2.0)), 6) AS entropy_bits,
+           ROUND(SUM(-(o.n * 1.0 / t.n_s)
+                     * ln(o.n * 1.0 / t.n_s) / ln(2.0))
+                 / (ln({_PQ_K}) / ln(2.0)), 6) AS balance,
+           CAST(MAX(o.n) AS BIGINT) AS max_code_n
+    FROM occ o JOIN tot t ON t.s = o.s
+    GROUP BY o.s
+    """,
+)
+def q_code_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ code-distribution entropy per subspace — the index-balance
+    QC on the trained codebook: a healthy codebook uses its codewords
+    near-uniformly (entropy → log2 K, balance → 1.0); a skewed
+    distribution means dead codewords — wasted bits and coarser
+    quantization where the data actually lives — and is the signal to
+    re-seed or raise K. The standard health metric next to
+    q_pq_codebook's reconstruction MSE (distortion) and q_pq_adc's
+    recall (end quality): balance explains WHY either degrades.
+
+    Rides the session _PQ_CACHE (codebook trained once per session);
+    everything here is a groupBy of the (vec, s, code) relation to the
+    bounded M·K occupancy grain and arithmetic on ≤16 rows. Entropy
+    terms are exact rationals n/n_s through double ln — identical in
+    both engines (single expression, no aggregation-order hazard at
+    the 4-term scale after 6-dp rounding of the SUM of ≤4 terms
+    derived from identical integers)."""
+    _, a2 = _pq_train(spark, sf_dir)
+    occ = a2.groupBy("s", "c").agg(F.count(F.lit(1)).alias("n"))
+    tot = occ.groupBy("s").agg(F.sum("n").alias("n_s"))
+    p = F.col("n") / F.col("n_s")
+    ent_term = -p * F.log(p) / float(__import__("math").log(2.0))
+    max_bits = float(__import__("math").log2(_PQ_K))
+    return (
+        occ.join(F.broadcast(tot), "s")
+        .groupBy(F.col("s").cast("long").alias("subspace"))
+        .agg(
+            F.count(F.lit(1)).alias("codes_used"),
+            F.round(F.sum(ent_term), 6).alias("entropy_bits"),
+            F.round(F.sum(ent_term) / max_bits, 6).alias("balance"),
+            F.max("n").alias("max_code_n"),
+        )
+    )

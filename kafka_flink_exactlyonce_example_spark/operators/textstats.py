@@ -3466,3 +3466,65 @@ def q_residual_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_HILL_K = 100  # top-k order statistics for the Hill estimator
+
+
+@query(
+    "q_tail_index",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT CAST(n_chars AS DOUBLE) AS x,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents
+        QUALIFY rk <= {_HILL_K + 1}
+    ), kth AS (
+        SELECT x AS xk FROM ranked WHERE rk = {_HILL_K + 1}
+    )
+    SELECT CAST({_HILL_K} AS BIGINT) AS k,
+           ROUND(MAX(r.x), 6) AS x_max,
+           ROUND(MIN(CASE WHEN r.rk <= {_HILL_K} THEN r.x END), 6) AS x_k,
+           ROUND(1.0 / (SUM(CASE WHEN r.rk <= {_HILL_K}
+                            THEN ln(r.x / kth.xk) END) / {_HILL_K}), 6)
+               AS hill_alpha
+    FROM ranked r CROSS JOIN kth
+    """,
+)
+def q_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the document-length tail index — the
+    heavy-tail diagnostic that decides whether length-based capacity
+    planning can use means at all: α ≤ 2 means infinite variance
+    (p99-driven provisioning, means lie), α large means a thin tail.
+    α̂ = [ (1/k) Σ_{{i≤k}} ln(x_(i)/x_(k+1)) ]⁻¹ over the top-k order
+    statistics — the standard extreme-value estimator, here at k=100.
+
+    Scale shape: the ONLY data-touching step is a distributed top-(k+1)
+    (TakeOrderedAndProject — per-partition heaps, never a global
+    sort); the estimator is arithmetic on a 101-row bounded relation.
+    The (length, doc_id) tie-break keeps the order-statistic set
+    engine-identical."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    top = (
+        d.select(F.col("n_chars").cast("double").alias("x"), "doc_id")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .limit(_HILL_K + 1)
+    )
+    w = Window.orderBy(F.desc("x"), "doc_id")  # 101-row relation — bounded
+    ranked = top.select("x", F.row_number().over(w).alias("rk"))
+    kth = ranked.filter(F.col("rk") == _HILL_K + 1).select(
+        F.col("x").alias("xk")
+    )
+    head = F.col("rk") <= _HILL_K
+    return ranked.crossJoin(F.broadcast(kth)).agg(
+        F.lit(_HILL_K).cast("long").alias("k"),
+        F.round(F.max("x"), 6).alias("x_max"),
+        F.round(F.min(F.when(head, F.col("x"))), 6).alias("x_k"),
+        F.round(
+            1.0
+            / (F.sum(F.when(head, F.log(F.col("x") / F.col("xk")))) / _HILL_K),
+            6,
+        ).alias("hill_alpha"),
+    )

@@ -237,6 +237,8 @@ _ROTATION_BACKLOG: tuple[str, ...] = (
     "q_residual_quality",
     "q_pq_codebook",
     "q_pq_adc",
+    "q_code_entropy",
+    "q_tail_index",
 )
 
 

@@ -112,6 +112,7 @@ ORDER_SENSITIVE = [
     "q_cross_lang_dup",  # census over the capped LSH edge relation
     "q_pq_codebook",  # md5 seeds + rounded-centroid re-assignment
     "q_pq_adc",  # ADC vs exact rank windows on rounded distances
+    "q_tail_index",  # top-(k+1) order statistics with doc_id tie-break
 ]
 
 
