@@ -3528,3 +3528,181 @@ def q_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hill_alpha"),
     )
+
+
+@query(
+    "q_auc",
+    oracle=f"""
+    WITH scored AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               CAST(FLOOR(
+                   len(list_filter(string_split(text, ' '),
+                                   w -> w IN {_STOP_SQL})) * 1000.0
+                   / len(list_filter(string_split(text, ' '),
+                                     w -> w <> ''))) AS BIGINT) AS sbin
+        FROM documents
+    ), bins AS (
+        SELECT sbin,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(SUM(1 - y) AS BIGINT) AS n_neg
+        FROM scored GROUP BY sbin
+    ), cum AS (
+        SELECT sbin, n_pos, n_neg,
+               COALESCE(SUM(n_neg) OVER (ORDER BY sbin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS neg_below
+        FROM bins
+    )
+    SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+           CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+           ROUND(SUM(n_pos * (neg_below + 0.5 * n_neg)) * 1.0
+                 / (SUM(n_pos) * SUM(n_neg)), 6) AS auc
+    FROM cum
+    """,
+)
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the stop-ratio score as a lang='en' classifier, by
+    the Mann–Whitney identity: AUC = P(score⁺ > score⁻) + ½P(tie),
+    computed EXACTLY from the binned score distribution — for every
+    bin, positives there beat all negatives in strictly lower bins and
+    half-win ties in their own bin, so AUC = Σ n_pos·(neg_below +
+    ½·n_neg_at) / (N⁺·N⁻). The 1e-3-grain binning is lossless here
+    (stop-ratio is a small-integer ratio) and is what makes the
+    computation 100 TB-shaped: the naive rank-based AUC needs a GLOBAL
+    rank over all scores (a worst-case sort), while this form is one
+    map-side bin + a bounded-bin census with a window that orders BINS
+    — the same histogram-CDF discipline as q_ks_test /
+    q_watermark_plan. Completes the eval family: q_calibration_bins
+    answers 'is the score calibrated?', this answers 'does it rank?'."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    arr = F.filter(F.split("text", " "), lambda w: w != "")
+    n_stop = F.size(
+        F.filter(F.split("text", " "), lambda w: w.isin(*_STOPWORDS))
+    )
+    scored = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.floor(n_stop * 1000.0 / F.size(arr)).cast("long").alias("sbin"),
+    )
+    bins = scored.groupBy("sbin").agg(
+        F.sum("y").alias("n_pos"),
+        F.sum(1 - F.col("y")).alias("n_neg"),
+    )
+    w = Window.orderBy("sbin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # bounded bin grain — dozens of rows, never documents
+    cum = bins.select(
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.sum("n_neg").over(w), F.lit(0)).alias("neg_below"),
+    )
+    return cum.agg(
+        F.sum("n_pos").alias("n_pos"),
+        F.sum("n_neg").alias("n_neg"),
+        F.round(
+            F.sum(
+                F.col("n_pos")
+                * (F.col("neg_below") + 0.5 * F.col("n_neg"))
+            )
+            / (F.sum("n_pos") * F.sum("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@query(
+    "q_linreg_multi",
+    oracle="""
+    WITH feats AS (
+        SELECT CAST(n_chars AS DOUBLE) AS y,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    w -> w <> '')) AS DOUBLE) AS x1,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS x2
+        FROM documents
+    ), m AS (
+        SELECT COUNT(*) * 1.0 AS n,
+               SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+               SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12,
+               SUM(x2 * x2) AS s22, SUM(x1 * y) AS s1y,
+               SUM(x2 * y) AS s2y, SUM(y * y) AS syy
+        FROM feats
+    ), c AS (
+        SELECT n,
+               s11 - s1 * s1 / n AS c11, s12 - s1 * s2 / n AS c12,
+               s22 - s2 * s2 / n AS c22, s1y - s1 * sy / n AS c1y,
+               s2y - s2 * sy / n AS c2y, syy - sy * sy / n AS cyy,
+               s1 / n AS m1, s2 / n AS m2, sy / n AS my
+        FROM m
+    )
+    SELECT ROUND((c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12), 6)
+               AS beta_tokens,
+           ROUND((c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12), 6)
+               AS beta_en,
+           ROUND(my - (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) * m1
+                    - (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) * m2,
+                 6) AS intercept,
+           ROUND(((c1y * c22 - c2y * c12) * c1y
+                  + (c2y * c11 - c1y * c12) * c2y)
+                 / ((c11 * c22 - c12 * c12) * cyy), 6) AS r2
+    FROM c
+    """,
+)
+def q_linreg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS by normal equations — n_chars regressed on
+    token count and an is-English indicator, solved in CLOSED FORM
+    from ten moment aggregates (Σx, Σx², Σxy …): β = C⁻¹·c with the
+    2×2 centered-covariance inverse written out (Cramer's rule), plus
+    R². This is how distributed GLM training actually works at the
+    linear-algebra scale that matters here — ONE pass computes the
+    sufficient statistics (all map-side-combining sums), and the solve
+    is O(p³) driver-side arithmetic on a 1-row relation, not an
+    iterative shuffle (MLlib's normal-equation solver is exactly this
+    shape for p ≲ 4096). Extending to p features means p(p+3)/2
+    aggregates and the same one-pass property; q_rolling_slope is the
+    windowed 1-feature sibling, q_win_corr the correlation special
+    case.
+
+    Determinism: the moments are sums of products of exact integers /
+    small doubles, identical at 6 dp across engines; all downstream
+    arithmetic is a single expression tree over the 1-row moment
+    relation — no aggregation-order hazard past the sums."""
+    d = table(spark, sf_dir, "documents")
+    arr = F.filter(F.split("text", " "), lambda w: w != "")
+    feats = d.select(
+        F.col("n_chars").cast("double").alias("y"),
+        F.size(arr).cast("double").alias("x1"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("x2"),
+    )
+    m = feats.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / F.col("n")
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / F.col("n")
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / F.col("n")
+    c1y = F.col("s1y") - F.col("s1") * F.col("sy") / F.col("n")
+    c2y = F.col("s2y") - F.col("s2") * F.col("sy") / F.col("n")
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    det = c11 * c22 - c12 * c12
+    b1 = (c1y * c22 - c2y * c12) / det
+    b2 = (c2y * c11 - c1y * c12) / det
+    return m.select(
+        F.round(b1, 6).alias("beta_tokens"),
+        F.round(b2, 6).alias("beta_en"),
+        F.round(
+            F.col("sy") / F.col("n")
+            - b1 * F.col("s1") / F.col("n")
+            - b2 * F.col("s2") / F.col("n"),
+            6,
+        ).alias("intercept"),
+        F.round((b1 * c1y + b2 * c2y) / cyy, 6).alias("r2"),
+    )

@@ -239,6 +239,8 @@ _ROTATION_BACKLOG: tuple[str, ...] = (
     "q_pq_adc",
     "q_code_entropy",
     "q_tail_index",
+    "q_auc",
+    "q_linreg_multi",
 )
 
 
