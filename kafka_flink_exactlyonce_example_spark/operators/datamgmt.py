@@ -688,26 +688,46 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sk AS (
         SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS cnt
         FROM lineitem GROUP BY 1
+    ), pkh AS (
+        SELECT cnt, CAST(COUNT(*) AS BIGINT) AS nk FROM pk GROUP BY cnt
+    ), skh AS (
+        SELECT cnt, CAST(COUNT(*) AS BIGINT) AS nk FROM sk GROUP BY cnt
+    ), pkc AS (
+        SELECT cnt, nk, SUM(nk) OVER (ORDER BY cnt) AS cum,
+               SUM(nk) OVER () AS n
+        FROM pkh
+    ), skc AS (
+        SELECT cnt, nk, SUM(nk) OVER (ORDER BY cnt) AS cum,
+               SUM(nk) OVER () AS n
+        FROM skh
     )
     SELECT 'l_partkey' AS join_key,
-           CAST(count(*) AS BIGINT) AS n_keys,
-           CAST(sum(cnt) AS BIGINT) AS n_rows,
-           CAST(max(cnt) AS BIGINT) AS max_rows_per_key,
-           round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_key_share,
-           round(quantile_cont(cnt, 0.5), 6) AS median_rows,
-           round(quantile_cont(cnt, 0.99), 6) AS p99_rows,
-           round(max(cnt) / quantile_cont(cnt, 0.5), 6) AS skew_factor
-    FROM pk
+           CAST(MAX(n) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt * nk) AS BIGINT) AS n_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_rows_per_key,
+           round(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt * nk), 6)
+               AS top_key_share,
+           round(CAST(MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN cnt END)
+                      AS DOUBLE), 6) AS median_rows,
+           round(CAST(MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN cnt END)
+                      AS DOUBLE), 6) AS p99_rows,
+           round(MAX(cnt) * 1.0
+                 / MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN cnt END), 6)
+               AS skew_factor
+    FROM pkc
     UNION ALL
     SELECT 'l_suppkey',
-           CAST(count(*) AS BIGINT),
-           CAST(sum(cnt) AS BIGINT),
-           CAST(max(cnt) AS BIGINT),
-           round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6),
-           round(quantile_cont(cnt, 0.5), 6),
-           round(quantile_cont(cnt, 0.99), 6),
-           round(max(cnt) / quantile_cont(cnt, 0.5), 6)
-    FROM sk
+           CAST(MAX(n) AS BIGINT),
+           CAST(SUM(cnt * nk) AS BIGINT),
+           CAST(MAX(cnt) AS BIGINT),
+           round(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt * nk), 6),
+           round(CAST(MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN cnt END)
+                      AS DOUBLE), 6),
+           round(CAST(MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN cnt END)
+                      AS DOUBLE), 6),
+           round(MAX(cnt) * 1.0
+                 / MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN cnt END), 6)
+    FROM skc
     """,
 )
 def q_skew_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -719,30 +739,61 @@ def q_skew_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     the signature of the mega-key that turns one shuffle partition into
     the job's critical path.
 
-    One groupBy per key column (the contraction), then a single-row
-    combine per key — exact percentiles run on the KEY grain (n_keys
-    rows), not the fact table, so the sort cost is bounded by key
-    cardinality; sampling replaces the contraction at extreme key
-    counts without changing the report schema."""
+    One groupBy per key column (the contraction), then percentiles
+    from a HISTOGRAM CDF over the distinct per-key counts (the
+    q_watermark_plan form, round-5 verdict item 5): bin = the integer
+    count itself, order-statistic pick = smallest count whose
+    cumulative key tally reaches ⌈p·n⌉. The first formulation ran
+    Spark's exact `percentile` on the key grain — bounded relative to
+    the fact table, but the key DOMAIN still grows with data, so the
+    per-group value buffer was the policy's weakest member. Here no
+    aggregate ever buffers values: state is bounded by the number of
+    DISTINCT per-key counts (≪ n_keys — multiplicities collapse), and
+    the windows order those count bins, never keys. Integer compares
+    only, so both engines agree exactly with no interpolation
+    semantics. [histogram-cdf-percentile]"""
+    from pyspark.sql import Window
+
     li = table(spark, sf_dir, "lineitem")
 
     def stats(col: str) -> DataFrame:
         per_key = li.groupBy(F.col(col).alias("k")).agg(
             F.count(F.lit(1)).alias("cnt")
         )
-        return per_key.agg(
+        hist = per_key.groupBy("cnt").agg(F.count(F.lit(1)).alias("nk"))
+        # bounded bin grain: distinct count-per-key values, not keys
+        wb = Window.orderBy("cnt").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wt = Window.partitionBy()
+        cdf = hist.select(
+            "cnt",
+            "nk",
+            F.sum("nk").over(wb).alias("cum"),
+            F.sum("nk").over(wt).alias("n"),
+        )
+
+        def pick(p: float):
+            return F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(p) * F.col("n")),
+                    F.col("cnt"),
+                )
+            )
+
+        return cdf.agg(
             F.lit(col).alias("join_key"),
-            F.count(F.lit(1)).alias("n_keys"),
-            F.sum("cnt").alias("n_rows"),
+            F.max("n").cast("long").alias("n_keys"),
+            F.sum(F.col("cnt") * F.col("nk")).alias("n_rows"),
             F.max("cnt").alias("max_rows_per_key"),
-            F.round(F.max("cnt").cast("double") / F.sum("cnt"), 6).alias(
-                "top_key_share"
-            ),
-            F.round(F.expr("percentile(cnt, 0.5)"), 6).alias("median_rows"),
-            F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("p99_rows"),
-            F.round(F.max("cnt") / F.expr("percentile(cnt, 0.5)"), 6).alias(
-                "skew_factor"
-            ),
+            F.round(
+                F.max("cnt").cast("double")
+                / F.sum(F.col("cnt") * F.col("nk")),
+                6,
+            ).alias("top_key_share"),
+            F.round(pick(0.5).cast("double"), 6).alias("median_rows"),
+            F.round(pick(0.99).cast("double"), 6).alias("p99_rows"),
+            F.round(F.max("cnt") * 1.0 / pick(0.5), 6).alias("skew_factor"),
         )
 
     return stats("l_partkey").unionByName(stats("l_suppkey"))

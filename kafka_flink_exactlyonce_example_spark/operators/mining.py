@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_flink_exactlyonce_example_spark.operators.scale import (
+    _PERSISTED,
     global_ntile,
     ordered_scan,
 )
@@ -137,6 +138,10 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
         .persist()
     )
+    # order-grain (data-scaled) persist → drainable list, same policy
+    # as q_rfm's customer-grain persist below (round-5 verdict: this
+    # third site was the one _PERSISTED registration missed).
+    _PERSISTED.append(baskets)
     n_orders = baskets.select(F.count(F.lit(1)).cast("double").alias("n"))
     brand_freq = baskets.select(F.explode("bs").alias("p_brand")).groupBy(
         "p_brand"
@@ -545,14 +550,23 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                  - lag(CAST(FLOOR(epoch(ts)) AS BIGINT))
                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
         FROM events
+    ), hist AS (
+        SELECT event_type, gap_s, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM gaps WHERE gap_s IS NOT NULL
+        GROUP BY event_type, gap_s
+    ), cdf AS (
+        SELECT event_type, gap_s, cnt,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY gap_s) AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM hist
     )
     SELECT event_type,
-           CAST(count(*) AS BIGINT) AS n_gaps,
-           round(avg(CAST(gap_s AS DOUBLE)), 6) AS avg_gap_s,
-           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_s), 6) AS p50_gap_s,
-           CAST(max(gap_s) AS BIGINT) AS max_gap_s
-    FROM gaps WHERE gap_s IS NOT NULL
-    GROUP BY event_type
+           CAST(MAX(n) AS BIGINT) AS n_gaps,
+           round(SUM(gap_s * cnt) * 1.0 / MAX(n), 6) AS avg_gap_s,
+           round(CAST(MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN gap_s END)
+                      AS DOUBLE), 6) AS p50_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+    FROM cdf GROUP BY event_type
     """,
 )
 def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,18 +578,43 @@ def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gaps are floor-epoch second differences (integer) so the ns-parquet
     vs µs-Spark timestamp precision mismatch cannot leak into values
     (FIXTURES.md precision note). One shuffle on user_id for the lag,
-    one on event_type for the rollup; the exact median uses the same
-    percentile_cont parity verified for q_median_mad."""
+    then the median comes from a SECONDS-GRAIN HISTOGRAM CDF (the
+    q_watermark_plan form, round-5 verdict item 5): count per (type,
+    gap) bin, pick the smallest gap whose cumulative count reaches
+    ⌈n/2⌉. The first formulation buffered every gap in an exact
+    `percentile` aggregate — per-type value counts grow with data;
+    here state is bounded by the gap RANGE in whole seconds, the
+    windows order bins, and the mean is the exact integer identity
+    Σ(gap·cnt)/n. [histogram-cdf-percentile]"""
     ev = table(spark, sf_dir, "events")
     sec = F.floor(F.col("ts").cast("double")).cast("long")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = ev.select(
         "event_type", (sec - F.lag(sec).over(w)).alias("gap_s")
     ).filter(F.col("gap_s").isNotNull())
-    return gaps.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_gaps"),
-        F.round(F.avg(F.col("gap_s").cast("double")), 6).alias("avg_gap_s"),
-        F.round(F.expr("percentile(gap_s, 0.5)"), 6).alias("p50_gap_s"),
+    hist = gaps.groupBy("event_type", "gap_s").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wb = Window.partitionBy("event_type").orderBy("gap_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("event_type")
+    cdf = hist.select(
+        "event_type",
+        "gap_s",
+        "cnt",
+        F.sum("cnt").over(wb).alias("cum"),
+        F.sum("cnt").over(wt).alias("n"),
+    )
+    p50 = F.min(
+        F.when(F.col("cum") >= F.ceil(0.5 * F.col("n")), F.col("gap_s"))
+    )
+    return cdf.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        F.round(
+            F.sum(F.col("gap_s") * F.col("cnt")) * 1.0 / F.max("n"), 6
+        ).alias("avg_gap_s"),
+        F.round(p50.cast("double"), 6).alias("p50_gap_s"),
         F.max("gap_s").alias("max_gap_s"),
     )
 
@@ -2371,13 +2410,23 @@ def q_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM firsts
         WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
           AND first_buy >= first_view
+    ), hist AS (
+        SELECT lag_s, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lags GROUP BY lag_s
+    ), cdf AS (
+        SELECT lag_s, cnt,
+               SUM(cnt) OVER (ORDER BY lag_s) AS cum,
+               SUM(cnt) OVER () AS n
+        FROM hist
     )
-    SELECT CAST(count(*) AS BIGINT) AS n_converted,
-           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY lag_s), 6) AS p50_s,
-           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY lag_s), 6) AS p90_s,
-           round(avg(CAST(lag_s AS DOUBLE)), 6) AS avg_s,
-           CAST(max(lag_s) AS BIGINT) AS max_s
-    FROM lags
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+           round(CAST(MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN lag_s END)
+                      AS DOUBLE), 6) AS p50_s,
+           round(CAST(MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN lag_s END)
+                      AS DOUBLE), 6) AS p90_s,
+           round(SUM(lag_s * cnt) * 1.0 / MAX(n), 6) AS avg_s,
+           CAST(MAX(lag_s) AS BIGINT) AS max_s
+    FROM cdf
     """,
 )
 def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2389,9 +2438,13 @@ def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both firsts come from ONE conditional-min aggregation pass (min
     over a CASE), not two filtered scans joined back — per-user state
     is two longs, associative, so the plan is a single shuffle and a
-    tree-reduce; the percentile runs on the converter grain. The same
-    whole-second epoch discipline as q_interarrival keeps ns parquet
-    precision out of the values."""
+    tree-reduce. Percentiles come from a SECONDS-GRAIN HISTOGRAM CDF
+    (the q_watermark_plan form — converter grain grows with data, so
+    the old exact `percentile` buffered an unbounded value list):
+    state is bounded by the lag RANGE in whole seconds and the window
+    orders bins, never converters. The same whole-second epoch
+    discipline as q_interarrival keeps ns parquet precision out of
+    the values. [histogram-cdf-percentile]"""
     ev = table(spark, sf_dir, "events")
     sec = F.floor(F.col("ts").cast("double")).cast("long")
     firsts = ev.groupBy("user_id").agg(
@@ -2403,11 +2456,31 @@ def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("first_buy").isNotNull()
         & (F.col("first_buy") >= F.col("first_view"))
     ).select((F.col("first_buy") - F.col("first_view")).alias("lag_s"))
-    return lags.agg(
-        F.count(F.lit(1)).alias("n_converted"),
-        F.round(F.expr("percentile(lag_s, 0.5)"), 6).alias("p50_s"),
-        F.round(F.expr("percentile(lag_s, 0.9)"), 6).alias("p90_s"),
-        F.round(F.avg(F.col("lag_s").cast("double")), 6).alias("avg_s"),
+    hist = lags.groupBy("lag_s").agg(F.count(F.lit(1)).alias("cnt"))
+    # bounded bin grain: distinct whole-second lags, not converters
+    wb = Window.orderBy("lag_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = hist.select(
+        "lag_s",
+        "cnt",
+        F.sum("cnt").over(wb).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+
+    def pick(p: float):
+        return F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n")),
+                   F.col("lag_s"))
+        )
+
+    return cdf.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.round(pick(0.5).cast("double"), 6).alias("p50_s"),
+        F.round(pick(0.9).cast("double"), 6).alias("p90_s"),
+        F.round(
+            F.sum(F.col("lag_s") * F.col("cnt")) * 1.0 / F.max("n"), 6
+        ).alias("avg_s"),
         F.max("lag_s").alias("max_s"),
     )
 

@@ -2789,6 +2789,8 @@ _TOPK_OVERLAP = 20  # per-lang top-k wordlist size for the overlap matrix
                                       ORDER BY COUNT(*) DESC, word) AS rk
             FROM words GROUP BY lang, word
         ) WHERE rk <= {_TOPK_OVERLAP}
+    ), sizes AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS sz FROM topk GROUP BY lang
     ), langs AS (SELECT DISTINCT lang FROM documents),
     grid AS (
         SELECT a.lang AS lang_a, b.lang AS lang_b
@@ -2803,9 +2805,12 @@ _TOPK_OVERLAP = 20  # per-lang top-k wordlist size for the overlap matrix
     SELECT g.lang_a, g.lang_b,
            COALESCE(c.n_common, 0) AS n_common,
            ROUND(COALESCE(c.n_common, 0) * 1.0 /
-                 ({2 * _TOPK_OVERLAP} - COALESCE(c.n_common, 0)), 6)
+                 (sa.sz + sb.sz - COALESCE(c.n_common, 0)), 6)
                AS jaccard
-    FROM grid g LEFT JOIN common c
+    FROM grid g
+    JOIN sizes sa ON sa.lang = g.lang_a
+    JOIN sizes sb ON sb.lang = g.lang_b
+    LEFT JOIN common c
       ON c.lang_a = g.lang_a AND c.lang_b = g.lang_b
     """,
 )
@@ -2822,8 +2827,10 @@ def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the relation is |langs|·K rows, BOUNDED, and the pairwise
     intersection join + dense lang×lang grid (left join so
     zero-overlap pairs still report 0) run on that bounded relation
-    only. Jaccard = |∩| / (2K − |∩|) since both lists have exactly K
-    members."""
+    only. Jaccard = |∩| / (|A| + |B| − |∩|) with the ACTUAL per-lang
+    top-list sizes carried through the join (round-5 advice: the old
+    2K − |∩| denominator silently understated Jaccard for a language
+    whose whole vocabulary is smaller than K)."""
     from pyspark.sql import Window
 
     d = table(spark, sf_dir, "documents")
@@ -2848,20 +2855,33 @@ def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ta = topk.select(F.col("lang").alias("lang_a"), "word")
     tb = topk.select(F.col("lang").alias("lang_b"), "word")
+    sizes = topk.groupBy("lang").agg(F.count(F.lit(1)).alias("sz"))
     common = (
         ta.join(tb, (ta.word == tb.word) & (F.col("lang_a") < F.col("lang_b")))
         .groupBy("lang_a", "lang_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return grid.join(common, ["lang_a", "lang_b"], "left").select(
-        "lang_a",
-        "lang_b",
-        F.coalesce("n_common", F.lit(0)).alias("n_common"),
-        F.round(
-            F.coalesce("n_common", F.lit(0))
-            / (F.lit(2 * _TOPK_OVERLAP) - F.coalesce("n_common", F.lit(0))),
-            6,
-        ).alias("jaccard"),
+    nc = F.coalesce("n_common", F.lit(0))
+    return (
+        grid.join(
+            F.broadcast(sizes.select(F.col("lang").alias("lang_a"),
+                                     F.col("sz").alias("sz_a"))),
+            "lang_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("lang").alias("lang_b"),
+                                     F.col("sz").alias("sz_b"))),
+            "lang_b",
+        )
+        .join(common, ["lang_a", "lang_b"], "left")
+        .select(
+            "lang_a",
+            "lang_b",
+            nc.alias("n_common"),
+            F.round(
+                nc / (F.col("sz_a") + F.col("sz_b") - nc), 6
+            ).alias("jaccard"),
+        )
     )
 
 
@@ -3033,6 +3053,7 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / len(list_filter(string_split(text, ' '),
                                      w -> w <> '')) AS score
         FROM documents
+        WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
     ), binned AS (
         SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin, score, y
         FROM scored
@@ -3063,7 +3084,10 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(
         F.filter(F.split("text", " "), lambda w: w.isin(*_STOPWORDS))
     )
-    scored = d.select(
+    # empty/whitespace-only docs have no score: filter them on BOTH
+    # engines (round-5 advice: unguarded, Spark yields NULL but DuckDB
+    # yields NaN = 0.0/0.0, which bins differently and breaks parity).
+    scored = d.filter(F.size(arr) > 0).select(
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
         (n_stop * 1.0 / F.size(arr)).alias("score"),
     )
@@ -3241,8 +3265,9 @@ _QN_BIN = 50  # histogram bin width (chars) for the CDF relations
     )
     SELECT s.source,
            ROUND(MAX(ABS(s.f_s - c.f_c)), 6) AS ks_stat,
-           CAST(arg_max(s.b, ROUND(ABS(s.f_s - c.f_c), 6) * 1000000 - s.b)
-                AS BIGINT) AS ks_bin
+           CAST(arg_max(s.b,
+                CAST(ROUND(ABS(s.f_s - c.f_c) * 1000000, 0) AS BIGINT)
+                    * 1000000000 - s.b) AS BIGINT) AS ks_bin
     FROM src_cdf s JOIN corpus_cdf c ON c.b = s.b
     GROUP BY s.source
     """,
@@ -3259,8 +3284,13 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bin = chars div 50, bounded by max document length); every CDF,
     dense grid, and sup-norm after that lives on bounded relations —
     the windows here order BINS (dozens of rows), never documents.
-    argmax tie-break folds the bin into the rounded gap so both
-    engines pick the same peak."""
+    argmax tie-break is LEXICOGRAPHIC (max gap, then smallest bin):
+    Spark max_by on struct(gap, -b); DuckDB (whose arg_max rejects a
+    struct criterion) folds the gap into exact integer MICRO-UNITS —
+    round(gap·1e6)·1e9 − b, collision-free because b ≪ 1e9 — which
+    orders identically. The round-5 advice: the old scalar gap·1e6 − b
+    in DOUBLE collided once two bins' rounded gaps differed by exactly
+    (b2−b1)·1e-6, making the pick engine-dependent."""
     from pyspark.sql import Window
 
     d = table(spark, sf_dir, "documents")
@@ -3303,9 +3333,9 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(F.abs(F.col("f_s") - F.col("f_c"))), 6).alias(
                 "ks_stat"
             ),
-            F.max_by("b", gap * 1000000 - F.col("b")).cast("long").alias(
-                "ks_bin"
-            ),
+            F.max_by(
+                "b", F.struct(gap.alias("g"), (-F.col("b")).alias("nb"))
+            ).cast("long").alias("ks_bin"),
         )
     )
 
@@ -3541,6 +3571,7 @@ def q_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / len(list_filter(string_split(text, ' '),
                                      w -> w <> ''))) AS BIGINT) AS sbin
         FROM documents
+        WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
     ), bins AS (
         SELECT sbin,
                CAST(SUM(y) AS BIGINT) AS n_pos,
@@ -3581,7 +3612,10 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(
         F.filter(F.split("text", " "), lambda w: w.isin(*_STOPWORDS))
     )
-    scored = d.select(
+    # empty/whitespace-only docs have no score: filter them on BOTH
+    # engines (round-5 advice: unguarded, Spark yields NULL but DuckDB
+    # yields NaN = 0.0/0.0, which bins differently and breaks parity).
+    scored = d.filter(F.size(arr) > 0).select(
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
         F.floor(n_stop * 1000.0 / F.size(arr)).cast("long").alias("sbin"),
     )

@@ -35,7 +35,9 @@ same data → idempotent MERGE converges to exactly-once.
 
 from __future__ import annotations
 
+import contextlib
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -219,6 +221,29 @@ class ContinuousAggregateSink:
         fd, tmp = tempfile.mkstemp(dir=self.commits_dir, prefix=".tmp")
         os.close(fd)
         os.rename(tmp, self._marker(batch_id))
+        self._gc(batch_id)
+
+    def _gc(self, batch_id: int) -> None:
+        """Retention: drop snapshots (and their markers) older than the
+        previous committed one. Keeping N and N−1 covers torn-write
+        recovery — snapshot N is a pure function of (N−1, batch N), so
+        anything older is dead weight; without this a long-running
+        stream grows storage as O(batches × table size) and
+        ``committed_batches``'s listdir cost grows unboundedly
+        (round-5 advice). Markers for dropped snapshots are removed
+        too: ``is_committed`` replay-skips only batches whose replay
+        Spark can actually attempt, i.e. recent ones — the checkpoint
+        never re-offers a batch two generations back."""
+        keep = {b for b in self.committed_batches() if b >= batch_id} | {
+            max((b for b in self.committed_batches() if b < batch_id),
+                default=batch_id)
+        }
+        for b in self.committed_batches():
+            if b in keep:
+                continue
+            shutil.rmtree(self._snap_path(b), ignore_errors=True)
+            with contextlib.suppress(OSError):
+                os.remove(self._marker(b))
 
     def read_current(self, spark: SparkSession) -> DataFrame:
         committed = self.committed_batches()
