@@ -50,113 +50,113 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # STRICTLY BEFORE this one — the round-4 guard globbed ALL r0*.json and
 # flagged its own success once the driver landed CORRECTNESS_r04.json
 # (VERDICT r04 item 1).
-_ROTATION_ROUND = 5
+_ROTATION_ROUND = 6
 
-# Round-5 window policy (same data-driven machinery as round 4, VERDICT
-# r03 item 1 / r04 item 2): the rotation list is derived FROM DATA —
-# ``set(union of CORRECTNESS_r01..r04 keys)`` — never from memory. The
-# window holds (a) one keep per SURVEY §2 family whose members are all
-# already driver-graded (keeps VARY across rounds so repeated grading
+# Round-6 window policy — the VERDICT r05 item-1 "mechanical pop": the
+# rotation list is derived FROM DATA (``set(all keys) − union of
+# CORRECTNESS_r01..r05 keys``), never from memory. The window holds
+# (a) one keep per SURVEY §2 family not already covered by this
+# round's backlog pops (keeps VARY across rounds so repeated grading
 # re-covers different members), (b) every key whose IMPLEMENTATION
-# changes this round (the bigram-LM family's model-table joins lose
-# their static broadcast hints — VERDICT r04 items 3/5 — so the new
-# plans earn fresh driver rows), and (c) 36 keys that have NEVER had a
-# driver row in any round — the 25 keys VERDICT r04 item 2 names (the
-# post-freeze round-4 ops + the seven deferred analytics keys) plus 11
-# more from the never-graded text/datamgmt/analytics surface.
-_ROTATED_IN_R5: tuple[str, ...] = (
-    # VERDICT r04 item 2's named 25: post-freeze round-4 ops …
-    "q_incremental_dedup",
-    "q_rank_fusion",
-    "q_dup_threshold_sweep",
-    "q_curriculum",
-    "q_winnow_fingerprint",
-    "q_minhash_calibration",
-    "q_dataset_card",
-    "q_cms_topk",
-    "q_class_balance",
-    "q_triangle_count",
-    "q_shard_dup_locality",
-    "q_hard_negatives",
-    "q_kn_ppl",
-    "q_phash_dedup",
-    "q_simhash_hamming",
-    "q_tokenizer_fertility",
-    "q_stopword_discovery",
-    "q_salted_join",
-    # … + the seven round-4-deferred analytics keys
-    "q_cooccurrence",
-    "q_edit_distance",
-    "q_percentile",
-    "q_histogram",
-    "q_funnel",
-    "q_retention",
-    "q_scd2",
-    # 11 more never-graded keys: text/corpus …
-    "q_keyphrase",  # also impl-changed this round (wt hint dropped)
-    "q_zipf",
-    "q_bpe_pairs",
-    "q_word_position",
-    # … data management …
-    "q_char_ngram",
-    "q_inverted_index",
-    "q_forward_fill",
-    "q_embed_quantize",
-    # … analytics/BI
-    "q_pivot",
-    "q_markov",
-    "q_heaps",
-)
-
-_PRIORITY: tuple[str, ...] = (
-    # reference core (§2.1) — flagship identity, kept
-    "q_wordcount",
-    # family keeps (different members than round 4's keeps, for span):
-    "q_case_expr",  # §2.2
-    "q_agg_distinct",  # §2.4
-    "q_topk_per_group",  # §2.5
-    "q_sort_limit",  # §2.6 only member
-    "q_intersect",  # §2.7
-    "q_json_extract",  # §2.8
-    "q_tumbling_window",  # §2.9
-    "q_pipeline_curate",  # §2.10 end-to-end
-    "q_udf_smoke",  # §2.11 (rows-only by contract)
-    # impl changes THIS round — model-table joins now scale-safe
-    # (static broadcast hints dropped; AQE picks the strategy at
-    # runtime): re-earn driver rows with the new plans.
-    "q_bigram_ppl",
-    "q_ppl_bucket",  # rides the cached _bigram_ce relation
-    "q_tfidf",
-    "q_unigram_ce",
-    # 36 never-driver-graded keys (q_keyphrase in the list is ALSO
-    # impl-changed this round)
-    *_ROTATED_IN_R5,
-)
-
-# The ordered round-6+ backlog: every registered key that has NO driver
-# row in CORRECTNESS_r01..r04 AND is not in this round's window. Future
-# rounds pop from the front (VERDICT r04 item 7: each rotation becomes
-# a mechanical pop). tests/test_registry_order.py asserts this tuple
-# plus _ROTATED_IN_R5 exactly partitions the never-graded set.
-#
-# ROUND-6 RECIPE (for the next builder): bump _ROTATION_ROUND to 6,
-# rebuild the first-ever set as set(all keys) − union(CORRECTNESS_r01..
-# r05), keep ~10 family-span reps (rotate to members not kept in r5),
-# include any key whose implementation changes in round 6, and fill
-# the remaining ~36 slots by popping this tuple from the front — the
-# round-5 additions at its tail (q_window_join … q_pq_adc) are
-# first-ever by construction and should ride within the first two
-# pops. After round 6, ~40 keys remain; round 7 closes the set.
-_ROTATION_BACKLOG: tuple[str, ...] = (
-    # analytics/BI
+# changed this round (the round-5 ADVICE fixes + the histogram-CDF
+# percentile conversions + the semdedup/basket_pairs caching changes —
+# the new plans earn fresh driver rows), and (c) 37 keys popped from
+# ``_ROTATION_BACKLOG`` that have NEVER had a driver row: the whole
+# families VERDICT r05 named (Flink/Timescale parity, the PQ trio,
+# drift/eval, scalable stats, retrieval, cross-language dedup) plus
+# the front of the analytics backlog.
+_ROTATED_IN_R6: tuple[str, ...] = (
+    # impl-changed THIS round AND first-ever (ADVICE fixes +
+    # histogram-CDF percentile conversions + persist registration)
+    "q_basket_pairs",
+    "q_interarrival",
+    "q_conversion_lag",
+    "q_vocab_overlap",
+    "q_ks_test",
+    "q_calibration_bins",
+    "q_auc",
+    # Flink/Timescale parity set (VERDICT r05 item 1)
+    "q_window_join",
+    "q_multires_rollup",
+    "q_cdc_merge",
+    "q_interpolate",
+    "q_watermark_plan",
+    # PQ compression trio
+    "q_pq_codebook",
+    "q_pq_adc",
+    "q_code_entropy",
+    # drift/eval set
+    "q_quantile_normalize",
+    "q_psi_drift",
+    "q_linreg_multi",
+    "q_lang_id_confusion",
+    # scalable-stats set
+    "q_poisson_bootstrap",
+    "q_jackknife_source",
+    "q_hll_merge",
+    "q_tail_index",
+    # retrieval-eval set
+    "q_maxsim_retrieval",
+    "q_matryoshka_eval",
+    "q_diversity_topk",
+    # cross-language / bag-of-words dedup
+    "q_cross_lang_dup",
+    "q_bag_dup",
+    # analytics backlog (VERDICT r05 named four + the backlog front)
+    "q_rfm",
+    "q_pareto",
+    "q_skyline",
+    "q_cohort_ltv",
     "q_minmax_by",
     "q_string_agg",
     "q_null_handling",
     "q_regex_clean",
     "q_sample",
+)
+
+_PRIORITY: tuple[str, ...] = (
+    # reference core (§2.1) — flagship identity, kept
+    "q_wordcount",
+    # family keeps (different members than round 5's keeps, for span;
+    # §2.9 streaming, §2.10 dedup/ANN/text, §2.3-adjacent mining are
+    # covered by the backlog pops below):
+    "q_filter_pred",  # §2.2
+    "q_join_broadcast",  # §2.3
+    "q_stats",  # §2.4
+    "q_win_lag_lead",  # §2.5
+    "q_sort_limit",  # §2.6 only member
+    "q_except",  # §2.7
+    "q_date_funcs",  # §2.8
+    "q_frame_sample",  # §2.10 multimodal (rows-only by contract)
+    "q_pipeline_curate",  # §2.10 end-to-end
+    "q_udtf_smoke",  # §2.11 (rows-only by contract)
+    # impl changes THIS round, previously graded — re-earn driver rows
+    # with the new plans: q_semdedup's shared scored relation moved to
+    # a session cache (VERDICT r05 item 4), q_skew_diag's percentiles
+    # moved to the histogram-CDF form (item 5).
+    "q_semdedup",
+    "q_skew_diag",
+    # 37 never-driver-graded keys popped from _ROTATION_BACKLOG
+    *_ROTATED_IN_R6,
+)
+
+# The ordered round-7+ backlog: every registered key that has NO driver
+# row in CORRECTNESS_r01..r05 AND is not in this round's window. Future
+# rounds pop from the front (VERDICT r04 item 7: each rotation becomes
+# a mechanical pop). tests/test_registry_order.py asserts this tuple
+# plus _ROTATED_IN_R6 exactly partitions the never-graded set.
+#
+# ROUND-7 RECIPE (for the next builder): bump _ROTATION_ROUND to 7,
+# rebuild the first-ever set as set(all keys) − union(CORRECTNESS_r01..
+# r06), keep ~10 family-span reps (rotate to members not kept in r6),
+# include any key whose implementation changes in round 7, and fill
+# the remaining slots by popping this tuple from the front. 51 keys
+# remain after the round-6 pop — rounds 7 and 8 close the set at
+# ~37/round as long as new-operator additions stay capped.
+_ROTATION_BACKLOG: tuple[str, ...] = (
+    # analytics/BI
     "q_approx_quantile",
     "q_ab_test",
-    "q_pareto",
     "q_median_mad",
     "q_yoy",
     "q_running_distinct",
@@ -166,15 +166,11 @@ _ROTATION_BACKLOG: tuple[str, ...] = (
     "q_zorder",
     "q_table_checksum",
     # mining / BI-stats
-    "q_skyline",
-    "q_basket_pairs",
-    "q_rfm",
     "q_weighted_median",
     "q_mode",
     "q_ewma",
     "q_changepoint",
     "q_attribution",
-    "q_interarrival",
     "q_survival",
     "q_autocorr",
     "q_seasonality",
@@ -185,7 +181,6 @@ _ROTATION_BACKLOG: tuple[str, ...] = (
     "q_rolling_slope",
     "q_twap",
     "q_concurrency",
-    "q_cohort_ltv",
     "q_benford",
     "q_chi2_indep",
     "q_growth_accounting",
@@ -201,46 +196,19 @@ _ROTATION_BACKLOG: tuple[str, ...] = (
     "q_session_stats",
     "q_hour_heatmap",
     "q_coverage_gaps",
-    "q_conversion_lag",
     "q_mutual_info",
     "q_drawdown",
     "q_whale_curve",
-    # NEW in round 5 (built after the window froze — first-ever by
-    # construction; round 6 pops them with the rest)
-    "q_window_join",
-    "q_multires_rollup",
-    "q_cdc_merge",
+    # round-5 additions not yet popped
     "q_kanon",
     "q_byte_fallback",
     "q_oov_rate",
-    "q_vocab_overlap",
-    "q_psi_drift",
     "q_embed_norm_qc",
-    "q_watermark_plan",
-    "q_lang_id_confusion",
-    "q_calibration_bins",
     "q_compaction_plan",
-    "q_poisson_bootstrap",
-    "q_jackknife_source",
-    "q_hll_merge",
-    "q_maxsim_retrieval",
-    "q_matryoshka_eval",
-    "q_diversity_topk",
     "q_post_strat",
     "q_context_budget",
     "q_snapshot_diff",
-    "q_ks_test",
-    "q_quantile_normalize",
-    "q_interpolate",
-    "q_cross_lang_dup",
-    "q_bag_dup",
     "q_residual_quality",
-    "q_pq_codebook",
-    "q_pq_adc",
-    "q_code_entropy",
-    "q_tail_index",
-    "q_auc",
-    "q_linreg_multi",
 )
 
 

@@ -72,43 +72,45 @@ def test_first50_spans_every_family(registry_loaded):
 
 
 def test_rotated_keys_are_first_ever(registry_loaded):
-    """Every _ROTATED_IN_R5 key is absent from ALL CORRECTNESS files of
-    rounds before _ROTATION_ROUND (>= 30 required by VERDICT r04 item
-    2's done criterion; we field 36). Reading the driver's artifacts —
+    """Every _ROTATED_IN_R6 key is absent from ALL CORRECTNESS files of
+    rounds before _ROTATION_ROUND (>= 35 required by VERDICT r05 item
+    1's done criterion; we field 37). Reading the driver's artifacts —
     scoped to prior rounds only — keeps a memory-built rotation list
     impossible without flagging the guard's own success."""
     prior = _graded_keys_before(registry_loaded._ROTATION_ROUND)
-    rotated = set(registry_loaded._ROTATED_IN_R5)
-    assert len(rotated) >= 30
+    rotated = set(registry_loaded._ROTATED_IN_R6)
+    assert len(rotated) >= 35
     regraded = rotated & prior
     assert not regraded, f"rotation keys already driver-graded: {sorted(regraded)}"
     assert rotated <= set(_first50(registry_loaded))
 
 
 def test_changed_impls_stay_in_window(registry_loaded):
-    """Keys whose plans change in round 5 (bigram-LM model joins lose
-    their static broadcast hints, VERDICT r04 items 3/5) must be graded
-    with the new implementation, not coast on a stale green row."""
+    """Keys whose plans change in round 6 (the round-5 ADVICE fixes,
+    the histogram-CDF percentile conversions, the semdedup session
+    cache, the basket_pairs persist registration) must be graded with
+    the new implementation, not coast on a stale green row."""
     changed = {
-        "q_bigram_ppl",
-        "q_ppl_bucket",
-        "q_tfidf",
-        "q_unigram_ce",
-        "q_kn_ppl",
-        "q_keyphrase",
-        "q_cooccurrence",
-        "q_stopword_discovery",
+        "q_ks_test",
+        "q_vocab_overlap",
+        "q_calibration_bins",
+        "q_auc",
+        "q_skew_diag",
+        "q_interarrival",
+        "q_conversion_lag",
+        "q_semdedup",
+        "q_basket_pairs",
     }
     assert changed <= set(_first50(registry_loaded))
 
 
 def test_backlog_partitions_never_graded_set(registry_loaded):
-    """_ROTATION_BACKLOG ∪ _ROTATED_IN_R5 == the never-driver-graded
+    """_ROTATION_BACKLOG ∪ _ROTATED_IN_R6 == the never-driver-graded
     keys (computed from the prior rounds' artifacts), with no overlap
-    and no duplicates — so round 6's window is a mechanical pop."""
+    and no duplicates — so round 7's window is a mechanical pop."""
     prior = _graded_keys_before(registry_loaded._ROTATION_ROUND)
     never = {k for k in registry_loaded.QUERIES if k not in prior}
-    rotated = set(registry_loaded._ROTATED_IN_R5)
+    rotated = set(registry_loaded._ROTATED_IN_R6)
     backlog = list(registry_loaded._ROTATION_BACKLOG)
     assert len(backlog) == len(set(backlog))
     assert not (set(backlog) & rotated), "backlog overlaps this round's window"
