@@ -56,8 +56,16 @@ def main() -> None:
         # cross-query reuse is their whole point.
         scale.unpersist_all()
 
-    full = Path(__file__).resolve().parent / "BENCH_FULL.json"
-    full.write_text(json.dumps({"sf": sf, "queries": times}, indent=1))
+    payload = json.dumps({"sf": sf, "queries": times}, indent=1)
+    here = Path(__file__).resolve().parent
+    (here / "BENCH_FULL.json").write_text(payload)
+    # per-round copy (round-5 verdict item 8): BENCH_FULL.json gets
+    # overwritten each run, which makes per-query regressions beyond
+    # the top-10 invisible to the next audit — keep one map per
+    # declared rotation round so consecutive rounds stay comparable.
+    (here / f"BENCH_FULL_r{registry._ROTATION_ROUND:02d}.json").write_text(
+        payload
+    )
 
     slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
     print(
