@@ -252,6 +252,62 @@ class ContinuousAggregateSink:
         return spark.read.parquet(self._snap_path(committed[-1]))
 
 
+class CdcUpsertSink(ContinuousAggregateSink):
+    """CDC apply — the STREAMING twin of q_cdc_merge (operators/
+    datamgmt.py): a change feed upserts into a materialized snapshot
+    by latest-wins-per-key, exactly the Flink "dynamic table → upsert
+    sink" shape (Flink SQL's upsert-kafka / `INSERT INTO` a table
+    with PRIMARY KEY ... NOT ENFORCED).
+
+    Unlike the aggregate sink's replace-by-key (update-mode aggregate
+    rows always supersede), CDC changes carry an explicit VERSION and
+    a batch may hold several changes for one key, possibly out of
+    order — so the merge is version-aware: snapshot N = one keyed
+    ``row_number`` window over (snapshot N−1 ∪ batch N) ordered by
+    the version columns DESC, keep rn = 1. That is q_cdc_merge's
+    batch window applied incrementally — refresh cost ∝ snapshot +
+    batch, never the full change history. ``version_cols`` must be a
+    per-key total order (e.g. a change sequence number) so the merge
+    is deterministic and batch replay rebuilds a byte-identical
+    snapshot; inherits the two-phase marker protocol + snapshot GC,
+    so a crash mid-commit or a replayed batch cannot tear or double-
+    apply (proven in tests/test_streaming.py). On Delta/Iceberg this
+    collapses into ``MERGE INTO ... WHEN MATCHED AND s.version >
+    t.version THEN UPDATE`` (README table)."""
+
+    def __init__(
+        self, out_dir: str, key_cols: list[str], version_cols: list[str]
+    ) -> None:
+        super().__init__(out_dir, key_cols)
+        self.version_cols = list(version_cols)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        prior = [b for b in self.committed_batches() if b < batch_id]
+        merged = batch_df
+        if prior:
+            prev = spark.read.parquet(self._snap_path(prior[-1]))
+            merged = prev.unionByName(batch_df)
+        w = Window.partitionBy(*self.key_cols).orderBy(
+            *[F.col(v).desc() for v in self.version_cols]
+        )
+        latest = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        latest.write.mode("overwrite").parquet(self._snap_path(batch_id))
+        fd, tmp = tempfile.mkstemp(dir=self.commits_dir, prefix=".tmp")
+        os.close(fd)
+        os.rename(tmp, self._marker(batch_id))
+        self._gc(batch_id)
+
+
 def derive_coarser(
     base: DataFrame, bucket_col: str, seconds: int
 ) -> DataFrame:

@@ -410,6 +410,31 @@ def keyed_running_count_tws(lines: DataFrame, value_col: str = "value") -> DataF
     )
 
 
+def cdc_apply(
+    changes: DataFrame,
+    sink,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Apply a CDC change feed to a materialized snapshot — the
+    streaming twin of q_cdc_merge (operators/datamgmt.py) and the last
+    Flink-parity runtime shape (dynamic table → upsert sink): each
+    micro-batch of change rows flows append-mode into a
+    :class:`~..streaming.exactly_once.CdcUpsertSink`, which
+    latest-wins-by-version merges them into a snapshot under the
+    two-phase marker protocol. Kill/restart resumes from the last
+    committed batch; a replayed batch rebuilds a byte-identical
+    snapshot (pure function of snapshot N−1 and batch N), so the
+    apply is exactly-once end to end. Read the current table with
+    ``sink.read_current(spark)``."""
+    return (
+        changes.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_exactly_once(
     result: DataFrame,
     sink: IdempotentBatchSink,

@@ -1157,3 +1157,108 @@ def test_continuous_aggregate_crash_mid_commit(spark, tmp_path):
     assert sink.is_committed(1)
     cur = {r["k"]: r["v"] for r in sink.read_current(spark).collect()}
     assert cur == {"a": 10, "b": 2, "c": 3}
+
+
+def test_cdc_apply_streaming(spark, tmp_path):
+    """CDC apply, streaming side (the q_cdc_merge twin — VERDICT r05
+    item 7): a change feed streams through cdc_apply into a
+    CdcUpsertSink. Contracts proven: (1) after both batches the
+    snapshot equals the batch latest-wins-by-version merge over the
+    WHOLE feed — including a key updated across batches AND a stale
+    (lower-version) change arriving in a later batch that must NOT
+    win; (2) replaying a committed batch is a no-op; (3) snapshot GC
+    keeps only the last two generations."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from kafka_flink_exactlyonce_example_spark.streaming import file_stream
+    from kafka_flink_exactlyonce_example_spark.streaming.exactly_once import (
+        CdcUpsertSink,
+    )
+    from kafka_flink_exactlyonce_example_spark.streaming.jobs import cdc_apply
+
+    inp = str(tmp_path / "in")
+    _os.makedirs(inp)
+    rows0 = [  # initial snapshot-ish feed; k=1 changed twice IN one batch
+        {"k": 1, "seq": 1, "status": "new", "amt": 10.0},
+        {"k": 1, "seq": 2, "status": "paid", "amt": 12.0},
+        {"k": 2, "seq": 3, "status": "new", "amt": 20.0},
+    ]
+    rows1 = [  # k=2 updated; k=3 inserted; k=1 STALE change (seq 0 < 2)
+        {"k": 2, "seq": 4, "status": "shipped", "amt": 21.0},
+        {"k": 3, "seq": 5, "status": "new", "amt": 30.0},
+        {"k": 1, "seq": 0, "status": "draft", "amt": 9.0},
+    ]
+    for i, rows in enumerate((rows0, rows1)):
+        with open(_os.path.join(inp, f"f{i}.json"), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+    now = _time.time()
+    for i in range(2):
+        _os.utime(_os.path.join(inp, f"f{i}.json"), (now + 10 * i,) * 2)
+
+    changes = file_stream(
+        spark,
+        inp,
+        "k long, seq long, status string, amt double",
+        fmt="json",
+        maxFilesPerTrigger="1",
+    )
+    sink = CdcUpsertSink(str(tmp_path / "cdc"), ["k"], ["seq"])
+    q = cdc_apply(changes, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    # (1) snapshot == latest-wins-by-version over the whole feed
+    cur = {
+        r["k"]: (r["seq"], r["status"], r["amt"])
+        for r in sink.read_current(spark).collect()
+    }
+    assert cur == {
+        1: (2, "paid", 12.0),  # stale seq-0 change did NOT win
+        2: (4, "shipped", 21.0),
+        3: (5, "new", 30.0),
+    }, f"unexpected snapshot: {cur}"
+
+    # (2) replaying the last committed batch is a no-op
+    last = sink.committed_batches()[-1]
+    before = sorted(map(tuple, sink.read_current(spark).collect()))
+    sink(sink.read_current(spark).limit(0), last)
+    assert sorted(map(tuple, sink.read_current(spark).collect())) == before
+
+    # (3) GC: at most the last two snapshot generations on disk
+    snaps = [d for d in _os.listdir(sink.snap_dir) if d.startswith("batch_id=")]
+    assert len(snaps) <= 2, f"snapshot GC failed: {snaps}"
+
+
+def test_cdc_upsert_crash_mid_commit(spark, tmp_path):
+    """Torn-snapshot recovery for the CDC sink: crash after the
+    snapshot write, before the marker rename → replay clobbers the
+    torn attempt and converges to the clean-run state, and a stale
+    lower-version row still loses after the replay."""
+    from kafka_flink_exactlyonce_example_spark.streaming.exactly_once import (
+        CdcUpsertSink,
+    )
+
+    sink = CdcUpsertSink(str(tmp_path / "cdc"), ["k"], ["seq"])
+    b0 = spark.createDataFrame(
+        [(1, 1, "new"), (2, 2, "new")], ["k", "seq", "status"]
+    )
+    sink(b0, 0)
+
+    b1 = spark.createDataFrame(
+        [(1, 3, "paid"), (2, 0, "stale")], ["k", "seq", "status"]
+    )
+    # simulate the crash: torn snapshot on disk, no marker
+    b1.limit(1).write.mode("overwrite").parquet(sink._snap_path(1))
+    assert not sink.is_committed(1)
+    cur = {r["k"]: r["status"] for r in sink.read_current(spark).collect()}
+    assert cur == {1: "new", 2: "new"}  # current table untouched
+
+    sink(b1, 1)  # replay: clobbers the torn snapshot, commits
+    assert sink.is_committed(1)
+    cur = {r["k"]: (r["seq"], r["status"])
+           for r in sink.read_current(spark).collect()}
+    assert cur == {1: (3, "paid"), 2: (2, "new")}  # stale seq-0 lost
