@@ -3740,3 +3740,190 @@ def q_linreg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         F.round((b1 * c1y + b2 * c2y) / cyy, 6).alias("r2"),
     )
+
+
+_KMV_K = 256  # bottom-k sketch size (per-source distinct-word sketch)
+
+
+@query(
+    "q_kmv_setops",
+    oracle=f"""
+    WITH words AS (
+        SELECT DISTINCT source,
+               CAST(CAST(concat('0x', substring(md5(word), 1, 8))
+                    AS UBIGINT) AS BIGINT) AS h
+        FROM (
+            SELECT source,
+                   unnest(list_filter(string_split(text, ' '),
+                                      w -> w <> '')) AS word
+            FROM documents
+        )
+    ), cnts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt FROM words
+        GROUP BY source
+    ), sk AS (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+        FROM words QUALIFY rk <= {_KMV_K}
+    ), per_src AS (
+        SELECT s.source,
+               CASE WHEN c.cnt <= {_KMV_K} THEN CAST(c.cnt AS DOUBLE)
+                    ELSE ({_KMV_K} - 1) * 4294967296.0
+                         / (MAX(CASE WHEN s.rk = {_KMV_K} THEN s.h END) + 1.0)
+               END AS est_n
+        FROM sk s JOIN cnts c ON c.source = s.source
+        GROUP BY s.source, c.cnt
+    ), grid AS (
+        SELECT a.source AS sa, b.source AS sb
+        FROM (SELECT DISTINCT source FROM documents) a
+        JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source
+    ), merged AS (
+        SELECT g.sa, g.sb, s.h
+        FROM grid g JOIN sk s ON s.source = g.sa
+        UNION
+        SELECT g.sa, g.sb, s.h
+        FROM grid g JOIN sk s ON s.source = g.sb
+    ), mrk AS (
+        SELECT sa, sb, h,
+               row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rk
+        FROM merged
+    ), msum AS (
+        SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS mu,
+               MAX(CASE WHEN rk <= {_KMV_K} THEN h END) AS tau
+        FROM mrk GROUP BY sa, sb
+    ), common AS (
+        SELECT g.sa, g.sb, x.h
+        FROM grid g
+        JOIN sk x ON x.source = g.sa
+        JOIN sk y ON y.source = g.sb AND y.h = x.h
+    ), rho AS (
+        SELECT m.sa, m.sb,
+               CAST(COUNT(c.h) FILTER (WHERE c.h <= m.tau) AS BIGINT) AS r
+        FROM msum m LEFT JOIN common c ON c.sa = m.sa AND c.sb = m.sb
+        GROUP BY m.sa, m.sb
+    )
+    SELECT m.sa AS source_a, m.sb AS source_b,
+           round(ea.est_n, 6) AS est_a,
+           round(eb.est_n, 6) AS est_b,
+           round(CASE WHEN m.mu < {_KMV_K} THEN CAST(m.mu AS DOUBLE)
+                      ELSE ({_KMV_K} - 1) * 4294967296.0 / (m.tau + 1.0)
+                 END, 6) AS est_union,
+           round(r.r * (CASE WHEN m.mu < {_KMV_K} THEN CAST(m.mu AS DOUBLE)
+                             ELSE ({_KMV_K} - 1) * 4294967296.0
+                                  / (m.tau + 1.0) END)
+                 / LEAST({_KMV_K}, m.mu), 6) AS est_inter,
+           round(r.r * 1.0 / LEAST({_KMV_K}, m.mu), 6) AS est_jaccard
+    FROM msum m
+    JOIN rho r ON r.sa = m.sa AND r.sb = m.sb
+    JOIN per_src ea ON ea.source = m.sa
+    JOIN per_src eb ON eb.source = m.sb
+    """,
+)
+def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta-sketch SET OPERATIONS over per-source vocabularies —
+    the sketch capability HLL cannot provide: HLL unions losslessly but
+    has no intersection, while a bottom-k (K minimum values) sketch
+    supports union AND intersection estimates from the same K-row
+    summary. Per source pair: estimated |A|, |B|, |A∪B| (the classic
+    (K−1)/u_(K) KMV estimator over the merged bottom-k), |A∩B|
+    (θ-sketch rule: ρ·|A∪B|/K where ρ counts sketch-intersection
+    members below the merge threshold τ), and the sketch Jaccard ρ/K.
+    This is how cross-shard / cross-source vocabulary overlap is
+    answered at 100 TB — q_vocab_overlap's exact top-K wordlists grade
+    semantics, this grades the MERGEABLE-SUMMARY path: each source's
+    sketch is K longs, unions/intersections never touch the corpus
+    again, and sketches from different shards merge associatively
+    (take K smallest of the concatenation).
+
+    Determinism: the "uniform" is the first 8 md5 hex chars of the
+    word (content-derived, no RNG) so both engines build bit-identical
+    sketches; small-domain sources fall back to exact counts (cnt ≤ K)
+    under the same CASE on both engines. Scale shape: one distinct
+    (source, hash) contraction, a per-source bottom-K rank filter
+    (WindowGroupLimit — map-side partial top-k, the full vocabulary
+    never sorts), then every estimate lives on |sources|²·K bounded
+    rows. [bounded-grain-percentile: the only windows here order
+    ≤K-row sketches]"""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            "source",
+            F.explode(
+                F.filter(F.split("text", " "), lambda w: w != "")
+            ).alias("word"),
+        )
+        .select(
+            "source",
+            F.conv(F.substring(F.md5(F.col("word").cast("binary")), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    cnts = words.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    rk = F.row_number().over(Window.partitionBy("source").orderBy("h"))
+    sk = words.withColumn("rk", rk).filter(F.col("rk") <= _KMV_K)
+    per_src = (
+        sk.join(cnts, "source")
+        .groupBy("source", "cnt")
+        .agg(F.max(F.when(F.col("rk") == _KMV_K, F.col("h"))).alias("hk"))
+        .select(
+            "source",
+            F.when(
+                F.col("cnt") <= _KMV_K, F.col("cnt").cast("double")
+            ).otherwise(
+                (_KMV_K - 1) * 4294967296.0 / (F.col("hk") + 1.0)
+            ).alias("est_n"),
+        )
+    )
+    srcs = d.select("source").distinct()
+    grid = srcs.select(F.col("source").alias("sa")).join(
+        srcs.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb")
+    )
+    ga = grid.join(sk.select(F.col("source").alias("sa"), "h"), "sa")
+    gb = grid.join(sk.select(F.col("source").alias("sb"), "h"), "sb")
+    merged = ga.select("sa", "sb", "h").union(gb.select("sa", "sb", "h")).distinct()
+    mrk = merged.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("sa", "sb").orderBy("h"))
+    )
+    msum = mrk.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).alias("mu"),
+        F.max(F.when(F.col("rk") <= _KMV_K, F.col("h"))).alias("tau"),
+    )
+    common = grid.join(
+        sk.select(F.col("source").alias("sa"), "h"), "sa"
+    ).join(sk.select(F.col("source").alias("sb"), "h"), ["sb", "h"])
+    rho = (
+        msum.join(common, ["sa", "sb"], "left")
+        .groupBy("sa", "sb", "mu", "tau")
+        .agg(
+            F.sum(
+                F.when(F.col("h") <= F.col("tau"), 1).otherwise(0)
+            ).cast("long").alias("r")
+        )
+    )
+    est_union = F.when(
+        F.col("mu") < _KMV_K, F.col("mu").cast("double")
+    ).otherwise((_KMV_K - 1) * 4294967296.0 / (F.col("tau") + 1.0))
+    ku = F.least(F.lit(_KMV_K).cast("long"), F.col("mu"))
+    return (
+        rho.join(
+            per_src.select(F.col("source").alias("sa"), F.col("est_n").alias("ea")),
+            "sa",
+        )
+        .join(
+            per_src.select(F.col("source").alias("sb"), F.col("est_n").alias("eb")),
+            "sb",
+        )
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.round(F.col("ea"), 6).alias("est_a"),
+            F.round(F.col("eb"), 6).alias("est_b"),
+            F.round(est_union, 6).alias("est_union"),
+            F.round(F.col("r") * est_union / ku, 6).alias("est_inter"),
+            F.round(F.col("r") * 1.0 / ku, 6).alias("est_jaccard"),
+        )
+    )

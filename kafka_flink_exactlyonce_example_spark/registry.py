@@ -209,6 +209,13 @@ _ROTATION_BACKLOG: tuple[str, ...] = (
     "q_context_budget",
     "q_snapshot_diff",
     "q_residual_quality",
+    # NEW in round 6 (capability-gap additions under the ≤10 cap:
+    # asymmetric containment dedup, dup-group-aware split leakage,
+    # KMV/theta sketch set ops — first-ever by construction; round 7
+    # pops them with the rest)
+    "q_minhash_containment",
+    "q_leakage_split",
+    "q_kmv_setops",
 )
 
 
