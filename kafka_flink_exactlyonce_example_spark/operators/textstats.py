@@ -3758,21 +3758,17 @@ _KMV_K = 256  # bottom-k sketch size (per-source distinct-word sketch)
                                       w -> w <> '')) AS word
             FROM documents
         )
-    ), cnts AS (
-        SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt FROM words
-        GROUP BY source
     ), sk AS (
         SELECT source, h,
                row_number() OVER (PARTITION BY source ORDER BY h) AS rk
         FROM words QUALIFY rk <= {_KMV_K}
     ), per_src AS (
-        SELECT s.source,
-               CASE WHEN c.cnt <= {_KMV_K} THEN CAST(c.cnt AS DOUBLE)
+        SELECT source,
+               CASE WHEN MAX(rk) < {_KMV_K} THEN CAST(MAX(rk) AS DOUBLE)
                     ELSE ({_KMV_K} - 1) * 4294967296.0
-                         / (MAX(CASE WHEN s.rk = {_KMV_K} THEN s.h END) + 1.0)
+                         / (MAX(CASE WHEN rk = {_KMV_K} THEN h END) + 1.0)
                END AS est_n
-        FROM sk s JOIN cnts c ON c.source = s.source
-        GROUP BY s.source, c.cnt
+        FROM sk GROUP BY source
     ), grid AS (
         SELECT a.source AS sa, b.source AS sb
         FROM (SELECT DISTINCT source FROM documents) a
@@ -3862,18 +3858,24 @@ def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    cnts = words.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
     rk = F.row_number().over(Window.partitionBy("source").orderBy("h"))
-    sk = words.withColumn("rk", rk).filter(F.col("rk") <= _KMV_K)
+    # the sketch IS the summary: |sources|·K bounded rows. Materialize
+    # it once (localCheckpoint — cheap at this grain) so its five
+    # consumers (per-source estimate, both merge sides, both
+    # intersection sides) don't each re-scan the corpus; a sketch of
+    # size < K holds the source's ENTIRE hash set, so the exact-count
+    # fallback reads max(rk) from the sketch — no separate distinct
+    # COUNT pass over the corpus.
+    sk = words.withColumn("rk", rk).filter(F.col("rk") <= _KMV_K).localCheckpoint()
     per_src = (
-        sk.join(cnts, "source")
-        .groupBy("source", "cnt")
-        .agg(F.max(F.when(F.col("rk") == _KMV_K, F.col("h"))).alias("hk"))
+        sk.groupBy("source")
+        .agg(
+            F.max("rk").alias("m"),
+            F.max(F.when(F.col("rk") == _KMV_K, F.col("h"))).alias("hk"),
+        )
         .select(
             "source",
-            F.when(
-                F.col("cnt") <= _KMV_K, F.col("cnt").cast("double")
-            ).otherwise(
+            F.when(F.col("m") < _KMV_K, F.col("m").cast("double")).otherwise(
                 (_KMV_K - 1) * 4294967296.0 / (F.col("hk") + 1.0)
             ).alias("est_n"),
         )
