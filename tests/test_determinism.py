@@ -113,6 +113,14 @@ ORDER_SENSITIVE = [
     "q_pq_codebook",  # md5 seeds + rounded-centroid re-assignment
     "q_pq_adc",  # ADC vs exact rank windows on rounded distances
     "q_tail_index",  # top-(k+1) order statistics with doc_id tie-break
+    # round 6: bottom-K sketch thresholds (kmv), candidate-set
+    # containment ratios over capped bands, CC-label hash splits —
+    # all must hold at any shuffle width
+    "q_kmv_setops",
+    "q_minhash_containment",
+    "q_leakage_split",
+    "q_interarrival",  # histogram-CDF median pick at the ⌈n/2⌉ bin
+    "q_skew_diag",  # count-bin CDF picks over the key-count histogram
 ]
 
 
