@@ -103,7 +103,10 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles — Spark ``percentile`` and DuckDB
+    """Exact interpolated percentiles [bounded-grain-percentile: the
+    cross-engine interpolation-parity exactness DEMO the §6 policy
+    keeps; scale path = histogram-CDF / approx_percentile] — Spark
+    ``percentile`` and DuckDB
     ``quantile_cont`` share the type-7 linear interpolation (verified
     identical on this data); rounded to 6 for safety."""
     li = table(spark, sf_dir, "lineitem")
@@ -526,7 +529,8 @@ def q_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile (q_approx_quantile's sketch) and keep the same
     two-pass shape. Spark `percentile` and DuckDB `percentile_cont`
     both interpolate identically (verified; DuckDB's `median` does NOT
-    interpolate for all types — avoided)."""
+    interpolate for all types — avoided).
+    [bounded-grain-percentile: exactness demo, §6 policy]"""
     ev = table(spark, sf_dir, "events")
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5D)").alias("med")

@@ -1057,7 +1057,9 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact scan; the re-aggregation is one pass. Same two-level
     shape as q_cuped/q_unigram_ce: the tiny derived relation rides a
     broadcast, the big table is scanned once and never shuffled beyond
-    its own groupBy."""
+    its own groupBy. [bounded-grain-percentile: contracted cap table —
+    the §6 policy's accepted exactness demo; at extreme per-type value
+    counts swap approx_percentile, schema unchanged]"""
     ev = table(spark, sf_dir, "events")
     caps = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.99)").alias("p99")
@@ -2257,7 +2259,8 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats), each composing different downstream aggregation on the
     same one-shuffle derivation; the session grain is |sessions| ≈
     |users|·avg-sessions, far below event scale, so the exact
-    percentiles run on a small relation."""
+    percentiles run on a small relation. [bounded-grain-percentile:
+    session grain ≪ event scale, the §6 policy's contracted case]"""
     ev = table(spark, sf_dir, "events")
     sec = F.floor(F.col("ts").cast("double")).cast("long")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -2764,6 +2767,7 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("mean_full").alias("mean_full"),
         F.count(F.lit(1)).alias("n_reps"),
         F.round(F.stddev_samp("m"), 6).alias("boot_se"),
+        # [bounded-grain-percentile: B=32 replicate means, fixed]
         F.round(F.expr("percentile(m, 0.025)"), 6).alias("ci_lo"),
         F.round(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
     )
