@@ -3771,8 +3771,8 @@ _KMV_K = 256  # bottom-k sketch size (per-source distinct-word sketch)
         FROM sk GROUP BY source
     ), grid AS (
         SELECT a.source AS sa, b.source AS sb
-        FROM (SELECT DISTINCT source FROM documents) a
-        JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source
+        FROM (SELECT DISTINCT source FROM sk) a
+        JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
     ), merged AS (
         SELECT g.sa, g.sb, s.h
         FROM grid g JOIN sk s ON s.source = g.sa
@@ -3880,7 +3880,11 @@ def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_n"),
         )
     )
-    srcs = d.select("source").distinct()
+    # source list from the SKETCH (any source with ≥1 word has a
+    # sketch row) — keeps the whole pairwise stage off the corpus: the
+    # final plan reads only the checkpointed |sources|·K relation,
+    # zero parquet re-scans.
+    srcs = sk.select("source").distinct()
     grid = srcs.select(F.col("source").alias("sa")).join(
         srcs.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb")
     )

@@ -415,3 +415,40 @@ def test_round5_maxsim_is_two_hash_aggs_no_window(spark, registry_loaded):
     plan = plan_string(df)
     assert plan.count("HashAggregate") >= 2
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_round6_kmv_sketch_uses_window_group_limit(spark, registry_loaded):
+    """The bottom-K sketch build must plan as WindowGroupLimit
+    (Partial + Final map-side partial top-k) — the full per-source
+    hash domain must never sort; and the per-source rank window must
+    be the ONLY corpus-scaled window (everything downstream lives on
+    the checkpointed |sources|·K sketch)."""
+    df = registry_loaded.QUERIES["q_kmv_setops"](spark, SMOKE_SF)
+    plan = plan_string(df)
+    # the sketch is localCheckpoint'ed at build time, so the FINAL
+    # plan must consume only the materialized |sources|·K relation —
+    # RDD scans, ZERO parquet re-scans (sketch + source grid + both
+    # merge/intersection sides all derive from the checkpoint)
+    assert plan.count("Scan ExistingRDD") >= 1, "sketch not materialized"
+    assert "Scan parquet" not in plan, "pairwise stage re-scans the corpus"
+
+
+def test_round6_containment_rides_cached_bands(spark, registry_loaded):
+    """q_minhash_containment's candidates must come from the session
+    band cache (Scan ExistingRDD — the localCheckpoint'ed capped
+    bands), and the shingle relation likewise: the only allowed
+    corpus-scaled work is the candidate-restricted intersection join.
+    """
+    df = registry_loaded.QUERIES["q_minhash_containment"](spark, SMOKE_SF)
+    plan = plan_string(df)
+    assert plan.count("Scan ExistingRDD") >= 2, "band/shingle caches not used"
+
+
+def test_round6_leakage_split_is_group_grain_rollup(spark, registry_loaded):
+    """After the (cached) CC labels, the leakage audit must be pure
+    map-side flag derivation + group-grain hash aggregation — no
+    windows, no joins back to the corpus, partial aggs present."""
+    df = registry_loaded.QUERIES["q_leakage_split"](spark, SMOKE_SF)
+    plan = plan_string(df)
+    assert "WindowExec" not in plan and "Window [" not in plan
+    assert plan.count("HashAggregate") >= 2
