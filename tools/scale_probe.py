@@ -444,6 +444,63 @@ def main() -> None:
             f"rate={rate:5.1f}M rows/s  rate_vs_x1={rate / base_rate:4.2f}"
         )
 
+    # KMV sketch set-ops (operators/textstats.q_kmv_setops): the
+    # per-source bottom-K sketch must stay K rows NO MATTER how the
+    # vocabulary grows — replicas carry disjoint word domains (suffix
+    # rewrite, the lmjoin idiom), so distinct (source, hash) grows
+    # ~mult x while the sketch relation is pinned at |sources|*K.
+    # Healthy = sketch_rows constant, wall ~linear in the corpus (the
+    # distinct contraction), never in the vocabulary^2.
+    base_rate = None
+    for mult in multiples:
+        d0 = table(spark, sf_dir, "documents")
+        parts = [
+            d0.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                "source",
+                F.concat(
+                    F.regexp_replace(F.col("text"), " ", f"_k{i} "),
+                    F.lit(f"_k{i}"),
+                ).alias("text"),
+            )
+            for i in range(mult)
+        ]
+        d = parts[0]
+        for p_ in parts[1:]:
+            d = d.unionByName(p_)
+        from pyspark.sql import Window
+
+        words = (
+            d.select(
+                "source",
+                F.explode(
+                    F.filter(F.split("text", " "), lambda w: w != "")
+                ).alias("word"),
+            )
+            .select(
+                "source",
+                F.conv(
+                    F.substring(F.md5(F.col("word").cast("binary")), 1, 8),
+                    16,
+                    10,
+                ).cast("long").alias("h"),
+            )
+            .distinct()
+        )
+        rk = F.row_number().over(Window.partitionBy("source").orderBy("h"))
+        t0 = time.perf_counter()
+        sk = words.withColumn("rk", rk).filter(F.col("rk") <= 256)
+        n_sketch = sk.count()
+        dt = time.perf_counter() - t0
+        n_docs = 500 * mult
+        rate = n_docs / dt
+        if base_rate is None:
+            base_rate = rate
+        print(
+            f"kmv   x{mult:<3d} docs={n_docs:6d} sketch_rows={n_sketch:6d}  "
+            f"wall={dt:6.2f}s  rate_vs_x1={rate / base_rate:4.2f}"
+        )
+
 
 if __name__ == "__main__":
     main()
