@@ -203,6 +203,65 @@ def stream_static_enrich(
     return stream.join(F.broadcast(dim), key, "left")
 
 
+def temporal_enrich(
+    stream: DataFrame,
+    dim_sink,
+    key: str,
+    checkpoint_dir: str,
+    out_sink=None,
+):
+    """Processing-time TEMPORAL table join (Flink SQL
+    ``FOR SYSTEM_TIME AS OF proc_time`` against a versioned dimension,
+    a.k.a. the lookup join on a dynamic table): each micro-batch joins
+    against the CURRENT committed snapshot of a
+    :class:`~..streaming.exactly_once.CdcUpsertSink`-maintained
+    dimension — the dimension a cdc_apply stream keeps up to date.
+    Composing the two jobs gives the full Flink shape: change feed →
+    upsert dynamic table → temporal enrichment of a fact stream.
+
+    Semantics matched to Flink's proc-time temporal join: each fact
+    row sees the dimension version current AT PROCESSING TIME (the
+    snapshot committed when its batch runs), not the version at event
+    time — joining against ``read_current`` per batch is exactly that
+    contract, and because the snapshot is marker-committed the batch
+    never reads a half-merged dimension. The dim side is re-planned
+    per micro-batch (broadcast — dimensions fit executors at any
+    stream scale; the fact stream never shuffles). An EVENT-time
+    temporal join (versioned lookup at each row's timestamp) needs
+    the version history, which is exactly what the sink's GC'd
+    snapshots do NOT keep — on a lakehouse that variant reads the
+    table's time-travel snapshots instead (README mapping).
+
+    ``out_sink`` defaults to an in-memory list collector for tests;
+    pass an IdempotentBatchSink for exactly-once output."""
+    collected: list = []
+
+    def _enrich(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            dim = dim_sink.read_current(spark)
+        except FileNotFoundError:
+            dim = None
+        joined = (
+            batch_df.join(F.broadcast(dim), key, "left")
+            if dim is not None
+            else batch_df
+        )
+        if out_sink is not None:
+            out_sink(joined, batch_id)
+        else:
+            collected.extend(joined.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(_enrich)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, collected
+
+
 def keyed_running_count(lines: DataFrame, value_col: str = "value") -> DataFrame:
     """Custom keyed state via ``applyInPandasWithState`` — the literal
     Spark translation of Flink managed keyed state (``keyBy(word)`` +

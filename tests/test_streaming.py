@@ -1262,3 +1262,51 @@ def test_cdc_upsert_crash_mid_commit(spark, tmp_path):
     cur = {r["k"]: (r["seq"], r["status"])
            for r in sink.read_current(spark).collect()}
     assert cur == {1: (3, "paid"), 2: (2, "new")}  # stale seq-0 lost
+
+
+def test_temporal_enrich_proc_time(spark, tmp_path):
+    """Proc-time temporal join against the CDC-maintained dimension
+    (Flink FOR SYSTEM_TIME AS OF proc_time): facts arriving AFTER a
+    dimension update see the NEW version, and a dimension key the CDC
+    feed never delivered joins as NULL (left enrichment)."""
+    import json as _json
+    import os as _os
+
+    from kafka_flink_exactlyonce_example_spark.streaming import file_stream
+    from kafka_flink_exactlyonce_example_spark.streaming.exactly_once import (
+        CdcUpsertSink,
+    )
+    from kafka_flink_exactlyonce_example_spark.streaming.jobs import (
+        temporal_enrich,
+    )
+
+    # 1) dimension: CDC-apply two versions of user 1, one of user 2
+    dim_sink = CdcUpsertSink(str(tmp_path / "dim"), ["user_id"], ["seq"])
+    b0 = spark.createDataFrame(
+        [(1, 1, "bronze"), (2, 2, "silver")], ["user_id", "seq", "tier"]
+    )
+    dim_sink(b0, 0)
+    b1 = spark.createDataFrame([(1, 3, "gold")], ["user_id", "seq", "tier"])
+    dim_sink(b1, 1)
+
+    # 2) fact stream: three events, one for an unknown user
+    inp = str(tmp_path / "facts")
+    _os.makedirs(inp)
+    with open(_os.path.join(inp, "f0.json"), "w") as f:
+        for r in [
+            {"user_id": 1, "amt": 10.0},
+            {"user_id": 2, "amt": 20.0},
+            {"user_id": 99, "amt": 5.0},
+        ]:
+            f.write(_json.dumps(r) + "\n")
+    facts = file_stream(spark, inp, "user_id long, amt double", fmt="json")
+
+    q, rows = temporal_enrich(
+        facts, dim_sink, "user_id", str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {r["user_id"]: r["tier"] for r in rows}
+    # user 1 sees the LATEST committed version (gold, not bronze);
+    # unknown user 99 enriches as NULL, the row is not dropped
+    assert got == {1: "gold", 2: "silver", 99: None}, f"unexpected: {got}"
