@@ -1289,15 +1289,16 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), known AS (
         SELECT event_type,
                CAST(FLOOR(epoch(ts) / 3600.0) AS BIGINT) AS hidx,
-               ROUND(AVG(value), 6) AS v
+               (2 * SUM(CAST(FLOOR(value*100.0 + 0.5) AS BIGINT)) * 10000
+                + COUNT(*)) // (2 * COUNT(*)) AS vm
         FROM events GROUP BY 1, 2
     ), joined AS (
-        SELECT sp.event_type, sp.hidx, k.v,
-               last_value(k.v IGNORE NULLS) OVER w_prev AS prev_v,
-               last_value(CASE WHEN k.v IS NOT NULL THEN sp.hidx END
+        SELECT sp.event_type, sp.hidx, k.vm,
+               last_value(k.vm IGNORE NULLS) OVER w_prev AS prev_m,
+               last_value(CASE WHEN k.vm IS NOT NULL THEN sp.hidx END
                           IGNORE NULLS) OVER w_prev AS prev_i,
-               first_value(k.v IGNORE NULLS) OVER w_next AS next_v,
-               first_value(CASE WHEN k.v IS NOT NULL THEN sp.hidx END
+               first_value(k.vm IGNORE NULLS) OVER w_next AS next_m,
+               first_value(CASE WHEN k.vm IS NOT NULL THEN sp.hidx END
                            IGNORE NULLS) OVER w_next AS next_i
         FROM spine sp LEFT JOIN known k
           ON k.event_type = sp.event_type AND k.hidx = sp.hidx
@@ -1307,14 +1308,15 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
     SELECT event_type, hidx,
-           ROUND(CASE WHEN v IS NOT NULL THEN v
-                      WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
-                      THEN prev_v + (next_v - prev_v)
-                           * (CAST(hidx - prev_i AS DOUBLE)
-                              / CAST(next_i - prev_i AS DOUBLE))
-                      END, 6) AS value,
-           CASE WHEN v IS NOT NULL THEN 'observed'
-                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+           CASE WHEN vm IS NOT NULL THEN vm / 1000000.0
+                WHEN prev_m IS NOT NULL AND next_m IS NOT NULL
+                THEN ((2 * (prev_m * (next_i - hidx)
+                            + next_m * (hidx - prev_i))
+                       + (next_i - prev_i)) // (2 * (next_i - prev_i)))
+                     / 1000000.0
+                END AS value,
+           CASE WHEN vm IS NOT NULL THEN 'observed'
+                WHEN prev_m IS NOT NULL AND next_m IS NOT NULL
                     THEN 'interpolated'
                 ELSE 'edge' END AS src
     FROM joined
@@ -1334,8 +1336,13 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIME RANGE, not data volume), then two IGNORE-NULLS window passes
     (previous/next known value + index) over the bounded spine — the
     same last_value machinery as q_forward_fill plus the mirror-image
-    forward window. The interpolation expression runs on 6-dp-rounded
-    endpoint values, so both engines compute bit-identical fills.
+    forward window. Both the hourly means AND the fills are computed
+    in exact integer MICRO-UNITS with round-half-up integer division —
+    zero floating-point operations before the final constant /1e6.
+    The naive ROUND(AVG(value),6) / a + (b−a)·frac forms diverged by
+    1 ulp cross-engine at sf0.1 (hourly means of 2-dp values land on
+    6-dp half-way boundaries, where the engines' rounding paths
+    disagree on 1-ulp-apart sums).
     DuckDB's `//` on epoch() DOUBLES does not floor (the house-
     documented q_simhash_hamming trap — it bit again here as an
     off-by-one spine hour), so the oracle uses explicit
@@ -1343,11 +1350,29 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     are positive."""
     from pyspark.sql import Window
 
+    from kafka_flink_exactlyonce_example_spark.functions.money import cents
+
     ev = table(spark, sf_dir, "events")
     hidx = (F.col("ts").cast("double") / 3600).cast("long")
-    known = ev.select("event_type", hidx.alias("hidx"), "value").groupBy(
-        "event_type", "hidx"
-    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    # INTEGER-EXACT hourly means, in micro-units: value is money-like
+    # (the continuous aggregate already quantizes it with cents()), so
+    # the hourly mean is the exact rational sum_cents·10⁴/n rounded
+    # half-up by pure BIGINT arithmetic — (2a + n) div (2n). The first
+    # formulation's ROUND(AVG(value), 6) diverged 1 ulp cross-engine
+    # at sf0.1: engines sum doubles in different orders, and an hourly
+    # mean of 2-dp fixture values lands ON a 6-dp half-way boundary
+    # often, where Spark's exact-decimal HALF_UP and DuckDB's
+    # multiply-then-rint disagree. Zero FP ops anywhere now until the
+    # final constant /1e6, which maps equal integers to equal doubles.
+    known = (
+        ev.select("event_type", hidx.alias("hidx"), cents("value").alias("c"))
+        .groupBy("event_type", "hidx")
+        .agg(
+            F.expr(
+                "(2 * sum(c) * 10000 + count(*)) div (2 * count(*))"
+            ).alias("vm")
+        )
+    )
     bounds = ev.agg(
         F.min(hidx).alias("hmin"), F.max(hidx).alias("hmax")
     )
@@ -1366,35 +1391,38 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hidx")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    known_i = F.when(F.col("v").isNotNull(), F.col("hidx"))
+    known_i = F.when(F.col("vm").isNotNull(), F.col("hidx"))
     joined = spine.join(known, ["event_type", "hidx"], "left").select(
         "event_type",
         "hidx",
-        "v",
-        F.last("v", ignorenulls=True).over(w_prev).alias("prev_v"),
+        "vm",
+        F.last("vm", ignorenulls=True).over(w_prev).alias("prev_m"),
         F.last(known_i, ignorenulls=True).over(w_prev).alias("prev_i"),
-        F.first("v", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first("vm", ignorenulls=True).over(w_next).alias("next_m"),
         F.first(known_i, ignorenulls=True).over(w_next).alias("next_i"),
     )
-    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
-        (F.col("hidx") - F.col("prev_i")).cast("double")
-        / (F.col("next_i") - F.col("prev_i")).cast("double")
+    # fill in micro-units by the same integer round-half-up division:
+    # numerator ≤ ~1e8·3600 ≪ 2^63, all BIGINT, bit-identical on both
+    # engines by construction.
+    interp = F.expr(
+        "(2 * (prev_m * (next_i - hidx) + next_m * (hidx - prev_i))"
+        " + (next_i - prev_i)) div (2 * (next_i - prev_i))"
     )
     return joined.select(
         "event_type",
         "hidx",
-        F.round(
-            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        (
+            F.when(F.col("vm").isNotNull(), F.col("vm")).otherwise(
                 F.when(
-                    F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+                    F.col("prev_m").isNotNull() & F.col("next_m").isNotNull(),
                     interp,
                 )
-            ),
-            6,
+            )
+            / 1000000.0
         ).alias("value"),
-        F.when(F.col("v").isNotNull(), "observed")
+        F.when(F.col("vm").isNotNull(), "observed")
         .when(
-            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.col("prev_m").isNotNull() & F.col("next_m").isNotNull(),
             "interpolated",
         )
         .otherwise("edge")

@@ -185,18 +185,20 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey,
                date_diff('day', max(o_orderdate), TIMESTAMP '2001-08-01') AS recency_days,
                CAST(count(*) AS BIGINT) AS frequency,
-               sum(o_totalprice) AS monetary
+               sum(CAST(FLOOR(o_totalprice*100.0 + 0.5) AS BIGINT))
+                   AS monetary_cents
         FROM orders GROUP BY o_custkey
     ), scored AS (
         SELECT *,
                ntile(5) OVER (ORDER BY recency_days ASC,  o_custkey) AS r_score,
                ntile(5) OVER (ORDER BY frequency DESC,    o_custkey) AS f_score,
-               ntile(5) OVER (ORDER BY monetary DESC,     o_custkey) AS m_score
+               ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey)
+                   AS m_score
         FROM cust
     )
     SELECT r_score, f_score, m_score,
            CAST(count(*) AS BIGINT) AS n_customers,
-           round(avg(monetary), 6) AS avg_monetary
+           round(avg(monetary_cents) / 100.0, 6) AS avg_monetary
     FROM scored
     GROUP BY r_score, f_score, m_score
     """,
@@ -218,6 +220,8 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition global window anywhere in the plan. The oracle
     keeps plain ``ntile`` (same ANSI rule, single-node is fine there).
     """
+    from kafka_flink_exactlyonce_example_spark.functions.money import cents
+
     anchor = F.to_timestamp(F.lit("2001-08-01"))
     cust = (
         table(spark, sf_dir, "orders")
@@ -225,7 +229,11 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.datediff(anchor, F.max("o_orderdate")).alias("recency_days"),
             F.count(F.lit(1)).alias("frequency"),
-            F.sum("o_totalprice").alias("monetary"),
+            # integer-cents money policy (functions/money.py): the raw
+            # double sum diverged 1 ulp from DuckDB at sf0.1 right on a
+            # 6-dp rounding boundary; exact cents also make the
+            # m_score ordering ulp-proof.
+            F.sum(cents("o_totalprice")).alias("monetary_cents"),
         )
     )
     # three independent orderings consume the same contracted grain —
@@ -241,7 +249,7 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderings = {
         "r_score": [F.col("recency_days").asc(), F.col("o_custkey")],
         "f_score": [F.col("frequency").desc(), F.col("o_custkey")],
-        "m_score": [F.col("monetary").desc(), F.col("o_custkey")],
+        "m_score": [F.col("monetary_cents").desc(), F.col("o_custkey")],
     }
     scored = cust
     for name, order in orderings.items():
@@ -249,7 +257,7 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = scored.join(scores, "o_custkey")
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.avg("monetary"), 6).alias("avg_monetary"),
+        F.round(F.avg("monetary_cents") / 100.0, 6).alias("avg_monetary"),
     )
 
 

@@ -100,6 +100,10 @@ def test_changed_impls_stay_in_window(registry_loaded):
         "q_conversion_lag",
         "q_semdedup",
         "q_basket_pairs",
+        # integer-exact hardening after the sf0.1 deep check (1-ulp
+        # half-way divergences): micro-unit interpolation, cents money
+        "q_interpolate",
+        "q_rfm",
     }
     assert changed <= set(_first50(registry_loaded))
 
