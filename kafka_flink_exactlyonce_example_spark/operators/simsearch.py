@@ -2050,3 +2050,142 @@ def q_code_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").alias("max_code_n"),
         )
     )
+
+
+_PI_ITERS = 12  # fixed power-iteration rounds (both engines identical)
+
+
+def _pca_power_oracle() -> str:
+    """Programmatically unrolled oracle: one CTE per power-iteration
+    round, mirroring the Spark loop step for step (same 9-dp rounding
+    of the normalized vector each round)."""
+    ctes = ["""
+    WITH dims AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+               unnest(range(0, len(embedding))) AS d
+        FROM embeddings
+    ), means AS (
+        SELECT d, ROUND(AVG(v), 9) AS m FROM dims GROUP BY d
+    ), m2 AS (
+        SELECT a.d AS i, b.d AS j, AVG(a.v * b.v) AS s
+        FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.d <= b.d
+        GROUP BY a.d, b.d
+    ), cov AS MATERIALIZED (
+        SELECT i, j, ROUND(s - ma.m * mb.m, 9) AS c
+        FROM m2 JOIN means ma ON ma.d = i JOIN means mb ON mb.d = j
+    ), covf AS MATERIALIZED (
+        SELECT i, j, c FROM cov
+        UNION ALL
+        SELECT j, i, c FROM cov WHERE i < j
+    ), v0 AS (SELECT d AS i, 0.125 AS v FROM means)"""]
+    for t in range(1, _PI_ITERS + 1):
+        ctes.append(f""", w{t} AS MATERIALIZED (
+        SELECT covf.i AS i, SUM(covf.c * p.v) AS w
+        FROM covf JOIN v{t - 1} p ON covf.j = p.i GROUP BY covf.i
+    ), n{t} AS MATERIALIZED (SELECT SQRT(SUM(w * w)) AS nrm FROM w{t}),
+    v{t} AS MATERIALIZED (
+        SELECT i, ROUND(w / (SELECT nrm FROM n{t}), 9) AS v FROM w{t}
+    )""")
+    last = _PI_ITERS
+    ctes.append(f""", trace AS (SELECT SUM(c) AS tr FROM cov WHERE i = j)
+    SELECT vt.i AS dim,
+           ROUND(vt.v, 6) AS loading,
+           ROUND((SELECT nrm FROM n{last}), 6) AS eigenvalue,
+           ROUND((SELECT nrm FROM n{last}) / (SELECT tr FROM trace), 6)
+               AS explained_share
+    FROM v{last} vt""")
+    return "".join(ctes)
+
+
+@query("q_pca_power", oracle=_pca_power_oracle())
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by POWER
+    ITERATION — the iterative EIGENSOLVER class the engine was missing
+    (the dense-linear-algebra sibling of the CC family's Pregel loop
+    and q_kmeans' Lloyd rounds): distributed covariance in one
+    pair-moment pass, then {_PI_ITERS} fixed matvec+normalize rounds on
+    the BOUNDED d×d model. PCA's top component is the workhorse QC/
+    preprocessing step for embedding pipelines — whitening before PQ
+    (q_pq_codebook trains better on decorrelated subspaces), dominant-
+    direction drift checks, and the `explained_share` column is the
+    anisotropy diagnostic (a single direction holding a large share of
+    variance is the classic 'embedding collapse' smell that degrades
+    cosine retrieval).
+
+    Scale shape: the ONLY data-touching stages are the per-dim mean
+    and the pairwise second-moment aggregation — E[v_i·v_j] over the
+    d(d+1)/2 dim pairs, a self-join on vec_id with map-side partial
+    aggs (constant factor d²/2; at production scale the same sums come
+    from a per-partition Gram-matrix treeAggregate — identical math,
+    one pass). Everything after is bounded: cov is d(d+1)/2 rows,
+    each of the {_PI_ITERS} iterations is a 64-row matvec
+    (localCheckpoint'ed so the plan stays flat — the q_dup_groups
+    loop discipline). Determinism: covariance entries and the
+    normalized vector are ROUNDED to 9 dp every round, so both
+    engines iterate from bit-identical state and summation-order ulps
+    can never compound (the q_kmeans rounded-centroid trick applied
+    per iteration); v0 = 1/8 exactly (binary-exact unit vector at
+    d = 64), fixed iteration count, no RNG anywhere."""
+    emb = table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "v")
+    ).select("vec_id", "d", F.col("v").cast("double").alias("v"))
+    means = dims.groupBy("d").agg(F.round(F.avg("v"), 9).alias("m"))
+    a = dims.select("vec_id", F.col("d").alias("i"), F.col("v").alias("va"))
+    b = dims.select("vec_id", F.col("d").alias("j"), F.col("v").alias("vb"))
+    m2 = (
+        a.join(b, "vec_id")
+        .filter(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.avg(F.col("va") * F.col("vb")).alias("s"))
+    )
+    cov = (
+        m2.join(
+            F.broadcast(means.select(F.col("d").alias("i"), F.col("m").alias("mi"))),
+            "i",
+        )
+        .join(
+            F.broadcast(means.select(F.col("d").alias("j"), F.col("m").alias("mj"))),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            F.round(F.col("s") - F.col("mi") * F.col("mj"), 9).alias("c"),
+        )
+        .localCheckpoint()
+    )
+    covf = cov.unionByName(
+        cov.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
+    )
+    v = means.select(F.col("d").alias("i"), F.lit(0.125).alias("v"))
+    nrm = None
+    for _ in range(_PI_ITERS):
+        w = (
+            covf.join(
+                v.select(F.col("i").alias("j"), F.col("v").alias("pv")), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("pv")).alias("w"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select("i", F.round(F.col("w") / F.col("nrm"), 9).alias("v"))
+            .localCheckpoint()
+        )
+    trace = cov.filter(F.col("i") == F.col("j")).agg(
+        F.sum("c").alias("tr")
+    )
+    return (
+        v.crossJoin(F.broadcast(nrm))
+        .crossJoin(F.broadcast(trace))
+        .select(
+            F.col("i").alias("dim"),
+            F.round(F.col("v"), 6).alias("loading"),
+            F.round(F.col("nrm"), 6).alias("eigenvalue"),
+            F.round(F.col("nrm") / F.col("tr"), 6).alias("explained_share"),
+        )
+    )

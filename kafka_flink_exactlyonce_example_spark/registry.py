@@ -216,6 +216,7 @@ _ROTATION_BACKLOG: tuple[str, ...] = (
     "q_minhash_containment",
     "q_leakage_split",
     "q_kmv_setops",
+    "q_pca_power",
 )
 
 

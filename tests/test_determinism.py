@@ -119,6 +119,7 @@ ORDER_SENSITIVE = [
     "q_kmv_setops",
     "q_minhash_containment",
     "q_leakage_split",
+    "q_pca_power",  # 12 rounded matvec rounds — drift must not compound
     "q_interarrival",  # histogram-CDF median pick at the ⌈n/2⌉ bin
     "q_skew_diag",  # count-bin CDF picks over the key-count histogram
 ]
