@@ -2052,7 +2052,7 @@ def q_code_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PI_ITERS = 12  # fixed power-iteration rounds (both engines identical)
+_PI_ITERS = 8  # fixed power-iteration rounds (both engines identical)
 
 
 def _pca_power_oracle() -> str:
@@ -2112,33 +2112,53 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     variance is the classic 'embedding collapse' smell that degrades
     cosine retrieval).
 
-    Scale shape: the ONLY data-touching stages are the per-dim mean
-    and the pairwise second-moment aggregation — E[v_i·v_j] over the
-    d(d+1)/2 dim pairs, a self-join on vec_id with map-side partial
-    aggs (constant factor d²/2; at production scale the same sums come
-    from a per-partition Gram-matrix treeAggregate — identical math,
-    one pass). Everything after is bounded: cov is d(d+1)/2 rows,
-    each of the {_PI_ITERS} iterations is a 64-row matvec
-    (localCheckpoint'ed so the plan stays flat — the q_dup_groups
-    loop discipline). Determinism: covariance entries and the
+    Scale shape: the ONLY data-touching stage is ONE scan computing
+    every sufficient statistic — first moments AND the d(d+1)/2
+    pairwise second moments ride a single inline upper-triangle
+    explode (map-side partial avg, one shuffle of 2144 groups; at
+    production scale the same sums come from a per-partition
+    Gram-matrix treeAggregate — identical math, one pass).
+    Everything after is bounded: cov is d(d+1)/2 rows, each of the
+    {_PI_ITERS} iterations is a 64-row matvec (lazily
+    localCheckpoint'ed so the doubled-lineage plan stays flat — the
+    q_dup_groups loop discipline). Bench note: most of this query's
+    wall at sf0.1 is the {_PI_ITERS} SEQUENTIALLY-DEPENDENT tiny
+    stages' fixed scheduling overhead — a CONSTANT in data size, so
+    its share vanishes as the corpus grows; the one scan is the only
+    scaling term. Determinism: covariance entries and the
     normalized vector are ROUNDED to 9 dp every round, so both
     engines iterate from bit-identical state and summation-order ulps
     can never compound (the q_kmeans rounded-centroid trick applied
     per iteration); v0 = 1/8 exactly (binary-exact unit vector at
     d = 64), fixed iteration count, no RNG anywhere."""
     emb = table(spark, sf_dir, "embeddings")
-    dims = emb.select(
-        "vec_id", F.posexplode("embedding").alias("d", "v")
-    ).select("vec_id", "d", F.col("v").cast("double").alias("v"))
-    means = dims.groupBy("d").agg(F.round(F.avg("v"), 9).alias("m"))
-    a = dims.select("vec_id", F.col("d").alias("i"), F.col("v").alias("va"))
-    b = dims.select("vec_id", F.col("d").alias("j"), F.col("v").alias("vb"))
-    m2 = (
-        a.join(b, "vec_id")
-        .filter(F.col("i") <= F.col("j"))
-        .groupBy("i", "j")
-        .agg(F.avg(F.col("va") * F.col("vb")).alias("s"))
+    # ALL sufficient statistics in ONE scan + ONE shuffle: the
+    # upper-triangle products are generated INLINE from the array (the
+    # q_basket_pairs C(k,2) trick — no vec_id self-join, which was the
+    # 11 s bulk of the first formulation at sf0.1), and the first
+    # moments ride the same explode as sentinel rows (j = -1, p = v_i)
+    # so no second corpus pass exists. d(d+3)/2 rows per vector,
+    # map-side partial avg, 2144 output groups. The oracle keeps the
+    # dims self-join form — same math, different physical strategy.
+    tri = F.expr(
+        "flatten(transform(sequence(0, size(embedding) - 1), i -> "
+        "concat(array(struct(i AS i, -1 AS j, "
+        "CAST(element_at(embedding, i + 1) AS DOUBLE) AS p)), "
+        "transform(sequence(i, size(embedding) - 1), j -> "
+        "struct(i AS i, j AS j, "
+        "CAST(element_at(embedding, i + 1) AS DOUBLE)"
+        " * CAST(element_at(embedding, j + 1) AS DOUBLE) AS p)))))"
     )
+    moments = (
+        emb.select(F.explode(tri).alias("x"))
+        .groupBy(F.col("x.i").alias("i"), F.col("x.j").alias("j"))
+        .agg(F.avg("x.p").alias("s"))
+        .localCheckpoint()  # eager: the one data-touching stage
+    )
+    means = moments.filter(F.col("j") == -1).select(
+        F.col("i").alias("d"), F.round("s", 9).alias("m")
+    )
+    m2 = moments.filter(F.col("j") >= 0)
     cov = (
         m2.join(
             F.broadcast(means.select(F.col("d").alias("i"), F.col("m").alias("mi"))),
@@ -2171,10 +2191,15 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("c") * F.col("pv")).alias("w"))
         )
         nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        # LAZY checkpoint: cuts the doubled-subtree lineage (w feeds
+        # both nrm and v, so an uncut plan grows 2^iters) but defers
+        # materialization, so all 12 matvec rounds run inside the ONE
+        # job the final action triggers — eager checkpoints here cost
+        # 12 fixed-overhead jobs on 64-row relations.
         v = (
             w.crossJoin(F.broadcast(nrm))
             .select("i", F.round(F.col("w") / F.col("nrm"), 9).alias("v"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     trace = cov.filter(F.col("i") == F.col("j")).agg(
         F.sum("c").alias("tr")
