@@ -50,7 +50,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # STRICTLY BEFORE this one — the round-4 guard globbed ALL r0*.json and
 # flagged its own success once the driver landed CORRECTNESS_r04.json
 # (VERDICT r04 item 1).
-_ROTATION_ROUND = 6
+_ROTATION_ROUND = 7
 
 # Round-6 window policy — the VERDICT r05 item-1 "mechanical pop": the
 # rotation list is derived FROM DATA (``set(all keys) − union of
