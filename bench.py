@@ -63,7 +63,7 @@ def main() -> None:
     # overwritten each run, which makes per-query regressions beyond
     # the top-10 invisible to the next audit — keep one map per
     # declared rotation round so consecutive rounds stay comparable.
-    (here / f"BENCH_FULL_r{registry._ROTATION_ROUND:02d}.json").write_text(
+    (here / f"BENCH_FULL_r{registry.rotation_round():02d}.json").write_text(
         payload
     )
 

@@ -9,6 +9,10 @@ these dicts to the driver.
 from __future__ import annotations
 
 import functools
+import inspect
+import json
+import pathlib
+import re
 from collections.abc import Callable
 from typing import Any
 
@@ -40,132 +44,119 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# ---------------------------------------------------------------------------
+# Grading-window rotation — DERIVED, not hand-maintained.
+#
 # The driver's correctness gate grades the FIRST 50 keys of ``queries()``
 # in dict-insertion order (observed round 1: CORRECTNESS_r01.json ==
 # list(QUERIES)[:50]). Registration order is grading-window only — all
 # queries run identically either way.
 #
-# The round this window was built FOR. tests/test_registry_order.py uses
-# it to scope the "first-ever" guard to CORRECTNESS files from rounds
-# STRICTLY BEFORE this one — the round-4 guard globbed ALL r0*.json and
-# flagged its own success once the driver landed CORRECTNESS_r04.json
-# (VERDICT r04 item 1).
-_ROTATION_ROUND = 7
+# History of why this is now computed instead of hand-listed: round 4's
+# guard globbed ALL CORRECTNESS_r0*.json and flagged its own round's
+# just-landed artifact (VERDICT r04 item 1); round 7 bumped the round
+# counter without rebuilding the hand-listed window, so the driver
+# re-graded round 6's exact 50 keys and both rotation-guard tests went
+# red (VERDICT r07 headline). The fix (VERDICT r07 item 2): derive the
+# round number AND the window from the driver's own on-disk artifacts at
+# load time, so counter, window, and guards can never desynchronize.
+# The only hand-maintained inputs left are:
+#   * ``_CHANGED_THIS_ROUND`` — keys whose implementation changed in the
+#     current build round (they must re-earn a driver row on the new
+#     plan instead of coasting on a stale green);
+#   * ``_BACKLOG_ORDER``   — the canonical DRAIN ORDER for keys that
+#     have never had a driver row. Already-graded keys fall out of it
+#     automatically (it is filtered against the artifacts); keys missing
+#     from it (future additions) append in sorted order. It never needs
+#     per-round editing.
+# ---------------------------------------------------------------------------
 
-# Round-6 window policy — the VERDICT r05 item-1 "mechanical pop": the
-# rotation list is derived FROM DATA (``set(all keys) − union of
-# CORRECTNESS_r01..r05 keys``), never from memory. The window holds
-# (a) one keep per SURVEY §2 family not already covered by this
-# round's backlog pops (keeps VARY across rounds so repeated grading
-# re-covers different members), (b) every key whose IMPLEMENTATION
-# changed this round (the round-5 ADVICE fixes + the histogram-CDF
-# percentile conversions + the semdedup/basket_pairs caching changes —
-# the new plans earn fresh driver rows), and (c) 37 keys popped from
-# ``_ROTATION_BACKLOG`` that have NEVER had a driver row: the whole
-# families VERDICT r05 named (Flink/Timescale parity, the PQ trio,
-# drift/eval, scalable stats, retrieval, cross-language dedup) plus
-# the front of the analytics backlog.
-_ROTATED_IN_R6: tuple[str, ...] = (
-    # impl-changed THIS round AND first-ever (ADVICE fixes +
-    # histogram-CDF percentile conversions + persist registration)
-    "q_basket_pairs",
-    "q_interarrival",
-    "q_conversion_lag",
-    "q_vocab_overlap",
-    "q_ks_test",
-    "q_calibration_bins",
-    "q_auc",
-    # Flink/Timescale parity set (VERDICT r05 item 1)
-    "q_window_join",
-    "q_multires_rollup",
-    "q_cdc_merge",
-    "q_interpolate",
-    "q_watermark_plan",
-    # PQ compression trio
-    "q_pq_codebook",
-    "q_pq_adc",
-    "q_code_entropy",
-    # drift/eval set
-    "q_quantile_normalize",
-    "q_psi_drift",
-    "q_linreg_multi",
-    "q_lang_id_confusion",
-    # scalable-stats set
-    "q_poisson_bootstrap",
-    "q_jackknife_source",
-    "q_hll_merge",
-    "q_tail_index",
-    # retrieval-eval set
-    "q_maxsim_retrieval",
-    "q_matryoshka_eval",
-    "q_diversity_topk",
-    # cross-language / bag-of-words dedup
-    "q_cross_lang_dup",
-    "q_bag_dup",
-    # analytics backlog (VERDICT r05 named four + the backlog front)
-    "q_rfm",
-    "q_pareto",
-    "q_skyline",
-    "q_cohort_ltv",
-    "q_minmax_by",
-    "q_string_agg",
-    "q_null_handling",
-    "q_regex_clean",
-    "q_sample",
-)
+_REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 
-_PRIORITY: tuple[str, ...] = (
-    # reference core (§2.1) — flagship identity, kept
-    "q_wordcount",
-    # family keeps (different members than round 5's keeps, for span;
-    # §2.9 streaming, §2.10 dedup/ANN/text, §2.3-adjacent mining are
-    # covered by the backlog pops below):
-    "q_filter_pred",  # §2.2
-    "q_join_broadcast",  # §2.3
-    "q_stats",  # §2.4
-    "q_win_lag_lead",  # §2.5
-    "q_sort_limit",  # §2.6 only member
-    "q_except",  # §2.7
-    "q_date_funcs",  # §2.8
-    "q_frame_sample",  # §2.10 multimodal (rows-only by contract)
-    "q_pipeline_curate",  # §2.10 end-to-end
-    "q_udtf_smoke",  # §2.11 (rows-only by contract)
-    # impl changes THIS round, previously graded — re-earn driver rows
-    # with the new plans: q_semdedup's shared scored relation moved to
-    # a session cache (VERDICT r05 item 4), q_skew_diag's percentiles
-    # moved to the histogram-CDF form (item 5).
-    "q_semdedup",
-    "q_skew_diag",
-    # 37 never-driver-graded keys popped from _ROTATION_BACKLOG
-    *_ROTATED_IN_R6,
-)
+#: Driver grades exactly this many keys per round (first-N of queries()).
+_WINDOW_SIZE = 50
 
-# The ordered round-7+ backlog: every registered key that has NO driver
-# row in CORRECTNESS_r01..r05 AND is not in this round's window. Future
-# rounds pop from the front (VERDICT r04 item 7: each rotation becomes
-# a mechanical pop). tests/test_registry_order.py asserts this tuple
-# plus _ROTATED_IN_R6 exactly partitions the never-graded set.
-#
-# ROUND-7 RECIPE (for the next builder): bump _ROTATION_ROUND to 7,
-# rebuild the first-ever set as set(all keys) − union(CORRECTNESS_r01..
-# r06), keep ~10 family-span reps (rotate to members not kept in r6),
-# include any key whose implementation changes in round 7, and fill
-# the remaining slots by popping this tuple from the front. 51 keys
-# remain after the round-6 pop — rounds 7 and 8 close the set at
-# ~37/round as long as new-operator additions stay capped.
-_ROTATION_BACKLOG: tuple[str, ...] = (
-    # analytics/BI
+#: While the never-graded backlog holds at least this many keys, the
+#: window guarantees at least this many first-ever keys per round —
+#: family keeps are truncated (lowest priority first) to make room.
+#: 40/round drains the 55-key round-7 backlog to 15 in round 8 and to
+#: zero in round 9 (VERDICT r07 item 1's done criterion).
+_MIN_FIRST_EVER = 40
+
+
+def rotation_round() -> int:
+    """The current build round, derived from the driver's own artifacts:
+    1 + max N over ``CORRECTNESS_r{N}.json`` files at the repo root.
+    The driver writes round N's file AFTER round N's build, so during
+    build N the files r01..r(N-1) exist. Public accessor (ADVICE r07
+    item d) — bench.py keys its per-round artifact name off this."""
+    rounds = [0]
+    for path in _REPO_ROOT.glob("CORRECTNESS_r*.json"):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", path.name)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds) + 1
+
+
+def graded_before(round_no: int | None = None) -> set[str]:
+    """Union of every key the driver graded in rounds < ``round_no``
+    (default: the derived current round), read from the driver's own
+    CORRECTNESS artifacts — never from memory (round-3 lesson)."""
+    if round_no is None:
+        round_no = rotation_round()
+    keys: set[str] = set()
+    for path in _REPO_ROOT.glob("CORRECTNESS_r*.json"):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", path.name)
+        if m and int(m.group(1)) < round_no:
+            keys.update(json.loads(path.read_text()))
+    return keys
+
+
+#: Keys whose IMPLEMENTATION changed in the current build round — they
+#: are forced into the window so the new plan earns a fresh driver row.
+#: THE one per-round hand edit. Round 8: q_session_stats moved from
+#: exact percentile to the histogram-CDF form (VERDICT r07 item 3) and
+#: q_pca_power's matvec rounds moved driver-side over the bounded
+#: covariance model (VERDICT r07 item 7); both are also first-ever.
+_CHANGED_THIS_ROUND: frozenset[str] = frozenset({
+    "q_session_stats",
+    "q_pca_power",
+})
+
+#: Canonical drain order for never-driver-graded keys. Filtered against
+#: the artifacts at load time, so graded keys drop out on their own.
+#: Round-8 ordering puts the round-6 capability additions, the non-
+#: mining families, and the front of the mining backlog inside the
+#: 40-key pop; the 15 leftovers (all single-table mining rollups) are
+#: round 9's final pop.
+_BACKLOG_ORDER: tuple[str, ...] = (
+    # round-6 capability additions (VERDICT r06/r07 named these first)
+    "q_minhash_containment",
+    "q_leakage_split",
+    "q_kmv_setops",
+    "q_pca_power",
+    # impl-changed this round (also first-ever)
+    "q_session_stats",
+    # textstats / simsearch / datamgmt / analytics backlog
+    "q_byte_fallback",
+    "q_oov_rate",
+    "q_post_strat",
+    "q_context_budget",
+    "q_residual_quality",
+    "q_embed_norm_qc",
+    "q_kanon",
+    "q_compaction_plan",
+    "q_snapshot_diff",
+    "q_anomaly",
+    "q_zorder",
+    "q_table_checksum",
     "q_approx_quantile",
     "q_ab_test",
     "q_median_mad",
     "q_yoy",
     "q_running_distinct",
     "q_bitmap_days",
-    # data management
-    "q_anomaly",
-    "q_zorder",
-    "q_table_checksum",
-    # mining / BI-stats
+    # mining backlog, front
     "q_weighted_median",
     "q_mode",
     "q_ewma",
@@ -183,6 +174,7 @@ _ROTATION_BACKLOG: tuple[str, ...] = (
     "q_concurrency",
     "q_benford",
     "q_chi2_indep",
+    # mining backlog, tail — round 9's pop
     "q_growth_accounting",
     "q_abc_class",
     "q_control_chart",
@@ -193,45 +185,126 @@ _ROTATION_BACKLOG: tuple[str, ...] = (
     "q_dup_payments",
     "q_rank_shift",
     "q_price_index",
-    "q_session_stats",
     "q_hour_heatmap",
     "q_coverage_gaps",
     "q_mutual_info",
     "q_drawdown",
     "q_whale_curve",
-    # round-5 additions not yet popped
-    "q_kanon",
-    "q_byte_fallback",
-    "q_oov_rate",
-    "q_embed_norm_qc",
-    "q_compaction_plan",
-    "q_post_strat",
-    "q_context_budget",
-    "q_snapshot_diff",
-    "q_residual_quality",
-    # NEW in round 6 (capability-gap additions under the ≤10 cap:
-    # asymmetric containment dedup, dup-group-aware split leakage,
-    # KMV/theta sketch set ops — first-ever by construction; round 7
-    # pops them with the rest)
-    "q_minhash_containment",
-    "q_leakage_split",
-    "q_kmv_setops",
-    "q_pca_power",
+)
+
+#: SURVEY §2 family span, as operator MODULES, highest priority first.
+#: When window slots remain after the first-ever guarantee, one keep
+#: per family not already covered is added in this order (the member
+#: rotates by round so repeated grading re-covers different keys).
+#: Under backlog pressure the TAIL is dropped first — the rows-only
+#: smoke families (multimodal, udf_demo) and the end-to-end pipeline
+#: sit last because their members are either rows-only by contract or
+#: were re-graded green as recently as round 7.
+_FAMILY_KEEP_PRIORITY: tuple[str, ...] = (
+    "wordcount",       # §2.1 reference core — q_wordcount is pinned first anyway
+    "relational",      # §2.2
+    "joins",           # §2.3
+    "aggregates",      # §2.4
+    "windows",         # §2.5
+    "sortlimit",       # §2.6
+    "setops",          # §2.7
+    "scalar",          # §2.8
+    "streaming_batch", # §2.9
+    "dedup",           # §2.10 dedup
+    "simsearch",       # §2.10 ANN
+    "textstats",       # §2.10 text/quality
+    "mining",          # beyond-survey mining/BI
+    "analytics",       # beyond-survey analytics
+    "datamgmt",        # beyond-survey data management
+    "pipeline",        # §2.10 end-to-end curation
+    "multimodal",      # §2.10 multimodal (rows-only by contract)
+    "udf_demo",        # §2.11 (rows-only by contract)
 )
 
 
+def _module_of(fn: QueryFn) -> str:
+    return inspect.unwrap(fn).__module__.rsplit(".", 1)[-1]
+
+
+def derive_window(round_no: int | None = None) -> list[str]:
+    """Compute the 50-key grading window for ``round_no`` from (a) the
+    CORRECTNESS artifacts on disk, (b) ``_CHANGED_THIS_ROUND``, (c) the
+    ``_BACKLOG_ORDER`` drain order, (d) rotating family keeps. Pure
+    function of on-disk state + the two declared inputs — the guard
+    tests verify its properties instead of a hand-listed tuple.
+
+    Assembly order:
+      1. ``q_wordcount`` (flagship identity, every round);
+      2. every changed-this-round key;
+      3. first-ever keys popped in ``_BACKLOG_ORDER`` order (unlisted
+         never-graded keys append sorted) until the window holds
+         ``min(_MIN_FIRST_EVER, |never-graded|)`` first-ever keys;
+      4. one keep per uncovered ``_FAMILY_KEEP_PRIORITY`` family while
+         slots remain, member rotated by round;
+      5. any still-free slots: more backlog, then previously-graded
+         keys round-robined by round for re-coverage.
+    """
+    if round_no is None:
+        round_no = rotation_round()
+    if not QUERIES:
+        raise RuntimeError("derive_window() requires load_all() registration")
+    prior = graded_before(round_no)
+    never = [k for k in QUERIES if k not in prior]
+    listed = [k for k in _BACKLOG_ORDER if k in never]
+    backlog = listed + sorted(set(never) - set(listed))
+
+    window: list[str] = []
+
+    def _add(key: str) -> None:
+        if key not in window and key in QUERIES and len(window) < _WINDOW_SIZE:
+            window.append(key)
+
+    _add("q_wordcount")
+    for key in sorted(_CHANGED_THIS_ROUND):
+        _add(key)
+
+    target_first_ever = min(_MIN_FIRST_EVER, len(never))
+    for key in backlog:
+        if sum(k in never for k in window) >= target_first_ever:
+            break
+        _add(key)
+
+    by_module: dict[str, list[str]] = {}
+    for key, fn in QUERIES.items():
+        by_module.setdefault(_module_of(fn), []).append(key)
+    covered = {_module_of(QUERIES[k]) for k in window}
+    for fam in _FAMILY_KEEP_PRIORITY:
+        if fam in covered or fam not in by_module:
+            continue
+        members = sorted(by_module[fam])
+        _add(members[round_no % len(members)])
+        covered.add(fam)
+
+    for key in backlog:  # leftover slots: drain further
+        _add(key)
+    regrades = sorted(k for k in QUERIES if k in prior)
+    if regrades:
+        start = (round_no * 7) % len(regrades)
+        for key in regrades[start:] + regrades[:start]:
+            _add(key)
+    return window
+
+
 def load_all() -> None:
-    """Import every operator module so registration side effects run."""
+    """Import every operator module so registration side effects run,
+    then reorder ``QUERIES`` so the derived grading window is the first
+    ``_WINDOW_SIZE`` keys."""
     from kafka_flink_exactlyonce_example_spark import operators  # noqa: F401
 
     operators.load_all()
 
     from kafka_flink_exactlyonce_example_spark import pipeline  # noqa: F401
 
-    missing = [k for k in _PRIORITY if k not in QUERIES]
-    if missing:  # typo guard: a renamed query must update _PRIORITY too
-        raise KeyError(f"_PRIORITY keys not registered: {missing}")
-    ordered = {k: QUERIES[k] for k in _PRIORITY}
+    window = derive_window()
+    missing = [k for k in window if k not in QUERIES]
+    if missing:  # typo guard: a renamed query must update the inputs too
+        raise KeyError(f"window keys not registered: {missing}")
+    ordered = {k: QUERIES[k] for k in window}
     ordered.update((k, v) for k, v in QUERIES.items() if k not in ordered)
     QUERIES.clear()
     QUERIES.update(ordered)
