@@ -2245,16 +2245,27 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(max(sec) - min(sec) AS BIGINT) AS duration_s,
                CAST(count(*) AS BIGINT) AS n_events
         FROM sess GROUP BY user_id, sid
+    ), hist AS (
+        SELECT duration_s,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(n_events) AS BIGINT) AS sum_ev,
+               CAST(max(n_events) AS BIGINT) AS max_ev
+        FROM per_session GROUP BY duration_s
+    ), cdf AS (
+        SELECT duration_s, cnt, sum_ev, max_ev,
+               SUM(cnt) OVER (ORDER BY duration_s) AS cum,
+               SUM(cnt) OVER () AS n
+        FROM hist
     )
-    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
-           round(avg(CAST(duration_s AS DOUBLE)), 6) AS avg_duration_s,
-           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY duration_s), 6)
-             AS p50_duration_s,
-           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY duration_s), 6)
-             AS p90_duration_s,
-           round(avg(CAST(n_events AS DOUBLE)), 6) AS avg_events,
-           CAST(max(n_events) AS BIGINT) AS max_events
-    FROM per_session
+    SELECT CAST(MAX(n) AS BIGINT) AS n_sessions,
+           round(SUM(duration_s * cnt) * 1.0 / MAX(n), 6) AS avg_duration_s,
+           round(CAST(MIN(CASE WHEN cum * 2 >= n THEN duration_s END)
+                      AS DOUBLE), 6) AS p50_duration_s,
+           round(CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN duration_s END)
+                      AS DOUBLE), 6) AS p90_duration_s,
+           round(SUM(sum_ev) * 1.0 / MAX(n), 6) AS avg_events,
+           CAST(MAX(max_ev) AS BIGINT) AS max_events
+    FROM cdf
     """,
 )
 def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2265,10 +2276,18 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Third reuse of the sessionize pipeline (paths → concurrency →
     stats), each composing different downstream aggregation on the
-    same one-shuffle derivation; the session grain is |sessions| ≈
-    |users|·avg-sessions, far below event scale, so the exact
-    percentiles run on a small relation. [bounded-grain-percentile:
-    session grain ≪ event scale, the §6 policy's contracted case]"""
+    same one-shuffle derivation. Percentiles come from a SECONDS-GRAIN
+    HISTOGRAM CDF (the q_interarrival form, VERDICT r07 item 3): count
+    sessions per whole-second duration bin, then take the smallest bin
+    whose cumulative count reaches the rank. The earlier formulation's
+    exact `percentile(duration_s, …)` buffered every session duration
+    on one reducer — sessions scale with users × activity; here window
+    state is bounded by the duration RANGE in whole seconds, and the
+    rank thresholds use the integer identities cum·2 ≥ n and
+    cum·10 ≥ 9n (≡ cum ≥ ⌈p·n⌉ for integer cum, no float half-way
+    risk). Means are the exact integer identities Σ(x·cnt)/n; event
+    stats ride the same binned relation (sum_ev/max_ev per bin), so no
+    second scan of per_session. [histogram-cdf-percentile]"""
     ev = table(spark, sf_dir, "events")
     sec = F.floor(F.col("ts").cast("double")).cast("long")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -2288,13 +2307,42 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("sec") - F.min("sec")).cast("long").alias("duration_s"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    return per_session.agg(
-        F.count(F.lit(1)).alias("n_sessions"),
-        F.round(F.avg(F.col("duration_s").cast("double")), 6).alias("avg_duration_s"),
-        F.round(F.expr("percentile(duration_s, 0.5)"), 6).alias("p50_duration_s"),
-        F.round(F.expr("percentile(duration_s, 0.9)"), 6).alias("p90_duration_s"),
-        F.round(F.avg(F.col("n_events").cast("double")), 6).alias("avg_events"),
-        F.max("n_events").alias("max_events"),
+    hist = per_session.groupBy("duration_s").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n_events").alias("sum_ev"),
+        F.max("n_events").alias("max_ev"),
+    )
+    # bounded-bin window: rows = distinct whole-second durations, capped
+    # by the 30-min session-gap policy's practical range, not by |events|
+    wb = Window.orderBy("duration_s").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cdf = hist.select(
+        "duration_s",
+        "cnt",
+        "sum_ev",
+        "max_ev",
+        F.sum("cnt").over(wb).alias("cum"),
+        F.sum("cnt").over(wt).alias("n"),
+    )
+    return cdf.agg(
+        F.max("n").cast("long").alias("n_sessions"),
+        F.round(
+            F.sum(F.col("duration_s") * F.col("cnt")) * 1.0 / F.max("n"), 6
+        ).alias("avg_duration_s"),
+        F.round(
+            F.min(
+                F.when(F.col("cum") * 2 >= F.col("n"), F.col("duration_s"))
+            ).cast("double"),
+            6,
+        ).alias("p50_duration_s"),
+        F.round(
+            F.min(
+                F.when(F.col("cum") * 10 >= F.col("n") * 9, F.col("duration_s"))
+            ).cast("double"),
+            6,
+        ).alias("p90_duration_s"),
+        F.round(F.sum("sum_ev") * 1.0 / F.max("n"), 6).alias("avg_events"),
+        F.max("max_ev").alias("max_events"),
     )
 
 
