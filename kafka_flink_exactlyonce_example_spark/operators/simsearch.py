@@ -2118,19 +2118,25 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode (map-side partial avg, one shuffle of 2144 groups; at
     production scale the same sums come from a per-partition
     Gram-matrix treeAggregate — identical math, one pass).
-    Everything after is bounded: cov is d(d+1)/2 rows, each of the
-    {_PI_ITERS} iterations is a 64-row matvec (lazily
-    localCheckpoint'ed so the doubled-lineage plan stays flat — the
-    q_dup_groups loop discipline). Bench note: most of this query's
-    wall at sf0.1 is the {_PI_ITERS} SEQUENTIALLY-DEPENDENT tiny
-    stages' fixed scheduling overhead — a CONSTANT in data size, so
-    its share vanishes as the corpus grows; the one scan is the only
-    scaling term. Determinism: covariance entries and the
-    normalized vector are ROUNDED to 9 dp every round, so both
-    engines iterate from bit-identical state and summation-order ulps
-    can never compound (the q_kmeans rounded-centroid trick applied
-    per iteration); v0 = 1/8 exactly (binary-exact unit vector at
-    d = 64), fixed iteration count, no RNG anywhere."""
+    Everything after runs DRIVER-SIDE on the collected BOUNDED model
+    (d(d+3)/2 = 2,144 rows by construction, independent of corpus
+    size — the q_kmeans bounded-centroid license): the 8 matvec +
+    normalize rounds are pure 64x64 arithmetic, so scheduling them as
+    8 sequentially-dependent Spark stages bought nothing but ~4 s of
+    fixed per-stage overhead at every SF (VERDICT r07 item 7's A/B).
+    The result is re-parallelized via createDataFrame only to hand
+    the driver a DataFrame. Determinism: covariance entries and the
+    normalized vector are ROUNDED to 9 dp every round with
+    decimal HALF_UP — bit-faithful to Spark's F.round/BigDecimal
+    semantics and DuckDB's ROUND — so both engines iterate from
+    identical state and summation-order ulps cannot compound across
+    rounds; v0 = 1/8 exactly (binary-exact unit vector at d = 64),
+    fixed iteration count (_PI_ITERS = 8), no RNG anywhere.
+    Residual documented risk (ADVICE r07): the per-round 64-term
+    matvec sums are unrounded before the 9-dp gate, so a cross-engine
+    ulp difference matters only if a true value sits within 1 ulp of
+    a 0.5e-9 boundary — hash-verified absent at sf0.001/0.01/0.1 on
+    the fixed testdata."""
     emb = table(spark, sf_dir, "embeddings")
     # ALL sufficient statistics in ONE scan + ONE shuffle: the
     # upper-triangle products are generated INLINE from the array (the
@@ -2153,64 +2159,51 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(F.explode(tri).alias("x"))
         .groupBy(F.col("x.i").alias("i"), F.col("x.j").alias("j"))
         .agg(F.avg("x.p").alias("s"))
-        .localCheckpoint()  # eager: the one data-touching stage
     )
-    means = moments.filter(F.col("j") == -1).select(
-        F.col("i").alias("d"), F.round("s", 9).alias("m")
-    )
-    m2 = moments.filter(F.col("j") >= 0)
-    cov = (
-        m2.join(
-            F.broadcast(means.select(F.col("d").alias("i"), F.col("m").alias("mi"))),
-            "i",
+
+    # HALF_UP decimal rounding, bit-faithful to Spark's F.round
+    # (BigDecimal(double).setScale(dp, HALF_UP) on the double's exact
+    # binary expansion) and DuckDB's ROUND — Python's round()/np.round
+    # are half-even and MUST NOT be used here.
+    import decimal
+    import math as _math
+
+    def _r(x: float, dp: int) -> float:
+        q = decimal.Decimal(1).scaleb(-dp)
+        return float(
+            decimal.Decimal(x).quantize(q, rounding=decimal.ROUND_HALF_UP)
         )
-        .join(
-            F.broadcast(means.select(F.col("d").alias("j"), F.col("m").alias("mj"))),
-            "j",
-        )
-        .select(
-            "i",
-            "j",
-            F.round(F.col("s") - F.col("mi") * F.col("mj"), 9).alias("c"),
-        )
-        .localCheckpoint()
-    )
-    covf = cov.unionByName(
-        cov.filter(F.col("i") < F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "c"
-        )
-    )
-    v = means.select(F.col("d").alias("i"), F.lit(0.125).alias("v"))
-    nrm = None
+
+    # Collect the BOUNDED sufficient-statistic model (2,144 rows, fixed
+    # by d = 64 regardless of corpus size) — the one licensed collect:
+    # everything data-scaled stays in the scan above.
+    rows = moments.collect()
+    means: dict[int, float] = {}
+    m2: dict[tuple[int, int], float] = {}
+    for r in rows:
+        if r["j"] == -1:
+            means[r["i"]] = _r(r["s"], 9)
+        else:
+            m2[(r["i"], r["j"])] = r["s"]
+    d = len(means)
+    cov = [[0.0] * d for _ in range(d)]
+    for (i, j), s in m2.items():
+        c = _r(s - means[i] * means[j], 9)  # same IEEE ops as the old plan
+        cov[i][j] = c
+        cov[j][i] = c
+    tr = sum(cov[i][i] for i in range(d))  # ascending-i order, fixed
+    vec = [0.125] * d
+    nrm = 0.0
     for _ in range(_PI_ITERS):
-        w = (
-            covf.join(
-                v.select(F.col("i").alias("j"), F.col("v").alias("pv")), "j"
-            )
-            .groupBy("i")
-            .agg(F.sum(F.col("c") * F.col("pv")).alias("w"))
-        )
-        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-        # LAZY checkpoint: cuts the doubled-subtree lineage (w feeds
-        # both nrm and v, so an uncut plan grows 2^iters) but defers
-        # materialization, so all 12 matvec rounds run inside the ONE
-        # job the final action triggers — eager checkpoints here cost
-        # 12 fixed-overhead jobs on 64-row relations.
-        v = (
-            w.crossJoin(F.broadcast(nrm))
-            .select("i", F.round(F.col("w") / F.col("nrm"), 9).alias("v"))
-            .localCheckpoint(eager=False)
-        )
-    trace = cov.filter(F.col("i") == F.col("j")).agg(
-        F.sum("c").alias("tr")
-    )
-    return (
-        v.crossJoin(F.broadcast(nrm))
-        .crossJoin(F.broadcast(trace))
-        .select(
-            F.col("i").alias("dim"),
-            F.round(F.col("v"), 6).alias("loading"),
-            F.round(F.col("nrm"), 6).alias("eigenvalue"),
-            F.round(F.col("nrm") / F.col("tr"), 6).alias("explained_share"),
-        )
+        w = [
+            sum(cov[i][j] * vec[j] for j in range(d))  # ascending-j order
+            for i in range(d)
+        ]
+        nrm = _math.sqrt(sum(x * x for x in w))
+        vec = [_r(x / nrm, 9) for x in w]
+    out = [
+        (i, _r(vec[i], 6), _r(nrm, 6), _r(nrm / tr, 6)) for i in range(d)
+    ]
+    return spark.createDataFrame(
+        out, "dim int, loading double, eigenvalue double, explained_share double"
     )

@@ -119,8 +119,9 @@ ORDER_SENSITIVE = [
     "q_kmv_setops",
     "q_minhash_containment",
     "q_leakage_split",
-    "q_pca_power",  # 12 rounded matvec rounds — drift must not compound
+    "q_pca_power",  # 8 rounded matvec rounds (driver-side, bounded model)
     "q_interarrival",  # histogram-CDF median pick at the ⌈n/2⌉ bin
+    "q_session_stats",  # duration-bin CDF picks (round-8 conversion)
     "q_skew_diag",  # count-bin CDF picks over the key-count histogram
 ]
 
