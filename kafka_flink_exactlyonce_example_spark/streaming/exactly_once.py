@@ -35,7 +35,6 @@ same data → idempotent MERGE converges to exactly-once.
 
 from __future__ import annotations
 
-import contextlib
 import os
 import shutil
 import tempfile
@@ -204,11 +203,19 @@ class ContinuousAggregateSink:
     def _snap_path(self, batch_id: int) -> str:
         return os.path.join(self.snap_dir, f"batch_id={batch_id}")
 
+    def snapshot_batches(self) -> list[int]:
+        """Committed batches whose snapshot data still exists (GC keeps
+        only the last two generations of DATA, but every marker)."""
+        return [
+            b for b in self.committed_batches()
+            if os.path.exists(self._snap_path(b))
+        ]
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if self.is_committed(batch_id):
             return
         spark = batch_df.sparkSession
-        prior = [b for b in self.committed_batches() if b < batch_id]
+        prior = [b for b in self.snapshot_batches() if b < batch_id]
         if prior:
             prev = spark.read.parquet(self._snap_path(prior[-1]))
             keys = batch_df.select(*self.key_cols)
@@ -224,32 +231,33 @@ class ContinuousAggregateSink:
         self._gc(batch_id)
 
     def _gc(self, batch_id: int) -> None:
-        """Retention: drop snapshots (and their markers) older than the
-        previous committed one. Keeping N and N−1 covers torn-write
-        recovery — snapshot N is a pure function of (N−1, batch N), so
-        anything older is dead weight; without this a long-running
-        stream grows storage as O(batches × table size) and
-        ``committed_batches``'s listdir cost grows unboundedly
-        (round-5 advice). Markers for dropped snapshots are removed
-        too: ``is_committed`` replay-skips only batches whose replay
-        Spark can actually attempt, i.e. recent ones — the checkpoint
-        never re-offers a batch two generations back."""
+        """Retention: drop snapshot DATA older than the previous
+        committed generation, but KEEP every commit marker. Keeping
+        snapshots N and N−1 covers torn-write recovery — snapshot N is
+        a pure function of (N−1, batch N), so older data is dead
+        weight; without this a long-running stream grows storage as
+        O(batches × table size) (round-5 advice). Markers stay because
+        ``is_committed`` is the replay-skip contract for ANY batch id
+        the checkpoint might re-offer — deleting a marker with its
+        snapshot silently narrowed that contract to the last two
+        generations (ADVICE r07): a replayed ancient batch would have
+        re-merged into the current snapshot as if it were new data.
+        Markers are 0-byte files, so retention is O(batches) dentries,
+        the same order as Spark's own checkpoint commit log; on a
+        lakehouse the table's transaction log plays this role."""
         keep = {b for b in self.committed_batches() if b >= batch_id} | {
             max((b for b in self.committed_batches() if b < batch_id),
                 default=batch_id)
         }
-        for b in self.committed_batches():
-            if b in keep:
-                continue
-            shutil.rmtree(self._snap_path(b), ignore_errors=True)
-            with contextlib.suppress(OSError):
-                os.remove(self._marker(b))
+        for b in self.snapshot_batches():
+            if b not in keep:
+                shutil.rmtree(self._snap_path(b), ignore_errors=True)
 
     def read_current(self, spark: SparkSession) -> DataFrame:
-        committed = self.committed_batches()
-        if not committed:
+        with_data = self.snapshot_batches()
+        if not with_data:
             raise FileNotFoundError(f"no committed snapshots under {self.out_dir}")
-        return spark.read.parquet(self._snap_path(committed[-1]))
+        return spark.read.parquet(self._snap_path(with_data[-1]))
 
 
 class CdcUpsertSink(ContinuousAggregateSink):
@@ -288,7 +296,7 @@ class CdcUpsertSink(ContinuousAggregateSink):
         from pyspark.sql import functions as F
 
         spark = batch_df.sparkSession
-        prior = [b for b in self.committed_batches() if b < batch_id]
+        prior = [b for b in self.snapshot_batches() if b < batch_id]
         merged = batch_df
         if prior:
             prev = spark.read.parquet(self._snap_path(prior[-1]))

@@ -209,6 +209,7 @@ def temporal_enrich(
     key: str,
     checkpoint_dir: str,
     out_sink=None,
+    dim_schema=None,
 ):
     """Processing-time TEMPORAL table join (Flink SQL
     ``FOR SYSTEM_TIME AS OF proc_time`` against a versioned dimension,
@@ -233,7 +234,17 @@ def temporal_enrich(
     table's time-travel snapshots instead (README mapping).
 
     ``out_sink`` defaults to an in-memory list collector for tests;
-    pass an IdempotentBatchSink for exactly-once output."""
+    pass an IdempotentBatchSink for exactly-once output.
+
+    ``dim_schema`` (StructType): the dimension's schema, used to emit a
+    SCHEMA-STABLE left join from batch 0 — before the first dimension
+    snapshot commits, batches join against an EMPTY typed dimension
+    (all dim columns NULL), exactly what Flink's temporal join emits
+    against a not-yet-populated dynamic table. Without it the pre-
+    snapshot batches passed through UN-JOINED, so the output stream
+    changed schema mid-flight once the dimension appeared (ADVICE
+    r07). Omitting ``dim_schema`` keeps the legacy passthrough for
+    callers that gate the fact stream on dimension readiness."""
     collected: list = []
 
     def _enrich(batch_df: DataFrame, batch_id: int) -> None:
@@ -241,7 +252,11 @@ def temporal_enrich(
         try:
             dim = dim_sink.read_current(spark)
         except FileNotFoundError:
-            dim = None
+            dim = (
+                spark.createDataFrame([], dim_schema)
+                if dim_schema is not None
+                else None
+            )
         joined = (
             batch_df.join(F.broadcast(dim), key, "left")
             if dim is not None

@@ -1310,3 +1310,112 @@ def test_temporal_enrich_proc_time(spark, tmp_path):
     # user 1 sees the LATEST committed version (gold, not bronze);
     # unknown user 99 enriches as NULL, the row is not dropped
     assert got == {1: "gold", 2: "silver", 99: None}, f"unexpected: {got}"
+
+
+def test_temporal_enrich_schema_stable_before_first_snapshot(spark, tmp_path):
+    """ADVICE r07: with ``dim_schema`` given, batches running BEFORE the
+    first dimension snapshot commits must emit the JOINED schema (dim
+    columns present, NULL) — not pass through un-joined — so the output
+    stream's schema never changes mid-flight when the dimension
+    appears."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from kafka_flink_exactlyonce_example_spark.streaming import file_stream
+    from kafka_flink_exactlyonce_example_spark.streaming.exactly_once import (
+        CdcUpsertSink,
+    )
+    from kafka_flink_exactlyonce_example_spark.streaming.jobs import (
+        temporal_enrich,
+    )
+
+    # dimension sink exists but NOTHING has committed yet
+    dim_sink = CdcUpsertSink(str(tmp_path / "dim"), ["user_id"], ["seq"])
+    dim_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("seq", LongType()),
+            StructField("tier", StringType()),
+        ]
+    )
+
+    inp = str(tmp_path / "facts")
+    _os.makedirs(inp)
+    with open(_os.path.join(inp, "f0.json"), "w") as f:
+        f.write(_json.dumps({"user_id": 1, "amt": 10.0}) + "\n")
+    facts = file_stream(spark, inp, "user_id long, amt double", fmt="json")
+
+    schemas: list = []
+    out: list = []
+
+    def _capture(batch_df, batch_id):
+        if batch_df.count():
+            schemas.append([f.name for f in batch_df.schema.fields])
+            out.extend(batch_df.collect())
+
+    q, _ = temporal_enrich(
+        facts,
+        dim_sink,
+        "user_id",
+        str(tmp_path / "ckpt1"),
+        out_sink=_capture,
+        dim_schema=dim_schema,
+    )
+    q.awaitTermination(120)
+
+    assert schemas and schemas[0] == ["user_id", "amt", "seq", "tier"], schemas
+    assert out[0]["tier"] is None and out[0]["amt"] == 10.0
+
+    # dimension commits; a later fact batch keeps the IDENTICAL schema
+    dim_sink(
+        spark.createDataFrame([(1, 1, "gold")], dim_schema), 0
+    )
+    with open(_os.path.join(inp, "f1.json"), "w") as f:
+        f.write(_json.dumps({"user_id": 1, "amt": 20.0}) + "\n")
+    facts2 = file_stream(spark, inp, "user_id long, amt double", fmt="json")
+    q2, _ = temporal_enrich(
+        facts2,
+        dim_sink,
+        "user_id",
+        str(tmp_path / "ckpt2"),
+        out_sink=_capture,
+        dim_schema=dim_schema,
+    )
+    q2.awaitTermination(120)
+    assert all(s == schemas[0] for s in schemas), f"schema drifted: {schemas}"
+    enriched = [r for r in out if r["amt"] == 20.0]
+    assert enriched and enriched[0]["tier"] == "gold"
+
+
+def test_gc_keeps_markers_for_ancient_batches(spark, tmp_path):
+    """ADVICE r07: snapshot GC drops old snapshot DATA but must KEEP
+    every commit marker — ``is_committed`` is the replay-skip contract
+    for ANY batch id the checkpoint might re-offer. A replayed batch
+    whose snapshot data was GC'd must be a no-op, not re-merge."""
+    from kafka_flink_exactlyonce_example_spark.streaming.exactly_once import (
+        ContinuousAggregateSink,
+    )
+
+    sink = ContinuousAggregateSink(str(tmp_path / "ca"), ["k"])
+    for i, rows in enumerate([[("a", 1)], [("b", 2)], [("c", 3)], [("d", 4)]]):
+        sink(spark.createDataFrame(rows, ["k", "v"]), i)
+
+    # data GC'd to the last two generations…
+    assert sink.snapshot_batches() == [2, 3]
+    # …but every marker survives
+    assert sink.committed_batches() == [0, 1, 2, 3]
+    assert all(sink.is_committed(b) for b in range(4))
+
+    # replaying an ANCIENT batch (data long GC'd) is a strict no-op
+    before = sorted(map(tuple, sink.read_current(spark).collect()))
+    sink(spark.createDataFrame([("a", 999)], ["k", "v"]), 0)
+    after = sorted(map(tuple, sink.read_current(spark).collect()))
+    assert after == before, "replayed GC'd batch mutated the snapshot"
+    assert sink.snapshot_batches() == [2, 3]
