@@ -686,24 +686,38 @@ def _ivf_cells(e: DataFrame) -> DataFrame:
     vec_id of the nearest (by cosine, ties → smallest id) of the
     label's k deterministic seed vectors, k = max(1,
     floor(sqrt(n_label/_CELL_TARGET))). All stages are shuffle-parallel:
-    per-label counts (reduce), hash-sampled seed candidates whose
-    sampling modulus scales with n_label/k so the candidate set stays
-    ~_SEED_OVERSAMPLE·k rows no matter the corpus size, ranked by an
-    independent hash within that bounded set, a guaranteed min-hash
-    fallback seed per label (min_by reduce), and a broadcast-seeds
-    assignment scan (seeds are √n-scaled — far under broadcast limits
-    for any corpus whose pair join is worth blocking). No window ever
-    partitions by a data-scaled row set."""
-    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("_n"))
-    counts = counts.select(
+    ONE per-label reduce computes the counts AND the guaranteed
+    min-hash fallback seed; hash-sampled seed candidates (sampling
+    modulus scales with n_label/k so the candidate set stays
+    ~_SEED_OVERSAMPLE·k rows no matter the corpus size) are ranked by
+    an independent hash within that bounded set; then the per-label
+    seed ARRAYS (√n-scaled — far under broadcast limits for any corpus
+    whose pair join is worth blocking) broadcast onto one assignment
+    scan whose nearest-seed argmax is an INLINE array_max over
+    struct(cos, -cell, cell) — no per-(vector, seed) row explosion and
+    no vec_id-keyed reduce shuffle. The round-7 profile showed the old
+    five-shuffle form (separate fallback scan, row-multiplying
+    assignment join, groupBy max_by) spending ~4 s of pure stage
+    overhead at sf0.1 on a 2,000-row input; this form has two shuffles
+    (label reduce, bounded candidate rank) plus the scan. No window
+    ever partitions by a data-scaled row set."""
+    h1 = F.xxhash64(F.col("vec_id"))
+    h2 = F.md5(F.concat(F.lit("seed:"), F.col("vec_id").cast("string")))
+    base = e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min_by(
+            F.struct(F.col("vec_id").alias("cell"), F.col("embedding").alias("seed")),
+            h2,
+        ).alias("_fb"),
+    )
+    counts = base.select(
         "label",
         "_n",
+        "_fb",
         F.greatest(
             F.lit(1), F.floor(F.sqrt(F.col("_n") / F.lit(_CELL_TARGET)))
         ).cast("int").alias("_k"),
     )
-    h1 = F.xxhash64(F.col("vec_id"))
-    h2 = F.md5(F.concat(F.lit("seed:"), F.col("vec_id").cast("string")))
     seed_mod = F.greatest(
         F.lit(1).cast("bigint"),
         F.floor(
@@ -712,7 +726,7 @@ def _ivf_cells(e: DataFrame) -> DataFrame:
         ),
     ).cast("bigint")
     cand = (
-        e.join(F.broadcast(counts), "label")
+        e.join(F.broadcast(counts.drop("_fb")), "label")
         .filter(F.pmod(h1, seed_mod) == 0)
         .withColumn(
             "_srn",
@@ -721,38 +735,36 @@ def _ivf_cells(e: DataFrame) -> DataFrame:
             ),
         )
         .filter(F.col("_srn") <= F.col("_k"))
-        .select("label", F.col("vec_id").alias("cell"), F.col("embedding").alias("seed"))
-    )
-    fallback = (
-        e.groupBy("label")
+        .groupBy("label")
         .agg(
-            F.min_by(
-                F.struct(F.col("vec_id").alias("cell"), F.col("embedding").alias("seed")),
-                F.md5(F.concat(F.lit("seed:"), F.col("vec_id").cast("string"))),
-            ).alias("s")
+            F.collect_list(
+                F.struct(F.col("vec_id").alias("cell"), F.col("embedding").alias("seed"))
+            ).alias("_seeds")
         )
-        .select("label", F.col("s.cell").alias("cell"), F.col("s.seed").alias("seed"))
-        .join(cand.groupBy("label").count().withColumnRenamed("count", "_nc"),
-              "label", "left")
-        .filter(F.coalesce(F.col("_nc"), F.lit(0)) == 0)
-        .select("label", "cell", "seed")
     )
-    seeds = cand.unionByName(fallback)
-    scored = e.join(F.broadcast(seeds), "label").select(
-        "vec_id",
+    # labels whose sampled candidate set came up empty take the
+    # guaranteed min-hash seed from the SAME reduce that counted them
+    seeds = counts.join(cand, "label", "left").select(
         "label",
-        "embedding",
-        "cell",
-        cosine(F.col("embedding"), F.col("seed")).alias("_cs"),
+        F.when(F.size(F.col("_seeds")) > 0, F.col("_seeds"))
+        .otherwise(F.array(F.col("_fb")))
+        .alias("_seeds"),
     )
-    return (
-        scored.groupBy("vec_id", "label")
-        .agg(
-            F.max_by(
-                F.col("cell"), F.struct(F.col("_cs"), -F.col("cell"))
-            ).alias("cell"),
-            F.first("embedding").alias("embedding"),
+    # nearest-seed argmax inline: struct comparison orders by cosine,
+    # then -cell (ties -> smallest cell id) — identical to the old
+    # max_by(cell, struct(_cs, -cell)) but with zero extra shuffle
+    best = F.array_max(
+        F.transform(
+            F.col("_seeds"),
+            lambda s: F.struct(
+                cosine(F.col("embedding"), s["seed"]).alias("_cs"),
+                (-s["cell"]).alias("_nc"),
+                s["cell"].alias("cell"),
+            ),
         )
+    )
+    return e.join(F.broadcast(seeds), "label").select(
+        "vec_id", "label", best["cell"].alias("cell"), "embedding"
     )
 
 

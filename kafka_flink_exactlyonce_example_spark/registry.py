@@ -115,12 +115,17 @@ def graded_before(round_no: int | None = None) -> set[str]:
 #: Keys whose IMPLEMENTATION changed in the current build round — they
 #: are forced into the window so the new plan earns a fresh driver row.
 #: THE one per-round hand edit. Round 8: q_session_stats moved from
-#: exact percentile to the histogram-CDF form (VERDICT r07 item 3) and
+#: exact percentile to the histogram-CDF form (VERDICT r07 item 3);
 #: q_pca_power's matvec rounds moved driver-side over the bounded
-#: covariance model (VERDICT r07 item 7); both are also first-ever.
+#: covariance model (VERDICT r07 item 7) — both also first-ever; and
+#: the _ivf_cells restructure (fallback folded into the counts reduce,
+#: inline array_max assignment — VERDICT r07 item 5's q_semdedup
+#: profile) changed the plans of its two consumers.
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     "q_session_stats",
     "q_pca_power",
+    "q_semdedup",
+    "q_embed_dup",
 })
 
 #: Canonical drain order for never-driver-graded keys. Filtered against

@@ -110,14 +110,30 @@ def test_family_span_or_backlog_pressure(registry_loaded):
     ]
     missing = [fam for fam in required if fam not in covered]
     if missing:
-        # dropped families must be a suffix of the priority order …
-        assert missing == required[-len(missing):], (
-            f"non-tail families dropped: {missing}"
-        )
-        # … and only because first-ever keys + changed keys + keeps
-        # genuinely filled the window
+        # keeps are handed out in priority order, so a family may only
+        # be dropped if every family that DID get a keep slot ranks
+        # higher — pops/changed cover families out of order, which is
+        # fine; the keep budget itself must never skip a priority.
         prior = registry_loaded.graded_before()
         never = {k for k in registry_loaded.QUERIES if k not in prior}
+        changed = registry_loaded._CHANGED_THIS_ROUND
+        keep_keys = [
+            k for k in window
+            if k != "q_wordcount" and k not in never and k not in changed
+        ]
+        idx = {fam: i for i, fam in enumerate(required)}
+        keep_fams = {
+            registry_loaded._module_of(registry_loaded.QUERIES[k])
+            for k in keep_keys
+        }
+        worst_keep = max((idx[f] for f in keep_fams if f in idx), default=-1)
+        best_missing = min(idx[f] for f in missing)
+        assert worst_keep < best_missing, (
+            f"family {required[best_missing]} dropped while lower-priority "
+            f"families kept: {sorted(keep_fams)}"
+        )
+        # …and only because the window genuinely filled with first-ever
+        # + changed keys
         target = min(registry_loaded._MIN_FIRST_EVER, len(never))
         assert len(set(window) & never) >= target
 
