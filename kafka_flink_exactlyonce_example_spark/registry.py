@@ -231,7 +231,9 @@ def _module_of(fn: QueryFn) -> str:
     return inspect.unwrap(fn).__module__.rsplit(".", 1)[-1]
 
 
-def derive_window(round_no: int | None = None) -> list[str]:
+def derive_window(
+    round_no: int | None = None, prior: set[str] | None = None
+) -> list[str]:
     """Compute the 50-key grading window for ``round_no`` from (a) the
     CORRECTNESS artifacts on disk, (b) ``_CHANGED_THIS_ROUND``, (c) the
     ``_BACKLOG_ORDER`` drain order, (d) rotating family keeps. Pure
@@ -248,12 +250,16 @@ def derive_window(round_no: int | None = None) -> list[str]:
          slots remain, member rotated by round;
       5. any still-free slots: more backlog, then previously-graded
          keys round-robined by round for re-coverage.
+
+    ``prior`` (tests only) overrides the graded-before set so future
+    rounds can be previewed before their artifacts exist.
     """
     if round_no is None:
         round_no = rotation_round()
     if not QUERIES:
         raise RuntimeError("derive_window() requires load_all() registration")
-    prior = graded_before(round_no)
+    if prior is None:
+        prior = graded_before(round_no)
     never = [k for k in QUERIES if k not in prior]
     listed = [k for k in _BACKLOG_ORDER if k in never]
     backlog = listed + sorted(set(never) - set(listed))

@@ -158,3 +158,31 @@ def test_reorder_is_complete_and_lossless(registry_loaded):
     keys = list(registry_loaded.QUERIES)
     assert len(keys) == len(set(keys))
     assert set(registry_loaded.ORACLES) <= set(keys)
+
+
+def test_round9_auto_rotation_preview(registry_loaded):
+    """The whole point of the derivation: when the driver lands
+    CORRECTNESS_r08.json (this round's window graded), round 9's window
+    must pop the ENTIRE leftover backlog with no hand edit. Simulated by
+    injecting the would-be graded set."""
+    r8 = registry_loaded.derive_window()
+    prior_r9 = registry_loaded.graded_before() | set(r8)
+    r9 = registry_loaded.derive_window(round_no=9, prior=prior_r9)
+    leftovers = {k for k in registry_loaded.QUERIES if k not in prior_r9}
+    assert leftovers <= set(r9), (
+        f"round 9 would strand never-graded keys: {sorted(leftovers - set(r9))}"
+    )
+    assert len(r9) == 50
+    # with the backlog drained, the family span is fully restored
+    covered = {
+        registry_loaded._module_of(registry_loaded.QUERIES[k]) for k in r9
+    }
+    required = {
+        fam
+        for fam in registry_loaded._FAMILY_KEEP_PRIORITY
+        if any(
+            registry_loaded._module_of(fn) == fam
+            for fn in registry_loaded.QUERIES.values()
+        )
+    }
+    assert required <= covered, f"round 9 misses families: {required - covered}"
