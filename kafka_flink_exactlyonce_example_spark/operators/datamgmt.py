@@ -307,45 +307,62 @@ def q_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplicity; character shingles spanning word boundaries catch
     reorderings and near-paraphrases).
 
-    Plan: shingle natively (``sequence`` + ``transform`` + ``explode``,
-    no UDF), hash grams to int64, distinct (doc, gram), inverted-index
-    self-join on (lang, gram-hash) with per-pair count, Jaccard from
-    the count and the two set sizes (broadcast). **Shingle width is the
-    cost lever**: the postings blowup is Σ_g C(df_g, 2), measured on
-    this corpus at 72M pair-rows for 8-char grams but 1.4M for 16-char
-    grams (longer grams ≈ 2-3 words are far more discriminative), so
-    the naive-looking index join is actually the cheap exact plan — a
-    PPJoin prefix-filter variant was tried and measured SLOWER here
+    Plan: explode POSITIONS (ints) and hash ``substring(text, i, 16)``
+    post-explode — measured ~15% cheaper at sf0.1 than materializing a
+    per-doc array of gram STRINGS inside ``transform`` before the
+    explode — then distinct (doc, gram-hash), ONE shuffle onto
+    (lang, gram-hash) postings whose C(df,2) co-occurring pairs are
+    generated INLINE from the sorted posting array (the q_basket_pairs
+    trick; round-8 A/B: 2.65 → 1.9 s over the former inverted-index
+    self-join, which shuffled both join sides separately), per-pair
+    count, Jaccard from the count and the two set sizes (broadcast).
+    **Shingle width is the cost lever**: the postings blowup is
+    Σ_g C(df_g, 2), measured on this corpus at 72M pair-rows for
+    8-char grams but 1.4M for 16-char grams (longer grams ≈ 2-3 words
+    are far more discriminative), so the exact postings plan is cheap —
+    a PPJoin prefix-filter variant was tried and measured SLOWER here
     because near-dup clusters share even their rarest grams. At 100 TB
     with a hard threshold you'd put q_near_dup's MinHash banding in
-    front and keep exactly this join as the verifier on candidates.
+    front and keep exactly this pair generation as the verifier on
+    candidates (posting lists there are additionally capped, as in
+    q_near_dup's _MAX_BUCKET).
     """
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     grams = (
         docs.select(
             "doc_id",
             "lang",
+            "text",
             F.explode(
-                F.expr(
-                    f"transform(sequence(1, greatest(length(text) - {_NGRAM} + 1, 0)),"
-                    f" i -> substring(text, i, {_NGRAM}))"
-                )
-            ).alias("gram"),
+                F.expr(f"sequence(1, greatest(length(text) - {_NGRAM} + 1, 0))")
+            ).alias("i"),
         )
-        .select("doc_id", "lang", F.xxhash64("gram").alias("h"))
+        .select(
+            "doc_id",
+            "lang",
+            F.xxhash64(F.expr(f"substring(text, i, {_NGRAM})")).alias("h"),
+        )
         .distinct()
-        # three consumers (both self-join sides + sizes) — materialize
-        # the shingle explode once instead of recomputing it per
-        # consumer (measured 2× on the whole query at sf0.1)
+        # two consumers (postings + sizes) — materialize the shingle
+        # explode once instead of recomputing it per consumer
+        # (measured 2× on the whole query at sf0.1)
         .localCheckpoint()
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = grams.select(F.col("doc_id").alias("doc_a"), "lang", "h")
-    b = grams.select(F.col("doc_id").alias("doc_b"), "lang", "h")
     inter = (
-        a.join(b, ["lang", "h"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        grams.groupBy("lang", "h")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))

@@ -121,11 +121,14 @@ def graded_before(round_no: int | None = None) -> set[str]:
 #: the _ivf_cells restructure (fallback folded into the counts reduce,
 #: inline array_max assignment — VERDICT r07 item 5's q_semdedup
 #: profile) changed the plans of its two consumers.
+#: …and q_char_ngram's postings restructure (one-shuffle inline-pair
+#: generation replacing the two-sided inverted-index self-join).
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     "q_session_stats",
     "q_pca_power",
     "q_semdedup",
     "q_embed_dup",
+    "q_char_ngram",
 })
 
 #: Canonical drain order for never-driver-graded keys. Filtered against
