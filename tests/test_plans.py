@@ -452,3 +452,33 @@ def test_round6_leakage_split_is_group_grain_rollup(spark, registry_loaded):
     plan = plan_string(df)
     assert "WindowExec" not in plan and "Window [" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_char_ngram_single_pair_shuffle(spark, registry_loaded):
+    """Round-8 restructure: co-occurring doc pairs are generated inline
+    from sorted posting arrays after ONE (lang, gram-hash) shuffle — the
+    former inverted-index SELF-JOIN (two shuffled sides) must not come
+    back. The size joins at the end broadcast (bounded doc-grain)."""
+    df = registry_loaded.QUERIES["q_char_ngram"](spark, SMOKE_SF)
+    plan = plan_string(df)
+    assert "SortMergeJoin" not in plan
+    assert "collect_list" in plan or "ds" in plan  # postings aggregation
+
+
+def test_session_stats_no_exact_percentile(spark, registry_loaded):
+    """Round-8 conversion (VERDICT r07 item 3): the duration percentiles
+    come from the seconds-grain histogram CDF — the plan must not
+    contain the value-buffering exact `percentile` aggregate."""
+    df = registry_loaded.QUERIES["q_session_stats"](spark, SMOKE_SF)
+    plan = plan_string(df)
+    assert "percentile" not in plan.lower()
+
+
+def test_pca_power_no_iterative_stages(spark, registry_loaded):
+    """Round-8: the matvec rounds run driver-side over the collected
+    bounded model; the returned plan is a parallelized local relation —
+    no joins, no windows, no exchanges left in the result DataFrame."""
+    df = registry_loaded.QUERIES["q_pca_power"](spark, SMOKE_SF)
+    plan = plan_string(df)
+    for node in ("Join", "Window", "Exchange"):
+        assert node not in plan, f"unexpected {node} in driver-side pca plan"
