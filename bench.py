@@ -61,11 +61,20 @@ def main() -> None:
     (here / "BENCH_FULL.json").write_text(payload)
     # per-round copy (round-5 verdict item 8): BENCH_FULL.json gets
     # overwritten each run, which makes per-query regressions beyond
-    # the top-10 invisible to the next audit — keep one map per
-    # declared rotation round so consecutive rounds stay comparable.
-    (here / f"BENCH_FULL_r{registry.rotation_round():02d}.json").write_text(
-        payload
-    )
+    # the top-10 invisible to the next audit — keep one map per round
+    # so consecutive rounds stay comparable. Label: normally the
+    # derived rotation round, EXCEPT when this round's CORRECTNESS
+    # artifact already landed but its bench copy hasn't (the driver may
+    # grade correctness before bench within one round — the derived
+    # round has then already advanced, and the bench still belongs to
+    # the just-graded round).
+    label = registry.rotation_round()
+    prev = label - 1
+    if (here / f"CORRECTNESS_r{prev:02d}.json").exists() and not (
+        here / f"BENCH_FULL_r{prev:02d}.json"
+    ).exists():
+        label = prev
+    (here / f"BENCH_FULL_r{label:02d}.json").write_text(payload)
 
     slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
     print(
