@@ -504,6 +504,67 @@ def main() -> None:
             f"wall={dt:6.2f}s  rate_vs_x1={rate / base_rate:4.2f}"
         )
 
+    # char-gram postings pair generation (datamgmt.q_char_ngram,
+    # round-8 one-shuffle form): replicas carry DISJOINT gram spaces
+    # (per-replica alphabet rotation via translate), so each posting's
+    # df stays constant and the inline C(df,2) pair volume must grow
+    # ~x mult (linear), never x mult^2 — the quadratic regime is
+    # reserved for corpora that genuinely duplicate content (where the
+    # OUTPUT is legitimately quadratic because the docs ARE near-dups).
+    # Healthy = pairs ~ mult x base, wall ~linear.
+    alpha = "abcdefghijklmnop"
+    base_pairs = None
+    base_rate = None
+    for mult in multiples:
+        d0 = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+        parts = [
+            d0.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                "lang",
+                F.translate("text", alpha, alpha[i:] + alpha[:i]).alias("text"),
+            )
+            for i in range(mult)
+        ]
+        d = parts[0]
+        for p_ in parts[1:]:
+            d = d.unionByName(p_)
+        t0 = time.perf_counter()
+        grams = (
+            d.select(
+                "doc_id",
+                "lang",
+                "text",
+                F.explode(
+                    F.expr("sequence(1, greatest(length(text) - 15, 0))")
+                ).alias("i"),
+            )
+            .select(
+                "doc_id",
+                "lang",
+                F.xxhash64(F.expr("substring(text, i, 16)")).alias("h"),
+            )
+            .distinct()
+        )
+        n_pairs = (
+            grams.groupBy("lang", "h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > 1)
+            .select(
+                F.sum(F.col("df") * (F.col("df") - 1) / 2).cast("long").alias("p")
+            )
+            .collect()[0]["p"]
+        ) or 0
+        dt = time.perf_counter() - t0
+        n_docs = 500 * mult
+        rate = n_docs / dt
+        if base_pairs is None:
+            base_pairs, base_rate = max(n_pairs, 1), rate
+        print(
+            f"cgram x{mult:<3d} docs={n_docs:6d} pairs={n_pairs:9d}  "
+            f"pairs_vs_x1={n_pairs / base_pairs:5.2f}  wall={dt:6.2f}s  "
+            f"rate_vs_x1={rate / base_rate:4.2f}"
+        )
+
 
 if __name__ == "__main__":
     main()
