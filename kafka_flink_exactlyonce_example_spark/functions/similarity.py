@@ -6,6 +6,17 @@ partitions — the property we need for 100 TB brute-force scoring.
 Elements are cast to double before multiply so both engines accumulate
 in float64; scores are bounded by 1 so ``round(sim, 6)`` is safely
 inside cross-engine float error (~1e-14).
+
+Round-8 A/B (don't "optimize" this into a flat expression): unrolling
+the dot as a 64-term ``element_at(a,i)*element_at(b,i)`` sum measured
+4× SLOWER than the HOF form on a 249k-pair scoring scan at sf0.1
+(5.3 s vs 1.4 s warm, identical sums bit-for-bit) — per-term array
+element access re-validates and boxes, and the mega-expression
+compiles worse than the interpreted-but-tight fold. The HOF dot is
+the right JVM-side form; the only faster lane is an Arrow-batched
+pandas_udf matmul, which is banned on oracled paths (the
+no-PythonEval plan guard) and reserved for the rows-only multimodal
+stages.
 """
 
 from __future__ import annotations
