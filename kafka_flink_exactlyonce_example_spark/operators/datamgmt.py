@@ -377,6 +377,85 @@ def q_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q_dup_span — per-document duplicated-n-gram coverage
+# --------------------------------------------------------------------------
+
+@query(
+    "q_dup_span",
+    oracle=f"""
+    WITH grams AS (
+        SELECT DISTINCT doc_id, lang,
+               substring(text, i, {_NGRAM}) AS gram
+        FROM documents
+        JOIN (SELECT unnest(generate_series(1, 4000)) AS i)
+          ON i <= length(text) - {_NGRAM} + 1
+    ), df AS (
+        SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS df
+        FROM grams GROUP BY lang, gram
+    )
+    SELECT g.doc_id, g.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE df.df > 1) AS BIGINT) AS n_shared,
+           round(CAST(COUNT(*) FILTER (WHERE df.df > 1) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_frac
+    FROM grams g JOIN df ON g.lang = df.lang AND g.gram = df.gram
+    GROUP BY g.doc_id, g.lang
+    """,
+)
+def q_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage: the fraction of a doc's
+    distinct char-16-grams that appear in at least one OTHER document
+    of the same language — the corpus-memorization diagnostic behind
+    exact-substring training-data dedup (how much of each document is
+    boilerplate/copied text?), and the triage signal for choosing
+    between doc-level dedup (high dup_frac ⇒ whole doc is a copy) and
+    span-level scrubbing (low-but-nonzero ⇒ shared boilerplate).
+
+    Shares q_char_ngram's shingle scheme (positions exploded as ints,
+    ``substring`` hashed post-explode, distinct per doc). Plan: ONE
+    (lang, gram-hash) reduce counts each gram's document frequency,
+    joined back to the distinct gram relation on the same key —
+    co-partitioned, so the join adds no third shuffle — then a per-doc
+    count/flag rollup. Everything is linear in corpus gram volume; the
+    df relation is vocabulary-scaled (bounded by Heaps' law growth,
+    like the LM model tables) and flows through a plain hash join,
+    never a broadcast of a data-scaled relation. Distinct grams make
+    dup_frac a SET property (a doc repeating its own 16-gram does not
+    count as duplication — self-repetition is q_repetition's job)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    grams = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "text",
+            F.explode(
+                F.expr(f"sequence(1, greatest(length(text) - {_NGRAM} + 1, 0))")
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.xxhash64(F.expr(f"substring(text, i, {_NGRAM})")).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint()  # two consumers: the df reduce + the join-back
+    )
+    df_rel = grams.groupBy("lang", "h").agg(F.count(F.lit(1)).alias("df"))
+    shared = F.count(F.when(F.col("df") > 1, 1))
+    return (
+        grams.join(df_rel, ["lang", "h"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            shared.alias("n_shared"),
+            F.round(shared.cast("double") / F.count(F.lit(1)), 6).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # q_embed_quantize — int8 scalar quantization + reconstruction error
 # --------------------------------------------------------------------------
 

@@ -198,6 +198,11 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     "q_mutual_info",
     "q_drawdown",
     "q_whale_curve",
+    # NEW in round 8 (single capability addition under the cap:
+    # per-doc duplicated-span coverage on the round-8 postings
+    # infrastructure) — first-ever by construction, pops in round 9
+    # with the mining tail
+    "q_dup_span",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.
