@@ -1419,3 +1419,36 @@ def test_gc_keeps_markers_for_ancient_batches(spark, tmp_path):
     after = sorted(map(tuple, sink.read_current(spark).collect()))
     assert after == before, "replayed GC'd batch mutated the snapshot"
     assert sink.snapshot_batches() == [2, 3]
+
+
+def test_gc_crash_between_marker_and_gc_recovers(spark, tmp_path):
+    """Crash AFTER the marker rename but BEFORE _gc runs: the commit is
+    durable (marker present), stale snapshot data lingers — and the
+    NEXT successful commit's _gc sweeps it. No reader ever resolves the
+    stale generation because read_current takes the latest marker-
+    committed snapshot."""
+    from kafka_flink_exactlyonce_example_spark.streaming.exactly_once import (
+        ContinuousAggregateSink,
+    )
+
+    sink = ContinuousAggregateSink(str(tmp_path / "ca"), ["k"])
+    sink(spark.createDataFrame([("a", 1)], ["k", "v"]), 0)
+    sink(spark.createDataFrame([("b", 2)], ["k", "v"]), 1)
+
+    # batch 2: simulate the crash window — commit fully, then undo _gc's
+    # effect by recreating batch-0 snapshot data as a stale leftover
+    sink(spark.createDataFrame([("c", 3)], ["k", "v"]), 2)
+    spark.createDataFrame([("a", 1)], ["k", "v"]).write.mode(
+        "overwrite"
+    ).parquet(sink._snap_path(0))
+    assert 0 in sink.snapshot_batches()  # stale generation lingers
+
+    # reader still resolves the LATEST committed snapshot, not the stale one
+    cur = {r["k"]: r["v"] for r in sink.read_current(spark).collect()}
+    assert cur == {"a": 1, "b": 2, "c": 3}
+
+    # the next commit's _gc sweeps the stale generation
+    sink(spark.createDataFrame([("d", 4)], ["k", "v"]), 3)
+    assert sink.snapshot_batches() == [2, 3]
+    cur = {r["k"]: r["v"] for r in sink.read_current(spark).collect()}
+    assert cur == {"a": 1, "b": 2, "c": 3, "d": 4}
