@@ -363,16 +363,23 @@ def q_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     grams = _char_grams_for(spark, sf_dir)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # NESTED explode, not a single flatten(transform(transform)): the
+    # one-level form materializes ALL C(df,2) pair structs of a posting
+    # in one row's memory — a heavy-hitter boilerplate gram (df in the
+    # millions at corpus scale) would OOM a task. Exploding the anchor
+    # index first bounds per-row materialization at O(df) (one suffix
+    # slice), keeps the pair stream lazy, and measured the same or
+    # faster at sf0.1 (0.52 vs 0.54 s warm on the 519k pair rows).
     inter = (
         grams.groupBy("lang", "h")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") > 1)
+        .select("ds", F.explode(F.expr("sequence(0, size(ds) - 2)")).alias("i"))
         .select(
             F.explode(
                 F.expr(
-                    "flatten(transform(ds, (x, i) -> "
                     "transform(slice(ds, i + 2, size(ds)), "
-                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                    "y -> struct(element_at(ds, i + 1) AS doc_a, y AS doc_b))"
                 )
             ).alias("p")
         )
