@@ -146,6 +146,10 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand_freq = baskets.select(F.explode("bs").alias("p_brand")).groupBy(
         "p_brand"
     ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    # single-row flatten is safe HERE because bs is a DISTINCT brand
+    # set, bounded by brand cardinality (~25) — C(k,2) <= ~300 structs
+    # per row. Data-scaled lists (gram postings) must use the nested
+    # explode instead (q_char_ngram round-8 note).
     pairs = (
         baskets.select(
             F.explode(

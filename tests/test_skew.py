@@ -139,3 +139,31 @@ def test_salted_join_equals_unsalted(spark, registry_loaded):
     # uniform share of rows
     rows = [r["n_rows"] for r in salted]
     assert max(rows) <= 2 * (sum(rows) / len(rows))
+
+
+def test_char_ngram_survives_heavy_hitter_gram(spark, tmp_path, registry_loaded):
+    """Round-8 hazard fix: a boilerplate gram shared by EVERY document
+    makes each of its postings df = n_docs; the pair generation must
+    stream per-anchor suffixes (O(df) per row) instead of
+    materializing C(df,2) structs in one row. 300 docs sharing a
+    16-char prefix → the heavy postings carry ~45k pairs each; the
+    query must complete and still find the one true duplicate pair."""
+    import pandas as pd
+
+    boiler = "SHARED-BOILER-16"  # exactly 16 chars -> one shared gram per doc
+    rows = []
+    for i in range(300):
+        rows.append((i, boiler + f" unique tail number {i} with words {i*7}", "en"))
+    # one exact duplicate pair (jaccard 1.0)
+    rows.append((1000, boiler + " duplicated document body text", "en"))
+    rows.append((1001, boiler + " duplicated document body text", "en"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    pdf["source"] = "synthetic"
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf.to_parquet(str(tmp_path / "documents.parquet"))
+
+    out = registry_loaded.QUERIES["q_char_ngram"](spark, str(tmp_path)).collect()
+    dup = [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in out]
+    assert (1000, 1001, 1.0) in dup, f"missing exact-dup pair: {dup[:5]}"
+    # boilerplate-only overlaps must NOT cross the 0.8 threshold
+    assert all(a == 1000 and b == 1001 for a, b, _ in dup), dup
