@@ -437,12 +437,14 @@ def q_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``substring`` hashed post-explode, distinct per doc — built once,
     consumed by both queries). Plan: ONE
     (lang, gram-hash) reduce counts each gram's document frequency,
-    joined back to the distinct gram relation on the same key —
-    co-partitioned, so the join adds no third shuffle — then a per-doc
-    count/flag rollup. Everything is linear in corpus gram volume; the
-    df relation is vocabulary-scaled (bounded by Heaps' law growth,
-    like the LM model tables) and flows through a plain hash join,
-    never a broadcast of a data-scaled relation. Distinct grams make
+    joined back to the distinct gram relation on the same key (AQE
+    broadcasts the df side while it fits — the executed toy-scale plan
+    — and past broadcast scale the join hash-partitions both sides on
+    (lang, gram-hash), the df side reusing its aggregation exchange),
+    then a per-doc count/flag rollup. Everything is linear in corpus
+    gram volume; the df relation is vocabulary-scaled (bounded by
+    Heaps'-law growth, like the LM model tables), and the code forces
+    no broadcast of any data-scaled relation. Distinct grams make
     dup_frac a SET property (a doc repeating its own 16-gram does not
     count as duplication — self-repetition is q_repetition's job)."""
     grams = _char_grams_for(spark, sf_dir)
