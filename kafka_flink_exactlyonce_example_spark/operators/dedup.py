@@ -1094,20 +1094,27 @@ def shingles_for(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shingles_frame(d: DataFrame) -> DataFrame:
     """Frame-level shingle builder (tools/scale_probe feeds synthetic
-    corpora through the same chain the cached wrappers use)."""
-    arr = F.split("text", " ")
+    corpora through the same chain the cached wrappers use).
+
+    The split is materialized as a BOUND COLUMN before the transform
+    lambda: referencing the raw split(text) expression inside the
+    lambda makes Catalyst's projection collapse re-split the whole
+    text per element (the q_winnow O(n²) HOF-inlining hazard —
+    round-8 audit measured ~6× on the sibling bigram stage)."""
     # 2-word shingles as native transform over index sequence
-    return d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(arr) - 1, F.lit(1))),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(arr, i), F.element_at(arr, i + 1)
-                ),
-            )
-        ).alias("shingle"),
-    ).distinct()
+    return (
+        d.select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(ws) - 1, 1)), "
+                    "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
 
 
 _BANDS_CACHE: dict[tuple[str, str], DataFrame] = {}

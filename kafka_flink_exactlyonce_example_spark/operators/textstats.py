@@ -485,15 +485,17 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("c").alias("top_word_count"))
     )
-    arr = F.split("text", " ")
-    bigrams = d.select(
+    # materialize the split ONCE as a bound column before the lambda:
+    # referencing the raw split(text) expression inside the transform
+    # made Catalyst's projection collapse re-split the whole text per
+    # element (the q_winnow O(n²) HOF-inlining hazard) — measured 2.5 s
+    # vs 0.4 s warm at sf0.1 for this bigram stage alone
+    bigrams = d.select("doc_id", F.split("text", " ").alias("ws")).select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(arr) - 1, F.lit(1))),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(arr, i), F.element_at(arr, i + 1)
-                ),
+            F.expr(
+                "transform(sequence(1, greatest(size(ws) - 1, 1)), "
+                "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"
             )
         ).alias("bg"),
     )
@@ -619,21 +621,23 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares the distinct's shuffle across them; the materialization
     write is pure overhead. Left unpersisted deliberately.)"""
     d = table(spark, sf_dir, "documents")
-    arr = F.split("text", " ")
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(arr) - 2, F.lit(1))),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(arr, i),
-                    F.element_at(arr, i + 1),
-                    F.element_at(arr, i + 2),
-                ),
-            )
-        ).alias("g"),
-    ).distinct()
+    # split bound to a column BEFORE the lambda — the raw-expression
+    # form re-split the text per element (q_winnow HOF-inlining
+    # hazard, round-8 audit)
+    grams = (
+        d.select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(ws) - 2, 1)), "
+                    "i -> concat_ws(' ', element_at(ws, i), "
+                    "element_at(ws, i + 1), element_at(ws, i + 2)))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
     train_grams = grams.filter(F.col("doc_id") % 10 != 0).select("g").distinct()
     eval_grams = grams.filter(F.col("doc_id") % 10 == 0)
     hits = (

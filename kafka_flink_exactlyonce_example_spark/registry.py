@@ -122,13 +122,21 @@ def graded_before(round_no: int | None = None) -> set[str]:
 #: inline array_max assignment — VERDICT r07 item 5's q_semdedup
 #: profile) changed the plans of its two consumers.
 #: …and q_char_ngram's postings restructure (one-shuffle inline-pair
-#: generation replacing the two-sided inverted-index self-join).
+#: generation replacing the two-sided inverted-index self-join); and
+#: the HOF re-split fix (bound-column split before transform lambdas)
+#: in q_repetition, q_contamination, and the shared _shingles_frame —
+#: the shingle cache feeds the whole MinHash family, whose hash VALUES
+#: are unchanged (same shingles), so q_near_dup stands in as the
+#: graded representative of the shared-builder plan change.
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     "q_session_stats",
     "q_pca_power",
     "q_semdedup",
     "q_embed_dup",
     "q_char_ngram",
+    "q_repetition",
+    "q_contamination",
+    "q_near_dup",
 })
 
 #: Canonical drain order for never-driver-graded keys. Filtered against
