@@ -1452,3 +1452,138 @@ def test_gc_crash_between_marker_and_gc_recovers(spark, tmp_path):
     assert sink.snapshot_batches() == [2, 3]
     cur = {r["k"]: r["v"] for r in sink.read_current(spark).collect()}
     assert cur == {"a": 1, "b": 2, "c": 3, "d": 4}
+
+
+def test_full_flink_application_composition(spark, tmp_path):
+    """Capstone: the WHOLE Flink application shape as one composed
+    run — CDC change feed → upsert dynamic table (CdcUpsertSink) →
+    proc-time temporal enrichment of a fact stream → exactly-once
+    enriched output (IdempotentBatchSink) → windowed rollup folded
+    into a ContinuousAggregateSink → coarser level derived from the
+    materialized base. Every stage is the runtime piece its own test
+    proves; this pins that they COMPOSE (schemas line up, snapshots
+    are visible downstream, markers gate every read)."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from kafka_flink_exactlyonce_example_spark.functions.money import cents
+    from kafka_flink_exactlyonce_example_spark.streaming import file_stream
+    from kafka_flink_exactlyonce_example_spark.streaming.exactly_once import (
+        CdcUpsertSink,
+        ContinuousAggregateSink,
+        IdempotentBatchSink,
+        derive_coarser,
+    )
+    from kafka_flink_exactlyonce_example_spark.streaming.jobs import (
+        cdc_apply,
+        temporal_enrich,
+    )
+
+    # -- 1. CDC feed maintains the user dimension (two runs: an update
+    #       arrives after the first commit and must win by version)
+    dim_sink = CdcUpsertSink(str(tmp_path / "dim"), ["user_id"], ["seq"])
+    cdir = str(tmp_path / "changes")
+    _os.makedirs(cdir)
+    with open(_os.path.join(cdir, "c0.json"), "w") as f:
+        for r in [
+            {"user_id": 1, "seq": 1, "tier": "bronze"},
+            {"user_id": 2, "seq": 2, "tier": "silver"},
+        ]:
+            f.write(_json.dumps(r) + "\n")
+    cdc_apply(
+        file_stream(spark, cdir, "user_id long, seq long, tier string"),
+        dim_sink,
+        str(tmp_path / "ck_cdc"),
+    ).awaitTermination(120)
+    with open(_os.path.join(cdir, "c1.json"), "w") as f:
+        f.write(_json.dumps({"user_id": 1, "seq": 3, "tier": "gold"}) + "\n")
+    cdc_apply(
+        file_stream(spark, cdir, "user_id long, seq long, tier string"),
+        dim_sink,
+        str(tmp_path / "ck_cdc"),  # SAME checkpoint: the update is batch 1
+    ).awaitTermination(120)
+
+    # -- 2. fact stream enriched AT PROCESSING TIME against the dim,
+    #       exactly-once into an idempotent sink
+    fdir = str(tmp_path / "facts")
+    _os.makedirs(fdir)
+    with open(_os.path.join(fdir, "f0.json"), "w") as f:
+        for r in [
+            {"user_id": 1, "amt": 10.0, "ts": "2024-01-01 00:05:00"},
+            {"user_id": 1, "amt": 2.5, "ts": "2024-01-01 00:55:00"},
+            {"user_id": 2, "amt": 20.0, "ts": "2024-01-01 01:10:00"},
+            {"user_id": 99, "amt": 5.0, "ts": "2024-01-01 07:30:00"},
+        ]:
+            f.write(_json.dumps(r) + "\n")
+    out = IdempotentBatchSink(str(tmp_path / "enriched"))
+    dim_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("seq", LongType()),
+            StructField("tier", StringType()),
+        ]
+    )
+    q, _ = temporal_enrich(
+        file_stream(spark, fdir, "user_id long, amt double, ts timestamp"),
+        dim_sink,
+        "user_id",
+        str(tmp_path / "ck_enrich"),
+        out_sink=out,
+        dim_schema=dim_schema,
+    )
+    q.awaitTermination(120)
+    enriched = out.read_committed(spark)
+    # the post-update dim version is what facts see (gold, not bronze)
+    tiers = {r["user_id"]: r["tier"] for r in enriched.collect()}
+    assert tiers == {1: "gold", 2: "silver", 99: None}
+
+    # -- 3. hourly rollup of the enriched stream folded into the
+    #       materialized continuous aggregate, then the 6 h level
+    rollup = (
+        enriched.select(
+            F.col("ts"),
+            F.coalesce("tier", F.lit("unknown")).alias("event_type"),
+            F.col("amt").alias("value"),
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("value_cents"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+        .select(
+            F.col("w.start").alias("b"),
+            "event_type",
+            "n_events",
+            "value_cents",
+            "lo",
+            "hi",
+        )
+    )
+    ca = ContinuousAggregateSink(str(tmp_path / "ca"), ["b", "event_type"])
+    ca(rollup, 0)
+    base = {
+        (str(r["b"]), r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in ca.read_current(spark).collect()
+    }
+    assert base[("2024-01-01 00:00:00", "gold")] == (2, 1250)
+    assert base[("2024-01-01 01:00:00", "silver")] == (1, 2000)
+    assert base[("2024-01-01 07:00:00", "unknown")] == (1, 500)
+
+    got6 = {
+        (str(r["b"]), r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in derive_coarser(ca.read_current(spark), "b", 6 * 3600).collect()
+    }
+    # 00:00 and 01:00 buckets merge into the 00:00 6h bucket per tier
+    assert got6[("2024-01-01 00:00:00", "gold")] == (2, 1250)
+    assert got6[("2024-01-01 00:00:00", "silver")] == (1, 2000)
+    assert got6[("2024-01-01 06:00:00", "unknown")] == (1, 500)
