@@ -1,0 +1,62 @@
+"""Full-surface plan-regression gate (VERDICT r07 item 9).
+
+tests/test_plans.py pins the plans rounds explicitly engineered; this
+module covers the whole registry: every query's physical plan is
+reduced to scale-relevant node counts (shuffles by kind, join
+strategies, agg kinds, windows, Python-eval nodes, scans) and compared
+against the committed tests/plan_baseline.json. A lost broadcast, an
+extra Exchange, or a Python UDF appearing on a previously-JVM-only path
+fails here naming the query and the feature that moved — even when no
+hand-written assertion covers that query.
+
+When a plan change is INTENTIONAL, regenerate the baseline and commit
+the diff alongside the code change:
+
+    python tools/plan_fingerprints.py --update
+
+The fingerprint counts node kinds only (no expression ids, paths, or
+partition counts), so it is stable across sessions; the two-fresh-
+session determinism check was recorded when the baseline landed.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from tools.plan_fingerprints import SF_DIR, diff, fingerprint
+
+BASELINE = Path(__file__).resolve().parent / "plan_baseline.json"
+
+
+def test_all_query_plans_match_baseline(spark, registry_loaded):
+    from kafka_flink_exactlyonce_example_spark.plans import plan_string
+
+    base = json.loads(BASELINE.read_text())
+    now = {}
+    for name in sorted(registry_loaded.QUERIES):
+        df = registry_loaded.QUERIES[name](spark, SF_DIR)
+        now[name] = fingerprint(plan_string(df, mode="simple"))
+    drift = diff(base, now)
+    assert not drift, (
+        "plan drift vs tests/plan_baseline.json (regenerate with "
+        "`python tools/plan_fingerprints.py --update` if intentional):\n"
+        + "\n".join(drift)
+    )
+
+
+def test_baseline_has_no_python_eval_on_oracled_paths():
+    """The baseline itself is an auditable artifact: assert the invariant
+    test_plans.py checks live also holds over the committed snapshot, so
+    a bad `--update` cannot quietly bless a UDF on an oracled path."""
+    from kafka_flink_exactlyonce_example_spark import registry
+
+    registry.load_all()
+    base = json.loads(BASELINE.read_text())
+    offenders = {
+        name: feats
+        for name, feats in base.items()
+        if name in registry.ORACLES
+        and (feats.get("python_row_udf") or feats.get("python_udtf"))
+    }
+    assert not offenders, f"row-Python on oracled paths in baseline: {offenders}"
