@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_flink_exactlyonce_example_spark.operators.scale import widen_small_scan
 from kafka_flink_exactlyonce_example_spark.registry import query
 from kafka_flink_exactlyonce_example_spark.sources import table
 
@@ -284,7 +285,11 @@ _CHAR_GRAMS_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _char_grams_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CHAR_GRAMS_CACHE:
-        docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+        # position explode + xxhash64 per char — widen the one-split
+        # toy scan so the gram build uses every core (no-op at scale)
+        docs = widen_small_scan(
+            table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+        )
         _CHAR_GRAMS_CACHE[key] = (
             docs.select(
                 "doc_id",

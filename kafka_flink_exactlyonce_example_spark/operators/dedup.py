@@ -28,6 +28,7 @@ from kafka_flink_exactlyonce_example_spark.functions.similarity import (
     cosine_sql,
     dot,
 )
+from kafka_flink_exactlyonce_example_spark.operators.scale import widen_small_scan
 from kafka_flink_exactlyonce_example_spark.registry import query
 from kafka_flink_exactlyonce_example_spark.sources import table
 
@@ -1086,7 +1087,9 @@ def shingles_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _session_key(spark, sf_dir)
     if key in _SHINGLES_CACHE:
         return _SHINGLES_CACHE[key]
-    d = table(spark, sf_dir, "documents")
+    # shingling is per-row HOF + concat work — widen the one-split toy
+    # scan so it uses every core (no-op at scale; scale.py rationale)
+    d = widen_small_scan(table(spark, sf_dir, "documents"))
     shingled = _shingles_frame(d).localCheckpoint()
     _SHINGLES_CACHE[key] = shingled
     return shingled
@@ -1925,7 +1928,9 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed shuffle, the rows-between frame truncating at the tail
     exactly like the oracle's array_slice on a short array — no
     per-doc array is ever materialized."""
-    d = table(spark, sf_dir, "documents")
+    # ~n md5s per doc before the first shuffle — widen the one-split
+    # toy scan so the hash stage uses every core (no-op at scale)
+    d = widen_small_scan(table(spark, sf_dir, "documents"))
     pos = d.select(
         "doc_id",
         F.explode(

@@ -18,6 +18,7 @@ from kafka_flink_exactlyonce_example_spark.operators.scale import (
     _PERSISTED,
     global_ntile,
     ordered_scan,
+    widen_small_scan,
 )
 from kafka_flink_exactlyonce_example_spark.registry import query
 from kafka_flink_exactlyonce_example_spark.sources import table
@@ -2774,7 +2775,14 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen, while the exploded form keeps one small
     codegen'd expression over 32× the rows. Kept the explode.
     Replicate means use sum(w·x)/sum(w) — never avg-of-avgs."""
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # B md5+conv draws per order before any shuffle — widen the
+    # one-split toy scan so the draw stage uses every core (no-op at
+    # scale; replicate means are rounded to 9 dp post-aggregation, the
+    # same partial-sum-order tolerance the width-7/64 determinism sweep
+    # already exercises)
+    o = widen_small_scan(
+        table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    )
     reps = o.select(
         "o_orderkey",
         "o_totalprice",

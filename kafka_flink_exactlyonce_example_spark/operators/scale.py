@@ -62,6 +62,29 @@ def unpersist_all() -> int:
     return n
 
 
+def widen_small_scan(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across every core before a CPU-heavy
+    map stage (per-row md5 chains, higher-order-function dot products,
+    position explodes).
+
+    Why this exists: Spark splits files by ``maxPartitionBytes``, but a
+    parquet file smaller than one split — and any file, at row-group
+    granularity — arrives as ONE task. A heavy map stage planned on top
+    of it then runs single-threaded no matter how many cores the
+    cluster has (measured: the LSH sign build at sf0.1 was 8.7 s on one
+    task, 0.8 s after widening to 32). At 100 TB every scan already has
+    ≥ defaultParallelism splits, the branch is false, and NO shuffle is
+    added — this is a small-input parallelization guard, not a scale
+    crutch. Round-robin repartition is partition-count-deterministic
+    (Spark sorts batch-locally before distributing), and every consumer
+    below it is either per-row or key-aggregated, so results do not
+    depend on the redistribution."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def ordered_scan(
     df: DataFrame,
     order_exprs: list[Column],

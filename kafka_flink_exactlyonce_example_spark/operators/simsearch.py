@@ -20,6 +20,7 @@ from kafka_flink_exactlyonce_example_spark.functions.similarity import (
     dot_sql,
     l2_norm,
 )
+from kafka_flink_exactlyonce_example_spark.operators.scale import widen_small_scan
 from kafka_flink_exactlyonce_example_spark.registry import query
 from kafka_flink_exactlyonce_example_spark.sources import table
 
@@ -476,7 +477,11 @@ def _signs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding > 0 else 0 — localCheckpoint'ed once per (session, sf)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SIGNS_CACHE:
-        emb = table(spark, sf_dir, "embeddings")
+        # The L·MAX_BITS sign dots are interpreted higher-order-function
+        # work (~6k lambda evals/row) — widen the one-split toy scan so
+        # the build uses every core (measured 8.7 s -> 0.8 s at sf0.1;
+        # no-op at scale where the scan already has many splits).
+        emb = widen_small_scan(table(spark, sf_dir, "embeddings"))
         flat = [
             p
             for t in range(_LSH_TABLES)
@@ -529,7 +534,7 @@ def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound to a stopped SparkContext)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _NRM_CACHE:
-        emb = table(spark, sf_dir, "embeddings")
+        emb = widen_small_scan(table(spark, sf_dir, "embeddings"))
         _NRM_CACHE[key] = emb.select(
             "vec_id",
             F.expr(

@@ -128,6 +128,12 @@ def graded_before(round_no: int | None = None) -> set[str]:
 #: the shingle cache feeds the whole MinHash family, whose hash VALUES
 #: are unchanged (same shingles), so q_near_dup stands in as the
 #: graded representative of the shared-builder plan change.
+#: …and the widen_small_scan additions (operators/scale.py): the
+#: one-split toy scans feeding per-row-heavy map stages now widen to
+#: defaultParallelism first. Only q_winnow_fingerprint and
+#: q_poisson_bootstrap show the new exchange in their own graded
+#: plans (the other widened builds sit behind session checkpoints);
+#: both re-earn driver rows.
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     "q_session_stats",
     "q_pca_power",
@@ -137,6 +143,8 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     "q_repetition",
     "q_contamination",
     "q_near_dup",
+    "q_winnow_fingerprint",
+    "q_poisson_bootstrap",
 })
 
 #: Canonical drain order for never-driver-graded keys. Filtered against

@@ -43,6 +43,7 @@ SF_DIR = "/root/testdata/sf0.001"
 #: expression ids, partition counts, or paths.
 FEATURES: dict[str, re.Pattern[str]] = {
     "exchange_hash": re.compile(r"Exchange hashpartitioning"),
+    "exchange_rr": re.compile(r"Exchange RoundRobinPartitioning"),
     "exchange_range": re.compile(r"Exchange rangepartitioning"),
     "exchange_single": re.compile(r"Exchange SinglePartition"),
     "broadcast_exchange": re.compile(r"BroadcastExchange"),
