@@ -2142,7 +2142,9 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     ulp difference matters only if a true value sits within 1 ulp of
     a 0.5e-9 boundary — hash-verified absent at sf0.001/0.01/0.1 on
     the fixed testdata."""
-    emb = table(spark, sf_dir, "embeddings")
+    # d(d+3)/2 inline products per vector — widen the one-split toy
+    # scan so the moment pass uses every core (no-op at scale)
+    emb = widen_small_scan(table(spark, sf_dir, "embeddings"))
     # ALL sufficient statistics in ONE scan + ONE shuffle: the
     # upper-triangle products are generated INLINE from the array (the
     # q_basket_pairs C(k,2) trick — no vec_id self-join, which was the

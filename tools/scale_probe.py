@@ -565,6 +565,91 @@ def main() -> None:
             f"rate_vs_x1={rate / base_rate:4.2f}"
         )
 
+    # HOT-KEY SKEW at growing volume (functions/skew + AQE skew-join):
+    # fold HALF of the scaled fact rows onto ONE join key — the
+    # power-law regime where an unmitigated shuffle join lands half
+    # the fact table on one reducer, the task that decides the stage's
+    # wall at 100 TB. Probed three ways per multiple: (a) plain
+    # sort-merge join with AQE's skew-join splitter given thresholds
+    # it can act on at this volume, (b) the salted_join rewrite,
+    # (c) the salted two-phase aggregation. Healthy = every wall grows
+    # ~linearly with mult (the mitigations spread the hot key; a hot
+    # reducer would grow the join wall ∝ mult with a flat tail of idle
+    # cores) and (a)/(b) agree on the result count.
+    from kafka_flink_exactlyonce_example_spark.functions.skew import (
+        salted_count_sum,
+        salted_join,
+    )
+
+    aqe_skew_confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in aqe_skew_confs}
+    for k, v in aqe_skew_confs.items():
+        spark.conf.set(k, v)
+    try:
+        base_walls: dict[str, float] = {}
+        for mult in multiples:
+            li = scaled_lineitem(mult)
+            hot = li.select(
+                F.when(F.col("l_orderkey") % 2 == 0, F.lit(1))
+                .otherwise(F.col("l_orderkey"))
+                .alias("k"),
+                "l_partkey",
+                cents("l_extendedprice").alias("c"),
+            )
+            dim = (
+                table(spark, sf_dir, "orders")
+                .select(F.col("o_orderkey").alias("k"), "o_orderpriority")
+                .union(
+                    spark.range(1).select(
+                        F.lit(1).alias("k"), F.lit("HOT").alias("o_orderpriority")
+                    )
+                )
+                .distinct()
+            )
+            n = 600_000 * mult
+            walls: dict[str, float] = {}
+
+            t0 = time.perf_counter()
+            plain = (
+                hot.join(dim, "k")
+                .groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("s"))
+            )
+            n_plain = plain.count()
+            walls["plain+aqe"] = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            salted = (
+                salted_join(hot, dim, "k", n_salts=16, salt_by="l_partkey")
+                .groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("s"))
+            )
+            n_salted = salted.count()
+            walls["salted_join"] = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            force(salted_count_sum(hot, ["k"], {"s": "c"}, n_salts=16))
+            walls["salted_agg"] = time.perf_counter() - t0
+
+            for name, dt in walls.items():
+                if mult == multiples[0]:
+                    base_walls[name] = dt
+                print(
+                    f"skew/{name:11s} x{mult:<3d} rows={n/1e6:5.1f}M  "
+                    f"wall={dt:6.2f}s  wall_vs_x1={dt / base_walls[name]:4.2f}  "
+                    f"groups_agree={n_plain == n_salted}"
+                )
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
 
 if __name__ == "__main__":
     main()
