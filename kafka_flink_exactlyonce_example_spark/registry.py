@@ -61,9 +61,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # round number AND the window from the driver's own on-disk artifacts at
 # load time, so counter, window, and guards can never desynchronize.
 # The only hand-maintained inputs left are:
-#   * ``_CHANGED_THIS_ROUND`` — keys whose implementation changed in the
-#     current build round (they must re-earn a driver row on the new
-#     plan instead of coasting on a stale green);
+#   * ``_CHANGED_IN_ROUND`` — keys whose implementation changed, keyed
+#     by the build round the change landed in (they must re-earn a
+#     driver row on the new plan instead of coasting on a stale green).
+#     Round-scoped (ADVICE r08): once the driver's artifact advances
+#     ``rotation_round()`` past an entry, that entry is ignored — a
+#     forgotten edit can no longer pin stale keys into every future
+#     window;
 #   * ``_BACKLOG_ORDER``   — the canonical DRAIN ORDER for keys that
 #     have never had a driver row. Already-graded keys fall out of it
 #     automatically (it is filtered against the artifacts); keys missing
@@ -112,9 +116,15 @@ def graded_before(round_no: int | None = None) -> set[str]:
     return keys
 
 
-#: Keys whose IMPLEMENTATION changed in the current build round — they
-#: are forced into the window so the new plan earns a fresh driver row.
-#: THE one per-round hand edit. Round 8: q_session_stats moved from
+#: Keys whose IMPLEMENTATION changed, keyed by the round the change
+#: landed in — they are forced into THAT round's window so the new plan
+#: earns a fresh driver row. THE one per-round hand edit, and it is
+#: self-expiring (ADVICE r08): ``derive_window`` looks up only the
+#: round it is deriving, so entries for past rounds become inert the
+#: moment the driver's artifact advances ``rotation_round()`` — no
+#: forgotten-frozenset hazard.
+#:
+#: Round 8: q_session_stats moved from
 #: exact percentile to the histogram-CDF form (VERDICT r07 item 3);
 #: q_pca_power's matvec rounds moved driver-side over the bounded
 #: covariance model (VERDICT r07 item 7) — both also first-ever; and
@@ -134,18 +144,36 @@ def graded_before(round_no: int | None = None) -> set[str]:
 #: q_poisson_bootstrap show the new exchange in their own graded
 #: plans (the other widened builds sit behind session checkpoints);
 #: both re-earn driver rows.
-_CHANGED_THIS_ROUND: frozenset[str] = frozenset({
-    "q_session_stats",
-    "q_pca_power",
-    "q_semdedup",
-    "q_embed_dup",
-    "q_char_ngram",
-    "q_repetition",
-    "q_contamination",
-    "q_near_dup",
-    "q_winnow_fingerprint",
-    "q_poisson_bootstrap",
-})
+#: Round 9: q_char_ngram grew the heavy-hitter df cap on its posting
+#: lists (ADVICE r08 — grams with df > _MAX_DF are excluded from BOTH
+#: sides of the Jaccard, mirrored in the oracle), which changes its
+#: plan and, at caps that bite, its results; q_dup_span shares the
+#: df-derived oracle-bound fix but is first-ever anyway.
+_CHANGED_IN_ROUND: dict[int, frozenset[str]] = {
+    8: frozenset({
+        "q_session_stats",
+        "q_pca_power",
+        "q_semdedup",
+        "q_embed_dup",
+        "q_char_ngram",
+        "q_repetition",
+        "q_contamination",
+        "q_near_dup",
+        "q_winnow_fingerprint",
+        "q_poisson_bootstrap",
+    }),
+    9: frozenset({
+        "q_char_ngram",
+    }),
+}
+
+
+def changed_in(round_no: int | None = None) -> frozenset[str]:
+    """Impl-changed keys for ``round_no`` (default: the derived current
+    round). Past-round entries are inert by construction."""
+    if round_no is None:
+        round_no = rotation_round()
+    return _CHANGED_IN_ROUND.get(round_no, frozenset())
 
 #: Canonical drain order for never-driver-graded keys. Filtered against
 #: the artifacts at load time, so graded keys drop out on their own.
@@ -259,7 +287,7 @@ def derive_window(
     round_no: int | None = None, prior: set[str] | None = None
 ) -> list[str]:
     """Compute the 50-key grading window for ``round_no`` from (a) the
-    CORRECTNESS artifacts on disk, (b) ``_CHANGED_THIS_ROUND``, (c) the
+    CORRECTNESS artifacts on disk, (b) ``_CHANGED_IN_ROUND[round_no]``, (c) the
     ``_BACKLOG_ORDER`` drain order, (d) rotating family keeps. Pure
     function of on-disk state + the two declared inputs — the guard
     tests verify its properties instead of a hand-listed tuple.
@@ -295,7 +323,7 @@ def derive_window(
             window.append(key)
 
     _add("q_wordcount")
-    for key in sorted(_CHANGED_THIS_ROUND):
+    for key in sorted(changed_in(round_no)):
         _add(key)
 
     target_first_ever = min(_MIN_FIRST_EVER, len(never))

@@ -4,7 +4,7 @@ CORRECTNESS_r01.json keys == list(QUERIES)[:50]).
 
 Since round 8 the window is DERIVED (``registry.derive_window``) from
 the driver's on-disk CORRECTNESS artifacts + two declared inputs
-(``_CHANGED_THIS_ROUND``, ``_BACKLOG_ORDER``) — round 7 proved a
+(``_CHANGED_IN_ROUND``, ``_BACKLOG_ORDER``) — round 7 proved a
 hand-listed tuple desynchronizes from a hand-bumped counter (the bump
 landed, the rotation didn't, and the driver re-graded round 6's exact
 50 keys; VERDICT r07 headline). These tests therefore verify the
@@ -89,7 +89,7 @@ def test_window_min_first_ever(registry_loaded):
 def test_changed_impls_stay_in_window(registry_loaded):
     """Keys whose plans changed this round must be graded with the new
     implementation, not coast on a stale green row."""
-    assert registry_loaded._CHANGED_THIS_ROUND <= set(_first50(registry_loaded))
+    assert registry_loaded.changed_in() <= set(_first50(registry_loaded))
 
 
 def test_family_span_or_backlog_pressure(registry_loaded):
@@ -116,7 +116,7 @@ def test_family_span_or_backlog_pressure(registry_loaded):
         # fine; the keep budget itself must never skip a priority.
         prior = registry_loaded.graded_before()
         never = {k for k in registry_loaded.QUERIES if k not in prior}
-        changed = registry_loaded._CHANGED_THIS_ROUND
+        changed = registry_loaded.changed_in()
         keep_keys = [
             k for k in window
             if k != "q_wordcount" and k not in never and k not in changed
@@ -160,22 +160,25 @@ def test_reorder_is_complete_and_lossless(registry_loaded):
     assert set(registry_loaded.ORACLES) <= set(keys)
 
 
-def test_round9_auto_rotation_preview(registry_loaded):
-    """The whole point of the derivation: when the driver lands
-    CORRECTNESS_r08.json (this round's window graded), round 9's window
-    must pop the ENTIRE leftover backlog with no hand edit. Simulated by
-    injecting the would-be graded set."""
-    r8 = registry_loaded.derive_window()
-    prior_r9 = registry_loaded.graded_before() | set(r8)
-    r9 = registry_loaded.derive_window(round_no=9, prior=prior_r9)
-    leftovers = {k for k in registry_loaded.QUERIES if k not in prior_r9}
-    assert leftovers <= set(r9), (
-        f"round 9 would strand never-graded keys: {sorted(leftovers - set(r9))}"
+def test_next_round_auto_rotation_preview(registry_loaded):
+    """The whole point of the derivation: when the driver lands the
+    current round's artifact, the NEXT round's window must pop the
+    entire leftover backlog with no hand edit (round-9 instance of this
+    test proved the 16-key final pop; generalized once the backlog
+    drained). Simulated by injecting the would-be graded set."""
+    cur = registry_loaded.rotation_round()
+    this_window = registry_loaded.derive_window()
+    prior_next = registry_loaded.graded_before() | set(this_window)
+    nxt = registry_loaded.derive_window(round_no=cur + 1, prior=prior_next)
+    leftovers = {k for k in registry_loaded.QUERIES if k not in prior_next}
+    assert leftovers <= set(nxt), (
+        f"round {cur + 1} would strand never-graded keys: "
+        f"{sorted(leftovers - set(nxt))}"
     )
-    assert len(r9) == 50
+    assert len(nxt) == 50
     # with the backlog drained, the family span is fully restored
     covered = {
-        registry_loaded._module_of(registry_loaded.QUERIES[k]) for k in r9
+        registry_loaded._module_of(registry_loaded.QUERIES[k]) for k in nxt
     }
     required = {
         fam
@@ -185,4 +188,24 @@ def test_round9_auto_rotation_preview(registry_loaded):
             for fn in registry_loaded.QUERIES.values()
         )
     }
-    assert required <= covered, f"round 9 misses families: {required - covered}"
+    assert required <= covered, (
+        f"round {cur + 1} misses families: {required - covered}"
+    )
+
+
+def test_changed_in_is_round_scoped(registry_loaded):
+    """ADVICE r08: a past round's changed-keys entry must be inert —
+    deriving a LATER round's window ignores it, so a forgotten hand
+    edit can only under-pin, never permanently over-pin."""
+    assert registry_loaded.changed_in(8) == registry_loaded._CHANGED_IN_ROUND[8]
+    # rounds with no entry pin nothing
+    assert registry_loaded.changed_in(9999) == frozenset()
+    # the round-8 pins do not leak into a later round's window
+    # derivation: with every key already graded, a later window's
+    # non-wordcount prefix comes from keeps/regrades, not round-8 pins
+    prior_all = set(registry_loaded.QUERIES)
+    w = registry_loaded.derive_window(round_no=11, prior=prior_all)
+    pinned = registry_loaded._CHANGED_IN_ROUND[8] - {"q_wordcount"}
+    # pins would force all round-8 keys into the window head right
+    # after q_wordcount; the round-scoped lookup must not do that
+    assert set(w[1 : 1 + len(pinned)]) != pinned
