@@ -312,15 +312,35 @@ def _char_grams_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CHAR_GRAMS_CACHE[key]
 
 
+#: Heavy-hitter guard (ADVICE r08): grams with document frequency above
+#: this are boilerplate (page chrome, licence headers) — they carry no
+#: near-dup evidence but cost C(df, 2) pair rows and a df-length
+#: posting array in ONE task. Excluded from BOTH sides of the Jaccard
+#: (numerator and set sizes), mirrored in the oracle, so the measure
+#: stays a true Jaccard over the discriminative-gram sets. Corpus max
+#: df is 135 at sf0.1 — the cap never binds at test scale (results
+#: identical with/without), it exists to bound the 100 TB worst case.
+_MAX_DF = 1024
+
+
 @query(
     "q_char_ngram",
     oracle=f"""
-    WITH grams AS (
+    WITH grams_all AS (
         SELECT DISTINCT doc_id, lang,
                substring(text, i, {_NGRAM}) AS gram
         FROM documents
-        JOIN (SELECT unnest(generate_series(1, 4000)) AS i)
+        JOIN (SELECT unnest(generate_series(
+                1, (SELECT max(length(text)) FROM documents))) AS i)
           ON i <= length(text) - {_NGRAM} + 1
+    ), gram_df AS (
+        SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS df
+        FROM grams_all GROUP BY lang, gram
+    ), grams AS (
+        SELECT g.doc_id, g.lang, g.gram
+        FROM grams_all g
+        JOIN gram_df d ON g.lang = d.lang AND g.gram = d.gram
+        WHERE d.df <= {_MAX_DF}
     ), sizes AS (
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY doc_id
     ), inter AS (
@@ -363,11 +383,25 @@ def q_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     because near-dup clusters share even their rarest grams. At 100 TB
     with a hard threshold you'd put q_near_dup's MinHash banding in
     front and keep exactly this pair generation as the verifier on
-    candidates (posting lists there are additionally capped, as in
-    q_near_dup's _MAX_BUCKET).
+    candidates. Heavy-hitter guard (ADVICE r08): grams with
+    df > ``_MAX_DF`` (= 1024) are boilerplate, not near-dup evidence —
+    they are dropped from BOTH numerator and set sizes (the oracle's
+    ``gram_df`` CTE mirrors this), so no posting array and no C(df,2)
+    blowup ever exceeds the cap. Set sizes are re-derived from the
+    CAPPED postings (explode + per-doc count — the exact filtered gram
+    relation, same shuffle count as sizing the raw grams).
     """
     grams = _char_grams_for(spark, sf_dir)
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    postings = (
+        grams.groupBy("lang", "h")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") <= _MAX_DF)
+    )
+    sizes = (
+        postings.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     # NESTED explode, not a single flatten(transform(transform)): the
     # one-level form materializes ALL C(df,2) pair structs of a posting
     # in one row's memory — a heavy-hitter boilerplate gram (df in the
@@ -376,9 +410,7 @@ def q_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slice), keeps the pair stream lazy, and measured the same or
     # faster at sf0.1 (0.52 vs 0.54 s warm on the 519k pair rows).
     inter = (
-        grams.groupBy("lang", "h")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1)
+        postings.filter(F.size("ds") > 1)
         .select("ds", F.explode(F.expr("sequence(0, size(ds) - 2)")).alias("i"))
         .select(
             F.explode(
@@ -413,7 +445,8 @@ def q_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT doc_id, lang,
                substring(text, i, {_NGRAM}) AS gram
         FROM documents
-        JOIN (SELECT unnest(generate_series(1, 4000)) AS i)
+        JOIN (SELECT unnest(generate_series(
+                1, (SELECT max(length(text)) FROM documents))) AS i)
           ON i <= length(text) - {_NGRAM} + 1
     ), df AS (
         SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS df

@@ -17,31 +17,44 @@ the diff alongside the code change:
 The fingerprint counts node kinds only (no expression ids, paths, or
 partition counts), so it is stable across sessions; the two-fresh-
 session determinism check was recorded when the baseline landed.
+
+Isolation (VERDICT r08's one defect): fingerprints DO depend on
+session-level cache/persist state — mid-suite, earlier tests
+unpersist/rebuild the shared session relations, so the contracted-
+grain subtree inlines at every consumer and ~14 queries' node counts
+double vs a fresh session. The live collection therefore runs in a
+SUBPROCESS with its own SparkSession (the exact standalone path
+``tools/plan_fingerprints.py`` uses, and the state the committed
+baseline was recorded in), making the gate order-independent: it
+passes or fails identically alone and mid-suite. Seeded-regression
+proof: breaking a broadcast hint makes the subprocess exit 1 naming
+the query and the moved feature (recorded in SURVEY §6).
 """
 
 from __future__ import annotations
 
 import json
+import subprocess
+import sys
 from pathlib import Path
 
-from tools.plan_fingerprints import SF_DIR, diff, fingerprint
-
 BASELINE = Path(__file__).resolve().parent / "plan_baseline.json"
+REPO = Path(__file__).resolve().parent.parent
 
 
-def test_all_query_plans_match_baseline(spark, registry_loaded):
-    from kafka_flink_exactlyonce_example_spark.plans import plan_string
-
-    base = json.loads(BASELINE.read_text())
-    now = {}
-    for name in sorted(registry_loaded.QUERIES):
-        df = registry_loaded.QUERIES[name](spark, SF_DIR)
-        now[name] = fingerprint(plan_string(df, mode="simple"))
-    drift = diff(base, now)
-    assert not drift, (
+def test_all_query_plans_match_baseline():
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "plan_fingerprints.py")],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, (
         "plan drift vs tests/plan_baseline.json (regenerate with "
         "`python tools/plan_fingerprints.py --update` if intentional):\n"
-        + "\n".join(drift)
+        + proc.stdout
+        + proc.stderr[-2000:]
     )
 
 
