@@ -4,8 +4,14 @@
 Prints ONE SHORT JSON line (round 1 lesson: a 175-key map on stdout got
 truncated by the driver's capture → ``"parsed": null`` in BENCH_r01):
   {"metric": "total_query_sec", "value": N, "unit": "sec",
-   "sf": 0.1, "n_queries": N, "queries": {10 slowest only}}
-The full per-query map goes to ``BENCH_FULL.json`` next to this file.
+   "sf": 0.1, "n_queries": N, "cache_build_sec": N,
+   "queries": {10 slowest only}}
+The full per-query map (plus the per-cache build map — shared session
+caches are pre-built and timed as named "caches" line items since
+round 9, so each query row is its MARGINAL cost) goes to
+``BENCH_FULL.json`` next to this file. ``value`` = queries + cache
+builds: the identical work earlier rounds charged to the first
+consumer query, so the headline stays cross-round comparable.
 
 Discipline (BASELINE.md): single warm session, AQE on, small shuffle
 partition count, no Python row UDFs on measured paths, and results are
@@ -38,10 +44,21 @@ def main() -> None:
     registry.load_all()
     spark = get_spark(app_name="bench")
 
-    from kafka_flink_exactlyonce_example_spark.operators import scale
+    from kafka_flink_exactlyonce_example_spark.operators import (
+        scale,
+        session_caches,
+    )
 
     # warmup: JIT + parquet footer caches, not measured
     _force(registry.QUERIES["q_wordcount"](spark, sf_dir))
+
+    # Pre-build every SHARED session cache as its own timed line item
+    # (VERDICT r08 item 3): otherwise whichever family member the loop
+    # hits first absorbs the whole build (q_semdedup spent four rounds
+    # wearing the ~2.8 s _ivf_cells build). Query rows below then read
+    # each query's MARGINAL cost; the cache rows carry the amortized
+    # infrastructure cost, and the headline total still includes both.
+    caches = session_caches.build_all(spark, sf_dir)
 
     times: dict[str, float] = {}
     for name in sorted(registry.QUERIES):
@@ -56,7 +73,9 @@ def main() -> None:
         # cross-query reuse is their whole point.
         scale.unpersist_all()
 
-    payload = json.dumps({"sf": sf, "queries": times}, indent=1)
+    payload = json.dumps(
+        {"sf": sf, "caches": caches, "queries": times}, indent=1
+    )
     here = Path(__file__).resolve().parent
     (here / "BENCH_FULL.json").write_text(payload)
     # per-round copy (round-5 verdict item 8): BENCH_FULL.json gets
@@ -81,10 +100,14 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "total_query_sec",
-                "value": round(sum(times.values()), 3),
+                # headline stays comparable across rounds: query time
+                # PLUS shared-cache builds (the same work previous
+                # rounds charged to the first consumer query)
+                "value": round(sum(times.values()) + sum(caches.values()), 3),
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(times),
+                "cache_build_sec": round(sum(caches.values()), 3),
                 "queries": slowest,
             }
         )

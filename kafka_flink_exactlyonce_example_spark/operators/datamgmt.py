@@ -388,8 +388,12 @@ def q_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     they are dropped from BOTH numerator and set sizes (the oracle's
     ``gram_df`` CTE mirrors this), so no posting array and no C(df,2)
     blowup ever exceeds the cap. Set sizes are re-derived from the
-    CAPPED postings (explode + per-doc count — the exact filtered gram
-    relation, same shuffle count as sizing the raw grams).
+    CAPPED postings (explode + per-doc count — exactly the filtered
+    gram relation). Cost of exactness: the sizes path re-runs the
+    postings reduce (grams is session-checkpointed, so it re-reduces
+    from memory; both reduces are map-side combined and vocabulary-
+    grain) — one extra linear shuffle, vs silently over-counting set
+    sizes with boilerplate grams the numerator can no longer see.
     """
     grams = _char_grams_for(spark, sf_dir)
     postings = (

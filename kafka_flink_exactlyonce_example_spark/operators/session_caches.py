@@ -1,0 +1,72 @@
+"""Named registry of the per-session SHARED cache builders, so the
+bench harness can time each build as its own line item (VERDICT r08
+item 3).
+
+Background: several expensive relations (shingles, MinHash signatures,
+band buckets, verified edges, IVF cells, hyperplane signs, char-grams,
+the PQ codebook, the LM model tables, the collected PCA model) are
+built ONCE per (session, sf) and shared across queries. In a bench
+loop, whichever FAMILY MEMBER the iteration order hits first absorbs
+the whole build cost — four rounds of q_semdedup driver reads
+(4.03/3.21/3.37/4.85 s) argued about a ~2.8 s ``_ivf_cells`` build
+that was never q_semdedup's own. Pre-building every shared cache as a
+named, timed step separates amortized infrastructure cost from each
+query's marginal cost, permanently.
+
+Ordering is DEPENDENCY order (insertion order of the dict): a parent
+cache listed before its consumers, so each line item reads its own
+marginal build cost (bands builds on sigs builds on shingles, ...).
+
+This module imports the private builders of sibling operator modules —
+deliberate: it is part of the same package and exists precisely to
+enumerate them; the bench harness and tests consume only
+``CACHE_BUILDERS``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from kafka_flink_exactlyonce_example_spark.operators import (
+    datamgmt,
+    dedup,
+    simsearch,
+    textstats,
+)
+
+#: name -> builder(spark, sf_dir). Calling a builder MATERIALIZES the
+#: cache (every builder localCheckpoints / collects internally) and is
+#: idempotent — a second call returns the session-cached object.
+CACHE_BUILDERS: dict[str, Callable[[SparkSession, str], Any]] = {
+    # --- text shingle / MinHash chain (dependency order) ---
+    "shingles": dedup.shingles_for,
+    "minhash_sigs": dedup._minhash_signatures,
+    "capped_bands": dedup._capped_bands_for,
+    "lsh_edges": dedup._lsh_verified_edges,
+    "jaccard_pairs": dedup._jaccard_scored_pairs,
+    # --- embedding-side caches ---
+    "ivf_cells": dedup._ivf_cells_for,
+    "semdedup_scored": dedup._semdedup_scored_for,
+    "ann_signs": simsearch._signs_for,
+    "unit_norms": simsearch._normalized,
+    "pq_codebook": simsearch._pq_train,
+    "pca_model": simsearch.pca_model_for,
+    # --- corpus model tables ---
+    "char_grams": datamgmt._char_grams_for,
+    "bigram_ce": textstats._bigram_ce,
+}
+
+
+def build_all(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Build every shared cache, returning per-cache wall seconds."""
+    import time
+
+    out: dict[str, float] = {}
+    for name, fn in CACHE_BUILDERS.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir)
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out

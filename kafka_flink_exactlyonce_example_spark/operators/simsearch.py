@@ -10,6 +10,9 @@ ratio.
 
 from __future__ import annotations
 
+import decimal
+import math as _math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -21,7 +24,7 @@ from kafka_flink_exactlyonce_example_spark.functions.similarity import (
     l2_norm,
 )
 from kafka_flink_exactlyonce_example_spark.operators.scale import widen_small_scan
-from kafka_flink_exactlyonce_example_spark.registry import query
+from kafka_flink_exactlyonce_example_spark.registry import plan_aux, query
 from kafka_flink_exactlyonce_example_spark.sources import table
 
 
@@ -2102,46 +2105,15 @@ def _pca_power_oracle() -> str:
     return "".join(ctes)
 
 
-@query("q_pca_power", oracle=_pca_power_oracle())
-def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component of the embedding corpus by POWER
-    ITERATION — the iterative EIGENSOLVER class the engine was missing
-    (the dense-linear-algebra sibling of the CC family's Pregel loop
-    and q_kmeans' Lloyd rounds): distributed covariance in one
-    pair-moment pass, then {_PI_ITERS} fixed matvec+normalize rounds on
-    the BOUNDED d×d model. PCA's top component is the workhorse QC/
-    preprocessing step for embedding pipelines — whitening before PQ
-    (q_pq_codebook trains better on decorrelated subspaces), dominant-
-    direction drift checks, and the `explained_share` column is the
-    anisotropy diagnostic (a single direction holding a large share of
-    variance is the classic 'embedding collapse' smell that degrades
-    cosine retrieval).
-
-    Scale shape: the ONLY data-touching stage is ONE scan computing
+@plan_aux("q_pca_power::moments")
+def pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAZY data-touching stage of q_pca_power: one scan computing
     every sufficient statistic — first moments AND the d(d+1)/2
-    pairwise second moments ride a single inline upper-triangle
-    explode (map-side partial avg, one shuffle of 2144 groups; at
-    production scale the same sums come from a per-partition
-    Gram-matrix treeAggregate — identical math, one pass).
-    Everything after runs DRIVER-SIDE on the collected BOUNDED model
-    (d(d+3)/2 = 2,144 rows by construction, independent of corpus
-    size — the q_kmeans bounded-centroid license): the 8 matvec +
-    normalize rounds are pure 64x64 arithmetic, so scheduling them as
-    8 sequentially-dependent Spark stages bought nothing but ~4 s of
-    fixed per-stage overhead at every SF (VERDICT r07 item 7's A/B).
-    The result is re-parallelized via createDataFrame only to hand
-    the driver a DataFrame. Determinism: covariance entries and the
-    normalized vector are ROUNDED to 9 dp every round with
-    decimal HALF_UP — bit-faithful to Spark's F.round/BigDecimal
-    semantics and DuckDB's ROUND — so both engines iterate from
-    identical state and summation-order ulps cannot compound across
-    rounds; v0 = 1/8 exactly (binary-exact unit vector at d = 64),
-    fixed iteration count (_PI_ITERS = 8), no RNG anywhere.
-    Residual documented risk (ADVICE r07): the per-round 64-term
-    matvec sums are unrounded before the 9-dp gate, so a cross-engine
-    ulp difference matters only if a true value sits within 1 ulp of
-    a 0.5e-9 boundary — hash-verified absent at sf0.001/0.01/0.1 on
-    the fixed testdata."""
+    pairwise second moments ride a single inline upper-triangle explode
+    (map-side partial avg, one shuffle of 2,144 groups). Registered as
+    a plan-aux relation (ADVICE r08) so the plan-regression fingerprint
+    and the no-Python-eval guard keep sight of the scan even though
+    q_pca_power's returned frame is the post-collect LocalTableScan."""
     # d(d+3)/2 inline products per vector — widen the one-split toy
     # scan so the moment pass uses every core (no-op at scale)
     emb = widen_small_scan(table(spark, sf_dir, "embeddings"))
@@ -2162,29 +2134,99 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(element_at(embedding, i + 1) AS DOUBLE)"
         " * CAST(element_at(embedding, j + 1) AS DOUBLE) AS p)))))"
     )
-    moments = (
+    return (
         emb.select(F.explode(tri).alias("x"))
         .groupBy(F.col("x.i").alias("i"), F.col("x.j").alias("j"))
         .agg(F.avg("x.p").alias("s"))
     )
 
-    # HALF_UP decimal rounding, bit-faithful to Spark's F.round
-    # (BigDecimal(double).setScale(dp, HALF_UP) on the double's exact
-    # binary expansion) and DuckDB's ROUND — Python's round()/np.round
-    # are half-even and MUST NOT be used here.
-    import decimal
-    import math as _math
 
-    def _r(x: float, dp: int) -> float:
-        q = decimal.Decimal(1).scaleb(-dp)
-        return float(
-            decimal.Decimal(x).quantize(q, rounding=decimal.ROUND_HALF_UP)
-        )
+def _r(x: float, dp: int) -> float:
+    """HALF_UP decimal rounding of the double's EXACT binary expansion
+    (``decimal.Decimal(x)`` sees every bit of x, then quantizes).
+    This is deliberately NOT Spark's ``F.round`` (which goes through
+    ``BigDecimal.valueOf`` = shortest decimal repr, so e.g. the double
+    nearest 2.675 rounds to 2.68 there but 2.67 here) — the value it
+    must match is DuckDB's ``ROUND(DOUBLE, n)`` in the oracle's
+    iteration CTEs, and both engines are applied to the SAME collected
+    doubles, so the only divergence window is a true value within ~1
+    ulp of a 0.5·10^-dp boundary (hash-verified absent at
+    sf0.001/0.01/0.1 on the fixed testdata; see the q_pca_power
+    docstring's residual-risk note). Python's round()/np.round are
+    half-even and MUST NOT be used here."""
+    q = decimal.Decimal(1).scaleb(-dp)
+    return float(
+        decimal.Decimal(x).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )
 
+
+#: Collected sufficient-statistic model per (session, sf): the moments
+#: scan is executed ONCE per session even when plan tooling constructs
+#: q_pca_power repeatedly (ADVICE r08 — every plan-only caller used to
+#: pay a full Spark job per construction).
+_PCA_MODEL_CACHE: dict[tuple[str, str], list] = {}
+
+
+def pca_model_for(spark: SparkSession, sf_dir: str) -> list:
+    """The collected bounded sufficient-statistic model (2,144 rows),
+    one execution of the ``pca_moments`` scan per (session, sf)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PCA_MODEL_CACHE:
+        _PCA_MODEL_CACHE[key] = pca_moments(spark, sf_dir).collect()
+    return _PCA_MODEL_CACHE[key]
+
+
+@query("q_pca_power", oracle=_pca_power_oracle())
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by POWER
+    ITERATION — the iterative EIGENSOLVER class the engine was missing
+    (the dense-linear-algebra sibling of the CC family's Pregel loop
+    and q_kmeans' Lloyd rounds): distributed covariance in one
+    pair-moment pass (``pca_moments``, kept under the plan guards as
+    the ``q_pca_power::moments`` plan-aux relation), then 8
+    (``_PI_ITERS``) fixed matvec+normalize rounds on
+    the BOUNDED d×d model. PCA's top component is the workhorse QC/
+    preprocessing step for embedding pipelines — whitening before PQ
+    (q_pq_codebook trains better on decorrelated subspaces), dominant-
+    direction drift checks, and the `explained_share` column is the
+    anisotropy diagnostic (a single direction holding a large share of
+    variance is the classic 'embedding collapse' smell that degrades
+    cosine retrieval).
+
+    Scale shape: the ONLY data-touching stage is ``pca_moments`` — ONE
+    scan computing every sufficient statistic (at production scale the
+    same sums come from a per-partition Gram-matrix treeAggregate —
+    identical math, one pass).
+    Everything after runs DRIVER-SIDE on the collected BOUNDED model
+    (d(d+3)/2 = 2,144 rows by construction, independent of corpus
+    size — the q_kmeans bounded-centroid license): the 8 matvec +
+    normalize rounds are pure 64x64 arithmetic, so scheduling them as
+    8 sequentially-dependent Spark stages bought nothing but ~4 s of
+    fixed per-stage overhead at every SF (VERDICT r07 item 7's A/B).
+    The collect is cached per (session, sf), so repeated CONSTRUCTION
+    (plan fingerprinting, dump_plans, the test suite) executes the
+    scan once per session, and the scan's plan itself stays under the
+    plan guards via the ``q_pca_power::moments`` aux registration.
+    The result is re-parallelized via createDataFrame only to hand
+    the driver a DataFrame. Determinism: covariance entries and the
+    normalized vector are ROUNDED to 9 dp every round with ``_r``
+    (decimal HALF_UP on the double's exact binary expansion — see
+    ``_r``'s docstring for the precise cross-engine semantics vs
+    DuckDB's ROUND; it is NOT Spark's F.round) — so both engines
+    iterate from identical state and summation-order ulps cannot
+    compound across rounds; v0 = 1/8 exactly (binary-exact unit
+    vector at d = 64), fixed iteration count (_PI_ITERS = 8), no RNG
+    anywhere.
+    Residual documented risk (ADVICE r07/r08): the per-round 64-term
+    matvec sums are unrounded before the 9-dp gate, and ``_r``
+    quantizes the exact binary expansion while DuckDB rounds the
+    scaled double — either divergence class needs a true value within
+    ~1 ulp of a 0.5e-9 boundary — hash-verified absent at
+    sf0.001/0.01/0.1 on the fixed testdata."""
     # Collect the BOUNDED sufficient-statistic model (2,144 rows, fixed
     # by d = 64 regardless of corpus size) — the one licensed collect:
-    # everything data-scaled stays in the scan above.
-    rows = moments.collect()
+    # everything data-scaled stays in the pca_moments scan.
+    rows = pca_model_for(spark, sf_dir)
     means: dict[int, float] = {}
     m2: dict[tuple[int, int], float] = {}
     for r in rows:

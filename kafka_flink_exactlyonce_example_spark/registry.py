@@ -25,6 +25,26 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+#: Auxiliary PLAN-ONLY relations (ADVICE r08): lazy DataFrames whose
+#: plans must stay under the plan guards even though the owning query's
+#: RETURNED frame hides them behind a licensed driver-side collect
+#: (q_pca_power's bounded-model matvec returns a LocalTableScan, so its
+#: own fingerprint is blind to the data-touching moments scan). Keys are
+#: ``"<query>::<stage>"``; never graded by the driver, never part of
+#: ``queries()`` — consumed by tools/plan_fingerprints.py (baseline +
+#: drift gate) and tests/test_plans.py (live no-Python-eval guard).
+PLAN_AUX: dict[str, QueryFn] = {}
+
+
+def plan_aux(name: str) -> Callable[[QueryFn], QueryFn]:
+    """Register a plan-only auxiliary relation under the plan guards."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        PLAN_AUX[name] = fn
+        return fn
+
+    return deco
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a graded query. ``oracle=None`` → rows-only check

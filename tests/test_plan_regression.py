@@ -69,7 +69,9 @@ def test_baseline_has_no_python_eval_on_oracled_paths():
     offenders = {
         name: feats
         for name, feats in base.items()
-        if name in registry.ORACLES
+        # "<query>::<stage>" plan-aux entries inherit the owning
+        # query's oracled status (ADVICE r08)
+        if name.split("::")[0] in registry.ORACLES
         and (feats.get("python_row_udf") or feats.get("python_udtf"))
     }
     assert not offenders, f"row-Python on oracled paths in baseline: {offenders}"

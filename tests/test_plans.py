@@ -46,12 +46,22 @@ def test_partial_aggregation_present(spark, registry_loaded):
 
 
 def test_no_python_eval_in_oracled_queries(spark, registry_loaded):
-    """Every hash-graded query must stay JVM-side (no Python UDF nodes)."""
+    """Every hash-graded query must stay JVM-side (no Python UDF nodes).
+    Plan-aux relations whose owning query is oracled are held to the
+    same bar (ADVICE r08: q_pca_power's moments scan would otherwise
+    escape this guard behind the licensed collect)."""
     for qname in registry_loaded.ORACLES:
         df = registry_loaded.QUERIES[qname](spark, SMOKE_SF)
         assert_not_in_plan(
             df, "BatchEvalPython", "ArrowEvalPython", "MapInPandas", mode="extended"
         )
+    for aux, fn in registry_loaded.PLAN_AUX.items():
+        if aux.split("::")[0] in registry_loaded.ORACLES:
+            assert_not_in_plan(
+                fn(spark, SMOKE_SF),
+                "BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                mode="extended",
+            )
 
 
 def test_wholestage_codegen_in_flagship(spark, registry_loaded):

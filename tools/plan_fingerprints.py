@@ -89,6 +89,13 @@ def compute_all() -> dict[str, dict[str, int]]:
     for name in sorted(registry.QUERIES):
         df = registry.QUERIES[name](spark, SF_DIR)
         out[name] = fingerprint(plan_string(df, mode="simple"))
+    # plan-aux relations (registry.PLAN_AUX): lazy data-touching stages
+    # a query's returned frame hides behind a licensed driver-side
+    # collect — fingerprinted explicitly so the gate keeps sight of
+    # them (ADVICE r08: q_pca_power's moments scan).
+    for name in sorted(registry.PLAN_AUX):
+        df = registry.PLAN_AUX[name](spark, SF_DIR)
+        out[name] = fingerprint(plan_string(df, mode="simple"))
     spark.stop()
     return out
 
