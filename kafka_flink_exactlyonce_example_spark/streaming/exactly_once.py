@@ -73,8 +73,12 @@ class IdempotentBatchSink:
         os.rename(tmp, self._marker(batch_id))
 
     def committed_batches(self) -> list[int]:
+        # only batch-id-named markers count: a leftover ``.tmp*`` from a
+        # crash inside the marker create (mkstemp done, rename not) or
+        # any stray non-numeric file must neither count as a commit nor
+        # crash the listing (fault-injection tests, round 9)
         return sorted(
-            int(b) for b in os.listdir(self.commits_dir) if not b.startswith(".")
+            int(b) for b in os.listdir(self.commits_dir) if b.isdigit()
         )
 
     def read_committed(self, spark: SparkSession) -> DataFrame:
@@ -196,8 +200,11 @@ class ContinuousAggregateSink:
         return os.path.exists(self._marker(batch_id))
 
     def committed_batches(self) -> list[int]:
+        # batch-id-named markers only (same rationale as
+        # IdempotentBatchSink.committed_batches: torn .tmp markers and
+        # stray files are not commits and must not crash the listing)
         return sorted(
-            int(b) for b in os.listdir(self.commits_dir) if not b.startswith(".")
+            int(b) for b in os.listdir(self.commits_dir) if b.isdigit()
         )
 
     def _snap_path(self, batch_id: int) -> str:

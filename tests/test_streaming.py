@@ -1587,3 +1587,159 @@ def test_full_flink_application_composition(spark, tmp_path):
     assert got6[("2024-01-01 00:00:00", "gold")] == (2, 1250)
     assert got6[("2024-01-01 00:00:00", "silver")] == (1, 2000)
     assert got6[("2024-01-01 06:00:00", "unknown")] == (1, 500)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 adversarial fault injection on the 2-phase marker protocol
+# (VERDICT r08 item 5): beyond the crash-window tests above, attack the
+# protocol at the exact fault points a filesystem gives you — torn data
+# without marker under a CONCURRENT reader, a crash INSIDE the marker
+# create (mkstemp done, rename not), and marker-file corruption.
+# ---------------------------------------------------------------------------
+
+
+def test_torn_data_write_invisible_to_concurrent_reader(spark, tmp_path):
+    """Kill between data-write and marker-rename, with a reader watching:
+    the torn batch's data exists on disk but MUST be invisible to
+    read_committed / read_current (the read_committed contract), and the
+    restart replay must converge to exactly-once counts."""
+    import os as _os
+
+    from kafka_flink_exactlyonce_example_spark.streaming.exactly_once import (
+        ContinuousAggregateSink,
+        IdempotentBatchSink,
+    )
+
+    # --- append-stream sink ---
+    sink = IdempotentBatchSink(str(tmp_path / "eo"))
+    sink(spark.createDataFrame([(1, "a")], ["id", "v"]), 0)
+    # batch 1 dies AFTER the data write, BEFORE the marker rename:
+    # perform exactly step 2 of the protocol by hand
+    spark.createDataFrame([(2, "b")], ["id", "v"]).write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(sink.data_dir, "batch_id=1"))
+    assert _os.path.exists(_os.path.join(sink.data_dir, "batch_id=1"))
+    # concurrent reader: only batch 0 is visible
+    assert sink.committed_batches() == [0]
+    got = sorted(map(tuple, sink.read_committed(spark).collect()))
+    assert got == [(1, "a")], f"reader saw uncommitted data: {got}"
+    # restart: Spark re-offers batch 1 (same rows) — overwrite + commit
+    sink(spark.createDataFrame([(2, "b")], ["id", "v"]), 1)
+    got = sorted(map(tuple, sink.read_committed(spark).collect()))
+    assert got == [(1, "a"), (2, "b")]  # exactly once, no duplication
+
+    # --- snapshot (continuous-aggregate) sink ---
+    ca = ContinuousAggregateSink(str(tmp_path / "ca"), ["k"])
+    ca(spark.createDataFrame([("a", 1)], ["k", "v"]), 0)
+    # batch 1 merge result lands, marker does not
+    spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"]).write.mode(
+        "overwrite"
+    ).parquet(ca._snap_path(1))
+    cur = {r["k"]: r["v"] for r in ca.read_current(spark).collect()}
+    assert cur == {"a": 1}, f"reader resolved an uncommitted snapshot: {cur}"
+    # restart replay of batch 1 clobbers the torn snapshot and commits
+    ca(spark.createDataFrame([("b", 2)], ["k", "v"]), 1)
+    cur = {r["k"]: r["v"] for r in ca.read_current(spark).collect()}
+    assert cur == {"a": 1, "b": 2}
+
+
+def test_crash_inside_marker_create_leaves_no_commit(spark, tmp_path):
+    """Kill between mkstemp and rename: a ``.tmp*`` file sits in
+    ``_commits``. It must not count as a commit, must not crash the
+    listing, and the replay must complete the commit exactly once.
+    Stray non-numeric files (editor droppings, lost+found) get the
+    same treatment instead of raising ValueError."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from kafka_flink_exactlyonce_example_spark.streaming.exactly_once import (
+        IdempotentBatchSink,
+    )
+
+    sink = IdempotentBatchSink(str(tmp_path / "eo"))
+    sink(spark.createDataFrame([(1, "a")], ["id", "v"]), 0)
+    # batch 1: data written, then crash INSIDE the marker create
+    spark.createDataFrame([(2, "b")], ["id", "v"]).write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(sink.data_dir, "batch_id=1"))
+    fd, _tmp = _tempfile.mkstemp(dir=sink.commits_dir, prefix=".tmp")
+    _os.close(fd)
+    # plus a stray non-numeric file a tool dropped in the directory
+    with open(_os.path.join(sink.commits_dir, "README"), "w") as f:
+        f.write("junk")
+
+    assert sink.committed_batches() == [0]
+    assert not sink.is_committed(1)
+    got = sorted(map(tuple, sink.read_committed(spark).collect()))
+    assert got == [(1, "a")]
+    # replay completes the torn commit; exact counts
+    sink(spark.createDataFrame([(2, "b")], ["id", "v"]), 1)
+    assert sink.committed_batches() == [0, 1]
+    got = sorted(map(tuple, sink.read_committed(spark).collect()))
+    assert got == [(1, "a"), (2, "b")]
+
+
+def test_corrupt_marker_content_is_still_a_commit(spark, tmp_path):
+    """Marker files are existence-only commit bits: garbage CONTENT in
+    a marker (bit rot, a tool writing into it) must not un-commit the
+    batch — replay stays a no-op and readers still resolve the
+    committed data. This pins the contract that no code path ever
+    READS marker bytes."""
+    from kafka_flink_exactlyonce_example_spark.streaming.exactly_once import (
+        ContinuousAggregateSink,
+        IdempotentBatchSink,
+    )
+
+    sink = IdempotentBatchSink(str(tmp_path / "eo"))
+    sink(spark.createDataFrame([(1, "a")], ["id", "v"]), 0)
+    with open(sink._marker(0), "w") as f:
+        f.write("\x00\xff garbage \x7f")
+    assert sink.is_committed(0)
+    assert sink.committed_batches() == [0]
+    # replay of the corrupt-marker batch with DIFFERENT rows is a no-op
+    # (proves the skip happens before any write)
+    sink(spark.createDataFrame([(999, "X")], ["id", "v"]), 0)
+    got = sorted(map(tuple, sink.read_committed(spark).collect()))
+    assert got == [(1, "a")]
+
+    ca = ContinuousAggregateSink(str(tmp_path / "ca"), ["k"])
+    ca(spark.createDataFrame([("a", 1)], ["k", "v"]), 0)
+    ca(spark.createDataFrame([("b", 2)], ["k", "v"]), 1)
+    with open(ca._marker(1), "w") as f:
+        f.write("corrupt")
+    ca(spark.createDataFrame([("b", 999)], ["k", "v"]), 1)  # replay: no-op
+    cur = {r["k"]: r["v"] for r in ca.read_current(spark).collect()}
+    assert cur == {"a": 1, "b": 2}
+
+
+def test_torn_fanout_under_concurrent_readers(spark, tmp_path):
+    """FanOutSink crash mid-fan-out, readers on BOTH destinations: the
+    committed destination serves its data, the torn one refuses (no
+    committed batches), and the replay converges both to identical
+    exactly-once contents."""
+    import pytest as _pytest
+
+    from kafka_flink_exactlyonce_example_spark.streaming.exactly_once import (
+        FanOutSink,
+    )
+
+    d1, d2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    fan = FanOutSink([d1, d2])
+    fan.fail_on, fan.fail_after = 0, 1  # die after destination 0 commits
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        fan(df, 0)
+
+    # destination 0 committed and readable; destination 1 torn: refuses
+    got1 = sorted(map(tuple, fan.sinks[0].read_committed(spark).collect()))
+    assert got1 == [(1, "a"), (2, "b")]
+    assert fan.sinks[1].committed_batches() == []
+    with _pytest.raises(FileNotFoundError):
+        fan.sinks[1].read_committed(spark)
+
+    # restart: replay the same batch — dest 0 skips, dest 1 commits
+    fan.fail_on = None
+    fan(df, 0)
+    for s in fan.sinks:
+        got = sorted(map(tuple, s.read_committed(spark).collect()))
+        assert got == [(1, "a"), (2, "b")]

@@ -650,6 +650,100 @@ def main() -> None:
             if v is not None:
                 spark.conf.set(k, v)
 
+    # ZIPF-SKEW task-balance probe (round 9, VERDICT r08 item 6): one
+    # hot key holding ~20% of rows — the single-straggler regime — and
+    # the PINNED metric is max-task-input vs median-task-input, i.e.
+    # the stage-wall multiplier skew costs you, not wall-clock (which
+    # the sandbox's 32 threads mask at toy volume).
+    #   (a) plain hash-partition on the key: the hot key's reducer
+    #       reads ~20% of the table → ratio ≈ 0.2·P (P partitions);
+    #   (b) salted partition on (key, salt): the hot key spreads over
+    #       S reducers → ratio pinned near 1 — PROVIDED S ≳ 2·P: with
+    #       S < P the hot salt-groups birthday-collide onto shared
+    #       partitions (measured: S=16,P=32 leaves a 3.0× straggler;
+    #       S=64 pins it at ~1.4×). Sizing rule recorded in SURVEY §6.
+    P = 32
+    n_rows, n_keys, hot_every = 2_000_000, 50_000, 5  # id%5==0 → 20% hot
+    f = spark.range(n_rows).select(
+        F.when(F.col("id") % hot_every == 0, F.lit(0))
+        .otherwise((F.col("id") % n_keys) + 1)
+        .alias("k"),
+        (F.col("id") % 16).alias("salt16"),
+        (F.col("id") % 64).alias("salt64"),
+    )
+
+    def task_inputs(df):
+        sizes = (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+        counts = sorted(r["count"] for r in sizes)
+        med = counts[len(counts) // 2]
+        return counts[-1], med
+
+    for label, parts in (
+        ("plain   ", ["k"]),
+        ("salted16", ["k", "salt16"]),
+        ("salted64", ["k", "salt64"]),
+    ):
+        mx, med = task_inputs(f.repartition(P, *parts))
+        print(
+            f"zipf  {label} P={P} hot_share=0.20  max_task={mx:8d}  "
+            f"median={med:7d}  max/med={mx / med:5.1f}"
+        )
+
+    # …and through q_near_dup's BANDING: 20% of the corpus near-copies
+    # of ONE document → every copy shares all shingles → one mega band
+    # bucket per band. The _capped_bands guard must bound every bucket
+    # at _MAX_BUCKET (candidate pairs from the hot cluster capped at
+    # bands·C(cap,2), not C(0.2·n, 2)) — the invariant that keeps the
+    # verify stage linear when a boilerplate page floods the corpus.
+    docs0 = table(spark, sf_dir, "documents")
+    n_docs = docs0.count()
+    n_hot = n_docs // 5
+    hot_doc = docs0.limit(1).select("text", "lang")
+    hot_copies = (
+        spark.range(n_hot)
+        .crossJoin(F.broadcast(hot_doc))
+        .select((F.col("id") + 50_000_000).alias("doc_id"), "text", "lang")
+    )
+    d = docs0.select("doc_id", "text", "lang").unionByName(hot_copies)
+    sigs = ddp._signatures_frame(ddp._shingles_frame(d))
+    # the cap DROPS mega buckets outright (boilerplate carries no
+    # near-dup evidence; exact copies are exact-dedup's job), so the
+    # hot cluster contributes ~zero candidate pairs instead of C(hot,2)
+    capped = ddp._capped_bands(sigs)
+    bucket_sizes = (
+        capped.groupBy("band_idx", "band_key")
+        .count()
+        .agg(F.max("count").alias("mx"), F.expr("percentile(count, 0.5)").alias("med"))
+        .collect()[0]
+    )
+    t0 = time.perf_counter()
+    n_cand = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    dt = time.perf_counter() - t0
+    uncapped_pairs = n_hot * (n_hot - 1) // 2
+    print(
+        f"zipf  nearband docs={n_docs + n_hot} hot_cluster={n_hot}  "
+        f"max_bucket={bucket_sizes['mx']} (cap {ddp._MAX_BUCKET})  "
+        f"med_bucket={bucket_sizes['med']:.0f}  cand_pairs={n_cand}  "
+        f"uncapped_hot_pairs={uncapped_pairs}  wall={dt:6.2f}s"
+    )
+    assert bucket_sizes["mx"] <= ddp._MAX_BUCKET, "band-bucket cap violated"
+
 
 if __name__ == "__main__":
     main()
