@@ -671,6 +671,174 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _top1_by_cosine(cand, _normalized(spark, sf_dir))
 
 
+#: q_ann_recall probe sample: every 25th vec_id — a FIXED hash-free
+#: deterministic 4% sample (the standard recall-eval harness shape: you
+#: never brute-force the whole corpus, you brute-force a probe panel).
+_RECALL_PROBE_MOD = 25
+_RECALL_K = 10
+
+
+@query(
+    "q_ann_recall",
+    oracle=f"""
+    WITH kval AS ({_k_sql(_LSH_BITS, _LSH_TARGET_BUCKET)}),
+    b AS MATERIALIZED (
+{_lsh_buckets_union_sql()}
+    ), capped AS (
+        {_capped_index_sql('b')}
+    ), cand AS (
+        SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS neighbor_id
+        FROM b x JOIN capped y ON x.tbl = y.tbl AND x.bucket = y.bucket
+                              AND x.vec_id <> y.vec_id
+        WHERE x.vec_id % {_RECALL_PROBE_MOD} = 0
+    ), nrm AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)
+                 / sqrt(list_sum(list_transform(embedding,
+                     u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))))) AS ne
+        FROM embeddings
+    ), ann_pairs AS (
+        SELECT c.vec_id, c.neighbor_id,
+               list_sum(list_transform(list_zip(ex.ne, ey.ne),
+                   p -> p[1] * p[2])) AS sim
+        FROM cand c
+        JOIN nrm ex ON ex.vec_id = c.vec_id
+        JOIN nrm ey ON ey.vec_id = c.neighbor_id
+    ), ann_topk AS (
+        SELECT vec_id, neighbor_id FROM (
+            SELECT vec_id, neighbor_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, neighbor_id) AS rn
+            FROM ann_pairs) WHERE rn <= {_RECALL_K}
+    ), probes AS (
+        SELECT vec_id, ne FROM nrm WHERE vec_id % {_RECALL_PROBE_MOD} = 0
+    ), brute_pairs AS (
+        SELECT p.vec_id, n.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(p.ne, n.ne),
+                   q -> q[1] * q[2])) AS sim
+        FROM probes p JOIN nrm n ON n.vec_id <> p.vec_id
+    ), brute_topk AS (
+        SELECT vec_id, neighbor_id FROM (
+            SELECT vec_id, neighbor_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, neighbor_id) AS rn
+            FROM brute_pairs) WHERE rn <= {_RECALL_K}
+    ), ncand AS (
+        SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+        FROM cand GROUP BY vec_id
+    ), hits AS (
+        SELECT t.vec_id,
+               CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+               CAST(COUNT(*) AS BIGINT) AS n_true
+        FROM brute_topk t
+        LEFT JOIN ann_topk a
+          ON a.vec_id = t.vec_id AND a.neighbor_id = t.neighbor_id
+        GROUP BY t.vec_id
+    )
+    SELECT h.vec_id,
+           COALESCE(nc.n_cand, 0) AS n_cand,
+           h.n_hit,
+           round(CAST(h.n_hit AS DOUBLE) / h.n_true, 6) AS recall
+    FROM hits h LEFT JOIN ncand nc ON nc.vec_id = h.vec_id
+    """,
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 audit of the hyperplane-LSH index against exact brute
+    force — the quality loop that tells you whether the ANN index is
+    EARNING its candidate-fraction savings (new round 9; the MinHash
+    side has had this audit since round 3 via q_lsh_recall, the ANN
+    side only had its parameters' one-off measurement in q_ann_lsh's
+    docstring). Per probe vector: the true top-10 by cosine over the
+    whole corpus, the index's top-10 over its capped same-bucket
+    candidates, and recall = |intersection| / 10 plus the candidate
+    count the index paid. Every output column is integer-derived
+    (counts and a count ratio), so the cross-engine hash has NO
+    float-summation exposure; the sims only ORDER the two top-k sets,
+    through the exact pair-scoring forms q_ann_lsh already verifies
+    bit-identical (left-to-right float64 folds on the shared
+    pre-normalized relation, (sim DESC, neighbor_id) tie-break).
+
+    Scale shape: the probe panel is a FIXED deterministic sample
+    (vec_id % 25 — 4% of the corpus, bounded by construction relative
+    to corpus scale: at 100 TB you pin an absolute panel size the same
+    way), so brute force is |panel| × corpus exact scoring — ONE linear
+    scan of the normalized relation per panel chunk with the panel
+    broadcast, the standard recall-eval harness. The index side reuses
+    the session sign cache and the per-query capped bucket relation
+    (same relations q_ann_lsh scores), so the audit adds no second
+    index build. Output is |panel| rows."""
+    k = _adaptive_bits(_emb_count(spark, sf_dir), _LSH_BITS, _LSH_TARGET_BUCKET)
+    b = _buckets_for(spark, sf_dir, k).localCheckpoint()
+    nrm = _normalized(spark, sf_dir)
+    is_probe = (F.col("vec_id") % _RECALL_PROBE_MOD) == 0
+
+    x = b.filter(is_probe).select("vec_id", "tbl", "bucket")
+    y = _capped_index(b).select(
+        F.col("vec_id").alias("neighbor_id"), "tbl", "bucket"
+    )
+    cand = (
+        x.join(y, ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+        .distinct()
+    )
+    sim = F.aggregate(
+        F.zip_with("ea", "eb", lambda a, b_: a * b_),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    ex = nrm.select("vec_id", F.col("ne").alias("ea"))
+    ey = nrm.select(F.col("vec_id").alias("neighbor_id"), F.col("ne").alias("eb"))
+    rank_w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    ann_topk = (
+        cand.join(ex, "vec_id")
+        .join(ey, "neighbor_id")
+        .select("vec_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("vec_id", "neighbor_id")
+    )
+    # brute force: bounded probe panel BROADCAST against the corpus —
+    # exact scoring of |panel| × (n − 1) pairs in one scan
+    probes = F.broadcast(nrm.filter(is_probe).select("vec_id", F.col("ne").alias("ea")))
+    brute_topk = (
+        ey.crossJoin(probes)
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("vec_id", "neighbor_id")
+    )
+    ncand = cand.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_cand"))
+    hit = (
+        brute_topk.alias("t")
+        .join(
+            ann_topk.alias("a"),
+            (F.col("t.vec_id") == F.col("a.vec_id"))
+            & (F.col("t.neighbor_id") == F.col("a.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("t.vec_id").alias("vec_id"))
+        .agg(
+            F.count(F.col("a.neighbor_id")).alias("n_hit"),
+            F.count(F.lit(1)).alias("n_true"),
+        )
+    )
+    return (
+        hit.join(ncand, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("n_cand"), F.lit(0).cast("long")).alias("n_cand"),
+            "n_hit",
+            F.round(F.col("n_hit").cast("double") / F.col("n_true"), 6).alias(
+                "recall"
+            ),
+        )
+    )
+
+
 _MP_BITS = 6  # BASE bits for the multiprobe variant (finer tables)
 
 
