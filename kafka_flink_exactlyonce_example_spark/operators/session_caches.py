@@ -51,6 +51,8 @@ CACHE_BUILDERS: dict[str, Callable[[SparkSession, str], Any]] = {
     "ivf_cells": dedup._ivf_cells_for,
     "semdedup_scored": dedup._semdedup_scored_for,
     "ann_signs": simsearch._signs_for,
+    "lsh_buckets": simsearch.lsh_buckets_build,
+    "mp_buckets": simsearch.mp_buckets_build,
     "unit_norms": simsearch._normalized,
     "pq_codebook": simsearch._pq_train,
     "pca_model": simsearch.pca_model_for,

@@ -523,6 +523,37 @@ def _buckets_for(spark: SparkSession, sf_dir: str, bits: int) -> DataFrame:
     ).select("vec_id", "tb.tbl", "tb.bucket")
 
 
+#: Materialized bucket relation per (applicationId, sf_dir, k): three
+#: queries consume buckets (q_ann_lsh + q_ann_recall share the same
+#: adaptive k; q_ann_multiprobe uses its finer ladder) and each used
+#: to pay its own localCheckpoint of the identical relation per query
+#: (round-9 bench: the two k-sharers ~1 s each, multiprobe's 5.8 s row
+#: was mostly its own build). Same cache policy as the sign relation
+#: the buckets derive from.
+_BUCKETS_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def _buckets_cached(spark: SparkSession, sf_dir: str, bits: int) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, bits)
+    if key not in _BUCKETS_CACHE:
+        _BUCKETS_CACHE[key] = _buckets_for(spark, sf_dir, bits).localCheckpoint()
+    return _BUCKETS_CACHE[key]
+
+
+def lsh_buckets_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cache builder for the q_ann_lsh/q_ann_recall bucket
+    relation at the corpus-adaptive k (bench line item)."""
+    k = _adaptive_bits(_emb_count(spark, sf_dir), _LSH_BITS, _LSH_TARGET_BUCKET)
+    return _buckets_cached(spark, sf_dir, k)
+
+
+def mp_buckets_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cache builder for q_ann_multiprobe's finer-table bucket
+    relation (bench line item)."""
+    k = _adaptive_bits(_emb_count(spark, sf_dir), _MP_BITS, _MP_TARGET_BUCKET)
+    return _buckets_cached(spark, sf_dir, k)
+
+
 # normalized-embedding relation per (applicationId, sf_dir): every ANN
 # query's exact-scoring stage needs û = v/‖v‖ for the whole corpus, and
 # bench runs the ANN family in one session — materialize once (same
@@ -649,10 +680,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (table, bucket), per-bucket quadratic candidate gen, distinct,
     then hash-join back to fetch vectors for exact scoring."""
     k = _adaptive_bits(_emb_count(spark, sf_dir), _LSH_BITS, _LSH_TARGET_BUCKET)
-    # materialize the bucket relation once per query: both the query
-    # side and the capped index side consume it; the sign dots behind
-    # it come from the shared per-(session, sf) _signs_for cache
-    b = _buckets_for(spark, sf_dir, k).localCheckpoint()
+    # bucket relation from the per-(session, sf, k) cache (round 9 —
+    # q_ann_recall shares this exact k, and per-query checkpoints of
+    # the identical relation were pure rework): both the query side
+    # and the capped index side consume it; the sign dots behind it
+    # come from the shared per-(session, sf) _signs_for cache
+    b = _buckets_cached(spark, sf_dir, k)
     x = b.select(F.col("vec_id"), "tbl", "bucket")
     y = _capped_index(b).select(
         F.col("vec_id").alias("neighbor_id"), "tbl", "bucket"
@@ -768,7 +801,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same relations q_ann_lsh scores), so the audit adds no second
     index build. Output is |panel| rows."""
     k = _adaptive_bits(_emb_count(spark, sf_dir), _LSH_BITS, _LSH_TARGET_BUCKET)
-    b = _buckets_for(spark, sf_dir, k).localCheckpoint()
+    b = _buckets_cached(spark, sf_dir, k)
     nrm = _normalized(spark, sf_dir)
     is_probe = (F.col("vec_id") % _RECALL_PROBE_MOD) == 0
 
@@ -907,7 +940,7 @@ def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe fan-out follows k, so probing stays 1 + k buckets per
     table per query vector."""
     k = _adaptive_bits(_emb_count(spark, sf_dir), _MP_BITS, _MP_TARGET_BUCKET)
-    b = _buckets_for(spark, sf_dir, k).localCheckpoint()
+    b = _buckets_cached(spark, sf_dir, k)
     probes = b.select(
         "vec_id",
         "tbl",
