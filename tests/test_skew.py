@@ -167,3 +167,52 @@ def test_char_ngram_survives_heavy_hitter_gram(spark, tmp_path, registry_loaded)
     assert (1000, 1001, 1.0) in dup, f"missing exact-dup pair: {dup[:5]}"
     # boilerplate-only overlaps must NOT cross the 0.8 threshold
     assert all(a == 1000 and b == 1001 for a, b, _ in dup), dup
+
+
+def test_char_ngram_df_cap_fires_and_stays_oracle_exact(
+    spark, tmp_path, registry_loaded
+):
+    """Round-9 (ADVICE r08): grams with df > _MAX_DF (1024) are
+    boilerplate and must be dropped from BOTH sides of the Jaccard —
+    no posting array above the cap ever materializes. 1100 documents
+    share one 16-char boilerplate gram (df = 1102 > 1024), so the cap
+    FIRES here (unlike the 302-doc round-8 stress test, which pins the
+    nested-explode streaming below the cap). The true duplicate pair
+    shares the boilerplate too: its Jaccard must still be exactly 1.0
+    over the surviving discriminative grams, boilerplate-only overlap
+    must stay below threshold, and — the real bar — DuckDB running the
+    mirrored oracle on the SAME synthetic corpus must agree exactly."""
+    import duckdb
+    import pandas as pd
+
+    from kafka_flink_exactlyonce_example_spark.operators import datamgmt
+    from kafka_flink_exactlyonce_example_spark.registry import ORACLES
+
+    boiler = "SHARED-BOILER-16"  # exactly 16 chars -> one shared gram
+    rows = []
+    for i in range(1100):
+        rows.append((i, boiler + f" unique tail number {i} with words {i * 7}", "en"))
+    rows.append((2000, boiler + " duplicated document body text", "en"))
+    rows.append((2001, boiler + " duplicated document body text", "en"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    pdf["source"] = "synthetic"
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf.to_parquet(str(tmp_path / "documents.parquet"))
+    assert len(pdf) > datamgmt._MAX_DF  # the shared gram exceeds the cap
+
+    out = registry_loaded.QUERIES["q_char_ngram"](spark, str(tmp_path)).collect()
+    dup = sorted((r["doc_a"], r["doc_b"], r["jaccard"]) for r in out)
+    assert (2000, 2001, 1.0) in dup, f"missing exact-dup pair: {dup[:5]}"
+    assert all(a == 2000 and b == 2001 for a, b, _ in dup), dup
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    oracle = sorted(
+        (int(a), int(b), float(j))
+        for a, b, j in con.execute(ORACLES["q_char_ngram"]).fetchall()
+    )
+    con.close()
+    assert oracle == dup, f"cap semantics diverged: spark={dup} duck={oracle}"
