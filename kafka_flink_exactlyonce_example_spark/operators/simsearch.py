@@ -872,6 +872,146 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_incremental_ann",
+    oracle=f"""
+    WITH split AS (
+        SELECT vec_id, label, embedding,
+               CASE WHEN CAST(CAST(concat('0x', substring(
+                             md5('inc:' || CAST(vec_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 10 AS BIGINT) = 0
+                    THEN 1 ELSE 0 END AS is_new
+        FROM embeddings
+    ), cent AS (
+        SELECT label, list(m ORDER BY i) AS centroid
+        FROM (
+            SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+            FROM split, generate_series(1, 64) t(i)
+            WHERE is_new = 0
+            GROUP BY label, i
+        )
+        GROUP BY label
+    ), assign AS (
+        SELECT vec_id, cell, embedding FROM (
+            SELECT n.vec_id, c.label AS cell, n.embedding,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY {cosine_sql('n.embedding', 'c.centroid')}
+                                DESC, c.label) AS rn
+            FROM split n, cent c
+            WHERE n.is_new = 1
+        ) WHERE rn = 1
+    )
+    SELECT vec_id, cell, neighbor_id, ROUND(sim, 6) AS sim FROM (
+        SELECT a.vec_id, a.cell, x.vec_id AS neighbor_id,
+               {cosine_sql('a.embedding', 'x.embedding')} AS sim,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {cosine_sql('a.embedding', 'x.embedding')}
+                            DESC, x.vec_id) AS rn
+        FROM assign a
+        JOIN split x ON x.is_new = 0 AND x.label = a.cell
+    ) WHERE rn = 1
+    """,
+)
+def q_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time ANN lookup — the embedding twin of
+    q_incremental_dedup's batch gate (round 9): a deterministic ~10%
+    md5 hash split plays the \"new batch\", the rest is the \"indexed
+    corpus\", and each new vector is (a) ASSIGNED to its nearest IVF
+    cell — centroids computed from the EXISTING corpus only, the
+    frozen-index semantics of production ingest (a new batch must not
+    move the quantizer it is being routed by) — then (b) matched to
+    its top-1 existing neighbor WITHIN that cell. Output per new
+    vector: assigned cell, nearest existing neighbor, cosine.
+
+    Scale shape: the centroid table is BOUNDED (cells × d doubles) and
+    broadcast for assignment — one scan of the batch, 8 cosines per
+    vector, a per-vector (not global) rank window; the neighbor scan
+    touches only the assigned cell's members (the nprobe=1 restricted
+    scan, ~1/cells of the corpus per new vector), never batch×corpus —
+    and no batch-batch pairs exist at all. At 100 TB this is exactly
+    the ingest path: route against the frozen coarse quantizer, scan
+    one posting list, emit the merge decision. No corpus rescan, no
+    index rebuild. The hash split is md5-deterministic and
+    oracle-mirrored (same 'inc:' convention as q_incremental_dedup);
+    sims use the cosine form q_ann_ivf already pins bit-identical
+    across engines, tie-breaks (cell label ASC, neighbor_id ASC) make
+    both rank windows deterministic."""
+    emb = table(spark, sf_dir, "embeddings")
+    is_new = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("inc:"), F.col("vec_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    ) == 0
+    tagged = emb.select("vec_id", "label", "embedding", is_new.alias("is_new"))
+    old = tagged.filter(~F.col("is_new"))
+    new = tagged.filter(F.col("is_new")).select("vec_id", "embedding")
+
+    exploded = old.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    cent = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("cell"), "centroid")
+    )
+    cell_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cell_sim"), F.col("cell")
+    )
+    assign = (
+        new.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            cosine(F.col("embedding"), F.col("centroid")).alias("cell_sim"),
+        )
+        .withColumn("rn", F.row_number().over(cell_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "embedding")
+    )
+    x = old.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("cell"),
+        F.col("embedding").alias("xe"),
+    )
+    nb_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim_raw"), F.col("neighbor_id")
+    )
+    return (
+        assign.join(x, "cell")
+        .select(
+            "vec_id",
+            "cell",
+            "neighbor_id",
+            cosine(F.col("embedding"), F.col("xe")).alias("sim_raw"),
+        )
+        .withColumn("rn", F.row_number().over(nb_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id", "cell", "neighbor_id", F.round("sim_raw", 6).alias("sim")
+        )
+    )
+
+
 _MP_BITS = 6  # BASE bits for the multiprobe variant (finer tables)
 
 

@@ -267,10 +267,12 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     # infrastructure) — first-ever by construction, pops in round 9
     # with the mining tail
     "q_dup_span",
-    # NEW in round 9 (single capability addition: recall@10 audit of
-    # the LSH ANN vs brute force on a fixed probe panel) — first-ever
-    # by construction, pops with the round-9 window
+    # NEW in round 9: the recall@10 audit of the LSH ANN vs brute
+    # force on a fixed probe panel, and the ingest-time ANN lookup
+    # (frozen-quantizer cell routing + within-cell neighbor) — both
+    # first-ever by construction, pop with the round-9 window
     "q_ann_recall",
+    "q_incremental_ann",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.
