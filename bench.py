@@ -43,6 +43,11 @@ def main() -> None:
 
     registry.load_all()
     spark = get_spark(app_name="bench")
+    # host-load bookends (VERDICT r09 item 8): four same-code runs
+    # climbed 228.9 → 278.4 s with the guest idle — external host
+    # contention. Recording 1-min loadavg before/after makes a future
+    # total delta self-explaining without a separate uptime log.
+    load_before = round(os.getloadavg()[0], 2)
 
     from kafka_flink_exactlyonce_example_spark.operators import (
         scale,
@@ -73,8 +78,16 @@ def main() -> None:
         # cross-query reuse is their whole point.
         scale.unpersist_all()
 
+    load_after = round(os.getloadavg()[0], 2)
     payload = json.dumps(
-        {"sf": sf, "caches": caches, "queries": times}, indent=1
+        {
+            "sf": sf,
+            "loadavg_before": load_before,
+            "loadavg_after": load_after,
+            "caches": caches,
+            "queries": times,
+        },
+        indent=1,
     )
     here = Path(__file__).resolve().parent
     (here / "BENCH_FULL.json").write_text(payload)
@@ -108,6 +121,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(times),
                 "cache_build_sec": round(sum(caches.values()), 3),
+                "loadavg": [load_before, load_after],
                 "queries": slowest,
             }
         )

@@ -78,7 +78,14 @@ class IdempotentBatchSink:
         # any stray non-numeric file must neither count as a commit nor
         # crash the listing (fault-injection tests, round 9)
         return sorted(
-            int(b) for b in os.listdir(self.commits_dir) if b.isdigit()
+            int(b)
+            for b in os.listdir(self.commits_dir)
+            # isascii guard (round-10 ADVICE): str.isdigit alone
+            # accepts e.g. superscript '\u00b2' (int() rejects ->
+            # crash) and non-ASCII decimal digits like '\u0663'
+            # (int() PARSES -> a phantom commit id); only ASCII
+            # 0-9 names are commit markers
+            if b.isascii() and b.isdigit()
         )
 
     def read_committed(self, spark: SparkSession) -> DataFrame:
@@ -204,7 +211,14 @@ class ContinuousAggregateSink:
         # IdempotentBatchSink.committed_batches: torn .tmp markers and
         # stray files are not commits and must not crash the listing)
         return sorted(
-            int(b) for b in os.listdir(self.commits_dir) if b.isdigit()
+            int(b)
+            for b in os.listdir(self.commits_dir)
+            # isascii guard (round-10 ADVICE): str.isdigit alone
+            # accepts e.g. superscript '\u00b2' (int() rejects ->
+            # crash) and non-ASCII decimal digits like '\u0663'
+            # (int() PARSES -> a phantom commit id); only ASCII
+            # 0-9 names are commit markers
+            if b.isascii() and b.isdigit()
         )
 
     def _snap_path(self, batch_id: int) -> str:

@@ -57,11 +57,27 @@ def main() -> None:
         delta = now - base
         if abs(delta) >= ABS_FLOOR and abs(delta) >= REL_BAND * max(base, 1e-9):
             moved.append((delta, k, base, now))
-    tot_base = sum(statistics.median([m.get(k, 0.0) for m in pool]) for k in keys)
-    tot_now = sum(cand.values())
+    # totals compare ONLY keys present on both sides (round-10 ADVICE:
+    # missing-as-0.0 medians dragged the baseline down for keys absent
+    # from some pool runs — e.g. cache: items pre-round-9 — while the
+    # candidate total summed everything, an asymmetric headline). NEW
+    # and GONE key totals print separately so nothing hides.
+    shared = [k for k in keys if k in cand and any(k in m for m in pool)]
+    tot_base = sum(
+        statistics.median([m[k] for m in pool if k in m]) for k in shared
+    )
+    tot_now = sum(cand[k] for k in shared)
+    new_tot = sum(v for k, v in cand.items() if k not in shared)
+    gone_tot = sum(
+        statistics.median([m[k] for m in pool if k in m])
+        for k in keys
+        if k not in cand
+    )
     print(
-        f"total: baseline-median {tot_base:.1f}s -> candidate {tot_now:.1f}s "
-        f"({len(pool)} baseline run(s))"
+        f"total over {len(shared)} shared keys: baseline-median "
+        f"{tot_base:.1f}s -> candidate {tot_now:.1f}s "
+        f"({len(pool)} baseline run(s)); "
+        f"NEW keys add {new_tot:.1f}s, GONE keys dropped {gone_tot:.1f}s"
     )
     if not moved:
         print("no per-query move clears the noise band "
