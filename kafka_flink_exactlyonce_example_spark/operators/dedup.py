@@ -701,7 +701,21 @@ def _ivf_cells(e: DataFrame) -> DataFrame:
     assignment join, groupBy max_by) spending ~4 s of pure stage
     overhead at sf0.1 on a 2,000-row input; this form has two shuffles
     (label reduce, bounded candidate rank) plus the scan. No window
-    ever partitions by a data-scaled row set."""
+    ever partitions by a data-scaled row set.
+
+    Round 10: split into :func:`_ivf_seeds` (train the quantizer) +
+    :func:`_assign_to_seeds` (route a relation against it) so
+    q_incremental_ann can TRAIN on the frozen old split and ROUTE both
+    splits against the same seeds — the frozen-index ingest semantics."""
+    return _assign_to_seeds(e, _ivf_seeds(e))
+
+
+def _ivf_seeds(e: DataFrame) -> DataFrame:
+    """Train the per-label sub-cell quantizer: ``label, _seeds`` where
+    ``_seeds`` is the label's bounded array of struct(cell, seed) —
+    k = max(1, floor(sqrt(n_label/_CELL_TARGET))) deterministic
+    hash-sampled seed vectors (see :func:`_ivf_cells` for the full
+    plan rationale). Bounded output: Σk ∝ √n rows."""
     h1 = F.xxhash64(F.col("vec_id"))
     h2 = F.md5(F.concat(F.lit("seed:"), F.col("vec_id").cast("string")))
     base = e.groupBy("label").agg(
@@ -745,12 +759,19 @@ def _ivf_cells(e: DataFrame) -> DataFrame:
     )
     # labels whose sampled candidate set came up empty take the
     # guaranteed min-hash seed from the SAME reduce that counted them
-    seeds = counts.join(cand, "label", "left").select(
+    return counts.join(cand, "label", "left").select(
         "label",
         F.when(F.size(F.col("_seeds")) > 0, F.col("_seeds"))
         .otherwise(F.array(F.col("_fb")))
         .alias("_seeds"),
     )
+
+
+def _assign_to_seeds(e: DataFrame, seeds: DataFrame) -> DataFrame:
+    """Route ``e`` (vec_id, label, embedding) against a trained seeds
+    relation: broadcast the bounded per-label seed arrays onto one scan
+    of ``e`` and pick each row's nearest seed inline. Inner join on
+    label — callers route only labels the quantizer was trained on."""
     # nearest-seed argmax inline: struct comparison orders by cosine,
     # then -cell (ties -> smallest cell id) — identical to the old
     # max_by(cell, struct(_cs, -cell)) but with zero extra shuffle

@@ -185,6 +185,19 @@ _CHANGED_IN_ROUND: dict[int, frozenset[str]] = {
     9: frozenset({
         "q_char_ngram",
     }),
+    #: Round 10: q_ann_lsh / q_ann_multiprobe consume the round-9
+    #: post-closing shared bucket cache (commit 6ec8625) — their
+    #: executed plans changed AFTER their last driver grade, so both
+    #: re-earn rows (VERDICT r09 item 2). q_ann_recall swapped its
+    #: corpus-relative probe sample for an absolute md5-TakeOrdered
+    #: panel; q_incremental_ann now routes against the frozen
+    #: (label, sub-cell) quantizer with 6-dp-rounded coarse cosines.
+    10: frozenset({
+        "q_ann_lsh",
+        "q_ann_multiprobe",
+        "q_ann_recall",
+        "q_incremental_ann",
+    }),
 }
 
 
