@@ -937,17 +937,14 @@ def _inc_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _inc_index_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """LAZY (centroids, seeds) derivations — both from the OLD split
-    only. Centroids: per-label mean vector (bounded: labels × d).
-    Seeds: the per-label IVF sub-cell quantizer of the q_embed_dup
-    family (:func:`dedup._ivf_seeds` — k = max(1, ⌊√(n_label/4096)⌋)
-    hash-sampled seed vectors per label, Σk ∝ √n rows, bounded)."""
-    old = (
-        _inc_tagged(spark, sf_dir)
-        .filter(~F.col("is_new"))
-        .select("vec_id", "label", "embedding")
-    )
+def frozen_index_frames(old: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """LAZY (centroids, seeds) from an arbitrary frozen corpus of
+    (vec_id, label, embedding) rows. Centroids: per-label mean vector
+    (bounded: labels × d). Seeds: the per-label IVF sub-cell quantizer
+    of the q_embed_dup family (:func:`dedup._ivf_seeds` — k = max(1,
+    ⌊√(n_label/4096)⌋) hash-sampled seed vectors per label, Σk ∝ √n
+    rows, bounded). Shared by q_incremental_ann and the streaming
+    ingest gate (streaming/jobs.py)."""
     cent = (
         old.select("label", F.posexplode(F.col("embedding")).alias("pos", "val"))
         .groupBy("label", "pos")
@@ -961,6 +958,80 @@ def _inc_index_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
         .select(F.col("label").alias("cell"), "centroid")
     )
     return cent, _ivf_seeds(old)
+
+
+def frozen_route(new: DataFrame, cent: DataFrame, seeds: DataFrame) -> DataFrame:
+    """Two-stage frozen-quantizer routing of a batch of (vec_id,
+    embedding) rows: coarse (nearest label centroid, 6-dp-rounded
+    cosine, tie → smallest label) then fine (nearest sub-cell seed
+    within the assigned label). Returns (vec_id, cell, icell,
+    embedding) where ``cell`` is the assigned label and ``icell`` the
+    sub-cell id the neighbor join runs on."""
+    cell_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cell_sim"), F.col("cell")
+    )
+    coarse = (
+        new.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            F.round(
+                cosine(F.col("embedding"), F.col("centroid")), 6
+            ).alias("cell_sim"),
+        )
+        .withColumn("rn", F.row_number().over(cell_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "embedding")
+    )
+    return _assign_to_seeds(
+        coarse.withColumnRenamed("cell", "label"), seeds
+    ).select(
+        "vec_id",
+        F.col("label").alias("cell"),
+        F.col("cell").alias("icell"),
+        "embedding",
+    )
+
+
+def frozen_top1(routed: DataFrame, indexed: DataFrame) -> DataFrame:
+    """Top-1 existing neighbor for each routed vector, scanning ONLY
+    its assigned sub-cell's members. ``indexed`` is the frozen corpus
+    with its own sub-cell assignment (:func:`dedup._assign_to_seeds`
+    output). Returns (vec_id, cell, neighbor_id, sim)."""
+    x = indexed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell").alias("icell"),
+        F.col("embedding").alias("xe"),
+    )
+    nb_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim_raw"), F.col("neighbor_id")
+    )
+    return (
+        routed.join(x, "icell")
+        .select(
+            "vec_id",
+            "cell",
+            "neighbor_id",
+            cosine(F.col("embedding"), F.col("xe")).alias("sim_raw"),
+        )
+        .withColumn("rn", F.row_number().over(nb_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id", "cell", "neighbor_id", F.round("sim_raw", 6).alias("sim")
+        )
+    )
+
+
+def _inc_index_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """q_incremental_ann's frozen index: :func:`frozen_index_frames`
+    trained on the OLD split of the embeddings table only."""
+    old = (
+        _inc_tagged(spark, sf_dir)
+        .filter(~F.col("is_new"))
+        .select("vec_id", "label", "embedding")
+    )
+    return frozen_index_frames(old)
 
 
 def inc_index_build(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -1072,57 +1143,10 @@ def q_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "embedding"
     )
     new = tagged.filter(F.col("is_new")).select("vec_id", "embedding")
-
-    # stage 1 — coarse: nearest frozen label centroid, 6-dp-rounded
-    # cosine, tie -> smallest label (oracle's assign CTE verbatim)
-    cell_w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cell_sim"), F.col("cell")
-    )
-    coarse = (
-        new.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "embedding",
-            "cell",
-            F.round(
-                cosine(F.col("embedding"), F.col("centroid")), 6
-            ).alias("cell_sim"),
-        )
-        .withColumn("rn", F.row_number().over(cell_w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell", "embedding")
-    )
-    # stage 2 — fine: descend to the assigned label's nearest frozen
-    # sub-cell seed (k = 1 at graded scale -> exact label restriction)
-    fine = _assign_to_seeds(
-        coarse.withColumnRenamed("cell", "label"), seeds
-    ).select(
-        "vec_id",
-        F.col("label").alias("cell"),
-        F.col("cell").alias("icell"),
-        "embedding",
-    )
-    x = _assign_to_seeds(old, seeds).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("cell").alias("icell"),
-        F.col("embedding").alias("xe"),
-    )
-    nb_w = Window.partitionBy("vec_id").orderBy(
-        F.desc("sim_raw"), F.col("neighbor_id")
-    )
-    return (
-        fine.join(x, "icell")
-        .select(
-            "vec_id",
-            "cell",
-            "neighbor_id",
-            cosine(F.col("embedding"), F.col("xe")).alias("sim_raw"),
-        )
-        .withColumn("rn", F.row_number().over(nb_w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id", "cell", "neighbor_id", F.round("sim_raw", 6).alias("sim")
-        )
+    # coarse + fine routing, then the sub-cell-restricted top-1 scan —
+    # the same helpers the streaming ingest gate runs per micro-batch
+    return frozen_top1(
+        frozen_route(new, cent, seeds), _assign_to_seeds(old, seeds)
     )
 
 

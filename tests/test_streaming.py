@@ -1743,3 +1743,242 @@ def test_torn_fanout_under_concurrent_readers(spark, tmp_path):
     for s in fan.sinks:
         got = sorted(map(tuple, s.read_committed(spark).collect()))
         assert got == [(1, "a"), (2, "b")]
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest gate (VERDICT r09 item 6): frozen-index admission
+# per micro-batch through the 2-phase marker sink — replay-safe
+# decisions across a crash.
+# ---------------------------------------------------------------------------
+
+
+def _ingest_gate_fixture(spark, tmp_path, n_files=4):
+    """Frozen corpus index + a stream-input dir of new-doc json files.
+
+    Corpus/new split is the 'inc:' md5 tag on SMOKE_SF embeddings
+    (exactly q_incremental_ann's convention); each item carries the
+    doc's text and its embedding (doc_id == vec_id in the fixtures).
+    One new item is PLANTED as a byte-exact copy of a corpus doc's
+    text so the exact-dup path provably fires.
+    """
+    from pyspark.sql import functions as F
+
+    from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+        _assign_to_seeds,
+    )
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        _inc_is_new_col,
+        frozen_index_frames,
+    )
+
+    docs = spark.read.parquet(f"{SMOKE_SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    emb = spark.read.parquet(f"{SMOKE_SF}/embeddings.parquet")
+    tagged = emb.select(
+        "vec_id", "label", "embedding", _inc_is_new_col().alias("is_new")
+    )
+    old = tagged.filter(~F.col("is_new")).select(
+        "vec_id", "label", "embedding"
+    )
+    cent, seeds = frozen_index_frames(old)
+    cent = cent.localCheckpoint()
+    seeds = seeds.localCheckpoint()
+    indexed = _assign_to_seeds(old, seeds).localCheckpoint()
+    corpus_digests = (
+        docs.join(old.select(F.col("vec_id").alias("doc_id")), "doc_id")
+        .select(
+            F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("h")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    new_items = (
+        tagged.filter(F.col("is_new"))
+        .select(F.col("vec_id").alias("doc_id"), "embedding")
+        .join(docs, "doc_id")
+        .select("doc_id", "text", "embedding")
+        .orderBy("doc_id")
+        .collect()
+    )
+    corpus_text = (
+        docs.join(old.select(F.col("vec_id").alias("doc_id")), "doc_id")
+        .orderBy("doc_id")
+        .first()["text"]
+    )
+    inp = str(tmp_path / "gate_in")
+    os.makedirs(inp, exist_ok=True)
+    rows = [
+        {
+            "doc_id": r["doc_id"],
+            # plant: first new item duplicates a corpus doc byte-exactly
+            "text": corpus_text if i == 0 else r["text"],
+            "embedding": [float(v) for v in r["embedding"]],
+        }
+        for i, r in enumerate(new_items)
+    ]
+    per = (len(rows) + n_files - 1) // n_files
+    for fi in range(n_files):
+        with open(os.path.join(inp, f"g{fi}.json"), "w") as f:
+            for row in rows[fi * per : (fi + 1) * per]:
+                f.write(json.dumps(row) + "\n")
+    return inp, corpus_digests, cent, seeds, indexed
+
+
+def test_streaming_ingest_gate_exactly_once_across_crash(spark, tmp_path):
+    """Crash between decision write and commit marker → restart replays
+    the batch, recomputes IDENTICAL admission decisions against the
+    frozen index, commits once: read_committed holds every new doc's
+    decision exactly once and equal to the batch-computed reference."""
+    from kafka_flink_exactlyonce_example_spark.streaming.jobs import (
+        ingest_gate_decisions,
+        streaming_ingest_gate,
+    )
+
+    inp, corpus_digests, cent, seeds, indexed = _ingest_gate_fixture(
+        spark, tmp_path
+    )
+    schema = "doc_id bigint, text string, embedding array<float>"
+    threshold = 0.35
+
+    def build(sink):
+        stream = file_stream(
+            spark, inp, schema, fmt="json", maxFilesPerTrigger="1"
+        )
+        return streaming_ingest_gate(
+            stream,
+            corpus_digests,
+            cent,
+            seeds,
+            indexed,
+            sink,
+            str(tmp_path / "gate_ckpt"),
+            near_threshold=threshold,
+        )
+
+    out = str(tmp_path / "gate_out")
+    crashing = _CrashOnce(out, crash_batch=1)
+    q = build(crashing)
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+        raise RuntimeError("query should have failed")  # pragma: no cover
+    assert not crashing.is_committed(1), "crashed batch must be uncommitted"
+
+    sink = IdempotentBatchSink(out)
+    q2 = build(sink)
+    q2.awaitTermination(120)
+
+    committed = sink.read_committed(spark)
+    # the batch-computed reference over the SAME input files (so the
+    # json float round-trip is identical by construction)
+    static_new = spark.read.schema(schema).json(inp)
+    ref = ingest_gate_decisions(
+        static_new, corpus_digests, cent, seeds, indexed, threshold
+    )
+
+    got = sorted(
+        (
+            r["doc_id"],
+            r["f_exact"],
+            r["f_near"],
+            r["neighbor_id"],
+            r["sim"],
+            r["admitted"],
+        )
+        for r in committed.collect()
+    )
+    want = sorted(
+        (
+            r["doc_id"],
+            r["f_exact"],
+            r["f_near"],
+            r["neighbor_id"],
+            r["sim"],
+            r["admitted"],
+        )
+        for r in ref.collect()
+    )
+    # exactly once: every doc_id exactly one decision row
+    ids = [g[0] for g in got]
+    assert len(ids) == len(set(ids)), "duplicate decisions after replay"
+    assert got == want, "replayed decisions differ from frozen-index batch"
+    # the planted byte-exact duplicate is rejected through the exact path
+    exact_rows = [g for g in got if g[1] == 1]
+    assert exact_rows, "planted exact duplicate was not flagged"
+    assert all(g[5] == 0 for g in exact_rows)
+    # the gate admits something (it is a filter, not a wall)
+    assert any(g[5] == 1 for g in got)
+    # admitted == not (exact or near) row-wise
+    assert all((g[5] == 1) == (g[1] == 0 and g[2] == 0) for g in got)
+
+
+def test_stream_stream_full_outer_interval_join_emits_nulls_both_sides(
+    spark, tmp_path
+):
+    """Round-10 outer-join parity completion: full_outer interval join
+    must emit BOTH an unmatched left row (NULL right columns) AND an
+    unmatched right row (NULL left columns), each only after the
+    watermark proves its interval can no longer be matched — both
+    sides' state evictions drive emission. Same harness as the
+    left_outer test with an extra never-purchased view planted."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_exactlyonce_example_spark.streaming import (
+        stream_stream_interval_join,
+    )
+
+    vdir, pdir = str(tmp_path / "views"), str(tmp_path / "purch")
+    os.makedirs(vdir), os.makedirs(pdir)
+    # purchase u1@10:30 matches view u1@10:25; purchase u3@10:31 has NO
+    # view (left-unmatched); view u4@10:26 has NO purchase
+    # (right-unmatched) -> both must surface with NULLs
+    with open(f"{vdir}/f0.json", "w") as f:
+        f.write(json.dumps({"user_id": 1, "ts": "2024-01-01 10:25:00", "page": "a"}) + "\n")
+        f.write(json.dumps({"user_id": 4, "ts": "2024-01-01 10:26:00", "page": "d"}) + "\n")
+    with open(f"{pdir}/f0.json", "w") as f:
+        f.write(json.dumps({"user_id": 1, "ts": "2024-01-01 10:30:00", "amount": 9.99}) + "\n")
+        f.write(json.dumps({"user_id": 3, "ts": "2024-01-01 10:31:00", "amount": 1.0}) + "\n")
+    # advance BOTH streams far past the intervals, then one more batch
+    # each so the eviction pass runs on both state stores
+    with open(f"{vdir}/f1.json", "w") as f:
+        f.write(json.dumps({"user_id": 8, "ts": "2024-01-01 13:00:00", "page": "z"}) + "\n")
+    with open(f"{pdir}/f1.json", "w") as f:
+        f.write(json.dumps({"user_id": 9, "ts": "2024-01-01 13:00:00", "amount": 0.5}) + "\n")
+    with open(f"{vdir}/f2.json", "w") as f:
+        f.write(json.dumps({"user_id": 8, "ts": "2024-01-01 14:00:00", "page": "z"}) + "\n")
+    with open(f"{pdir}/f2.json", "w") as f:
+        f.write(json.dumps({"user_id": 9, "ts": "2024-01-01 14:00:00", "amount": 0.5}) + "\n")
+    import time as _time
+
+    now = _time.time()
+    for d in (vdir, pdir):
+        for i, name in enumerate(("f0.json", "f1.json", "f2.json")):
+            os.utime(os.path.join(d, name), (now + 10 * i, now + 10 * i))
+
+    v = file_stream(
+        spark, vdir, "user_id long, ts string, page string", fmt="json",
+        maxFilesPerTrigger="1",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    p = file_stream(
+        spark, pdir, "user_id long, ts string, amount double", fmt="json",
+        maxFilesPerTrigger="1",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    joined = stream_stream_interval_join(
+        p, v, lookback="10 minutes", watermark="10 seconds",
+        join_type="full_outer",
+    )
+    sink = IdempotentBatchSink(str(tmp_path / "out"))
+    q = run_exactly_once(joined, sink, str(tmp_path / "ckpt"), output_mode="append")
+    q.awaitTermination(240)
+    rows = {
+        (r["l_key"], r["r_key"], r["r_page"])
+        for r in sink.read_committed(spark).collect()
+    }
+    assert (1, 1, "a") in rows, f"matched pair missing: {rows}"
+    assert (3, None, None) in rows, (
+        f"unmatched LEFT row never emitted with NULL rights: {rows}"
+    )
+    assert (None, 4, "d") in rows, (
+        f"unmatched RIGHT row never emitted with NULL lefts: {rows}"
+    )
