@@ -29,6 +29,7 @@ _MODULES = (
     "multimodal",
     "datamgmt",
     "mining",
+    "ingest",
 )
 
 

@@ -1,0 +1,216 @@
+"""Ingest admission gate — the driver-graded batch twin of the
+streaming ingest gate (streaming/jobs.py ``streaming_ingest_gate``).
+
+Round 10: the streaming gate's runtime test proves its decisions are
+exactly-once and replay-stable; THIS query puts the decision semantics
+themselves under the DuckDB hash grade. Same deterministic 'inc:' md5
+split as q_incremental_dedup / q_incremental_ann: ~10% of docs play the
+"new batch", the rest are the frozen corpus, and every new doc gets the
+full three-check admission verdict:
+
+- ``f_exact``     — normalized md5 digest appears in the corpus digest
+                    set (q_incremental_dedup's exact path);
+- ``f_near_text`` — the doc sits on a verified LSH edge (jaccard ≥ 0.8)
+                    whose other endpoint is in the corpus (the shared
+                    ``_lsh_verified_edges`` session cache);
+- ``f_near_emb``  — its frozen-index top-1 embedding neighbor (two-stage
+                    (label → sub-cell) routing, q_incremental_ann's
+                    machinery verbatim) has 6-dp-rounded cosine ≥
+                    ``_NEAR_EMB_THRESHOLD``;
+- ``admitted``    — none of the three fired.
+
+Scale shape: inherited entirely from the parts — digest and edge checks
+are 16-byte-hash semi-joins against corpus-side indexes (linear in the
+BATCH), the ANN check routes against bounded/√n-scaled broadcast tables
+and scans one sub-cell posting list per doc (∝ √n rows). Docs without
+an embedding row (possible at sf0.1 where |documents| > |embeddings|)
+take NULL neighbor/sim and f_near_emb = 0 through the left join —
+mirrored in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_flink_exactlyonce_example_spark.functions.similarity import cosine_sql
+from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+    _LSH_SCORED_CTES,
+    _MINHASH_CTES,
+    _assign_to_seeds,
+    _lsh_verified_edges,
+)
+from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+    _inc_tagged,
+    frozen_route,
+    frozen_top1,
+    inc_index_build,
+)
+from kafka_flink_exactlyonce_example_spark.registry import query
+from kafka_flink_exactlyonce_example_spark.sources import table
+
+#: Admission threshold on the 6-dp-rounded frozen-index cosine. 0.35
+#: sits just above this synthetic corpus's intra-cluster sim peak
+#: (~0.47 max, q_embed_dup's docstring) so both outcomes occur; a real
+#: pipeline on tight embeddings runs ~0.95. The comparison happens on
+#: the ROUNDED value in BOTH engines, so the flag is integer-exact.
+_NEAR_EMB_THRESHOLD = 0.35
+
+
+@query(
+    "q_ingest_gate",
+    oracle=_MINHASH_CTES
+    + _LSH_SCORED_CTES
+    + f"""
+    , edges AS (
+        SELECT doc_a, doc_b FROM scored
+        WHERE n_common / (n_sum - n_common) >= 0.8
+    ), dsplit AS (
+        SELECT doc_id, lang,
+               CASE WHEN CAST(CAST(concat('0x', substring(
+                             md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 10 AS BIGINT) = 0
+                    THEN 1 ELSE 0 END AS is_new,
+               md5(lower(trim(text))) AS h
+        FROM documents
+    ), corpus_h AS (
+        SELECT DISTINCT h FROM dsplit WHERE is_new = 0
+    ), corpus_doc AS (
+        SELECT doc_id FROM dsplit WHERE is_new = 0
+    ), near_text AS (
+        SELECT DISTINCT n.doc_id
+        FROM dsplit n
+        JOIN (SELECT doc_a AS x, doc_b AS y FROM edges
+              UNION ALL SELECT doc_b, doc_a FROM edges) e ON e.x = n.doc_id
+        JOIN corpus_doc c ON c.doc_id = e.y
+        WHERE n.is_new = 1
+    ), esplit AS (
+        SELECT vec_id, label, embedding,
+               CASE WHEN CAST(CAST(concat('0x', substring(
+                             md5('inc:' || CAST(vec_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 10 AS BIGINT) = 0
+                    THEN 1 ELSE 0 END AS is_new
+        FROM embeddings
+    ), ecent AS (
+        SELECT label, list(m ORDER BY i) AS centroid
+        FROM (
+            SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+            FROM esplit, generate_series(1, 64) t(i)
+            WHERE is_new = 0
+            GROUP BY label, i
+        )
+        GROUP BY label
+    ), eassign AS (
+        SELECT vec_id, cell, embedding FROM (
+            SELECT n.vec_id, c.label AS cell, n.embedding,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY round({cosine_sql('n.embedding', 'c.centroid')},
+                                      6) DESC, c.label) AS rn
+            FROM esplit n, ecent c
+            WHERE n.is_new = 1
+        ) WHERE rn = 1
+    ), nn AS (
+        SELECT vec_id, neighbor_id, ROUND(sim, 6) AS sim FROM (
+            SELECT a.vec_id, x.vec_id AS neighbor_id,
+                   {cosine_sql('a.embedding', 'x.embedding')} AS sim,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {cosine_sql('a.embedding', 'x.embedding')}
+                                DESC, x.vec_id) AS rn
+            FROM eassign a
+            JOIN esplit x ON x.is_new = 0 AND x.label = a.cell
+        ) WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           CASE WHEN ch.h IS NOT NULL THEN 1 ELSE 0 END AS f_exact,
+           CASE WHEN nt.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_near_text,
+           CASE WHEN nn.sim >= {_NEAR_EMB_THRESHOLD} THEN 1 ELSE 0
+                END AS f_near_emb,
+           nn.neighbor_id AS neighbor_id,
+           nn.sim AS sim,
+           CASE WHEN ch.h IS NULL AND nt.doc_id IS NULL
+                     AND COALESCE(nn.sim < {_NEAR_EMB_THRESHOLD}, TRUE)
+                THEN 1 ELSE 0 END AS admitted
+    FROM dsplit d
+    LEFT JOIN corpus_h ch ON ch.h = d.h
+    LEFT JOIN near_text nt ON nt.doc_id = d.doc_id
+    LEFT JOIN nn ON nn.vec_id = d.doc_id
+    WHERE d.is_new = 1
+    """,
+)
+def q_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc admission verdict for the 'inc:'-split ingest batch —
+    see the module docstring. Composes three session-cached /
+    frozen-index relations; adds no new cache of its own."""
+    d = table(spark, sf_dir, "documents")
+    is_new = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("inc:"), F.col("doc_id").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+        == 0
+    )
+    dsplit = d.select(
+        "doc_id",
+        is_new.cast("int").alias("is_new"),
+        F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("h"),
+    )
+    new_docs = dsplit.filter(F.col("is_new") == 1).select("doc_id", "h")
+    corpus = dsplit.filter(F.col("is_new") == 0)
+    corpus_h = corpus.select("h").distinct()
+    corpus_doc = corpus.select("doc_id")
+
+    edges = _lsh_verified_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("doc_a").alias("x"), F.col("doc_b").alias("y")
+    ).unionAll(edges.select(F.col("doc_b").alias("x"), F.col("doc_a").alias("y")))
+    near_text = (
+        sym.join(corpus_doc.withColumnRenamed("doc_id", "y"), "y", "leftsemi")
+        .select(F.col("x").alias("doc_id"))
+        .distinct()
+    )
+
+    cent, seeds = inc_index_build(spark, sf_dir)
+    tagged = _inc_tagged(spark, sf_dir)
+    old_vec = tagged.filter(~F.col("is_new")).select(
+        "vec_id", "label", "embedding"
+    )
+    new_vec = tagged.filter(F.col("is_new")).select("vec_id", "embedding")
+    nn = frozen_top1(
+        frozen_route(new_vec, cent, seeds), _assign_to_seeds(old_vec, seeds)
+    ).select(F.col("vec_id").alias("doc_id"), "neighbor_id", "sim")
+
+    flagged = (
+        new_docs.join(corpus_h.withColumn("_e", F.lit(1)), "h", "left")
+        .join(near_text.withColumn("_n", F.lit(1)), "doc_id", "left")
+        .join(nn, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_e", F.lit(0)).alias("f_exact"),
+            F.coalesce("_n", F.lit(0)).alias("f_near_text"),
+            F.when(F.col("sim") >= _NEAR_EMB_THRESHOLD, 1)
+            .otherwise(0)
+            .alias("f_near_emb"),
+            "neighbor_id",
+            "sim",
+        )
+    )
+    return flagged.withColumn(
+        "admitted",
+        (
+            (F.col("f_exact") == 0)
+            & (F.col("f_near_text") == 0)
+            & (F.col("f_near_emb") == 0)
+        ).cast("int"),
+    )

@@ -286,6 +286,8 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     # first-ever by construction, pop with the round-9 window
     "q_ann_recall",
     "q_incremental_ann",
+    # round-10 capability addition
+    "q_ingest_gate",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.
