@@ -819,15 +819,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = _adaptive_bits(_emb_count(spark, sf_dir), _LSH_BITS, _LSH_TARGET_BUCKET)
     b = _buckets_cached(spark, sf_dir, k)
     nrm = _normalized(spark, sf_dir)
-    panel = F.broadcast(
-        table(spark, sf_dir, "embeddings")
-        .orderBy(
-            F.md5(F.concat(F.lit("recall:"), F.col("vec_id").cast("string"))),
-            "vec_id",
-        )
-        .limit(_RECALL_PROBES)
-        .select("vec_id")
-    )
+    panel = _recall_panel(spark, sf_dir)
 
     x = b.join(panel, "vec_id", "left_semi").select("vec_id", "tbl", "bucket")
     y = _capped_index(b).select(
@@ -839,6 +831,33 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "neighbor_id")
         .distinct()
     )
+    return _recall_audit(cand, panel, nrm)
+
+
+def _recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHARED absolute probe panel of the recall-audit family —
+    the _RECALL_PROBES vectors with smallest md5('recall:'||vec_id).
+    q_ann_recall and q_mp_recall audit DIFFERENT indexes against the
+    SAME panel, so their recall columns are directly comparable."""
+    return F.broadcast(
+        table(spark, sf_dir, "embeddings")
+        .orderBy(
+            F.md5(F.concat(F.lit("recall:"), F.col("vec_id").cast("string"))),
+            "vec_id",
+        )
+        .limit(_RECALL_PROBES)
+        .select("vec_id")
+    )
+
+
+def _recall_audit(
+    cand: DataFrame, panel: DataFrame, nrm: DataFrame
+) -> DataFrame:
+    """Recall@K audit tail shared by q_ann_recall / q_mp_recall: exact
+    top-K over the index's candidates vs exact top-K over the whole
+    corpus (panel-broadcast brute force), per-probe hit count and
+    candidate cost. Output columns are integer-derived (counts + a
+    count ratio) — zero float-summation hash exposure."""
     sim = F.aggregate(
         F.zip_with("ea", "eb", lambda a, b_: a * b_),
         F.lit(0.0),
@@ -898,6 +917,130 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_MP_BITS = 6  # BASE bits for the multiprobe variant (finer tables)
+
+
+@query(
+    "q_mp_recall",
+    oracle=f"""
+    WITH kval AS ({_k_sql(_MP_BITS, _MP_TARGET_BUCKET)}),
+    b AS MATERIALIZED (
+{_lsh_buckets_union_sql()}
+    ), panel AS (
+        SELECT vec_id FROM embeddings
+        ORDER BY md5('recall:' || CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {_RECALL_PROBES}
+    ), probes AS (
+        SELECT vec_id, tbl, bucket FROM b
+        WHERE vec_id IN (SELECT vec_id FROM panel)
+        UNION ALL
+        SELECT vec_id, tbl, xor(bucket, (1 << p)) AS bucket
+        FROM b, kval, (SELECT unnest(range(0, {_LSH_MAX_BITS})) AS p) pr
+        WHERE p < k AND vec_id IN (SELECT vec_id FROM panel)
+    ), capped AS (
+        {_capped_index_sql('b')}
+    ), cand AS (
+        SELECT DISTINCT p.vec_id AS vec_id, y.vec_id AS neighbor_id
+        FROM probes p JOIN capped y ON p.tbl = y.tbl AND p.bucket = y.bucket
+                                   AND p.vec_id <> y.vec_id
+    ), nrm AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)
+                 / sqrt(list_sum(list_transform(embedding,
+                     u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))))) AS ne
+        FROM embeddings
+    ), ann_pairs AS (
+        SELECT c.vec_id, c.neighbor_id,
+               list_sum(list_transform(list_zip(ex.ne, ey.ne),
+                   p -> p[1] * p[2])) AS sim
+        FROM cand c
+        JOIN nrm ex ON ex.vec_id = c.vec_id
+        JOIN nrm ey ON ey.vec_id = c.neighbor_id
+    ), ann_topk AS (
+        SELECT vec_id, neighbor_id FROM (
+            SELECT vec_id, neighbor_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, neighbor_id) AS rn
+            FROM ann_pairs) WHERE rn <= {_RECALL_K}
+    ), bprobes AS (
+        SELECT vec_id, ne FROM nrm
+        WHERE vec_id IN (SELECT vec_id FROM panel)
+    ), brute_pairs AS (
+        SELECT p.vec_id, n.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(p.ne, n.ne),
+                   q -> q[1] * q[2])) AS sim
+        FROM bprobes p JOIN nrm n ON n.vec_id <> p.vec_id
+    ), brute_topk AS (
+        SELECT vec_id, neighbor_id FROM (
+            SELECT vec_id, neighbor_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, neighbor_id) AS rn
+            FROM brute_pairs) WHERE rn <= {_RECALL_K}
+    ), ncand AS (
+        SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+        FROM cand GROUP BY vec_id
+    ), hits AS (
+        SELECT t.vec_id,
+               CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+               CAST(COUNT(*) AS BIGINT) AS n_true
+        FROM brute_topk t
+        LEFT JOIN ann_topk a
+          ON a.vec_id = t.vec_id AND a.neighbor_id = t.neighbor_id
+        GROUP BY t.vec_id
+    )
+    SELECT h.vec_id,
+           COALESCE(nc.n_cand, 0) AS n_cand,
+           h.n_hit,
+           round(CAST(h.n_hit AS DOUBLE) / h.n_true, 6) AS recall
+    FROM hits h LEFT JOIN ncand nc ON nc.vec_id = h.vec_id
+    """,
+)
+def q_mp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 audit of the MULTIPROBE index (round 10) — the sibling
+    of q_ann_recall, against the SAME absolute probe panel, so the two
+    indexes' recall and candidate-cost columns are directly comparable
+    row-for-row: finer K=6-base tables + Hamming-1 probing
+    (q_ann_multiprobe's exact candidate generation, probe expansion on
+    the PANEL side only — 1+k buckets per table per probe) vs the
+    coarser single-probe K=4-base tables. The docstring claim this
+    pins as a graded row: multiprobe buys its recall back from finer
+    buckets at bounded candidate cost. Audit tail and scale shape are
+    :func:`_recall_audit`'s — constant-size panel by construction,
+    integer-derived output, brute force = one panel-broadcast corpus
+    scan. The probe expansion on a |panel|-bounded side is O(panel ·
+    L · (1+k)) rows — constant relative to corpus scale."""
+    k = _adaptive_bits(_emb_count(spark, sf_dir), _MP_BITS, _MP_TARGET_BUCKET)
+    b = _buckets_cached(spark, sf_dir, k)
+    nrm = _normalized(spark, sf_dir)
+    panel = _recall_panel(spark, sf_dir)
+    xp = (
+        b.join(panel, "vec_id", "left_semi")
+        .select(
+            "vec_id",
+            "tbl",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                        for p in range(k)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+    )
+    y = _capped_index(b).select(
+        F.col("vec_id").alias("neighbor_id"), "tbl", "bucket"
+    )
+    cand = (
+        xp.join(y, ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+        .distinct()
+    )
+    return _recall_audit(cand, panel, nrm)
 
 
 # ---- q_incremental_ann frozen ingest index ------------------------
@@ -1149,8 +1292,6 @@ def q_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         frozen_route(new, cent, seeds), _assign_to_seeds(old, seeds)
     )
 
-
-_MP_BITS = 6  # BASE bits for the multiprobe variant (finer tables)
 
 
 @query(

@@ -286,8 +286,9 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     # first-ever by construction, pop with the round-9 window
     "q_ann_recall",
     "q_incremental_ann",
-    # round-10 capability addition
+    # round-10 capability additions
     "q_ingest_gate",
+    "q_mp_recall",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.
