@@ -122,3 +122,103 @@ def test_graded_sfs_stay_under_split_threshold():
         )
         checked += 1
     assert checked >= 1
+
+
+# ---------------------------------------------------------------------------
+# Round 10: the frozen two-stage routing (simsearch.frozen_route /
+# frozen_top1) in the k>1 SPLIT regime — graded SFs run k=1, so this is
+# the only functional test of the sub-cell-restricted neighbor scan.
+# ---------------------------------------------------------------------------
+
+
+def test_frozen_routing_restricts_to_subcell_and_is_exact_within_it(
+    spark, monkeypatch
+):
+    """With labels forced to split (k > 1): every routed vector's
+    neighbor must come from its assigned sub-cell's members, and be
+    the TRUE cosine top-1 within that sub-cell (the approximation is
+    the cell restriction, never the in-cell ranking)."""
+    import math
+
+    from kafka_flink_exactlyonce_example_spark.operators import simsearch
+
+    monkeypatch.setattr(dedup, "_CELL_TARGET", 8)
+    monkeypatch.setattr(dedup, "_SEED_OVERSAMPLE", 10**9)
+    old = _toy_embeddings(spark, 400)           # the frozen corpus
+    new = _toy_embeddings(spark, 430).filter(   # 30 fresh vectors
+        F.col("vec_id") >= 400
+    ).select("vec_id", "embedding")
+
+    cent, seeds = simsearch.frozen_index_frames(old)
+    indexed = dedup._assign_to_seeds(old, seeds)
+    idx_rows = indexed.collect()
+    # the split regime is actually on
+    cells_per_label = {}
+    for r in idx_rows:
+        cells_per_label.setdefault(r["label"], set()).add(r["cell"])
+    assert all(len(c) > 1 for c in cells_per_label.values())
+
+    routed = simsearch.frozen_route(new, cent, seeds)
+    got = {
+        r["vec_id"]: r
+        for r in simsearch.frozen_top1(routed, indexed).collect()
+    }
+    assert sorted(got) == list(range(400, 430))
+
+    by_cell = {}
+    for r in idx_rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    routed_cells = {r["vec_id"]: r["icell"] for r in routed.collect()}
+    new_rows = {r["vec_id"]: r["embedding"] for r in new.collect()}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    for vid, r in got.items():
+        icell = routed_cells[vid]
+        members = by_cell[icell]
+        member_ids = {m["vec_id"] for m in members}
+        assert r["neighbor_id"] in member_ids, (
+            f"{vid}: neighbor {r['neighbor_id']} outside assigned sub-cell"
+        )
+        # exact top-1 within the sub-cell (ties -> smallest neighbor_id)
+        best = max(
+            members,
+            key=lambda m: (round(cos(new_rows[vid], m["embedding"]), 9),
+                           -m["vec_id"]),
+        )
+        assert r["neighbor_id"] == best["vec_id"], (
+            f"{vid}: not the in-cell top-1"
+        )
+
+
+def test_frozen_route_is_frozen(spark, monkeypatch):
+    """The quantizer must not move when the batch changes: routing two
+    DIFFERENT batches against the same (cent, seeds) assigns the shared
+    vectors identically — the frozen-index property the streaming gate's
+    replay safety rests on."""
+    from kafka_flink_exactlyonce_example_spark.operators import simsearch
+
+    monkeypatch.setattr(dedup, "_CELL_TARGET", 8)
+    monkeypatch.setattr(dedup, "_SEED_OVERSAMPLE", 10**9)
+    old = _toy_embeddings(spark, 400)
+    cent, seeds = simsearch.frozen_index_frames(old)
+    cent = cent.localCheckpoint()
+    seeds = seeds.localCheckpoint()
+    all_new = _toy_embeddings(spark, 440).filter(
+        F.col("vec_id") >= 400
+    ).select("vec_id", "embedding")
+    small = all_new.filter(F.col("vec_id") < 420)
+
+    a = {
+        r["vec_id"]: (r["cell"], r["icell"])
+        for r in simsearch.frozen_route(all_new, cent, seeds).collect()
+    }
+    b = {
+        r["vec_id"]: (r["cell"], r["icell"])
+        for r in simsearch.frozen_route(small, cent, seeds).collect()
+    }
+    assert b == {k: v for k, v in a.items() if k < 420}
