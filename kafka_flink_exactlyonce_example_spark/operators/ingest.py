@@ -1,12 +1,17 @@
-"""Ingest admission gate — the driver-graded batch twin of the
-streaming ingest gate (streaming/jobs.py ``streaming_ingest_gate``).
+"""Ingest admission gate + index-refresh report — the driver-graded
+batch twins of the streaming ingest gate (streaming/jobs.py
+``streaming_ingest_gate``).
 
 Round 10: the streaming gate's runtime test proves its decisions are
-exactly-once and replay-stable; THIS query puts the decision semantics
-themselves under the DuckDB hash grade. Same deterministic 'inc:' md5
-split as q_incremental_dedup / q_incremental_ann: ~10% of docs play the
-"new batch", the rest are the frozen corpus, and every new doc gets the
-full three-check admission verdict:
+exactly-once and replay-stable; ``q_ingest_gate`` puts the decision
+semantics themselves under the DuckDB hash grade, and
+``q_index_refresh`` grades the OFFLINE side of the frozen-index
+contract — the rebuild-decision report that tells you when the frozen
+quantizer has drifted from the grown corpus. Same deterministic 'inc:'
+md5 split as q_incremental_dedup / q_incremental_ann: ~10% of docs play
+the "new batch", the rest are the frozen corpus.
+
+Per new doc, the gate's three-check verdict:
 
 - ``f_exact``     — normalized md5 digest appears in the corpus digest
                     set (q_incremental_dedup's exact path);
@@ -35,6 +40,7 @@ from pyspark.sql import functions as F
 
 from kafka_flink_exactlyonce_example_spark.functions.similarity import cosine_sql
 from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+    _CELL_TARGET,
     _LSH_SCORED_CTES,
     _MINHASH_CTES,
     _assign_to_seeds,
@@ -56,10 +62,11 @@ from kafka_flink_exactlyonce_example_spark.sources import table
 #: the ROUNDED value in BOTH engines, so the flag is integer-exact.
 _NEAR_EMB_THRESHOLD = 0.35
 
-
-@query(
-    "q_ingest_gate",
-    oracle=_MINHASH_CTES
+#: Shared oracle prefix: the full gate chain ending in a per-new-doc
+#: ``verdict`` CTE (doc_id, flags, assigned cell, neighbor, sim,
+#: admitted). q_ingest_gate projects it; q_index_refresh rolls it up.
+_GATE_CTES = (
+    _MINHASH_CTES
     + _LSH_SCORED_CTES
     + f"""
     , edges AS (
@@ -111,8 +118,8 @@ _NEAR_EMB_THRESHOLD = 0.35
             WHERE n.is_new = 1
         ) WHERE rn = 1
     ), nn AS (
-        SELECT vec_id, neighbor_id, ROUND(sim, 6) AS sim FROM (
-            SELECT a.vec_id, x.vec_id AS neighbor_id,
+        SELECT vec_id, cell, neighbor_id, ROUND(sim, 6) AS sim FROM (
+            SELECT a.vec_id, a.cell, x.vec_id AS neighbor_id,
                    {cosine_sql('a.embedding', 'x.embedding')} AS sim,
                    row_number() OVER (
                        PARTITION BY a.vec_id
@@ -121,28 +128,33 @@ _NEAR_EMB_THRESHOLD = 0.35
             FROM eassign a
             JOIN esplit x ON x.is_new = 0 AND x.label = a.cell
         ) WHERE rn = 1
+    ), verdict AS (
+        SELECT d.doc_id,
+               CASE WHEN ch.h IS NOT NULL THEN 1 ELSE 0 END AS f_exact,
+               CASE WHEN nt.doc_id IS NOT NULL THEN 1 ELSE 0
+                    END AS f_near_text,
+               CASE WHEN nn.sim >= {_NEAR_EMB_THRESHOLD} THEN 1 ELSE 0
+                    END AS f_near_emb,
+               nn.cell AS cell,
+               nn.neighbor_id AS neighbor_id,
+               nn.sim AS sim,
+               CASE WHEN ch.h IS NULL AND nt.doc_id IS NULL
+                         AND COALESCE(nn.sim < {_NEAR_EMB_THRESHOLD}, TRUE)
+                    THEN 1 ELSE 0 END AS admitted
+        FROM dsplit d
+        LEFT JOIN corpus_h ch ON ch.h = d.h
+        LEFT JOIN near_text nt ON nt.doc_id = d.doc_id
+        LEFT JOIN nn ON nn.vec_id = d.doc_id
+        WHERE d.is_new = 1
     )
-    SELECT d.doc_id,
-           CASE WHEN ch.h IS NOT NULL THEN 1 ELSE 0 END AS f_exact,
-           CASE WHEN nt.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_near_text,
-           CASE WHEN nn.sim >= {_NEAR_EMB_THRESHOLD} THEN 1 ELSE 0
-                END AS f_near_emb,
-           nn.neighbor_id AS neighbor_id,
-           nn.sim AS sim,
-           CASE WHEN ch.h IS NULL AND nt.doc_id IS NULL
-                     AND COALESCE(nn.sim < {_NEAR_EMB_THRESHOLD}, TRUE)
-                THEN 1 ELSE 0 END AS admitted
-    FROM dsplit d
-    LEFT JOIN corpus_h ch ON ch.h = d.h
-    LEFT JOIN near_text nt ON nt.doc_id = d.doc_id
-    LEFT JOIN nn ON nn.vec_id = d.doc_id
-    WHERE d.is_new = 1
-    """,
+"""
 )
-def q_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc admission verdict for the 'inc:'-split ingest batch —
-    see the module docstring. Composes three session-cached /
-    frozen-index relations; adds no new cache of its own."""
+
+
+def _gate_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-new-doc admission verdict WITH the assigned routing cell —
+    the Spark twin of the oracle's ``verdict`` CTE. q_ingest_gate
+    drops the cell; q_index_refresh groups admitted docs by it."""
     d = table(spark, sf_dir, "documents")
     is_new = (
         F.conv(
@@ -189,7 +201,7 @@ def q_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_vec = tagged.filter(F.col("is_new")).select("vec_id", "embedding")
     nn = frozen_top1(
         frozen_route(new_vec, cent, seeds), _assign_to_seeds(old_vec, seeds)
-    ).select(F.col("vec_id").alias("doc_id"), "neighbor_id", "sim")
+    ).select(F.col("vec_id").alias("doc_id"), "cell", "neighbor_id", "sim")
 
     flagged = (
         new_docs.join(corpus_h.withColumn("_e", F.lit(1)), "h", "left")
@@ -202,6 +214,7 @@ def q_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("sim") >= _NEAR_EMB_THRESHOLD, 1)
             .otherwise(0)
             .alias("f_near_emb"),
+            "cell",
             "neighbor_id",
             "sim",
         )
@@ -213,4 +226,109 @@ def q_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("f_near_text") == 0)
             & (F.col("f_near_emb") == 0)
         ).cast("int"),
+    )
+
+
+@query(
+    "q_ingest_gate",
+    oracle=_GATE_CTES
+    + """
+    SELECT doc_id, f_exact, f_near_text, f_near_emb, neighbor_id, sim,
+           admitted
+    FROM verdict
+    """,
+)
+def q_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc admission verdict for the 'inc:'-split ingest batch —
+    see the module docstring. Composes three session-cached /
+    frozen-index relations; adds no new cache of its own."""
+    return _gate_frame(spark, sf_dir).drop("cell")
+
+
+@query(
+    "q_index_refresh",
+    oracle=_GATE_CTES
+    + f"""
+    , newcells AS (
+        SELECT v.cell AS cell, CAST(COUNT(*) AS BIGINT) AS n_admitted
+        FROM verdict v
+        WHERE v.admitted = 1 AND v.cell IS NOT NULL
+        GROUP BY v.cell
+    ), oldcells AS (
+        SELECT label AS cell, CAST(COUNT(*) AS BIGINT) AS n_old
+        FROM esplit WHERE is_new = 0 GROUP BY label
+    )
+    SELECT o.cell,
+           o.n_old,
+           COALESCE(nc.n_admitted, 0) AS n_admitted,
+           o.n_old + COALESCE(nc.n_admitted, 0) AS n_total,
+           GREATEST(1, CAST(FLOOR(SQRT(o.n_old / {_CELL_TARGET}.0))
+                            AS BIGINT)) AS k_frozen,
+           GREATEST(1, CAST(FLOOR(SQRT((o.n_old + COALESCE(nc.n_admitted, 0))
+                                       / {_CELL_TARGET}.0))
+                            AS BIGINT)) AS k_next,
+           CASE WHEN GREATEST(1, CAST(FLOOR(SQRT(
+                         (o.n_old + COALESCE(nc.n_admitted, 0))
+                         / {_CELL_TARGET}.0)) AS BIGINT))
+                   > GREATEST(1, CAST(FLOOR(SQRT(o.n_old / {_CELL_TARGET}.0))
+                                      AS BIGINT))
+                THEN 1 ELSE 0 END AS rebuild
+    FROM oldcells o LEFT JOIN newcells nc ON nc.cell = o.cell
+    """,
+)
+def q_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OFFLINE half of the frozen-index contract: per label-cell of
+    the frozen quantizer — how many vectors the cell held when the
+    index was trained (n_old), how many this batch's ADMITTED docs
+    would add to it (n_admitted, routed by the frozen quantizer, which
+    is exactly where they will land at the next rebuild), the
+    post-merge total, and whether that total moves the cell's sub-cell
+    count k = max(1, ⌊√(n/_CELL_TARGET)⌋) — ``rebuild = 1`` means the
+    frozen quantizer has drifted enough that the next offline rebuild
+    will re-partition this cell. This is the report a production
+    pipeline runs after each ingest window to decide when "rebuild +
+    restart the stream" is due (the streaming gate's docstring names
+    that lifecycle; this query grades its trigger condition).
+
+    Scale shape: the gate chain's shape (see module docstring) plus
+    two label-grain reduces and a bounded join — output is |labels|
+    rows, all columns integer-derived (counts and floor/sqrt of
+    counts: no float-summation hash exposure). At the graded SFs
+    every cell sits far below the split threshold, so k_frozen =
+    k_next = 1 and rebuild = 0 — the flag's arithmetic is still fully
+    oracle-checked; the k>1 regime is covered by the probe sweep and
+    the round-10 split-regime unit tests."""
+    flags = _gate_frame(spark, sf_dir)
+    newcells = (
+        flags.filter((F.col("admitted") == 1) & F.col("cell").isNotNull())
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_admitted"))
+    )
+    oldcells = (
+        _inc_tagged(spark, sf_dir)
+        .filter(~F.col("is_new"))
+        .groupBy(F.col("label").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n_old"))
+    )
+
+    def _k(n):
+        return F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor(F.sqrt(n / F.lit(float(_CELL_TARGET)))).cast("bigint"),
+        )
+
+    n_total = F.col("n_old") + F.coalesce(F.col("n_admitted"), F.lit(0))
+    return (
+        oldcells.join(newcells, "cell", "left")
+        .select(
+            "cell",
+            "n_old",
+            F.coalesce("n_admitted", F.lit(0).cast("bigint")).alias(
+                "n_admitted"
+            ),
+            n_total.alias("n_total"),
+            _k(F.col("n_old")).alias("k_frozen"),
+            _k(n_total).alias("k_next"),
+            (_k(n_total) > _k(F.col("n_old"))).cast("int").alias("rebuild"),
+        )
     )

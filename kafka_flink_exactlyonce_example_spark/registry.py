@@ -289,6 +289,7 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     # round-10 capability additions
     "q_ingest_gate",
     "q_mp_recall",
+    "q_index_refresh",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.
