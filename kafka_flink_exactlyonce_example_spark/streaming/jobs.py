@@ -639,7 +639,19 @@ def streaming_ingest_gate(
     pipeline applied to LLM-corpus ingest: source → per-batch
     admission → transactional sink, with the index frozen for the
     stream's lifetime and refreshed by an offline rebuild + stream
-    restart."""
+    restart.
+
+    Index-generation swap (the "offline rebuild + stream restart"
+    lifecycle, proven by the round-10 runtime test): restart with the
+    SAME checkpoint and sink but NEW frozen frames. The checkpoint
+    gives source-offset continuity (no file is re-read) and monotonic
+    batch ids (no sink collision); the marker protocol guarantees
+    committed generation-1 batches are never recomputed, so their
+    v1 decisions stand; a batch that was in flight at the stop/crash
+    replays under the NEW index — legitimate, because its v1 output
+    was never committed. Exactly-once therefore holds over the UNION
+    of generations, and ``q_index_refresh`` (operators/ingest.py) is
+    the report that decides when this swap is due."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sink(

@@ -1913,6 +1913,192 @@ def test_streaming_ingest_gate_exactly_once_across_crash(spark, tmp_path):
     assert all((g[5] == 1) == (g[1] == 0 and g[2] == 0) for g in got)
 
 
+def test_ingest_gate_rebuild_restart_lifecycle(spark, tmp_path):
+    """Round-10 capstone: the FULL frozen-index lifecycle the gate's
+    docstring promises — generation 1 streams against index v1 and
+    crashes mid-batch; an OFFLINE REBUILD folds the gen-1 ADMITTED
+    docs into the corpus (digests + quantizer + posting lists); the
+    stream restarts on the SAME checkpoint with index v2. Proves:
+
+    - exactly-once admission over the UNION of generations (every doc
+      decided exactly once, none lost, none duplicated);
+    - committed gen-1 batches keep their v1 decisions (markers stop
+      recomputation); the crashed in-flight batch replays under v2
+      (its v1 output was never committed, so this is legitimate);
+    - the rebuild is LIVE: a planted byte-copy of a gen-1-admitted doc
+      arriving in gen 2 is REJECTED through the exact path by v2,
+      while index v1 would have admitted it (counterfactual asserted).
+    """
+    from pyspark.sql import functions as F
+
+    from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+        _assign_to_seeds,
+    )
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        _inc_is_new_col,
+        frozen_index_frames,
+    )
+    from kafka_flink_exactlyonce_example_spark.streaming.jobs import (
+        ingest_gate_decisions,
+        streaming_ingest_gate,
+    )
+
+    inp, digests1, cent1, seeds1, indexed1 = _ingest_gate_fixture(
+        spark, tmp_path, n_files=4
+    )
+    schema = "doc_id bigint, text string, embedding array<float>"
+    threshold = 0.35
+
+    # pin the file-source processing order (it sorts by mtime): g0..g3
+    files = sorted(os.listdir(inp))
+    for i, fn in enumerate(files):
+        t = 1_700_000_000 + i
+        os.utime(os.path.join(inp, fn), (t, t))
+
+    # choose the plant: a doc from the first two files that v1 ADMITS
+    # (so its digest + vector enter the rebuild), byte-copied into the
+    # LAST file under a fresh doc_id
+    gen1_paths = [os.path.join(inp, files[0]), os.path.join(inp, files[1])]
+    v1_g1 = ingest_gate_decisions(
+        spark.read.schema(schema).json(gen1_paths),
+        digests1, cent1, seeds1, indexed1, threshold,
+    )
+    admitted_g1 = {r["doc_id"] for r in v1_g1.filter("admitted = 1").collect()}
+    assert admitted_g1, "fixture admits nothing in the first two files"
+    src_id = min(admitted_g1)
+    src = None
+    for p in gen1_paths:
+        with open(p) as f:
+            for line in f:
+                row = json.loads(line)
+                if row["doc_id"] == src_id:
+                    src = row
+    planted_id = 10**9 + 7
+    with open(os.path.join(inp, files[3]), "a") as f:
+        f.write(
+            json.dumps(
+                {
+                    "doc_id": planted_id,
+                    "text": src["text"],
+                    "embedding": src["embedding"],
+                }
+            )
+            + "\n"
+        )
+    os.utime(os.path.join(inp, files[3]), (1_700_000_003, 1_700_000_003))
+
+    out = str(tmp_path / "gate_out")
+    ckpt = str(tmp_path / "gate_ckpt")
+
+    def build(sink, digests, cent, seeds, indexed):
+        stream = file_stream(
+            spark, inp, schema, fmt="json", maxFilesPerTrigger="1"
+        )
+        return streaming_ingest_gate(
+            stream, digests, cent, seeds, indexed, sink, ckpt,
+            near_threshold=threshold,
+        )
+
+    # generation 1 on index v1: batches 0,1 commit; crash tears batch 2
+    crashing = _CrashOnce(out, crash_batch=2)
+    q = build(crashing, digests1, cent1, seeds1, indexed1)
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+        raise RuntimeError("query should have failed")  # pragma: no cover
+    ro = IdempotentBatchSink(out)
+    assert ro.committed_batches() == [0, 1]
+    gen1 = ro.read_committed(spark).collect()
+    gen1_ids = {r["doc_id"] for r in gen1}
+    assert planted_id not in gen1_ids, "plant must arrive in generation 2"
+    admitted_ids = sorted(
+        r["doc_id"] for r in gen1 if r["admitted"] == 1
+    )
+    assert admitted_ids, "rebuild needs at least one admitted doc"
+
+    # OFFLINE REBUILD: corpus v2 = frozen corpus ∪ gen-1 admitted docs
+    # (their labels/embeddings from the lake's embeddings table —
+    # doc_id == vec_id in the fixtures; their text from the ingest
+    # files, which is what the stream admitted)
+    tagged = (
+        spark.read.parquet(f"{SMOKE_SF}/embeddings.parquet")
+        .select("vec_id", "label", "embedding",
+                _inc_is_new_col().alias("is_new"))
+    )
+    adm_vec = spark.createDataFrame(
+        [(int(i),) for i in admitted_ids], "vec_id bigint"
+    )
+    merged = (
+        tagged.filter(~F.col("is_new"))
+        .select("vec_id", "label", "embedding")
+        .unionByName(
+            tagged.join(adm_vec, "vec_id")
+            .select("vec_id", "label", "embedding")
+        )
+    )
+    cent2, seeds2 = frozen_index_frames(merged)
+    cent2, seeds2 = cent2.localCheckpoint(), seeds2.localCheckpoint()
+    indexed2 = _assign_to_seeds(merged, seeds2).localCheckpoint()
+    all_input = spark.read.schema(schema).json(inp)
+    digests2 = (
+        digests1.unionByName(
+            all_input.join(
+                adm_vec.withColumnRenamed("vec_id", "doc_id"), "doc_id"
+            ).select(
+                F.md5(F.lower(F.trim(F.col("text"))).cast("binary"))
+                .alias("h")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    # generation 2: SAME checkpoint + sink, index v2 — the torn batch 2
+    # replays under v2, then the remaining file processes under v2
+    sink = IdempotentBatchSink(out)
+    q2 = build(sink, digests2, cent2, seeds2, indexed2)
+    q2.awaitTermination(120)
+
+    rows = sink.read_committed(spark).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids)), "duplicate decisions across the swap"
+    assert set(ids) == {
+        r["doc_id"] for r in all_input.select("doc_id").collect()
+    }, "lost decisions across the swap"
+
+    def key(r):
+        return (r["doc_id"], r["f_exact"], r["f_near"], r["neighbor_id"],
+                r["sim"], r["admitted"])
+
+    gen1_list = [int(i) for i in sorted(gen1_ids)]
+    v1_ref = ingest_gate_decisions(
+        all_input.filter(F.col("doc_id").isin(gen1_list)),
+        digests1, cent1, seeds1, indexed1, threshold,
+    )
+    v2_ref = ingest_gate_decisions(
+        all_input.filter(~F.col("doc_id").isin(gen1_list)),
+        digests2, cent2, seeds2, indexed2, threshold,
+    )
+    want = sorted(
+        [key(r) for r in v1_ref.collect()]
+        + [key(r) for r in v2_ref.collect()]
+    )
+    assert sorted(key(r) for r in rows) == want, (
+        "committed log != v1 decisions on gen-1 docs + v2 on the rest"
+    )
+
+    # the rebuild is live: v2 rejects the byte-copy of the admitted doc
+    planted = next(r for r in rows if r["doc_id"] == planted_id)
+    assert planted["f_exact"] == 1 and planted["admitted"] == 0
+    # ...which index v1 would have admitted (the source doc itself was
+    # admitted, so its digest was unknown and its own top-1 sim was
+    # below threshold — a byte/vector copy scores identically)
+    counter = ingest_gate_decisions(
+        all_input.filter(F.col("doc_id") == planted_id),
+        digests1, cent1, seeds1, indexed1, threshold,
+    ).first()
+    assert counter["admitted"] == 1, "plant was not a v1-admissible doc"
+
+
 def test_stream_stream_full_outer_interval_join_emits_nulls_both_sides(
     spark, tmp_path
 ):
