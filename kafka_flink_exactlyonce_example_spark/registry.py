@@ -290,6 +290,8 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     "q_ingest_gate",
     "q_mp_recall",
     "q_index_refresh",
+    "q_ivf_recall",
+    "q_ivf_adc",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.
