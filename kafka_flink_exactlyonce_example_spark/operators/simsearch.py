@@ -863,7 +863,16 @@ def _recall_audit(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    ex = nrm.select("vec_id", F.col("ne").alias("ea"))
+    # cand.vec_id is ALWAYS a panel member (every caller generates
+    # candidates for panel probes only), so the probe-vector side is
+    # the bounded panel — broadcast it instead of shuffling the whole
+    # normalized corpus a second time (round 10; the neighbor-vector
+    # side ey genuinely needs the corpus and keeps the shuffle join)
+    ex = F.broadcast(
+        nrm.join(panel, "vec_id", "left_semi").select(
+            "vec_id", F.col("ne").alias("ea")
+        )
+    )
     ey = nrm.select(F.col("vec_id").alias("neighbor_id"), F.col("ne").alias("eb"))
     rank_w = Window.partitionBy("vec_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")

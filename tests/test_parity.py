@@ -138,7 +138,8 @@ def test_hll_merge_invariants(spark, registry_loaded):
 def test_ann_recall_audit_invariants(spark, registry_loaded):
     """q_ann_recall (round 9) is the in-engine version of the numpy
     cross-check above, at k=10 over the fixed probe panel. Invariants:
-    the panel is exactly the vec_id % 25 sample, recall equals
+    the panel is exactly the _RECALL_PROBES vectors with the smallest
+    md5('recall:'||vec_id) (round-10 absolute panel), recall equals
     n_hit/10, 0 <= n_hit <= 10, candidate counts within the L×cap
     fan-out bound — and the engine's n_hit per probe EQUALS an
     independent recomputation (numpy brute-force top-10 ∩ the engine's
@@ -160,7 +161,18 @@ def test_ann_recall_audit_invariants(spark, registry_loaded):
     }
     t = pq.read_table(f"{SMOKE_SF}/embeddings.parquet").to_pandas()
     ids = t["vec_id"].to_numpy()
-    panel = sorted(int(v) for v in ids if v % sim._RECALL_PROBE_MOD == 0)
+    # independent recomputation of the absolute md5 panel
+    import hashlib
+
+    panel = sorted(
+        sorted(
+            (int(v) for v in ids),
+            key=lambda v: (
+                hashlib.md5(f"recall:{v}".encode()).hexdigest(),
+                v,
+            ),
+        )[: sim._RECALL_PROBES]
+    )
     assert sorted(rows) == panel
 
     E = np.stack(t["embedding"].to_numpy()).astype(np.float64)
@@ -175,7 +187,7 @@ def test_ann_recall_audit_invariants(spark, registry_loaded):
         sim._emb_count(spark, SMOKE_SF), sim._LSH_BITS, sim._LSH_TARGET_BUCKET
     )
     b = sim._buckets_cached(spark, SMOKE_SF, k)
-    x = b.filter(SF.col("vec_id") % sim._RECALL_PROBE_MOD == 0)
+    x = b.join(sim._recall_panel(spark, SMOKE_SF), "vec_id", "left_semi")
     y = sim._capped_index(b).select(
         SF.col("vec_id").alias("neighbor_id"), "tbl", "bucket"
     )
