@@ -633,6 +633,29 @@ _SEED_OVERSAMPLE = 64
 # MinHash signature cache).
 _IVF_CELLS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# the trained quantizer itself (label -> seed array), session-cached
+# for consumers that ROUTE other relations against the same sub-cells
+# (q_ivf_adc's fine probe routing) without re-deriving the train job
+# per query. Deliberately NOT threaded into _ivf_cells_for's build:
+# checkpointing the assignment of (table ⋈ broadcast(checkpointed
+# seeds)) propagates a junk join-size estimate (~40 GB for a 360 KB
+# relation, measured round 10 — LogicalRDD drops the row count the
+# join estimator needs) into the cached relation's stats and flips
+# q_embed_dup's pair join from AQE-broadcast to SMJ at toy scale. The
+# seeds derivation is fully deterministic (md5/xxhash ranks over
+# values), so the two independently-derived relations embody the SAME
+# quantizer.
+_IVF_SEEDS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _ivf_seeds_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = _session_key(spark, sf_dir)
+    if key not in _IVF_SEEDS_CACHE:
+        _IVF_SEEDS_CACHE[key] = _ivf_seeds(
+            table(spark, sf_dir, "embeddings")
+        ).localCheckpoint()
+    return _IVF_SEEDS_CACHE[key]
+
 
 def _ivf_cells_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _session_key(spark, sf_dir)

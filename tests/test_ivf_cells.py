@@ -222,3 +222,97 @@ def test_frozen_route_is_frozen(spark, monkeypatch):
         for r in simsearch.frozen_route(small, cent, seeds).collect()
     }
     assert b == {k: v for k, v in a.items() if k < 420}
+
+
+def test_ivf_adc_scan_restricts_to_subcells(spark, monkeypatch):
+    """q_ivf_adc's posting-list scan in the k>1 SPLIT regime (graded
+    SFs run k=1, where the scan set provably equals the label-blocked
+    oracle's): with labels forced to split, each probe's scanned
+    neighbors must be EXACTLY the members of its nprobe fine-routed
+    (label, cell) sub-cells (minus itself), and strictly fewer than a
+    label-grain scan would touch — the sub-cell restriction is real,
+    not a no-op."""
+    from kafka_flink_exactlyonce_example_spark.functions.similarity import (
+        cosine,
+    )
+    from kafka_flink_exactlyonce_example_spark.operators import simsearch
+
+    monkeypatch.setattr(dedup, "_CELL_TARGET", 8)
+    monkeypatch.setattr(dedup, "_SEED_OVERSAMPLE", 10**9)
+    e = _toy_embeddings(spark, 400)
+    seeds = dedup._ivf_seeds(e)
+    assigned = dedup._assign_to_seeds(e, seeds)
+    idx_rows = assigned.collect()
+    cells_per_label: dict[int, set[int]] = {}
+    for r in idx_rows:
+        cells_per_label.setdefault(r["label"], set()).add(r["cell"])
+    assert all(len(c) > 1 for c in cells_per_label.values())
+
+    # coarse: top-_IVF_NPROBE labels per probe (q_ivf_adc's rank shape)
+    from pyspark.sql import Window
+
+    probes = e.filter(F.col("vec_id") < 6).select("vec_id", "embedding")
+    dims = e.select("label", F.posexplode("embedding").alias("dim", "v"))
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, m))),"
+                " x -> x.m)"
+            ).alias("centroid")
+        )
+    )
+    rank_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cell_sim"), F.col("label")
+    )
+    route = (
+        probes.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                cosine(F.col("centroid"), F.col("embedding")), 6
+            ).alias("cell_sim"),
+        )
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= simsearch._IVF_NPROBE)
+        .select("vec_id", "label")
+    )
+    fine = dedup._assign_to_seeds(
+        route.join(probes, "vec_id").select("vec_id", "label", "embedding"),
+        seeds,
+    ).select(F.col("vec_id").alias("probe_id"), "label", "cell")
+    fine_rows = fine.collect()
+    assert all(
+        len([r for r in fine_rows if r["probe_id"] == p])
+        == simsearch._IVF_NPROBE
+        for p in range(6)
+    )
+
+    got: dict[int, set[int]] = {p: set() for p in range(6)}
+    for r in simsearch.ivf_adc_scan(fine, assigned).collect():
+        got[r["probe_id"]].add(r["neighbor_id"])
+
+    members: dict[tuple[int, int], set[int]] = {}
+    label_members: dict[int, set[int]] = {}
+    for r in idx_rows:
+        members.setdefault((r["label"], r["cell"]), set()).add(r["vec_id"])
+        label_members.setdefault(r["label"], set()).add(r["vec_id"])
+    for r in fine_rows:
+        p = r["probe_id"]
+        want = set()
+        probed_labels = set()
+        for fr in fine_rows:
+            if fr["probe_id"] == p:
+                want |= members[(fr["label"], fr["cell"])]
+                probed_labels.add(fr["label"])
+        want.discard(p)
+        assert got[p] == want, f"probe {p}: scan set != sub-cell members"
+        label_scan = set().union(
+            *(label_members[lb] for lb in probed_labels)
+        ) - {p}
+        assert len(got[p]) < len(label_scan), (
+            f"probe {p}: sub-cell restriction was a no-op"
+        )
