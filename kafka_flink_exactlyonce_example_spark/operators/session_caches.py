@@ -48,6 +48,7 @@ CACHE_BUILDERS: dict[str, Callable[[SparkSession, str], Any]] = {
     "lsh_edges": dedup._lsh_verified_edges,
     "jaccard_pairs": dedup._jaccard_scored_pairs,
     # --- embedding-side caches ---
+    "ivf_seeds": dedup._ivf_seeds_for,
     "ivf_cells": dedup._ivf_cells_for,
     "semdedup_scored": dedup._semdedup_scored_for,
     "ann_signs": simsearch._signs_for,

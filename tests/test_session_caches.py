@@ -43,3 +43,4 @@ def test_cache_builders_front_the_real_caches(spark, registry_loaded):
     assert key in simsearch._PCA_MODEL_CACHE
     # dedup uses a (appId, sf, salt) session key — just assert non-empty
     assert dedup._IVF_CELLS_CACHE and dedup._SHINGLES_CACHE
+    assert dedup._IVF_SEEDS_CACHE
