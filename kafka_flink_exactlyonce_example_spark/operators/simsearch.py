@@ -853,13 +853,20 @@ def _recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _recall_audit(
-    cand: DataFrame, panel: DataFrame, nrm: DataFrame
+    cand: DataFrame,
+    panel: DataFrame,
+    nrm: DataFrame,
+    ncand: DataFrame | None = None,
 ) -> DataFrame:
-    """Recall@K audit tail shared by q_ann_recall / q_mp_recall: exact
+    """Recall@K audit tail shared by the index-audit family: exact
     top-K over the index's candidates vs exact top-K over the whole
     corpus (panel-broadcast brute force), per-probe hit count and
     candidate cost. Output columns are integer-derived (counts + a
-    count ratio) — zero float-summation hash exposure."""
+    count ratio) — zero float-summation hash exposure. ``ncand``
+    optionally overrides the reported cost column with a precomputed
+    (vec_id, n_cand) relation — q_adc_recall reports the compressed
+    SCAN size rather than the 32-row rerank shortlist it hands in as
+    ``cand``."""
     sim = F.aggregate(
         F.zip_with("ea", "eb", lambda a, b_: a * b_),
         F.lit(0.0),
@@ -902,7 +909,8 @@ def _recall_audit(
         .filter(F.col("rn") <= _RECALL_K)
         .select("vec_id", "neighbor_id")
     )
-    ncand = cand.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_cand"))
+    if ncand is None:
+        ncand = cand.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_cand"))
     hit = (
         brute_topk.alias("t")
         .join(

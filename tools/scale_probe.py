@@ -843,6 +843,88 @@ def main() -> None:
             f"wall={dt:6.2f}s"
         )
 
+    # IVFADC posting-list scan (q_ivf_adc, round-10 de-weak): a FIXED
+    # 24-probe panel (md5 absolute sample — constant size at any mult)
+    # routes coarse top-2 labels, then ONE fine sub-cell per probed
+    # label; the compressed scan touches only those sub-cells' members.
+    # Healthy = scanned rows per probe grows ~√mult (2 posting lists of
+    # B = n_label/k ∝ √n each); the label-cell scan this replaced grew
+    # ∝ mult (printed as the contrast column).
+    from pyspark.sql import Window as _W2
+
+    base_spp = None
+    for mult in multiples:
+        parts = [
+            emb0.select(
+                (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                "label",
+                "embedding",
+            )
+            for i in range(mult)
+        ]
+        big = parts[0]
+        for p_ in parts[1:]:
+            big = big.unionByName(p_)
+        t0 = time.perf_counter()
+        seeds = ddp._ivf_seeds(big).localCheckpoint()
+        assigned = ddp._assign_to_seeds(big, seeds)
+        cent = (
+            big.select("label", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("label", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("label")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m,
+                ).alias("centroid")
+            )
+        )
+        panel = (
+            big.orderBy(
+                F.md5(F.concat(F.lit("recall:"), F.col("vec_id").cast("string"))),
+                "vec_id",
+            )
+            .limit(24)
+            .select("vec_id", "embedding")
+            .localCheckpoint()
+        )
+        rank_w = _W2.partitionBy("vec_id").orderBy(
+            F.desc("cell_sim"), F.col("label")
+        )
+        route = (
+            panel.crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id",
+                "label",
+                F.round(_cos(F.col("centroid"), F.col("embedding")), 6).alias(
+                    "cell_sim"
+                ),
+            )
+            .withColumn("rn", F.row_number().over(rank_w))
+            .filter(F.col("rn") <= sim._IVF_NPROBE)
+            .select("vec_id", "label")
+        )
+        fine = ddp._assign_to_seeds(
+            route.join(panel, "vec_id").select("vec_id", "label", "embedding"),
+            seeds,
+        ).select(F.col("vec_id").alias("probe_id"), "label", "cell")
+        n_scan = sim.ivf_adc_scan(fine, assigned).count()
+        dt = time.perf_counter() - t0
+        lsz = big.groupBy("label").agg(F.count(F.lit(1)).alias("nl"))
+        n_scan_label = (
+            fine.join(lsz, "label").agg(F.sum("nl").alias("s")).collect()[0]["s"]
+        )
+        spp = n_scan / 24.0
+        if base_spp is None:
+            base_spp = max(spp, 1e-9)
+        print(
+            f"ivfadc x{mult:<3d} probes=24  scan/probe={spp:8.1f} "
+            f"(x{spp / base_spp:4.2f} vs √mult={mult ** 0.5:.2f})  "
+            f"label_scan/probe={n_scan_label / 24.0:8.1f}  "
+            f"wall={dt:6.2f}s"
+        )
+
 
 if __name__ == "__main__":
     main()
