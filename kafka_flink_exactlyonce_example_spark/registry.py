@@ -292,6 +292,7 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     "q_index_refresh",
     "q_ivf_recall",
     "q_ivf_adc",
+    "q_adc_recall",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.

@@ -217,3 +217,40 @@ def test_ann_recall_audit_invariants(spark, registry_loaded):
             f"probe {v}: engine n_hit {r['n_hit']} != independent "
             f"{len(true10 & ann10)}"
         )
+
+
+def test_adc_recall_dominated_by_ivf_recall(spark, registry_loaded):
+    """q_adc_recall (round 10) audits the IVFADC shortlist, a SUBSET
+    of the scan set q_ivf_recall audits. Theorem: a brute-top-10
+    member x of any candidate set S survives exact top-10 over S (at
+    most 9 corpus vectors outrank x at all), so hits can only be LOST
+    moving from the scan set to its ADC shortlist — per-probe
+    n_hit(adc) <= n_hit(ivf), at identical scan cost. This pins the
+    docstring's claim that the recall gap between the two rows is
+    pure quantization loss, probe by probe."""
+    from tests.conftest import SMOKE_SF
+
+    ivf = {
+        r["vec_id"]: r
+        for r in registry_loaded.QUERIES["q_ivf_recall"](
+            spark, SMOKE_SF
+        ).collect()
+    }
+    adc = {
+        r["vec_id"]: r
+        for r in registry_loaded.QUERIES["q_adc_recall"](
+            spark, SMOKE_SF
+        ).collect()
+    }
+    assert sorted(ivf) == sorted(adc)
+    assert any(adc[v]["n_hit"] < ivf[v]["n_hit"] for v in ivf), (
+        "quantization loss never fired — the invariant test is vacuous"
+    )
+    for v in ivf:
+        assert adc[v]["n_hit"] <= ivf[v]["n_hit"], (
+            f"probe {v}: ADC shortlist n_hit {adc[v]['n_hit']} exceeds "
+            f"scan-set n_hit {ivf[v]['n_hit']}"
+        )
+        assert adc[v]["n_cand"] == ivf[v]["n_cand"], (
+            f"probe {v}: scan cost diverged between the two audits"
+        )
