@@ -55,6 +55,7 @@ CACHE_BUILDERS: dict[str, Callable[[SparkSession, str], Any]] = {
     "lsh_buckets": simsearch.lsh_buckets_build,
     "mp_buckets": simsearch.mp_buckets_build,
     "unit_norms": simsearch._normalized,
+    "recall_brute": simsearch.brute_topk_for,
     "inc_ann_index": simsearch.inc_index_build,
     "pq_codebook": simsearch._pq_train,
     "pca_model": simsearch.pca_model_for,

@@ -833,7 +833,9 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "neighbor_id")
         .distinct()
     )
-    return _recall_audit(cand, panel, nrm)
+    return _recall_audit(
+        cand, panel, nrm, brute_topk=brute_topk_for(spark, sf_dir)
+    )
 
 
 def _recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,11 +854,59 @@ def _recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the recall-audit family's shared ground truth — exact top-_RECALL_K
+# neighbors of every panel probe — materialized once per (session, sf).
+# Four index audits (LSH / multiprobe / IVF / IVFADC) consume the SAME
+# |panel|·K-row relation; without the cache each one re-runs the
+# |panel| × corpus brute-force scan, the expensive half of the eval
+# harness at any scale (round 10).
+_BRUTE_TOPK_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def brute_topk_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, neighbor_id): the exact cosine top-_RECALL_K corpus
+    neighbors of each probe in the shared absolute panel — ONE linear
+    scan of the normalized corpus with the bounded panel broadcast,
+    then localCheckpoint'd so every index audit reads the bounded
+    result instead of re-scoring |panel| × corpus pairs."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BRUTE_TOPK_CACHE:
+        nrm = _normalized(spark, sf_dir)
+        panel = _recall_panel(spark, sf_dir)
+        sim = F.aggregate(
+            F.zip_with("ea", "eb", lambda a, b_: a * b_),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        probes = F.broadcast(
+            nrm.join(panel, "vec_id", "left_semi").select(
+                "vec_id", F.col("ne").alias("ea")
+            )
+        )
+        ey = nrm.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("ne").alias("eb")
+        )
+        rank_w = Window.partitionBy("vec_id").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id")
+        )
+        _BRUTE_TOPK_CACHE[key] = (
+            ey.crossJoin(probes)
+            .filter(F.col("vec_id") != F.col("neighbor_id"))
+            .select("vec_id", "neighbor_id", sim.alias("sim"))
+            .withColumn("rn", F.row_number().over(rank_w))
+            .filter(F.col("rn") <= _RECALL_K)
+            .select("vec_id", "neighbor_id")
+            .localCheckpoint()
+        )
+    return _BRUTE_TOPK_CACHE[key]
+
+
 def _recall_audit(
     cand: DataFrame,
     panel: DataFrame,
     nrm: DataFrame,
     ncand: DataFrame | None = None,
+    brute_topk: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@K audit tail shared by the index-audit family: exact
     top-K over the index's candidates vs exact top-K over the whole
@@ -866,7 +916,11 @@ def _recall_audit(
     optionally overrides the reported cost column with a precomputed
     (vec_id, n_cand) relation — q_adc_recall reports the compressed
     SCAN size rather than the 32-row rerank shortlist it hands in as
-    ``cand``."""
+    ``cand``. ``brute_topk`` optionally supplies the ground-truth
+    relation (all four graded audits pass the :func:`brute_topk_for`
+    session cache so the corpus brute-force scan runs once, not four
+    times); when None the tail computes it inline — the
+    self-contained form toy-frame tests drive."""
     sim = F.aggregate(
         F.zip_with("ea", "eb", lambda a, b_: a * b_),
         F.lit(0.0),
@@ -894,21 +948,22 @@ def _recall_audit(
         .filter(F.col("rn") <= _RECALL_K)
         .select("vec_id", "neighbor_id")
     )
-    # brute force: bounded probe panel BROADCAST against the corpus —
-    # exact scoring of |panel| × (n − 1) pairs in one scan
-    probes = F.broadcast(
-        nrm.join(panel, "vec_id", "left_semi").select(
-            "vec_id", F.col("ne").alias("ea")
+    if brute_topk is None:
+        # brute force: bounded probe panel BROADCAST against the corpus
+        # — exact scoring of |panel| × (n − 1) pairs in one scan
+        probes = F.broadcast(
+            nrm.join(panel, "vec_id", "left_semi").select(
+                "vec_id", F.col("ne").alias("ea")
+            )
         )
-    )
-    brute_topk = (
-        ey.crossJoin(probes)
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select("vec_id", "neighbor_id", sim.alias("sim"))
-        .withColumn("rn", F.row_number().over(rank_w))
-        .filter(F.col("rn") <= _RECALL_K)
-        .select("vec_id", "neighbor_id")
-    )
+        brute_topk = (
+            ey.crossJoin(probes)
+            .filter(F.col("vec_id") != F.col("neighbor_id"))
+            .select("vec_id", "neighbor_id", sim.alias("sim"))
+            .withColumn("rn", F.row_number().over(rank_w))
+            .filter(F.col("rn") <= _RECALL_K)
+            .select("vec_id", "neighbor_id")
+        )
     if ncand is None:
         ncand = cand.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_cand"))
     hit = (
@@ -1059,7 +1114,9 @@ def q_mp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "neighbor_id")
         .distinct()
     )
-    return _recall_audit(cand, panel, nrm)
+    return _recall_audit(
+        cand, panel, nrm, brute_topk=brute_topk_for(spark, sf_dir)
+    )
 
 
 # ---- q_incremental_ann frozen ingest index ------------------------
@@ -3081,7 +3138,9 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .select("vec_id", "neighbor_id")
     )
-    return _recall_audit(cand, panel, nrm)
+    return _recall_audit(
+        cand, panel, nrm, brute_topk=brute_topk_for(spark, sf_dir)
+    )
 
 
 def ivf_adc_scan(fine_route: DataFrame, assigned: DataFrame) -> DataFrame:
@@ -3427,4 +3486,5 @@ def q_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _recall_panel(spark, sf_dir),
         _normalized(spark, sf_dir),
         ncand=nscan,
+        brute_topk=brute_topk_for(spark, sf_dir),
     )
