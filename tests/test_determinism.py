@@ -123,6 +123,19 @@ ORDER_SENSITIVE = [
     "q_interarrival",  # histogram-CDF median pick at the ⌈n/2⌉ bin
     "q_session_stats",  # duration-bin CDF picks (round-8 conversion)
     "q_skew_diag",  # count-bin CDF picks over the key-count histogram
+    # rounds 9-10: the ANN index/audit/ingest family — every one ranks
+    # float sims (or rounded ADC distances) under an id tie-break, the
+    # exact class this suite exists to pin at any shuffle width
+    "q_ann_lsh",
+    "q_knn_join",
+    "q_ann_recall",
+    "q_incremental_ann",
+    "q_ingest_gate",
+    "q_mp_recall",
+    "q_index_refresh",
+    "q_ivf_recall",
+    "q_ivf_adc",
+    "q_adc_recall",
 ]
 
 
