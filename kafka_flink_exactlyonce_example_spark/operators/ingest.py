@@ -296,8 +296,12 @@ def q_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts: no float-summation hash exposure). At the graded SFs
     every cell sits far below the split threshold, so k_frozen =
     k_next = 1 and rebuild = 0 — the flag's arithmetic is still fully
-    oracle-checked; the k>1 regime is covered by the probe sweep and
-    the round-10 split-regime unit tests."""
+    oracle-checked; the TRIGGER branch is fired directly by
+    tests/test_ivf_cells.py::test_index_refresh_rebuild_flag_fires
+    (threshold retuned so the most-grown cell provably crosses the
+    k=1→2 boundary, arithmetic verified against an independent float
+    recomputation), and the k>1 routing regime by the probe sweep and
+    the split-regime unit tests."""
     flags = _gate_frame(spark, sf_dir)
     newcells = (
         flags.filter((F.col("admitted") == 1) & F.col("cell").isNotNull())

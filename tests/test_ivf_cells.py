@@ -316,3 +316,55 @@ def test_ivf_adc_scan_restricts_to_subcells(spark, monkeypatch):
         assert len(got[p]) < len(label_scan), (
             f"probe {p}: sub-cell restriction was a no-op"
         )
+
+
+def test_index_refresh_rebuild_flag_fires(spark, monkeypatch, registry_loaded):
+    """q_index_refresh's whole point is the ``rebuild`` trigger, but at
+    the graded SFs every cell sits so far under _CELL_TARGET that
+    k_frozen = k_next = 1 and the flag never fires. Retune the report's
+    threshold so the most-grown cell is GUARANTEED to cross the k=1→2
+    boundary (T in (n_old/4, n_total/4] makes floor(sqrt(n_old/T)) = 1
+    and floor(sqrt(n_total/T)) >= 2), then assert the trigger fires
+    there, stays silent on unchanged cells, and the count arithmetic
+    matches an independent recomputation. Routing (dedup's own
+    _CELL_TARGET) is untouched — only the report arithmetic is."""
+    import math
+
+    from kafka_flink_exactlyonce_example_spark.operators import ingest
+    from tests.conftest import SMOKE_SF
+
+    base = {
+        r["cell"]: r
+        for r in registry_loaded.QUERIES["q_index_refresh"](
+            spark, SMOKE_SF
+        ).collect()
+    }
+    assert all(r["rebuild"] == 0 for r in base.values()), (
+        "graded-SF premise broken: rebuild already fires untuned"
+    )
+    grown = [c for c, r in base.items() if r["n_admitted"] > 0]
+    assert grown, "no admitted docs landed in any cell"
+    star = max(grown, key=lambda c: base[c]["n_admitted"])
+    o, t = base[star]["n_old"], base[star]["n_total"]
+    monkeypatch.setattr(ingest, "_CELL_TARGET", (o + 0.5) / 4.0)
+
+    out = {
+        r["cell"]: r
+        for r in ingest.q_index_refresh(spark, SMOKE_SF).collect()
+    }
+    assert sorted(out) == sorted(base)
+    T = (o + 0.5) / 4.0
+    for c, r in out.items():
+        # counts are threshold-independent
+        assert r["n_old"] == base[c]["n_old"]
+        assert r["n_admitted"] == base[c]["n_admitted"]
+        assert r["n_total"] == r["n_old"] + r["n_admitted"]
+        # k arithmetic matches an independent float recomputation
+        assert r["k_frozen"] == max(1, math.floor(math.sqrt(r["n_old"] / T)))
+        assert r["k_next"] == max(1, math.floor(math.sqrt(r["n_total"] / T)))
+        assert r["rebuild"] == int(r["k_next"] > r["k_frozen"])
+        if r["n_admitted"] == 0:
+            assert r["rebuild"] == 0
+    assert out[star]["k_frozen"] == 1
+    assert out[star]["k_next"] >= 2
+    assert out[star]["rebuild"] == 1, "the trigger cell did not fire"
