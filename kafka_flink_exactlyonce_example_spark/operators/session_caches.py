@@ -57,6 +57,14 @@ CACHE_BUILDERS: dict[str, Callable[[SparkSession, str], Any]] = {
     "unit_norms": simsearch._normalized,
     "recall_brute": simsearch.brute_topk_for,
     "inc_ann_index": simsearch.inc_index_build,
+    # round-11 coarse k-means quantizer family (the IVF/IVFADC rows of
+    # the index matrix): trained codebook, corpus assignment, and the
+    # within-cell sub-cell quantizer + assignment — each derived from
+    # full plans independently (stats-hazard policy, see simsearch)
+    "cq_centroids": simsearch._cq_centroids_for,
+    "cq_cells": simsearch._cq_cells_for,
+    "cq_subseeds": simsearch._cq_subseeds_for,
+    "cq_subcells": simsearch._cq_subcells_for,
     "pq_codebook": simsearch._pq_train,
     "pca_model": simsearch.pca_model_for,
     # --- corpus model tables ---

@@ -198,6 +198,20 @@ _CHANGED_IN_ROUND: dict[int, frozenset[str]] = {
         "q_ann_recall",
         "q_incremental_ann",
     }),
+    #: Round 11 (VERDICT r10 items 1+2): the IVF-family coarse
+    #: quantizer is now geometry-trained k-means (_CQ_K cells, nprobe
+    #: 2→4) and the PQ codebook moved to the FAISS-default M=8/K=256
+    #: shape with _ADC_RERANK 32→64 — q_ivf_recall / q_ivf_adc /
+    #: q_adc_recall re-route over the new cells, and q_pq_codebook /
+    #: q_pq_adc / q_code_entropy retrain under the new constants.
+    11: frozenset({
+        "q_ivf_recall",
+        "q_ivf_adc",
+        "q_adc_recall",
+        "q_pq_codebook",
+        "q_pq_adc",
+        "q_code_entropy",
+    }),
 }
 
 

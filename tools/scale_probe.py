@@ -843,15 +843,20 @@ def main() -> None:
             f"wall={dt:6.2f}s"
         )
 
-    # IVFADC posting-list scan (q_ivf_adc, round-10 de-weak): a FIXED
-    # 24-probe panel (md5 absolute sample — constant size at any mult)
-    # routes coarse top-2 labels, then ONE fine sub-cell per probed
-    # label; the compressed scan touches only those sub-cells' members.
-    # Healthy = scanned rows per probe grows ~√mult (2 posting lists of
-    # B = n_label/k ∝ √n each); the label-cell scan this replaced grew
-    # ∝ mult (printed as the contrast column).
+    # IVFADC posting-list scan (q_ivf_adc; round 11 = k-means coarse
+    # cells): a FIXED 24-probe panel (md5 absolute sample — constant
+    # size at any mult) routes coarse top-_IVF_NPROBE k-means cells,
+    # then ONE fine sub-cell per probed cell; the compressed scan
+    # touches only those sub-cells' members. Healthy = scanned rows
+    # per probe grows ~√mult (nprobe posting lists of B = n_cell/k ∝
+    # √n each); the whole-cell scan grows ∝ mult (the contrast
+    # column). The coarse codebook is trained ONCE on the base corpus
+    # and reused at every mult (sample-trained — exactly what a 100 TB
+    # deployment does), so the probed-cell geometry stays comparable
+    # across multiples while the cells' populations grow.
     from pyspark.sql import Window as _W2
 
+    cent_base = sim.cq_centroids_train(emb0).localCheckpoint()
     base_spp = None
     for mult in multiples:
         parts = [
@@ -866,20 +871,11 @@ def main() -> None:
         for p_ in parts[1:]:
             big = big.unionByName(p_)
         t0 = time.perf_counter()
-        seeds = ddp._ivf_seeds(big).localCheckpoint()
-        assigned = ddp._assign_to_seeds(big, seeds)
-        cent = (
-            big.select("label", F.posexplode("embedding").alias("pos", "val"))
-            .groupBy("label", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("m"))
-            .groupBy("label")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s.m,
-                ).alias("centroid")
-            )
+        as_label = sim.cq_assign(big, cent_base).select(
+            "vec_id", F.col("ccell").alias("label"), "embedding"
         )
+        seeds = ddp._ivf_seeds(as_label).localCheckpoint()
+        assigned = ddp._assign_to_seeds(as_label, seeds)
         panel = (
             big.orderBy(
                 F.md5(F.concat(F.lit("recall:"), F.col("vec_id").cast("string"))),
@@ -893,11 +889,11 @@ def main() -> None:
             F.desc("cell_sim"), F.col("label")
         )
         route = (
-            panel.crossJoin(F.broadcast(cent))
+            panel.crossJoin(F.broadcast(cent_base))
             .select(
                 "vec_id",
-                "label",
-                F.round(_cos(F.col("centroid"), F.col("embedding")), 6).alias(
+                F.col("c").alias("label"),
+                F.round(_cos(F.col("cv"), F.col("embedding")), 6).alias(
                     "cell_sim"
                 ),
             )
@@ -911,8 +907,8 @@ def main() -> None:
         ).select(F.col("vec_id").alias("probe_id"), "label", "cell")
         n_scan = sim.ivf_adc_scan(fine, assigned).count()
         dt = time.perf_counter() - t0
-        lsz = big.groupBy("label").agg(F.count(F.lit(1)).alias("nl"))
-        n_scan_label = (
+        lsz = as_label.groupBy("label").agg(F.count(F.lit(1)).alias("nl"))
+        n_scan_cell = (
             fine.join(lsz, "label").agg(F.sum("nl").alias("s")).collect()[0]["s"]
         )
         spp = n_scan / 24.0
@@ -921,7 +917,7 @@ def main() -> None:
         print(
             f"ivfadc x{mult:<3d} probes=24  scan/probe={spp:8.1f} "
             f"(x{spp / base_spp:4.2f} vs √mult={mult ** 0.5:.2f})  "
-            f"label_scan/probe={n_scan_label / 24.0:8.1f}  "
+            f"cell_scan/probe={n_scan_cell / 24.0:8.1f}  "
             f"wall={dt:6.2f}s"
         )
 
