@@ -136,6 +136,26 @@ def graded_before(round_no: int | None = None) -> set[str]:
     return keys
 
 
+def newest_grade_rounds() -> dict[str, int]:
+    """Per-key round of the NEWEST driver row, from the CORRECTNESS
+    artifacts. Drives the staleness-first re-grade ordering (round 11,
+    VERDICT r10 item 3): a green row from round 1 on a ten-times-
+    refactored engine is weaker evidence than a fresh one, so once the
+    never-graded backlog is empty the free window slots drain the
+    OLDEST newest-rows first — a permanent freshness mechanism, not a
+    one-off re-grade list. Keys absent from every artifact map to 0
+    (stalest possible)."""
+    newest: dict[str, int] = {}
+    for path in _REPO_ROOT.glob("CORRECTNESS_r*.json"):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", path.name)
+        if m:
+            n = int(m.group(1))
+            for k in json.loads(path.read_text()):
+                if n > newest.get(k, 0):
+                    newest[k] = n
+    return newest
+
+
 #: Keys whose IMPLEMENTATION changed, keyed by the round the change
 #: landed in — they are forced into THAT round's window so the new plan
 #: earns a fresh driver row. THE one per-round hand edit, and it is
@@ -359,9 +379,15 @@ def derive_window(
          never-graded keys append sorted) until the window holds
          ``min(_MIN_FIRST_EVER, |never-graded|)`` first-ever keys;
       4. one keep per uncovered ``_FAMILY_KEEP_PRIORITY`` family while
-         slots remain, member rotated by round;
+         slots remain — the family's STALEST member (oldest newest
+         driver row; never-graded first, name tie-break);
       5. any still-free slots: more backlog, then previously-graded
-         keys round-robined by round for re-coverage.
+         keys ordered STALENESS-FIRST (oldest newest driver row
+         first, name tie-break) — re-graded keys fall to the back on
+         the next derivation automatically, so the whole surface
+         re-freshens round-robin at window granularity (round 11;
+         replaced the blind ``(round·7) % n`` rotation that could
+         leave round-1 rows stale for ten rounds).
 
     ``prior`` (tests only) overrides the graded-before set so future
     rounds can be previewed before their artifacts exist.
@@ -392,6 +418,12 @@ def derive_window(
             break
         _add(key)
 
+    newest = newest_grade_rounds()
+
+    def _staleness(key: str) -> tuple[int, str]:
+        # never-graded (no artifact row) sorts stalest of all
+        return (newest.get(key, 0), key)
+
     by_module: dict[str, list[str]] = {}
     for key, fn in QUERIES.items():
         by_module.setdefault(_module_of(fn), []).append(key)
@@ -399,17 +431,13 @@ def derive_window(
     for fam in _FAMILY_KEEP_PRIORITY:
         if fam in covered or fam not in by_module:
             continue
-        members = sorted(by_module[fam])
-        _add(members[round_no % len(members)])
+        _add(min(by_module[fam], key=_staleness))
         covered.add(fam)
 
     for key in backlog:  # leftover slots: drain further
         _add(key)
-    regrades = sorted(k for k in QUERIES if k in prior)
-    if regrades:
-        start = (round_no * 7) % len(regrades)
-        for key in regrades[start:] + regrades[:start]:
-            _add(key)
+    for key in sorted((k for k in QUERIES if k in prior), key=_staleness):
+        _add(key)
     return window
 
 

@@ -203,9 +203,54 @@ def test_changed_in_is_round_scoped(registry_loaded):
     # the round-8 pins do not leak into a later round's window
     # derivation: with every key already graded, a later window's
     # non-wordcount prefix comes from keeps/regrades, not round-8 pins
+    # (probe a round with NO _CHANGED_IN_ROUND entry of its own)
     prior_all = set(registry_loaded.QUERIES)
-    w = registry_loaded.derive_window(round_no=11, prior=prior_all)
+    w = registry_loaded.derive_window(round_no=9999, prior=prior_all)
     pinned = registry_loaded._CHANGED_IN_ROUND[8] - {"q_wordcount"}
     # pins would force all round-8 keys into the window head right
     # after q_wordcount; the round-scoped lookup must not do that
     assert set(w[1 : 1 + len(pinned)]) != pinned
+
+
+def test_window_drains_stalest_regrades(registry_loaded):
+    """Round-11 freshness mechanism (VERDICT r10 item 3): with the
+    never-graded backlog empty, the free window slots go to the keys
+    with the OLDEST newest driver row — so a round-1 green can never
+    again sit stale for ten rounds while fresher keys round-robin.
+    Concretely: every key at the current global staleness floor must
+    be in the window whenever the floor set provably fits (window
+    minus the forced head minus a worst-case one-keep-per-family)."""
+    newest = registry_loaded.newest_grade_rounds()
+    prior = registry_loaded.graded_before()
+    graded = [k for k in registry_loaded.QUERIES if k in prior]
+    if not graded:
+        return  # round 1: nothing to re-grade
+    floor = min(newest.get(k, 0) for k in graded)
+    floor_keys = {k for k in graded if newest.get(k, 0) == floor}
+    fixed = {"q_wordcount"} | set(registry_loaded.changed_in())
+    free = (
+        registry_loaded._WINDOW_SIZE
+        - len(fixed)
+        - len(registry_loaded._FAMILY_KEEP_PRIORITY)
+    )
+    if len(floor_keys) <= free:
+        w = set(registry_loaded.derive_window())
+        assert floor_keys <= w, (
+            f"staleness floor r{floor} keys left out: "
+            f"{sorted(floor_keys - w)}"
+        )
+
+
+def test_newest_grade_rounds_matches_artifacts(registry_loaded):
+    """newest_grade_rounds() must report, per key, the max round of
+    any CORRECTNESS artifact containing it — re-derived independently
+    here from the raw files."""
+    want: dict[str, int] = {}
+    for path in glob.glob(str(REPO / "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        n = int(m.group(1))
+        for k in json.loads(pathlib.Path(path).read_text()):
+            want[k] = max(want.get(k, 0), n)
+    assert registry_loaded.newest_grade_rounds() == want
