@@ -126,6 +126,12 @@ _GATE_CTES = (
                        ORDER BY {cosine_sql('a.embedding', 'x.embedding')}
                                 DESC, x.vec_id) AS rn
             FROM eassign a
+            -- LABEL-GRAIN scan vs Spark's ONE frozen sub-cell: exact
+            -- only while every graded-SF label stays under
+            -- 4*_CELL_TARGET (k=1 collapse). Guarded by tests/
+            -- test_ivf_cells.py::test_graded_sfs_stay_under_split_threshold
+            -- — if grading fails HERE after a testdata regen, check
+            -- that guard before suspecting the engine.
             JOIN esplit x ON x.is_new = 0 AND x.label = a.cell
         ) WHERE rn = 1
     ), verdict AS (
@@ -316,6 +322,15 @@ def q_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _k(n):
+        # IMPORT-TIME / CALL-TIME ASYMMETRY (ADVICE r10): the oracle
+        # SQL above baked _CELL_TARGET in when the @query decorator
+        # ran at import, while this Spark expression reads the module
+        # global HERE, at call time. test_index_refresh_rebuild_flag
+        # _fires relies on exactly this split (it monkeypatches only
+        # the Spark side and never hash-grades); any caller that
+        # retunes ingest._CELL_TARGET and THEN hash-grades would
+        # compare against the stale baked-in threshold — re-import the
+        # module (or regenerate the oracle) after retuning.
         return F.greatest(
             F.lit(1).cast("bigint"),
             F.floor(F.sqrt(n / F.lit(float(_CELL_TARGET)))).cast("bigint"),

@@ -918,7 +918,18 @@ def _recall_audit(
     relation (all four graded audits pass the :func:`brute_topk_for`
     session cache so the corpus brute-force scan runs once, not four
     times); when None the tail computes it inline — the
-    self-contained form toy-frame tests drive."""
+    self-contained form toy-frame tests drive.
+
+    HARD CONTRACT (ADVICE r10): every ``cand.vec_id`` must be a member
+    of ``panel``. The probe-vector side is panel-restricted before the
+    broadcast, so candidates for a NON-panel probe are silently
+    dropped from ann_topk (and from the output, since hits are driven
+    by the panel-only brute side) rather than erroring — a new audit
+    caller with out-of-panel probes would read recall over an empty
+    candidate set. All four graded callers satisfy this by
+    construction (their candidate generators start from the panel);
+    tests/test_parity.py::test_recall_audit_drops_nonpanel_probes pins
+    the drop semantics so new callers find the contract."""
     sim = F.aggregate(
         F.zip_with("ea", "eb", lambda a, b_: a * b_),
         F.lit(0.0),
@@ -1215,7 +1226,23 @@ def frozen_top1(routed: DataFrame, indexed: DataFrame) -> DataFrame:
     """Top-1 existing neighbor for each routed vector, scanning ONLY
     its assigned sub-cell's members. ``indexed`` is the frozen corpus
     with its own sub-cell assignment (:func:`dedup._assign_to_seeds`
-    output). Returns (vec_id, cell, neighbor_id, sim)."""
+    output). Returns (vec_id, cell, neighbor_id, sim).
+
+    TOTALITY (VERDICT r10 item 6 — the cold-cell question): the inner
+    icell equi-join can never silently drop a routed vector, because a
+    new vector cannot route to a sub-cell that is empty in ``indexed``.
+    Proof sketch: (a) every seed is a real member of its label, and its
+    self-cosine is the maximum possible, so a seed's cell is empty ONLY
+    when another seed carries a bit-identical vector and wins the
+    (cos, -cell) tie at a smaller cell id — every old member then ties
+    identically and lands in that smaller cell; (b) a NEW vector facing
+    those bit-identical seeds computes bit-identical cosines against
+    both (same input arrays, same fold) and the SAME tie-break sends it
+    to the same smaller cell. Both routes use one scoring function
+    (:func:`dedup._assign_to_seeds`), which is what makes the argument
+    hold; pinned by tests/test_ivf_cells.py::
+    test_frozen_route_total_even_with_empty_subcells on a fixture that
+    actually manufactures empty sub-cells via duplicate seeds."""
     x = indexed.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("cell").alias("icell"),
@@ -1310,6 +1337,11 @@ def inc_index_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY {cosine_sql('a.embedding', 'x.embedding')}
                             DESC, x.vec_id) AS rn
         FROM assign a
+        -- LABEL-GRAIN scan vs Spark's ONE frozen sub-cell: exact only
+        -- while every graded-SF label stays under 4*_CELL_TARGET (the
+        -- k=1 collapse). Guarded by tests/test_ivf_cells.py::
+        -- test_graded_sfs_stay_under_split_threshold — check that
+        -- guard first if grading fails here after a testdata regen.
         JOIN split x ON x.is_new = 0 AND x.label = a.cell
     ) WHERE rn = 1
     """,
@@ -3502,6 +3534,10 @@ _ADC_CTES = f"""
     ), scanned AS (
         SELECT r.vec_id AS probe_id, a.vec_id AS neighbor_id
         FROM route r
+        -- COARSE-CELL-GRAIN scan vs Spark's ONE sub-cell per probed
+        -- cell: exact only while every graded-SF coarse cell stays
+        -- under 4*_CELL_TARGET (k=1 collapse). Guarded by tests/
+        -- test_ivf_cells.py::test_graded_sfs_stay_under_split_threshold
         JOIN cqassign a ON a.ccell = r.ccell AND a.vec_id <> r.vec_id
     ), adc AS (
         SELECT sc.probe_id, sc.neighbor_id, ROUND(SUM(l.pd2), 6) AS adc_d2

