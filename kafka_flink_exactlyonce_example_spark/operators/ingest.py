@@ -320,20 +320,37 @@ def q_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("label").alias("cell"))
         .agg(F.count(F.lit(1)).alias("n_old"))
     )
+    return index_refresh_report(oldcells, newcells)
+
+
+def index_refresh_report(
+    oldcells: DataFrame,
+    newcells: DataFrame,
+    cell_target: float | None = None,
+) -> DataFrame:
+    """The rebuild-trigger arithmetic of q_index_refresh as a
+    frame-level function, so LIFECYCLE consumers (the streaming
+    restart test, a production scheduler) can run the report on their
+    OWN frozen index + admitted batch instead of the graded sf_dir
+    fixtures. ``oldcells`` is (cell, n_old); ``newcells`` (cell,
+    n_admitted); output one row per OLD cell with k_frozen / k_next /
+    rebuild (see q_index_refresh's docstring for semantics).
+
+    ``cell_target`` defaults to the module's _CELL_TARGET **read at
+    call time**. IMPORT-TIME / CALL-TIME ASYMMETRY (ADVICE r10): the
+    oracle SQL above baked _CELL_TARGET in when the @query decorator
+    ran at import, while this expression resolves HERE, at call time.
+    test_index_refresh_rebuild_flag_fires relies on exactly this split
+    (it monkeypatches only the Spark side and never hash-grades); any
+    caller that retunes ingest._CELL_TARGET and THEN hash-grades would
+    compare against the stale baked-in threshold — re-import the
+    module (or regenerate the oracle) after retuning."""
+    t = float(_CELL_TARGET if cell_target is None else cell_target)
 
     def _k(n):
-        # IMPORT-TIME / CALL-TIME ASYMMETRY (ADVICE r10): the oracle
-        # SQL above baked _CELL_TARGET in when the @query decorator
-        # ran at import, while this Spark expression reads the module
-        # global HERE, at call time. test_index_refresh_rebuild_flag
-        # _fires relies on exactly this split (it monkeypatches only
-        # the Spark side and never hash-grades); any caller that
-        # retunes ingest._CELL_TARGET and THEN hash-grades would
-        # compare against the stale baked-in threshold — re-import the
-        # module (or regenerate the oracle) after retuning.
         return F.greatest(
             F.lit(1).cast("bigint"),
-            F.floor(F.sqrt(n / F.lit(float(_CELL_TARGET)))).cast("bigint"),
+            F.floor(F.sqrt(n / F.lit(t))).cast("bigint"),
         )
 
     n_total = F.col("n_old") + F.coalesce(F.col("n_admitted"), F.lit(0))

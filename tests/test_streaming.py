@@ -1913,30 +1913,47 @@ def test_streaming_ingest_gate_exactly_once_across_crash(spark, tmp_path):
     assert all((g[5] == 1) == (g[1] == 0 and g[2] == 0) for g in got)
 
 
-def test_ingest_gate_rebuild_restart_lifecycle(spark, tmp_path):
-    """Round-10 capstone: the FULL frozen-index lifecycle the gate's
-    docstring promises — generation 1 streams against index v1 and
-    crashes mid-batch; an OFFLINE REBUILD folds the gen-1 ADMITTED
-    docs into the corpus (digests + quantizer + posting lists); the
-    stream restarts on the SAME checkpoint with index v2. Proves:
+@pytest.mark.parametrize("rebuild_fires", [False, True])
+def test_ingest_gate_rebuild_restart_lifecycle(spark, tmp_path, rebuild_fires):
+    """Round-10 capstone, round-11 wiring (VERDICT r10 item 4): the
+    FULL frozen-index lifecycle the gate's docstring promises — and
+    the gen-2 rebuild decision now comes from q_index_refresh's OWN
+    report (ingest.index_refresh_report), not test fiat. Generation 1
+    streams against index v1 and crashes mid-batch; the report is run
+    on (v1 cell census, gen-1 admitted routed by the frozen quantizer);
+    then BOTH of its verdicts are exercised:
 
+    - rebuild_fires=False (the report at the real _CELL_TARGET: no
+      cell crosses its k boundary): the offline step does the CHEAP
+      refresh — fold digests and APPEND the admitted vectors to the
+      frozen quantizer's posting lists (frozen_route assignment; no
+      retrain) — and the stream restarts on quantizer v1;
+    - rebuild_fires=True (threshold retuned so the most-grown cell
+      provably crosses k=1→2, the test_index_refresh_rebuild_flag
+      _fires arithmetic): the report fires and the offline step does
+      the FULL retrain (new centroids + seeds + assignment over the
+      merged corpus).
+
+    Both paths then prove the same lifecycle contract:
     - exactly-once admission over the UNION of generations (every doc
       decided exactly once, none lost, none duplicated);
     - committed gen-1 batches keep their v1 decisions (markers stop
       recomputation); the crashed in-flight batch replays under v2
       (its v1 output was never committed, so this is legitimate);
-    - the rebuild is LIVE: a planted byte-copy of a gen-1-admitted doc
+    - the refresh is LIVE: a planted byte-copy of a gen-1-admitted doc
       arriving in gen 2 is REJECTED through the exact path by v2,
       while index v1 would have admitted it (counterfactual asserted).
     """
     from pyspark.sql import functions as F
 
+    from kafka_flink_exactlyonce_example_spark.operators import ingest
     from kafka_flink_exactlyonce_example_spark.operators.dedup import (
         _assign_to_seeds,
     )
     from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
         _inc_is_new_col,
         frozen_index_frames,
+        frozen_route,
     )
     from kafka_flink_exactlyonce_example_spark.streaming.jobs import (
         ingest_gate_decisions,
@@ -2015,10 +2032,12 @@ def test_ingest_gate_rebuild_restart_lifecycle(spark, tmp_path):
     )
     assert admitted_ids, "rebuild needs at least one admitted doc"
 
-    # OFFLINE REBUILD: corpus v2 = frozen corpus ∪ gen-1 admitted docs
-    # (their labels/embeddings from the lake's embeddings table —
-    # doc_id == vec_id in the fixtures; their text from the ingest
-    # files, which is what the stream admitted)
+    # OFFLINE REFRESH, decided by THE OPERATOR'S REPORT: run
+    # q_index_refresh's arithmetic on v1's cell census and the gen-1
+    # admitted docs routed by the FROZEN quantizer (exactly where they
+    # will land), then rebuild iff the report says a cell crossed its
+    # sub-cell boundary. Vectors/labels come from the lake's
+    # embeddings table (doc_id == vec_id in the fixtures).
     tagged = (
         spark.read.parquet(f"{SMOKE_SF}/embeddings.parquet")
         .select("vec_id", "label", "embedding",
@@ -2027,6 +2046,41 @@ def test_ingest_gate_rebuild_restart_lifecycle(spark, tmp_path):
     adm_vec = spark.createDataFrame(
         [(int(i),) for i in admitted_ids], "vec_id bigint"
     )
+    adm_emb = tagged.join(adm_vec, "vec_id").select("vec_id", "embedding")
+    adm_routed = frozen_route(adm_emb, cent1, seeds1).localCheckpoint()
+    oldcells = indexed1.groupBy(F.col("label").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_old")
+    )
+    newcells = adm_routed.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_admitted")
+    )
+    if rebuild_fires:
+        # retune the report threshold so the most-grown cell provably
+        # crosses k=1->2: T in (n_old/4, n_total/4] (the
+        # test_index_refresh_rebuild_flag_fires arithmetic); T =
+        # n_total/4 of the most-admitted cell satisfies both bounds
+        grown = (
+            oldcells.join(newcells, "cell")
+            .orderBy(F.desc("n_admitted"), "cell")
+            .first()
+        )
+        assert grown is not None and grown["n_admitted"] >= 1
+        cell_target = (grown["n_old"] + grown["n_admitted"]) / 4.0
+    else:
+        cell_target = None  # the real _CELL_TARGET: nothing fires
+    report = ingest.index_refresh_report(
+        oldcells, newcells, cell_target=cell_target
+    ).collect()
+    fired = {r["cell"] for r in report if r["rebuild"] == 1}
+    assert bool(fired) == rebuild_fires, (
+        f"report verdict {sorted(fired)} does not match the "
+        f"{'fire' if rebuild_fires else 'no-fire'} scenario"
+    )
+    # count arithmetic is consistent either way
+    assert all(
+        r["n_total"] == r["n_old"] + r["n_admitted"] for r in report
+    )
+
     merged = (
         tagged.filter(~F.col("is_new"))
         .select("vec_id", "label", "embedding")
@@ -2035,9 +2089,24 @@ def test_ingest_gate_rebuild_restart_lifecycle(spark, tmp_path):
             .select("vec_id", "label", "embedding")
         )
     )
-    cent2, seeds2 = frozen_index_frames(merged)
-    cent2, seeds2 = cent2.localCheckpoint(), seeds2.localCheckpoint()
-    indexed2 = _assign_to_seeds(merged, seeds2).localCheckpoint()
+    if fired:
+        # FULL retrain: new quantizer + posting lists over the merged
+        # corpus — what the fired report demands
+        cent2, seeds2 = frozen_index_frames(merged)
+        cent2, seeds2 = cent2.localCheckpoint(), seeds2.localCheckpoint()
+        indexed2 = _assign_to_seeds(merged, seeds2).localCheckpoint()
+    else:
+        # CHEAP refresh: keep quantizer v1, append the admitted
+        # vectors to its posting lists at their frozen-routed cells
+        cent2, seeds2 = cent1, seeds1
+        indexed2 = indexed1.unionByName(
+            adm_routed.select(
+                "vec_id",
+                F.col("cell").alias("label"),
+                F.col("icell").alias("cell"),
+                "embedding",
+            )
+        ).localCheckpoint()
     all_input = spark.read.schema(schema).json(inp)
     digests2 = (
         digests1.unionByName(
