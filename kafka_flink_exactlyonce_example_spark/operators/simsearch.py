@@ -3045,6 +3045,14 @@ def cq_centroids_train(e: DataFrame) -> DataFrame:
     form — no per-(vector, centroid) row explosion, no vec_id reduce);
     the update contracts to the bounded (_CQ_K × 64)-cell grain. At
     100 TB you train on a sample and assign in one pass — same plan."""
+    return _cq_train_chain(e)[-1]
+
+
+def _cq_train_chain(e: DataFrame) -> list[DataFrame]:
+    """The full Lloyd chain [seeds, cent_1, …, cent__CQ_UPDATES] —
+    q_cq_train_curve reads the intermediate codebooks to grade the
+    convergence curve; everything else consumes only the last entry
+    via :func:`cq_centroids_train`."""
     h = F.md5(F.concat(F.lit("cq:"), F.col("vec_id").cast("string")))
     w = Window.orderBy("_h", "vec_id")  # _CQ_K-row relation — bounded
     cent = (
@@ -3056,6 +3064,7 @@ def cq_centroids_train(e: DataFrame) -> DataFrame:
             F.col("embedding").alias("cv"),
         )
     )
+    chain = [cent]
     for _ in range(_CQ_UPDATES):
         cent = (
             cq_assign(e, cent)
@@ -3071,7 +3080,8 @@ def cq_centroids_train(e: DataFrame) -> DataFrame:
             )
             .select(F.col("ccell").alias("c"), "cv")
         )
-    return cent
+        chain.append(cent)
+    return chain
 
 
 def cq_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
@@ -3094,6 +3104,28 @@ def cq_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
     )
     return e.crossJoin(F.broadcast(cents)).select(
         "vec_id", best["ccell"].alias("ccell"), "embedding"
+    )
+
+
+def _cq_assign_scored(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """:func:`cq_assign` plus the winning 6-dp cosine itself —
+    (vec_id, ccell, cs). Same inline array_max, zero shuffles; the QC
+    queries (q_cq_census, q_cq_train_curve) read the score column."""
+    cents = cent.agg(F.collect_list(F.struct("c", "cv")).alias("_cents"))
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda s: F.struct(
+                F.round(cosine(F.col("embedding"), s["cv"]), 6).alias("_cs"),
+                (-s["c"]).alias("_nc"),
+                s["c"].alias("ccell"),
+            ),
+        )
+    )
+    return e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        best["ccell"].alias("ccell"),
+        best["_cs"].alias("cs"),
     )
 
 
@@ -3279,6 +3311,379 @@ def _ivf_route_frames(
         .select("vec_id", "ccell")
     )
     return probes, route
+
+
+@query(
+    "q_cq_census",
+    oracle=_IVF_ROUTE_CTES
+    + f""", scored AS (
+        SELECT a.ccell, a.vec_id,
+               round({cosine_sql('e.embedding', 'cb.cv')}, 6) AS cs
+        FROM cqassign a
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN cqcent cb ON cb.c = a.ccell
+    )
+    SELECT ccell,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(cs), 6) AS mean_cos,
+           ROUND(MIN(cs), 6) AS min_cos,
+           CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+    FROM scored GROUP BY ccell
+    """,
+)
+def q_cq_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-quantizer health census (round 11) — the k-means twin of
+    q_code_entropy's PQ balance QC: per coarse cell, its population,
+    mean and minimum member-to-centroid cosine, and smallest member
+    id. This is the report that tells an index operator whether the
+    coarse stage is EARNING its cells before any recall audit runs —
+    a cell with low mean_cos is a junk-drawer cell (its members don't
+    cohere, so probing it buys candidates, not neighbors), and a
+    heavily skewed census says the quantizer needs retraining or more
+    cells. Reads the SAME session-cached assignment q_ivf_recall
+    scans, so the census describes exactly the graded index.
+
+    Scale shape: the assignment is the cached one-scan relation; the
+    score recompute joins the ≤_CQ_K-row broadcast codebook onto one
+    pass; the census contracts to the bounded cell grain. mean_cos
+    aggregates 6-dp-rounded per-row scores (the summation-order
+    exposure is the q_kmeans ROUND(SUM) class, hash-verified)."""
+    cent = _cq_centroids_for(spark, sf_dir)
+    scored = (
+        _cq_cells_for(spark, sf_dir)
+        .join(F.broadcast(cent), F.col("ccell") == F.col("c"))
+        .select(
+            "ccell",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("cv")), 6).alias("cs"),
+        )
+    )
+    return scored.groupBy("ccell").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("cs"), 6).alias("mean_cos"),
+        F.round(F.min("cs"), 6).alias("min_cos"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
+
+
+@query(
+    "q_cq_train_curve",
+    oracle=f"""
+    WITH {_cq_train_sql("cqcent")}, it0 AS (
+        SELECT vec_id, c, cs FROM (
+            SELECT e.vec_id, cb.c,
+                   round({cosine_sql('e.embedding', 'cb.cv')}, 6) AS cs,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({cosine_sql('e.embedding', 'cb.cv')},
+                                      6) DESC, cb.c) AS rnk
+            FROM embeddings e CROSS JOIN cqseeds cb
+        ) WHERE rnk = 1
+    ), it1 AS (
+        SELECT vec_id, c, cs FROM (
+            SELECT e.vec_id, cb.c,
+                   round({cosine_sql('e.embedding', 'cb.cv')}, 6) AS cs,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({cosine_sql('e.embedding', 'cb.cv')},
+                                      6) DESC, cb.c) AS rnk
+            FROM embeddings e CROSS JOIN cqc1 cb
+        ) WHERE rnk = 1
+    ), it2 AS (
+        SELECT vec_id, c, cs FROM (
+            SELECT e.vec_id, cb.c,
+                   round({cosine_sql('e.embedding', 'cb.cv')}, 6) AS cs,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({cosine_sql('e.embedding', 'cb.cv')},
+                                      6) DESC, cb.c) AS rnk
+            FROM embeddings e CROSS JOIN cqcent cb
+        ) WHERE rnk = 1
+    ), wide AS (
+        SELECT a.vec_id, a.c AS c0, a.cs AS cs0,
+               b.c AS c1, b.cs AS cs1, d.c AS c2, d.cs AS cs2
+        FROM it0 a JOIN it1 b ON b.vec_id = a.vec_id
+                   JOIN it2 d ON d.vec_id = a.vec_id
+    )
+    SELECT 0 AS iteration,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) AS BIGINT) AS n_moved,
+           ROUND(AVG(cs0), 6) AS mean_cos
+    FROM wide
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE c1 <> c0) AS BIGINT),
+           ROUND(AVG(cs1), 6)
+    FROM wide
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE c2 <> c1) AS BIGINT),
+           ROUND(AVG(cs2), 6)
+    FROM wide
+    """,
+)
+def q_cq_train_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means convergence curve of the coarse quantizer (round 11):
+    per Lloyd iteration — the assignment quality (mean member-to-
+    centroid cosine) and the assignment CHURN (vectors that changed
+    cells vs the previous iteration; iteration 0 reports every vector
+    as newly assigned, by convention). This is the ML-ops number that
+    justifies the fixed _CQ_UPDATES=2: the churn drops steeply and
+    the mean cosine saturates by iteration 2 (the r11 A/B: a third
+    update bought +0.016 recall), and at 100 TB the same report (one
+    per training round) is how you pick the early-stop point instead
+    of guessing.
+
+    Scale shape: each iteration's assignment is the same zero-shuffle
+    broadcast-codebook array_max scan the trainer runs (the chain's
+    intermediate codebooks are bounded ≤_CQ_K-row relations exposed by
+    `_cq_train_chain`); the three assignments join on vec_id (8-byte
+    ids, one shuffle) and contract to a 3-row curve. Oracle mirrors
+    per-iteration CTEs over the SAME training chain, so both engines
+    grade bit-identical assignments."""
+    emb = table(spark, sf_dir, "embeddings")
+    chain = _cq_train_chain(emb)
+    assigns = [_cq_assign_scored(emb, c) for c in chain]
+    wide = (
+        assigns[0]
+        .select(
+            "vec_id",
+            F.col("ccell").alias("c0"),
+            F.col("cs").alias("cs0"),
+        )
+        .join(
+            assigns[1].select(
+                "vec_id",
+                F.col("ccell").alias("c1"),
+                F.col("cs").alias("cs1"),
+            ),
+            "vec_id",
+        )
+        .join(
+            assigns[2].select(
+                "vec_id",
+                F.col("ccell").alias("c2"),
+                F.col("cs").alias("cs2"),
+            ),
+            "vec_id",
+        )
+    )
+    agg = wide.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("c1") != F.col("c0"), 1).otherwise(0))
+        .cast("long")
+        .alias("m1"),
+        F.sum(F.when(F.col("c2") != F.col("c1"), 1).otherwise(0))
+        .cast("long")
+        .alias("m2"),
+        F.round(F.avg("cs0"), 6).alias("q0"),
+        F.round(F.avg("cs1"), 6).alias("q1"),
+        F.round(F.avg("cs2"), 6).alias("q2"),
+    )
+    rows = [
+        agg.select(
+            F.lit(i).cast("int").alias("iteration"),
+            F.col("n").alias("n_vecs"),
+            (F.col("n") if i == 0 else F.col(f"m{i}")).alias("n_moved"),
+            F.col(f"q{i}").alias("mean_cos"),
+        )
+        for i in range(3)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+_SWEEP_DEPTHS = (1, 2, 4, 6)  # nprobe values graded by the sweep
+
+
+@query(
+    "q_ivf_nprobe_sweep",
+    oracle=f"""
+    WITH {_cq_train_sql("cqcent")}, cqassign AS (
+        SELECT vec_id, c AS ccell FROM (
+            SELECT e.vec_id, cb.c,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({cosine_sql('e.embedding', 'cb.cv')},
+                                      6) DESC, cb.c) AS rnk
+            FROM embeddings e CROSS JOIN cqcent cb
+        ) WHERE rnk = 1
+    ), panel AS (
+        SELECT vec_id FROM embeddings
+        ORDER BY md5('recall:' || CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {_RECALL_PROBES}
+    ), pvec AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id IN (SELECT vec_id FROM panel)
+    ), rroute AS (
+        SELECT vec_id, ccell, rn AS cell_rank FROM (
+            SELECT p.vec_id, cb.c AS ccell,
+                   row_number() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY round({cosine_sql('cb.cv', 'p.embedding')},
+                                      6) DESC, cb.c) AS rn
+            FROM pvec p CROSS JOIN cqcent cb
+        ) WHERE rn <= {max(_SWEEP_DEPTHS)}
+    ), nrm AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)
+                 / sqrt(list_sum(list_transform(embedding,
+                     u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))))) AS ne
+        FROM embeddings
+    ), pairs AS (
+        SELECT r.vec_id, a.vec_id AS neighbor_id, r.cell_rank,
+               list_sum(list_transform(list_zip(ex.ne, ey.ne),
+                   p -> p[1] * p[2])) AS sim
+        FROM rroute r
+        JOIN cqassign a ON a.ccell = r.ccell AND a.vec_id <> r.vec_id
+        JOIN nrm ex ON ex.vec_id = r.vec_id
+        JOIN nrm ey ON ey.vec_id = a.vec_id
+    ), depths AS (
+        SELECT unnest([{', '.join(str(d) for d in _SWEEP_DEPTHS)}]) AS nprobe
+    ), ann_topk AS (
+        SELECT nprobe, vec_id, neighbor_id FROM (
+            SELECT d.nprobe, p.vec_id, p.neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY d.nprobe, p.vec_id
+                       ORDER BY p.sim DESC, p.neighbor_id) AS rn
+            FROM pairs p JOIN depths d ON p.cell_rank <= d.nprobe
+        ) WHERE rn <= {_RECALL_K}
+    ), bprobes AS (
+        SELECT vec_id, ne FROM nrm
+        WHERE vec_id IN (SELECT vec_id FROM panel)
+    ), brute_topk AS (
+        SELECT vec_id, neighbor_id FROM (
+            SELECT p.vec_id, n.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY p.vec_id
+                       ORDER BY list_sum(list_transform(list_zip(p.ne, n.ne),
+                           q -> q[1] * q[2])) DESC, n.vec_id) AS rn
+            FROM bprobes p JOIN nrm n ON n.vec_id <> p.vec_id
+        ) WHERE rn <= {_RECALL_K}
+    ), truth_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM brute_topk),
+    hits AS (
+        SELECT a.nprobe, CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM ann_topk a
+        JOIN brute_topk t ON t.vec_id = a.vec_id
+                         AND t.neighbor_id = a.neighbor_id
+        GROUP BY a.nprobe
+    ), costs AS (
+        SELECT d.nprobe, CAST(COUNT(*) AS BIGINT) AS n_cand
+        FROM pairs p JOIN depths d ON p.cell_rank <= d.nprobe
+        GROUP BY d.nprobe
+    )
+    SELECT c.nprobe,
+           c.n_cand,
+           COALESCE(h.n_hit, 0) AS n_hit,
+           ROUND(COALESCE(h.n_hit, 0) * 1.0 / tn.n_true, 6) AS recall
+    FROM costs c
+    LEFT JOIN hits h ON h.nprobe = c.nprobe
+    CROSS JOIN truth_n tn
+    """,
+)
+def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe recall-vs-cost curve of the k-means IVF index
+    (round 11) — the in-engine version of the tuning sweep SURVEY §6
+    records from the offline rig, graded: for nprobe ∈
+    {_SWEEP_DEPTHS}, the total candidate cost and recall@10 over the
+    shared absolute panel. This is THE number an IVF deployment tunes
+    first (FAISS's nprobe knob): the curve's knee says where another
+    probed cell stops buying recall, and grading it end-to-end means
+    the engine's own routing/rank/tie-break discipline — not a numpy
+    approximation — produces the curve.
+
+    Scale shape: ONE ranked route (panel × _CQ_K against the
+    broadcast codebook, rank kept up to max depth), ONE candidate
+    scan (the session-cached assignment joined to the broadcast
+    ranked route), ONE scoring pass over the deepest candidate set;
+    the per-depth reuse is a broadcast 4-row depth relation joined on
+    cell_rank ≤ nprobe, so shallower depths are FILTERS over the same
+    scored pairs, not re-scans. Rank windows sit on the bounded
+    (depth × panel) grain. Output: one row per depth, integer-derived
+    counts + a count ratio."""
+    nrm = _normalized(spark, sf_dir)
+    cent = _cq_centroids_for(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    probes = (
+        emb.join(_recall_panel(spark, sf_dir), "vec_id", "left_semi")
+        .select("vec_id", "embedding")
+    )
+    rank_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cell_sim"), F.col("ccell")
+    )
+    rroute = (
+        probes.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            F.col("c").alias("ccell"),
+            F.round(
+                cosine(F.col("cv"), F.col("embedding")), 6
+            ).alias("cell_sim"),
+        )
+        .withColumn("cell_rank", F.row_number().over(rank_w))
+        .filter(F.col("cell_rank") <= max(_SWEEP_DEPTHS))
+        .select("vec_id", "ccell", "cell_rank")
+    )
+    sim = F.aggregate(
+        F.zip_with("ea", "eb", lambda a, b_: a * b_),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    ex = F.broadcast(
+        nrm.join(_recall_panel(spark, sf_dir), "vec_id", "left_semi").select(
+            "vec_id", F.col("ne").alias("ea")
+        )
+    )
+    ey = nrm.select(F.col("vec_id").alias("neighbor_id"), F.col("ne").alias("eb"))
+    pairs = (
+        _cq_cells_for(spark, sf_dir)
+        .select(F.col("vec_id").alias("neighbor_id"), "ccell")
+        .join(F.broadcast(rroute), "ccell")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .join(ex, "vec_id")
+        .join(ey, "neighbor_id")
+        .select("vec_id", "neighbor_id", "cell_rank", sim.alias("sim"))
+    )
+    depths = F.broadcast(
+        spark.createDataFrame(
+            [(d,) for d in _SWEEP_DEPTHS], "nprobe int"
+        )
+    )
+    per_depth = pairs.join(
+        depths, F.col("cell_rank") <= F.col("nprobe")
+    )
+    topk_w = Window.partitionBy("nprobe", "vec_id").orderBy(
+        F.desc("sim"), F.col("neighbor_id")
+    )
+    ann_topk = (
+        per_depth.withColumn("rn", F.row_number().over(topk_w))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("nprobe", "vec_id", "neighbor_id")
+    )
+    bt = brute_topk_for(spark, sf_dir)
+    truth_n = bt.agg(F.count(F.lit(1)).alias("n_true"))
+    hits = ann_topk.join(bt, ["vec_id", "neighbor_id"]).groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    costs = per_depth.groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("n_cand")
+    )
+    return (
+        costs.join(hits, "nprobe", "left")
+        .crossJoin(F.broadcast(truth_n))
+        .select(
+            "nprobe",
+            "n_cand",
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0).cast("long"))
+                * F.lit(1.0)
+                / F.col("n_true"),
+                6,
+            ).alias("recall"),
+        )
+    )
 
 
 @query(

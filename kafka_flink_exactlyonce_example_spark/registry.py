@@ -327,6 +327,12 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     "q_ivf_recall",
     "q_ivf_adc",
     "q_adc_recall",
+    # round-11 capability additions (QC + tuning rows of the
+    # geometry-trained coarse quantizer): cell-health census, Lloyd
+    # convergence curve, and the graded nprobe recall-vs-cost sweep
+    "q_cq_census",
+    "q_cq_train_curve",
+    "q_ivf_nprobe_sweep",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.
