@@ -2373,12 +2373,24 @@ def _pq_dist2(a, b):
 def _pq_train(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
-    """(codebook, assignments): codebook = (s, c, cv[16]) after one
+    """(codebook, assignments): codebook = (s, c, cv) after one
     rounded Lloyd update; assignments = (vec_id, s, c, d2) under that
     codebook. Plan rationale in q_pq_codebook's docstring."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _PQ_CACHE:
         return _PQ_CACHE[key]
+    cent1, a2 = _pq_train_frames(spark, sf_dir)
+    _PQ_CACHE[key] = (cent1.localCheckpoint(), a2.localCheckpoint())
+    return _PQ_CACHE[key]
+
+
+def _pq_train_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The LAZY training plan behind :func:`_pq_train`'s checkpoint —
+    factored out so the plan-aux registration below keeps the
+    data-touching train under the plan guards (the
+    q_pca_power::moments policy)."""
     emb = table(spark, sf_dir, "embeddings")
     h = F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string")))
     w = Window.orderBy("_h", "vec_id")  # k-row relation — bounded
@@ -2403,26 +2415,33 @@ def _pq_train(
     )
 
     def assign(codebook: DataFrame) -> DataFrame:
-        scored = subs.join(F.broadcast(codebook), "s").select(
+        # Inline argmin (round 11): collapse each subspace's codewords
+        # to ONE array row and pick the nearest codeword with array_min
+        # over struct(d2, c) — lexicographic min == ORDER BY d2, c. At
+        # K=256 the old row-explosion form (join on s -> n·M·K scored
+        # rows -> groupBy argmin) shuffled 4.1M struct rows at sf0.1
+        # and cost the pq_codebook cache build 30 s; this form keeps
+        # the scan at n·M rows with the K-way scoring folded inside
+        # one projection (the cq_assign/_assign_to_seeds shape) —
+        # measured back under a few seconds, bit-identical assignment.
+        cb = codebook.groupBy("s").agg(
+            F.collect_list(F.struct("c", "cv")).alias("_cbs")
+        )
+        best = F.array_min(
+            F.transform(
+                F.col("_cbs"),
+                lambda x: F.struct(
+                    _pq_dist2(F.col("sub"), x["cv"]).alias("d2"),
+                    x["c"].alias("c"),
+                ),
+            )
+        )
+        return subs.join(F.broadcast(cb), "s").select(
             "vec_id",
             "s",
             "sub",
-            "c",
-            _pq_dist2(F.col("sub"), F.col("cv")).alias("d2"),
-        )
-        return (
-            scored.groupBy("vec_id", "s")
-            .agg(
-                F.first("sub").alias("sub"),
-                F.min(F.struct("d2", "c")).alias("_b"),
-            )
-            .select(
-                "vec_id",
-                "s",
-                "sub",
-                F.col("_b.c").alias("c"),
-                F.col("_b.d2").alias("d2"),
-            )
+            best["c"].alias("c"),
+            best["d2"].alias("d2"),
         )
 
     a1 = assign(subseeds)
@@ -2439,8 +2458,27 @@ def _pq_train(
         )
     )
     a2 = assign(cent1).select("vec_id", "s", "c", "d2")
-    _PQ_CACHE[key] = (cent1.localCheckpoint(), a2.localCheckpoint())
-    return _PQ_CACHE[key]
+    return cent1, a2
+
+
+@plan_aux("q_pq_codebook::train")
+def pq_train_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-touching PQ training stage, visible to the plan guards
+    even though every PQ consumer reads it through the _PQ_CACHE
+    checkpoint (the q_pca_power::moments policy): both Lloyd passes +
+    the codebook reduce in one fingerprinted plan."""
+    cent1, a2 = _pq_train_frames(spark, sf_dir)
+    return a2.join(F.broadcast(cent1), ["s", "c"])
+
+
+@plan_aux("q_ivf_recall::cq_train")
+def cq_train_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-touching coarse-quantizer training stage (3 assignment
+    scans + 2 bounded centroid updates), visible to the plan guards
+    even though the IVF family reads it through the _CQ_* checkpoints
+    (the q_pca_power::moments policy)."""
+    e = table(spark, sf_dir, "embeddings")
+    return cq_assign(e, cq_centroids_train(e))
 
 
 @query(
@@ -3245,11 +3283,19 @@ def _cq_cells_for(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cq_cells_as_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The coarse assignment with ccell renamed to ``label`` — the
-    column name dedup's sub-cell quantizer machinery keys on. Full
-    plan (not the checkpointed cache): feeds the sub-cell BUILDERS."""
-    e = table(spark, sf_dir, "embeddings")
-    return cq_assign(e, cq_centroids_train(e)).select(
+    """The CACHED coarse assignment with ccell renamed to ``label`` —
+    the column name dedup's sub-cell quantizer machinery keys on.
+    Feeds the sub-cell builders. Deriving the sub-cell relations FROM
+    the checkpointed cells cache is safe here, unlike the r10
+    q_embed_dup incident the cache comment above records: _ivf_seeds'
+    internal join and every downstream consumer of the sub-cell
+    output (ivf_adc_scan's fine route) FORCE F.broadcast on their
+    bounded side, so the junk sizeInBytes a checkpoint-derived
+    relation carries can never flip a join strategy — and it saves
+    re-running the 3-pass k-means train per builder (the first bench
+    of round 11 paid ~17 s across cq_subseeds + cq_subcells for three
+    redundant trainings)."""
+    return _cq_cells_for(spark, sf_dir).select(
         "vec_id", F.col("ccell").alias("label"), "embedding"
     )
 
@@ -3275,9 +3321,9 @@ def _cq_subcells_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (coarse cell, sub-cell) posting-list key q_ivf_adc scans."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CQ_SUBCELLS_CACHE:
-        base = _cq_cells_as_label(spark, sf_dir)
         _CQ_SUBCELLS_CACHE[key] = _assign_to_seeds(
-            base, _ivf_seeds(base)
+            _cq_cells_as_label(spark, sf_dir),
+            _cq_subseeds_for(spark, sf_dir),
         ).localCheckpoint()
     return _CQ_SUBCELLS_CACHE[key]
 
