@@ -2391,7 +2391,11 @@ def _pq_train_frames(
     factored out so the plan-aux registration below keeps the
     data-touching train under the plan guards (the
     q_pca_power::moments policy)."""
-    emb = table(spark, sf_dir, "embeddings")
+    # the inline K-way argmin is ~n·M·K·SUBDIM interpreted lambda evals
+    # in ONE map stage — widen the one-split toy scan so it uses every
+    # core (the _signs_for lesson; measured 30 s -> ~3 s at sf0.1 with
+    # K=256; no-op at scale where the scan already has many splits)
+    emb = widen_small_scan(table(spark, sf_dir, "embeddings"))
     h = F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string")))
     w = Window.orderBy("_h", "vec_id")  # k-row relation — bounded
     seeds = (
@@ -3091,6 +3095,9 @@ def _cq_train_chain(e: DataFrame) -> list[DataFrame]:
     q_cq_train_curve reads the intermediate codebooks to grade the
     convergence curve; everything else consumes only the last entry
     via :func:`cq_centroids_train`."""
+    # each assignment pass is n·K 64-dim cosine folds in one map stage
+    # — widen the one-split toy scan (the _signs_for lesson)
+    e = widen_small_scan(e)
     h = F.md5(F.concat(F.lit("cq:"), F.col("vec_id").cast("string")))
     w = Window.orderBy("_h", "vec_id")  # _CQ_K-row relation — bounded
     cent = (
@@ -3275,7 +3282,7 @@ def _cq_cells_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus coarse assignment (vec_id, ccell, embedding)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CQ_CELLS_CACHE:
-        e = table(spark, sf_dir, "embeddings")
+        e = widen_small_scan(table(spark, sf_dir, "embeddings"))
         _CQ_CELLS_CACHE[key] = cq_assign(
             e, cq_centroids_train(e)
         ).localCheckpoint()
@@ -3487,7 +3494,7 @@ def q_cq_train_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids, one shuffle) and contract to a 3-row curve. Oracle mirrors
     per-iteration CTEs over the SAME training chain, so both engines
     grade bit-identical assignments."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = widen_small_scan(table(spark, sf_dir, "embeddings"))
     chain = _cq_train_chain(emb)
     assigns = [_cq_assign_scored(emb, c) for c in chain]
     wide = (
