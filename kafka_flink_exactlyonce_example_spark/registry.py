@@ -333,6 +333,7 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     "q_cq_census",
     "q_cq_train_curve",
     "q_ivf_nprobe_sweep",
+    "q_ann_filtered",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.
