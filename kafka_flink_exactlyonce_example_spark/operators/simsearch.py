@@ -3496,30 +3496,37 @@ def q_cq_train_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     grade bit-identical assignments."""
     emb = widen_small_scan(table(spark, sf_dir, "embeddings"))
     chain = _cq_train_chain(emb)
-    assigns = [_cq_assign_scored(emb, c) for c in chain]
-    wide = (
-        assigns[0]
-        .select(
-            "vec_id",
-            F.col("ccell").alias("c0"),
-            F.col("cs").alias("cs0"),
+    # all three per-iteration assignments in ONE projection over ONE
+    # scan: each iteration's bounded codebook rides its own 1-row
+    # broadcast array and its own inline array_max — no vec_id joins
+    # between iterations (the first cut joined three separate scored
+    # scans on vec_id: two extra shuffles + ~2 s of stage overhead on
+    # what is arithmetic over the same rows)
+    wide = emb
+    for i, cent in enumerate(chain):
+        cents = cent.agg(
+            F.collect_list(F.struct("c", "cv")).alias(f"_cents{i}")
         )
-        .join(
-            assigns[1].select(
-                "vec_id",
-                F.col("ccell").alias("c1"),
-                F.col("cs").alias("cs1"),
-            ),
-            "vec_id",
+        wide = wide.crossJoin(F.broadcast(cents))
+    best = [
+        F.array_max(
+            F.transform(
+                F.col(f"_cents{i}"),
+                lambda s: F.struct(
+                    F.round(cosine(F.col("embedding"), s["cv"]), 6).alias(
+                        "_cs"
+                    ),
+                    (-s["c"]).alias("_nc"),
+                    s["c"].alias("ccell"),
+                ),
+            )
         )
-        .join(
-            assigns[2].select(
-                "vec_id",
-                F.col("ccell").alias("c2"),
-                F.col("cs").alias("cs2"),
-            ),
-            "vec_id",
-        )
+        for i in range(len(chain))
+    ]
+    wide = wide.select(
+        "vec_id",
+        *[b["ccell"].alias(f"c{i}") for i, b in enumerate(best)],
+        *[b["_cs"].alias(f"cs{i}") for i, b in enumerate(best)],
     )
     agg = wide.agg(
         F.count(F.lit(1)).alias("n"),
