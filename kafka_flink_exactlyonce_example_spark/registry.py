@@ -136,20 +136,32 @@ def graded_before(round_no: int | None = None) -> set[str]:
     return keys
 
 
-def newest_grade_rounds() -> dict[str, int]:
-    """Per-key round of the NEWEST driver row, from the CORRECTNESS
+def newest_grade_rounds(round_no: int | None = None) -> dict[str, int]:
+    """Per-key round of the NEWEST driver row in rounds < ``round_no``
+    (default: the derived current round), from the CORRECTNESS
     artifacts. Drives the staleness-first re-grade ordering (round 11,
     VERDICT r10 item 3): a green row from round 1 on a ten-times-
     refactored engine is weaker evidence than a fresh one, so once the
     never-graded backlog is empty the free window slots drain the
     OLDEST newest-rows first — a permanent freshness mechanism, not a
     one-off re-grade list. Keys absent from every artifact map to 0
-    (stalest possible)."""
+    (stalest possible).
+
+    The round scoping mirrors :func:`graded_before` (ADVICE r11): a
+    ``derive_window(round_no=N, prior=...)`` preview must read ONLY
+    the artifacts that existed when round N was derived, or a later
+    artifact landing on disk would silently change what a given
+    round's window "was" — tests and future-round simulations need
+    the derivation to be reproducible per round."""
+    if round_no is None:
+        round_no = rotation_round()
     newest: dict[str, int] = {}
     for path in _REPO_ROOT.glob("CORRECTNESS_r*.json"):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", path.name)
         if m:
             n = int(m.group(1))
+            if n >= round_no:
+                continue
             for k in json.loads(path.read_text()):
                 if n > newest.get(k, 0):
                     newest[k] = n
@@ -425,7 +437,7 @@ def derive_window(
             break
         _add(key)
 
-    newest = newest_grade_rounds()
+    newest = newest_grade_rounds(round_no)
 
     def _staleness(key: str) -> tuple[int, str]:
         # never-graded (no artifact row) sorts stalest of all

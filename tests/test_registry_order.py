@@ -254,3 +254,20 @@ def test_newest_grade_rounds_matches_artifacts(registry_loaded):
         for k in json.loads(pathlib.Path(path).read_text()):
             want[k] = max(want.get(k, 0), n)
     assert registry_loaded.newest_grade_rounds() == want
+    # round scoping (ADVICE r11): a preview for round N must ignore
+    # artifacts from rounds >= N, mirroring graded_before — otherwise
+    # derive_window(round_no=N, prior=...) mixes an N-scoped graded
+    # set with whole-history staleness and stops being reproducible
+    # once later artifacts land
+    rounds = sorted({n for n in want.values()})
+    if len(rounds) >= 2:
+        cut = rounds[-1]  # scope to exclude the newest artifact
+        scoped = registry_loaded.newest_grade_rounds(round_no=cut)
+        want_scoped: dict[str, int] = {}
+        for path in glob.glob(str(REPO / "CORRECTNESS_r*.json")):
+            m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+            if not m or int(m.group(1)) >= cut:
+                continue
+            for k in json.loads(pathlib.Path(path).read_text()):
+                want_scoped[k] = max(want_scoped.get(k, 0), int(m.group(1)))
+        assert scoped == want_scoped
