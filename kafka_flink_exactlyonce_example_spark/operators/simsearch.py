@@ -194,16 +194,23 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_knn_join",
-    oracle=f"""
-    WITH probes AS (
-        SELECT vec_id AS probe_id, embedding AS p
-        FROM embeddings WHERE vec_id < 20
+    oracle="""
+    WITH nrm AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)
+                 / sqrt(list_sum(list_transform(embedding,
+                     u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))))) AS ne
+        FROM embeddings
+    ),
+    probes AS (
+        SELECT vec_id AS probe_id, ne AS p FROM nrm WHERE vec_id < 20
     ),
     scored AS (
-        SELECT probe_id, e.vec_id,
-               ROUND({cosine_sql('e.embedding', 'p')}, 6) AS sim
-        FROM embeddings e, probes
-        WHERE e.vec_id <> probe_id
+        SELECT probe_id, n.vec_id,
+               ROUND(list_sum(list_transform(list_zip(n.ne, p),
+                   q -> q[1] * q[2])), 6) AS sim
+        FROM nrm n, probes
+        WHERE n.vec_id <> probe_id
     ),
     ranked AS (
         SELECT *, ROW_NUMBER() OVER (
@@ -217,21 +224,33 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-nearest-neighbors join: for each of the first 20 vectors, the
     3 nearest others by cosine — ranked-window over a broadcast probe
-    join (probe side small; data side streams)."""
+    join (probe side small; data side streams).
+
+    Round 12 (VERDICT r11 item 4): rides the shared unit-norm session
+    cache like the rest of the ANN family instead of recomputing
+    dot + two norms from the raw embeddings per pair — one array fold
+    per pair instead of three, and the cache's build already widened
+    the one-split toy scan. Scoring moves to the normalized-dot form
+    the recall family has verified bit-identical cross-engine since
+    round 9 (left-to-right float64 folds in both engines); the oracle
+    mirrors with the same ``nrm`` CTE."""
     from pyspark.sql import Window
 
-    emb = table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p")
+    nrm = _normalized(spark, sf_dir)
+    probes = F.broadcast(
+        nrm.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("probe_id"), F.col("ne").alias("p")
+        )
+    )
+    sim = F.aggregate(
+        F.zip_with("ne", "p", lambda a, b_: a * b_),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
     scored = (
-        emb.crossJoin(F.broadcast(probes))
+        nrm.crossJoin(probes)
         .filter(F.col("vec_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            "vec_id",
-            F.round(cosine(F.col("embedding"), F.col("p")), 6).alias("sim"),
-        )
+        .select("probe_id", "vec_id", F.round(sim, 6).alias("sim"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "vec_id")
     return (
@@ -3090,11 +3109,35 @@ def cq_centroids_train(e: DataFrame) -> DataFrame:
     return _cq_train_chain(e)[-1]
 
 
-def _cq_train_chain(e: DataFrame) -> list[DataFrame]:
+def _cq_lloyd_update(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """One Lloyd centroid update: assign ``e`` against ``cent`` and
+    contract to the bounded (_CQ_K × 64)-cell grain, every coordinate
+    ROUNDED to 6 dp before the next assignment (the cross-engine
+    determinism contract). Drop-empty GROUP BY semantics."""
+    return (
+        cq_assign(e, cent)
+        .select("ccell", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("ccell", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
+        .groupBy("ccell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("cv")
+        )
+        .select(F.col("ccell").alias("c"), "cv")
+    )
+
+
+def _cq_train_chain(e: DataFrame, _persist=None) -> list[DataFrame]:
     """The full Lloyd chain [seeds, cent_1, …, cent__CQ_UPDATES] —
     q_cq_train_curve reads the intermediate codebooks to grade the
     convergence curve; everything else consumes only the last entry
-    via :func:`cq_centroids_train`."""
+    via :func:`cq_centroids_train`. ``_persist`` (ADVICE r11) lets the
+    session cache checkpoint each bounded stage BEFORE the next stage
+    derives from it, so the cached chain pays each assignment pass
+    once instead of re-deriving stage i-1's lineage under stage i."""
     # each assignment pass is n·K 64-dim cosine folds in one map stage
     # — widen the one-split toy scan (the _signs_for lesson)
     e = widen_small_scan(e)
@@ -3109,22 +3152,13 @@ def _cq_train_chain(e: DataFrame) -> list[DataFrame]:
             F.col("embedding").alias("cv"),
         )
     )
+    if _persist is not None:
+        cent = _persist(cent)
     chain = [cent]
     for _ in range(_CQ_UPDATES):
-        cent = (
-            cq_assign(e, cent)
-            .select("ccell", F.posexplode("embedding").alias("dim", "v"))
-            .groupBy("ccell", "dim")
-            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
-            .groupBy("ccell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                    lambda s: s.getField("m"),
-                ).alias("cv")
-            )
-            .select(F.col("ccell").alias("c"), "cv")
-        )
+        cent = _cq_lloyd_update(e, cent)
+        if _persist is not None:
+            cent = _persist(cent)
         chain.append(cent)
     return chain
 
@@ -3251,40 +3285,57 @@ _IVF_ROUTE_CTES = f"""
     )"""
 
 
-# per-(session, sf) coarse-quantizer caches. Each relation is derived
-# from FULL plans (the trained codebook is re-derived inside each
-# builder rather than threaded from the checkpointed sibling cache) —
-# the _IVF_SEEDS_CACHE policy: joining a localCheckpoint'ed input
-# loses row-count stats and propagates a junk sizeInBytes into the
-# cached relation (measured round 10, ~40 GB estimate for a 360 KB
-# relation), flipping downstream AQE joins off broadcast. Training is
-# deterministic (md5 seeds + rounded updates), so independently
-# derived relations embody the SAME quantizer. Consumers additionally
-# force F.broadcast on every bounded side, so no graded join rests on
-# estimator stats.
-_CQ_CENT_CACHE: dict[tuple[str, str], DataFrame] = {}
+# per-(session, sf) coarse-quantizer caches. The CHAIN cache is the
+# single training run (3 assignment passes per session TOTAL, each
+# bounded ≤_CQ_K-row stage checkpointed before the next derives from
+# it — ADVICE r11: q_cq_train_curve previously re-trained the whole
+# chain because only the final codebook was cached, and cq_cells
+# re-trained it a third time). Deriving checkpoint-from-checkpoint is
+# the documented-safe exception to the _IVF_SEEDS_CACHE stats-hazard
+# policy (joining a localCheckpoint'ed input loses row-count stats —
+# measured round 10, ~40 GB estimate for a 360 KB relation): every
+# consumer of these ≤20-row frames goes through cq_assign's forced
+# one-row F.broadcast collapse or an explicit F.broadcast join, so a
+# junk sizeInBytes estimate can never flip a join strategy (the
+# _cq_cells_as_label precedent).
+_CQ_CHAIN_CACHE: dict[tuple[str, str], list[DataFrame]] = {}
 _CQ_CELLS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _CQ_SUBSEEDS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _CQ_SUBCELLS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def _cq_centroids_for(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The trained coarse codebook (c, cv) — ≤ _CQ_K rows, bounded."""
+def _cq_chain_for(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """The full training chain [seeds, cent_1, …, cent__CQ_UPDATES] as
+    checkpointed bounded frames — ONE k-means training per (session,
+    sf), shared by the final-codebook consumers AND the convergence
+    curve. Training is deterministic (md5 seeds + 6-dp rounded
+    updates), so the cached chain embodies exactly the quantizer the
+    oracle CTEs re-derive."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _CQ_CENT_CACHE:
-        _CQ_CENT_CACHE[key] = cq_centroids_train(
-            table(spark, sf_dir, "embeddings")
-        ).localCheckpoint()
-    return _CQ_CENT_CACHE[key]
+    if key not in _CQ_CHAIN_CACHE:
+        _CQ_CHAIN_CACHE[key] = _cq_train_chain(
+            table(spark, sf_dir, "embeddings"),
+            _persist=lambda df: df.localCheckpoint(),
+        )
+    return _CQ_CHAIN_CACHE[key]
+
+
+def _cq_centroids_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained coarse codebook (c, cv) — ≤ _CQ_K rows, bounded;
+    the cached chain's final stage."""
+    return _cq_chain_for(spark, sf_dir)[-1]
 
 
 def _cq_cells_for(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus coarse assignment (vec_id, ccell, embedding)."""
+    """The corpus coarse assignment (vec_id, ccell, embedding) — one
+    assignment pass against the cached codebook (cq_assign broadcasts
+    the ≤_CQ_K-row centroid table as one array row, so the checkpoint
+    input is estimator-proof by construction)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CQ_CELLS_CACHE:
         e = widen_small_scan(table(spark, sf_dir, "embeddings"))
         _CQ_CELLS_CACHE[key] = cq_assign(
-            e, cq_centroids_train(e)
+            e, _cq_centroids_for(spark, sf_dir)
         ).localCheckpoint()
     return _CQ_CELLS_CACHE[key]
 
@@ -3489,13 +3540,15 @@ def q_cq_train_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: each iteration's assignment is the same zero-shuffle
     broadcast-codebook array_max scan the trainer runs (the chain's
-    intermediate codebooks are bounded ≤_CQ_K-row relations exposed by
-    `_cq_train_chain`); the three assignments join on vec_id (8-byte
-    ids, one shuffle) and contract to a 3-row curve. Oracle mirrors
+    intermediate codebooks are bounded ≤_CQ_K-row relations served by
+    the `_cq_chain_for` session cache — ADVICE r11: the curve no
+    longer re-trains the whole chain per grade, it re-assigns against
+    the three cached ≤_CQ_K-row codebooks in one scan); the three
+    assignments contract to a 3-row curve. Oracle mirrors
     per-iteration CTEs over the SAME training chain, so both engines
     grade bit-identical assignments."""
     emb = widen_small_scan(table(spark, sf_dir, "embeddings"))
-    chain = _cq_train_chain(emb)
+    chain = _cq_chain_for(spark, sf_dir)
     # all three per-iteration assignments in ONE projection over ONE
     # scan: each iteration's bounded codebook rides its own 1-row
     # broadcast array and its own inline array_max — no vec_id joins

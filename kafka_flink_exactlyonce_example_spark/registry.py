@@ -244,6 +244,15 @@ _CHANGED_IN_ROUND: dict[int, frozenset[str]] = {
         "q_pq_adc",
         "q_code_entropy",
     }),
+    #: Round 12: q_knn_join moved to the shared unit-norm session
+    #: cache (normalized-dot scoring, oracle mirrored — VERDICT r11
+    #: item 4); q_cq_train_curve now reads the cached training chain
+    #: instead of re-training it (ADVICE r11), so its graded plan
+    #: assigns against three checkpointed codebooks.
+    12: frozenset({
+        "q_knn_join",
+        "q_cq_train_curve",
+    }),
 }
 
 
