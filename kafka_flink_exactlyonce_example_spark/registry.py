@@ -355,6 +355,10 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     "q_cq_train_curve",
     "q_ivf_nprobe_sweep",
     "q_ann_filtered",
+    # round-12 capability additions: the selectivity-aware filtered-
+    # search planner row (both regimes graded, route CASE integer-
+    # exact) — VERDICT r11 item 1
+    "q_ann_filtered_sel",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.
