@@ -1114,6 +1114,15 @@ def q_mp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan. The probe expansion on a |panel|-bounded side is O(panel ·
     L · (1+k)) rows — constant relative to corpus scale."""
     k = _adaptive_bits(_emb_count(spark, sf_dir), _MP_BITS, _MP_TARGET_BUCKET)
+    return _mp_recall_frame(spark, sf_dir, k)
+
+
+def _mp_recall_frame(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """The multiprobe recall audit at an EXPLICIT bit count ``k``:
+    k-bit tables from the shared sign cache, Hamming-1 probe expansion
+    on the panel side, capped-index candidate join, shared audit tail.
+    q_mp_recall passes its adaptive ladder's k; q_mp_frontier pins a
+    fixed grid point of the recall-vs-cost frontier."""
     b = _buckets_cached(spark, sf_dir, k)
     nrm = _normalized(spark, sf_dir)
     panel = _recall_panel(spark, sf_dir)
@@ -1145,6 +1154,113 @@ def q_mp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_audit(
         cand, panel, nrm, brute_topk=brute_topk_for(spark, sf_dir)
     )
+
+
+#: The multiprobe frontier point graded as its own row (round 12,
+#: VERDICT r11 item 2): FIXED k=6 tables + Hamming-1 probing — the
+#: offline frontier's "efficient next recall step" (0.938 recall@10 @
+#: 1198 cand/probe at sf0.1 vs the adaptive operating point's 0.808 @
+#: 820; +46% candidates for +0.13 recall, vs +108% for k=7/H2).
+_MP_FRONTIER_BITS = 6
+
+
+@query(
+    "q_mp_frontier",
+    oracle=f"""
+    WITH kval AS (SELECT {_MP_FRONTIER_BITS} AS k),
+    b AS MATERIALIZED (
+{_lsh_buckets_union_sql()}
+    ), panel AS (
+        SELECT vec_id FROM embeddings
+        ORDER BY md5('recall:' || CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {_RECALL_PROBES}
+    ), probes AS (
+        SELECT vec_id, tbl, bucket FROM b
+        WHERE vec_id IN (SELECT vec_id FROM panel)
+        UNION ALL
+        SELECT vec_id, tbl, xor(bucket, (1 << p)) AS bucket
+        FROM b, kval, (SELECT unnest(range(0, {_LSH_MAX_BITS})) AS p) pr
+        WHERE p < k AND vec_id IN (SELECT vec_id FROM panel)
+    ), capped AS (
+        {_capped_index_sql('b')}
+    ), cand AS (
+        SELECT DISTINCT p.vec_id AS vec_id, y.vec_id AS neighbor_id
+        FROM probes p JOIN capped y ON p.tbl = y.tbl AND p.bucket = y.bucket
+                                   AND p.vec_id <> y.vec_id
+    ), nrm AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)
+                 / sqrt(list_sum(list_transform(embedding,
+                     u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))))) AS ne
+        FROM embeddings
+    ), ann_pairs AS (
+        SELECT c.vec_id, c.neighbor_id,
+               list_sum(list_transform(list_zip(ex.ne, ey.ne),
+                   p -> p[1] * p[2])) AS sim
+        FROM cand c
+        JOIN nrm ex ON ex.vec_id = c.vec_id
+        JOIN nrm ey ON ey.vec_id = c.neighbor_id
+    ), ann_topk AS (
+        SELECT vec_id, neighbor_id FROM (
+            SELECT vec_id, neighbor_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, neighbor_id) AS rn
+            FROM ann_pairs) WHERE rn <= {_RECALL_K}
+    ), bprobes AS (
+        SELECT vec_id, ne FROM nrm
+        WHERE vec_id IN (SELECT vec_id FROM panel)
+    ), brute_pairs AS (
+        SELECT p.vec_id, n.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(p.ne, n.ne),
+                   q -> q[1] * q[2])) AS sim
+        FROM bprobes p JOIN nrm n ON n.vec_id <> p.vec_id
+    ), brute_topk AS (
+        SELECT vec_id, neighbor_id FROM (
+            SELECT vec_id, neighbor_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, neighbor_id) AS rn
+            FROM brute_pairs) WHERE rn <= {_RECALL_K}
+    ), ncand AS (
+        SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+        FROM cand GROUP BY vec_id
+    ), hits AS (
+        SELECT t.vec_id,
+               CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+               CAST(COUNT(*) AS BIGINT) AS n_true
+        FROM brute_topk t
+        LEFT JOIN ann_topk a
+          ON a.vec_id = t.vec_id AND a.neighbor_id = t.neighbor_id
+        GROUP BY t.vec_id
+    )
+    SELECT h.vec_id,
+           COALESCE(nc.n_cand, 0) AS n_cand,
+           h.n_hit,
+           round(CAST(h.n_hit AS DOUBLE) / h.n_true, 6) AS recall
+    FROM hits h LEFT JOIN ncand nc ON nc.vec_id = h.vec_id
+    """,
+)
+def q_mp_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k=6/H1 point of the multiprobe recall-vs-cost frontier,
+    graded THROUGH THE ENGINE (round 12, VERDICT r11 item 2): round
+    11's frontier grid (SURVEY §6) was measured in the offline numpy
+    mirror of the exact splitmix planes, and only the adaptive
+    operating point (k=7/H1 at sf0.1) carried a driver row — this
+    query parameterizes the engine-side bucket build over the bit
+    count (:func:`_mp_recall_frame`, fed by the SAME full-width sign
+    cache — a k-bit bucket is an integer fold over the low k signs,
+    no re-dotting) and pins the frontier's efficient next step on the
+    shared panel: 0.938 recall@10 @ ~1198 cand/probe at sf0.1, the
+    +46%-candidates/+0.13-recall option an operator would buy before
+    deeper Hamming probing (k=7/H2: +108% for +0.18). At sf0.01 the
+    adaptive ladder already resolves to k=6, so this row also pins
+    the fixed-k build against the adaptive one there (identical
+    buckets by construction).
+
+    Scale shape: q_mp_recall's exactly — the extra relation is one
+    more integer fold over the cached signs (no new corpus scan), and
+    the probe expansion stays |panel|-bounded. Output |panel| rows,
+    integer-derived."""
+    return _mp_recall_frame(spark, sf_dir, _MP_FRONTIER_BITS)
 
 
 # ---- q_incremental_ann frozen ingest index ------------------------

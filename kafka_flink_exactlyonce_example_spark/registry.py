@@ -357,8 +357,10 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     "q_ann_filtered",
     # round-12 capability additions: the selectivity-aware filtered-
     # search planner row (both regimes graded, route CASE integer-
-    # exact) — VERDICT r11 item 1
+    # exact) — VERDICT r11 item 1 — and the engine-graded k=6/H1
+    # multiprobe frontier point — item 2
     "q_ann_filtered_sel",
+    "q_mp_frontier",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.
