@@ -1433,23 +1433,33 @@ def frozen_top1(routed: DataFrame, indexed: DataFrame) -> DataFrame:
     """Top-1 existing neighbor for each routed vector, scanning ONLY
     its assigned sub-cell's members. ``indexed`` is the frozen corpus
     with its own sub-cell assignment (:func:`dedup._assign_to_seeds`
-    output). Returns (vec_id, cell, neighbor_id, sim).
+    output). Returns (vec_id, cell, neighbor_id, sim) — one row per
+    ROUTED vector, totality by construction (LEFT join, see below).
 
-    TOTALITY (VERDICT r10 item 6 — the cold-cell question): the inner
-    icell equi-join can never silently drop a routed vector, because a
-    new vector cannot route to a sub-cell that is empty in ``indexed``.
-    Proof sketch: (a) every seed is a real member of its label, and its
-    self-cosine is the maximum possible, so a seed's cell is empty ONLY
-    when another seed carries a bit-identical vector and wins the
-    (cos, -cell) tie at a smaller cell id — every old member then ties
-    identically and lands in that smaller cell; (b) a NEW vector facing
-    those bit-identical seeds computes bit-identical cosines against
-    both (same input arrays, same fold) and the SAME tie-break sends it
-    to the same smaller cell. Both routes use one scoring function
-    (:func:`dedup._assign_to_seeds`), which is what makes the argument
-    hold; pinned by tests/test_ivf_cells.py::
+    TOTALITY (VERDICT r10 item 6, claim narrowed + join hardened per
+    ADVICE r11): for sub-cells emptied by BIT-IDENTICAL duplicate
+    seeds, a routed vector provably cannot land there — every old
+    member ties to the smaller cell id, and a new vector facing the
+    same duplicate seeds computes bit-identical cosines (same input
+    arrays, same fold) and tie-breaks the same way; both routes share
+    one scoring function (:func:`dedup._assign_to_seeds`); pinned by
+    tests/test_ivf_cells.py::
     test_frozen_route_total_even_with_empty_subcells on a fixture that
-    actually manufactures empty sub-cells via duplicate seeds."""
+    actually manufactures empty sub-cells via duplicate seeds. That
+    argument does NOT cover every empty-cell mechanism: two DISTINCT
+    seeds can tie FP-exactly for every member (e.g. colinear scaled
+    vectors, where cosine evaluates to exactly 1.0 against both) and
+    likewise empty the larger cell id — but a new vector's cosines
+    against such seeds come from DIFFERENT op chains and may round
+    apart, routing it into the empty cell. The scan join is therefore
+    a LEFT join: a routed vector whose sub-cell holds no members
+    surfaces as an explicit (vec_id, cell, NULL, NULL) row instead of
+    silently vanishing — the ingest gate reads NULL sim as
+    f_near = 0 through the same coalesce path as docs without
+    embedding rows, so a pathological corpus is VISIBLE in the output
+    rather than skipping the near-check invisibly. On any healthy
+    corpus (all graded SFs — guard-tested) no NULL row can occur and
+    the result is identical to the historical inner join."""
     x = indexed.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("cell").alias("icell"),
@@ -1459,7 +1469,7 @@ def frozen_top1(routed: DataFrame, indexed: DataFrame) -> DataFrame:
         F.desc("sim_raw"), F.col("neighbor_id")
     )
     return (
-        routed.join(x, "icell")
+        routed.join(x, "icell", "left")
         .select(
             "vec_id",
             "cell",

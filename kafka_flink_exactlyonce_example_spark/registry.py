@@ -248,10 +248,17 @@ _CHANGED_IN_ROUND: dict[int, frozenset[str]] = {
     #: cache (normalized-dot scoring, oracle mirrored — VERDICT r11
     #: item 4); q_cq_train_curve now reads the cached training chain
     #: instead of re-training it (ADVICE r11), so its graded plan
-    #: assigns against three checkpointed codebooks.
+    #: assigns against three checkpointed codebooks; the frozen_top1
+    #: sub-cell scan hardened to a LEFT join (ADVICE r11 — empty-cell
+    #: routes surface as NULL rows instead of dropping), changing the
+    #: plans of its three graded consumers (values identical at every
+    #: graded SF — no NULL row can occur on a healthy corpus).
     12: frozenset({
         "q_knn_join",
         "q_cq_train_curve",
+        "q_incremental_ann",
+        "q_ingest_gate",
+        "q_index_refresh",
     }),
 }
 

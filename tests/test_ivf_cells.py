@@ -472,3 +472,30 @@ def test_frozen_route_total_even_with_empty_subcells(spark, monkeypatch):
         {(lbl, c) for lbl, c in empty}
         for r in routed.collect()
     )
+
+
+def test_frozen_top1_surfaces_empty_cell_as_null_row(spark):
+    """ADVICE r11 (frozen_top1 hardening): the duplicate-seed theorem
+    does not cover FP-exact ties between DISTINCT seeds (e.g. colinear
+    scaled vectors), where a new vector CAN route into an empty
+    sub-cell. The scan join is now a LEFT join, so such a vector must
+    surface as an explicit (vec_id, cell, NULL, NULL) row — never
+    silently vanish. Drive the join directly with a routed frame
+    pointing at a sub-cell that holds no members."""
+    from kafka_flink_exactlyonce_example_spark.operators import simsearch
+
+    indexed = spark.createDataFrame(
+        [(1, 0, 10, [1.0, 0.0]), (2, 0, 10, [0.9, 0.1])],
+        "vec_id bigint, label int, cell bigint, embedding array<float>",
+    ).select("vec_id", F.col("label"), "cell", "embedding")
+    routed = spark.createDataFrame(
+        [
+            (100, 0, 10, [1.0, 0.0]),   # healthy: cell 10 has members
+            (101, 0, 99, [0.5, 0.5]),   # pathological: cell 99 is empty
+        ],
+        "vec_id bigint, cell int, icell bigint, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in simsearch.frozen_top1(routed, indexed).collect()}
+    assert set(got) == {100, 101}, "a routed vector was silently dropped"
+    assert got[100]["neighbor_id"] == 1 and got[100]["sim"] is not None
+    assert got[101]["neighbor_id"] is None and got[101]["sim"] is None
