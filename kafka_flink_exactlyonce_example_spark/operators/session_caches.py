@@ -46,31 +46,40 @@ CACHE_BUILDERS: dict[str, Callable[[SparkSession, str], Any]] = {
     "minhash_sigs": dedup._minhash_signatures,
     "capped_bands": dedup._capped_bands_for,
     "lsh_edges": dedup._lsh_verified_edges,
-    "jaccard_pairs": dedup._jaccard_scored_pairs,
     # --- embedding-side caches ---
     "ivf_seeds": dedup._ivf_seeds_for,
     "ivf_cells": dedup._ivf_cells_for,
-    "semdedup_scored": dedup._semdedup_scored_for,
     "ann_signs": simsearch._signs_for,
     "lsh_buckets": simsearch.lsh_buckets_build,
     "mp_buckets": simsearch.mp_buckets_build,
     "unit_norms": simsearch._normalized,
     "recall_brute": simsearch.brute_topk_for,
     "inc_ann_index": simsearch.inc_index_build,
-    # round-11 coarse k-means quantizer family (the IVF/IVFADC rows of
-    # the index matrix): trained codebook, corpus assignment, and the
-    # within-cell sub-cell quantizer + assignment — each derived from
-    # full plans independently (stats-hazard policy, see simsearch)
+    # round-11/12 coarse k-means quantizer family (the IVF/IVFADC rows
+    # of the index matrix): the ONE cached training chain (round 12 —
+    # cq_centroids materializes the whole Lloyd chain; cq_cells is one
+    # assignment pass against it), plus the within-cell sub-cell
+    # quantizer + assignment
     "cq_centroids": simsearch._cq_centroids_for,
     "cq_cells": simsearch._cq_cells_for,
     "cq_subseeds": simsearch._cq_subseeds_for,
     "cq_subcells": simsearch._cq_subcells_for,
     "pq_codebook": simsearch._pq_train,
-    "pca_model": simsearch.pca_model_for,
     # --- corpus model tables ---
     "char_grams": datamgmt._char_grams_for,
     "bigram_ce": textstats._bigram_ce,
 }
+
+# SINGLE-CONSUMER session caches deliberately NOT pre-built here
+# (round-12 cache-budget audit, VERDICT r11 item 7): a pre-built line
+# item is for relations SHARED across queries — when exactly one query
+# consumes a cache, pre-building it moves that query's real cost into
+# the bench's infrastructure section and under-reports the query.
+# These caches still exist (idempotent, inside their modules); their
+# build cost now lands on their one consumer's marginal row:
+#   dedup._jaccard_scored_pairs  -> q_lsh_recall   (~2.9 s at sf0.1)
+#   dedup._semdedup_scored_for   -> q_semdedup     (~0.9 s)
+#   simsearch.pca_model_for      -> q_pca_power    (~1.3 s)
 
 
 def build_all(spark: SparkSession, sf_dir: str) -> dict[str, float]:

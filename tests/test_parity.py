@@ -324,3 +324,36 @@ def test_recall_audit_drops_nonpanel_probes(spark):
     assert out[0]["n_cand"] == 2 and out[1]["n_cand"] == 1
     for r in out.values():
         assert 0 <= r["n_hit"] <= 10
+
+
+def test_cq_codebook_cross_engine_equal(spark, duck_smoke):
+    """ADVICE r11: the IVF family's cross-engine hash safety rests on
+    the 2-iteration Lloyd chain producing IDENTICAL 6-dp-rounded
+    centroid coordinates in Spark and DuckDB despite different float
+    summation orders — one boundary flip cascades through the next
+    iteration and fails every IVF-family row at once. Pin the claim
+    directly and cheaply: train the codebook in both engines at the
+    smoke SF and compare every coordinate EXACTLY. If this test ever
+    fires after a testdata regen, the runbook is in SURVEY §6
+    ("cq determinism runbook"): the exposure is a half-way rounding
+    tie in ROUND(AVG(...), 6), and the fix is re-seeding the affected
+    table (regenerate testdata) or bumping _CQ_K's md5 seed prefix —
+    never hand-editing either engine's rounding."""
+    from kafka_flink_exactlyonce_example_spark.operators import simsearch
+    from kafka_flink_exactlyonce_example_spark.sources import table
+
+    got = {
+        r["c"]: list(r["cv"])
+        for r in simsearch.cq_centroids_train(
+            table(spark, SMOKE_SF, "embeddings")
+        ).collect()
+    }
+    sql = (
+        "WITH "
+        + simsearch._cq_train_sql("cqcent")
+        + " SELECT c, cv FROM cqcent"
+    )
+    want = {int(r[0]): list(r[1]) for r in duck_smoke.execute(sql).fetchall()}
+    assert set(got) == set(want)
+    for c in got:
+        assert got[c] == want[c], f"cell {c} codebook diverged cross-engine"

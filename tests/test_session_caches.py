@@ -40,7 +40,12 @@ def test_cache_builders_front_the_real_caches(spark, registry_loaded):
     key = (spark.sparkContext.applicationId, SMOKE_SF)
     assert key in datamgmt._CHAR_GRAMS_CACHE
     assert key in simsearch._SIGNS_CACHE
-    assert key in simsearch._PCA_MODEL_CACHE
+    # single-consumer caches are deliberately NOT pre-built (round-12
+    # budget audit): their cost belongs to their one consumer's row
+    assert simsearch.pca_model_for.__name__  # still exists, not listed
+    assert "pca_model" not in session_caches.CACHE_BUILDERS
+    assert "jaccard_pairs" not in session_caches.CACHE_BUILDERS
+    assert "semdedup_scored" not in session_caches.CACHE_BUILDERS
     # dedup uses a (appId, sf, salt) session key — just assert non-empty
     assert dedup._IVF_CELLS_CACHE and dedup._SHINGLES_CACHE
     assert dedup._IVF_SEEDS_CACHE
