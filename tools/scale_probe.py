@@ -921,6 +921,78 @@ def main() -> None:
             f"wall={dt:6.2f}s"
         )
 
+    # Selectivity-aware filtered search (round 12, q_ann_filtered_sel /
+    # filtered_search_plan): at each mult, the two physical routes'
+    # per-probe scan costs under the graded ~10% predicate (label=3)
+    # against the base-trained coarse codebook. Healthy = BOTH costs
+    # grow ∝ mult (the brute route scores the s·n survivors; the IVF
+    # route scans the nprobe/K posting fraction — with a fixed
+    # codebook, cells grow ∝ mult), so their RATIO — and therefore the
+    # crossover decision — is corpus-size-INVARIANT: the route depends
+    # on selectivity alone, which is exactly why filtered_route can
+    # decide from two counts without rescanning anything at 100 TB.
+    base_br = base_iv = None
+    for mult in multiples:
+        parts = [
+            emb0.select(
+                (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                "label",
+                "embedding",
+            )
+            for i in range(mult)
+        ]
+        big = parts[0]
+        for p_ in parts[1:]:
+            big = big.unionByName(p_)
+        t0 = time.perf_counter()
+        n_total = big.count()
+        n_pass = big.filter(F.col("label") == 3).count()
+        route_name = sim.filtered_route(n_pass, n_total)
+        cells = sim.cq_assign(big, cent_base)
+        panel = (
+            big.orderBy(
+                F.md5(F.concat(F.lit("recall:"), F.col("vec_id").cast("string"))),
+                "vec_id",
+            )
+            .limit(24)
+            .select("vec_id", "embedding")
+            .localCheckpoint()
+        )
+        rank_w3 = _W2.partitionBy("vec_id").orderBy(
+            F.desc("cell_sim"), F.col("ccell")
+        )
+        route = (
+            panel.crossJoin(F.broadcast(cent_base))
+            .select(
+                "vec_id",
+                F.col("c").alias("ccell"),
+                F.round(_cos(F.col("cv"), F.col("embedding")), 6).alias(
+                    "cell_sim"
+                ),
+            )
+            .withColumn("rn", F.row_number().over(rank_w3))
+            .filter(F.col("rn") <= sim._IVF_NPROBE)
+            .select("vec_id", "ccell")
+        )
+        n_ivf_scan = (
+            cells.select(F.col("vec_id").alias("nb"), "ccell")
+            .join(F.broadcast(route), "ccell")
+            .filter(F.col("vec_id") != F.col("nb"))
+            .count()
+        )
+        dt = time.perf_counter() - t0
+        br = n_pass  # brute route scores the filtered corpus per probe
+        iv = n_ivf_scan / 24.0
+        if base_br is None:
+            base_br, base_iv = max(br, 1), max(iv, 1e-9)
+        print(
+            f"filtered x{mult:<3d} s={n_pass / n_total:0.3f} "
+            f"route={route_name}  brute/probe={br:8.1f} "
+            f"(x{br / base_br:4.2f})  ivf_scan/probe={iv:8.1f} "
+            f"(x{iv / base_iv:4.2f})  ratio={br / max(iv, 1e-9):4.2f}  "
+            f"wall={dt:6.2f}s"
+        )
+
 
 if __name__ == "__main__":
     main()
