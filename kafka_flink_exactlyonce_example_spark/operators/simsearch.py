@@ -4485,6 +4485,227 @@ def q_ann_filtered_sel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The selectivity ladder q_filtered_sweep grades: predicates
+#: label < t with s ≈ 0.1 / 0.2 / 0.3 / 0.7 at the graded SFs — the
+#: first two route 'brute' (t=2 sits JUST under the integer boundary:
+#: n_pass·K ≤ n·nprobe by a few counts at both SFs, a genuinely
+#: computed decision, not a hand-labeled one), the last two 'ivf'.
+_FSWEEP_THRESHOLDS = (1, 2, 3, 7)
+
+
+def _fsweep_sql_block(t: int) -> str:
+    """Per-threshold oracle CTE chain (suffix ``_{t}``) + its 1-row
+    SELECT — mirrored structurally from q_ann_filtered_sel's chain,
+    aggregated over the panel instead of per-probe."""
+    return f"""stats_{t} AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(COUNT(*) FILTER (WHERE label < {t}) AS BIGINT) AS n_pass
+        FROM embeddings
+    ), fpass_{t} AS (
+        SELECT f.vec_id, f.neighbor_id
+        FROM fcand f
+        JOIN embeddings e ON e.vec_id = f.neighbor_id
+        WHERE e.label < {t}
+    ), apairs_{t} AS (
+        SELECT c.vec_id, c.neighbor_id,
+               list_sum(list_transform(list_zip(ex.ne, ey.ne),
+                   p -> p[1] * p[2])) AS sim
+        FROM fpass_{t} c
+        JOIN nrm ex ON ex.vec_id = c.vec_id
+        JOIN nrm ey ON ey.vec_id = c.neighbor_id
+    ), atopk_{t} AS (
+        SELECT vec_id, neighbor_id FROM (
+            SELECT vec_id, neighbor_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, neighbor_id) AS rn
+            FROM apairs_{t}) WHERE rn <= {_RECALL_K}
+    ), bpairs_{t} AS (
+        SELECT p.vec_id, n.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(p.ne, n.ne),
+                   q -> q[1] * q[2])) AS sim
+        FROM bprobes p
+        JOIN nrm n ON n.vec_id <> p.vec_id
+        JOIN embeddings el ON el.vec_id = n.vec_id AND el.label < {t}
+    ), btopk_{t} AS (
+        SELECT vec_id, neighbor_id FROM (
+            SELECT vec_id, neighbor_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, neighbor_id) AS rn
+            FROM bpairs_{t}) WHERE rn <= {_RECALL_K}
+    ), agg_{t} AS (
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM btopk_{t}) AS n_true,
+            (SELECT CAST(COUNT(*) AS BIGINT)
+             FROM btopk_{t} b JOIN atopk_{t} a
+               ON a.vec_id = b.vec_id
+              AND a.neighbor_id = b.neighbor_id) AS ivf_hits,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM fpass_{t}) AS ivf_scored,
+            (SELECT CAST({_RECALL_PROBES} AS BIGINT) * s.n_pass
+                    - (SELECT CAST(COUNT(*) AS BIGINT) FROM panel p
+                       JOIN embeddings e ON e.vec_id = p.vec_id
+                       WHERE e.label < {t})
+             FROM stats_{t} s) AS brute_scored,
+            s.n_pass, s.n_total
+        FROM stats_{t} s
+    )"""
+
+
+def _fsweep_sql_select(t: int) -> str:
+    brute = f"n_pass * {_CQ_K} <= n_total * {_IVF_NPROBE}"
+    return f"""
+    SELECT CAST({t} AS BIGINT) AS thresh,
+           n_pass,
+           CASE WHEN {brute} THEN 'brute' ELSE 'ivf' END AS route,
+           CASE WHEN {brute} THEN brute_scored ELSE ivf_scored END AS scored,
+           CASE WHEN {brute} THEN n_true ELSE ivf_hits END AS n_hit,
+           n_true,
+           round(CAST(CASE WHEN {brute} THEN n_true ELSE ivf_hits END
+                      AS DOUBLE) / n_true, 6) AS recall
+    FROM agg_{t}"""
+
+
+@query(
+    "q_filtered_sweep",
+    oracle=_IVF_ROUTE_CTES
+    + """, fcand AS (
+        SELECT r.vec_id, a.vec_id AS neighbor_id
+        FROM route r
+        JOIN cqassign a ON a.ccell = r.ccell AND a.vec_id <> r.vec_id
+    ), nrm AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)
+                 / sqrt(list_sum(list_transform(embedding,
+                     u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))))) AS ne
+        FROM embeddings
+    ), bprobes AS (
+        SELECT vec_id, ne FROM nrm
+        WHERE vec_id IN (SELECT vec_id FROM panel)
+    ), """
+    + ", ".join(_fsweep_sql_block(t) for t in _FSWEEP_THRESHOLDS)
+    + " UNION ALL ".join(_fsweep_sql_select(t) for t in _FSWEEP_THRESHOLDS),
+)
+def q_filtered_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filtered-search recall-vs-cost curve ACROSS THE SELECTIVITY
+    LADDER (round 12) — the crossover twin of q_ivf_nprobe_sweep: one
+    row per predicate tier (label < t, s ≈ 0.1/0.2/0.3/0.7), each
+    carrying the route the integer rule picks from the tier's exact
+    counts, the CHOSEN route's total scored pairs over the panel, and
+    its recall vs the tier's filtered ground truth. Graded lesson at
+    sf0.1: the two sub-crossover tiers route 'brute' (recall 1.0 at
+    s·n scored — t=2 sits a few COUNTS under the boundary, so the
+    decision is genuinely computed, not hand-labeled), the two above
+    route 'ivf' (post-filtering holds recall as survivors-per-cell
+    recover with s). This is the operating table a 100 TB deployment
+    reads to price a predicate before dispatching it.
+
+    Scale shape: everything rides the session caches (assignment,
+    route, normalized corpus, panel); per tier the added work is one
+    predicate semi-join on 8-byte ids + one |panel|-broadcast scan of
+    the s·n survivors, and the output contracts to ONE integer row
+    per tier. The route CASE rides the same two exact counts as
+    q_ann_filtered_sel (catalog statistics at scale); the
+    corpus-size-invariance of the decision is probe-pinned
+    (tools/scale_probe.py `filtered` rows: both costs ∝ corpus,
+    ratio constant at s/(nprobe/K))."""
+    emb = table(spark, sf_dir, "embeddings")
+    nrm = _normalized(spark, sf_dir)
+    panel = _recall_panel(spark, sf_dir)
+    _, route = _ivf_route_frames(spark, sf_dir)
+    cand = (
+        _cq_cells_for(spark, sf_dir)
+        .select(F.col("vec_id").alias("neighbor_id"), "ccell")
+        .join(F.broadcast(route), "ccell")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+    )
+    sim = F.aggregate(
+        F.zip_with("ea", "eb", lambda a, b_: a * b_),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    probes = F.broadcast(
+        nrm.join(panel, "vec_id", "left_semi").select(
+            "vec_id", F.col("ne").alias("ea")
+        )
+    )
+    ey = nrm.select(F.col("vec_id").alias("neighbor_id"), F.col("ne").alias("eb"))
+    rank_w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+
+    def tier(t: int) -> DataFrame:
+        allowed = emb.filter(F.col("label") < t).select("vec_id")
+        stats = emb.agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("label") < t, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pass"),
+        )
+        fpass = cand.join(
+            allowed.withColumnRenamed("vec_id", "neighbor_id"),
+            "neighbor_id",
+            "left_semi",
+        )
+        ann_topk = (
+            fpass.join(probes, "vec_id")
+            .join(ey, "neighbor_id")
+            .select("vec_id", "neighbor_id", sim.alias("sim"))
+            .withColumn("rn", F.row_number().over(rank_w))
+            .filter(F.col("rn") <= _RECALL_K)
+            .select("vec_id", "neighbor_id")
+        )
+        btopk = (
+            nrm.join(allowed, "vec_id", "left_semi")
+            .select(
+                F.col("vec_id").alias("neighbor_id"), F.col("ne").alias("eb")
+            )
+            .crossJoin(probes)
+            .filter(F.col("vec_id") != F.col("neighbor_id"))
+            .select("vec_id", "neighbor_id", sim.alias("sim"))
+            .withColumn("rn", F.row_number().over(rank_w))
+            .filter(F.col("rn") <= _RECALL_K)
+            .select("vec_id", "neighbor_id")
+        )
+        agg = (
+            btopk.agg(F.count(F.lit(1)).alias("n_true"))
+            .crossJoin(
+                btopk.join(ann_topk, ["vec_id", "neighbor_id"], "left_semi")
+                .agg(F.count(F.lit(1)).alias("ivf_hits"))
+            )
+            .crossJoin(fpass.agg(F.count(F.lit(1)).alias("ivf_scored")))
+            .crossJoin(
+                emb.join(panel, "vec_id", "left_semi")
+                .agg(
+                    F.sum(F.when(F.col("label") < t, 1).otherwise(0))
+                    .cast("long")
+                    .alias("panel_pass")
+                )
+            )
+            .crossJoin(F.broadcast(stats))
+        )
+        is_brute = F.col("n_pass") * _CQ_K <= F.col("n_total") * _IVF_NPROBE
+        scored = F.when(
+            is_brute,
+            F.lit(_RECALL_PROBES).cast("long") * F.col("n_pass")
+            - F.col("panel_pass"),
+        ).otherwise(F.col("ivf_scored"))
+        n_hit = F.when(is_brute, F.col("n_true")).otherwise(F.col("ivf_hits"))
+        return agg.select(
+            F.lit(t).cast("long").alias("thresh"),
+            "n_pass",
+            F.when(is_brute, "brute").otherwise("ivf").alias("route"),
+            scored.alias("scored"),
+            n_hit.alias("n_hit"),
+            "n_true",
+            F.round(n_hit.cast("double") / F.col("n_true"), 6).alias("recall"),
+        )
+
+    out = tier(_FSWEEP_THRESHOLDS[0])
+    for t in _FSWEEP_THRESHOLDS[1:]:
+        out = out.unionByName(tier(t))
+    return out
+
+
 @query(
     "q_ivf_recall",
     oracle=_IVF_ROUTE_CTES

@@ -368,6 +368,9 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     # multiprobe frontier point — item 2
     "q_ann_filtered_sel",
     "q_mp_frontier",
+    # and the selectivity-ladder operating table (route + chosen-route
+    # recall/cost per tier — the crossover twin of q_ivf_nprobe_sweep)
+    "q_filtered_sweep",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.
