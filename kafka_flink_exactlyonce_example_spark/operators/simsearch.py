@@ -1328,6 +1328,81 @@ def frozen_index_frames(old: DataFrame) -> tuple[DataFrame, DataFrame]:
     return frozen_centroids(old), _ivf_seeds(old)
 
 
+def _warm_subseeds(members: DataFrame, old_seeds: DataFrame) -> DataFrame:
+    """Identity-preserving sub-cell quantizer retrain (round 12): per
+    label, k is recomputed from the NEW population (the same
+    k = max(1, ⌊√(n/_CELL_TARGET)⌋) law as :func:`dedup._ivf_seeds`),
+    but EXISTING seed identities are retained — up to k of them, in
+    the md5 seed-order — and only the k − k_old shortfall is sampled
+    from non-seed members. Sub-cell identity is the seed member's
+    vec_id, so a from-scratch resample renames the cell (and
+    nominally rewrites every posting row) even when the grouping
+    didn't change; retention makes a no-split retrain a posting
+    NO-OP for old members and makes a k=1→2 split KEEP the old cell
+    and add one. Labels with no old seeds (brand-new labels) fall
+    through to a pure fresh sample. Bounded: old seeds are Σk rows;
+    the extras rank is a per-label top-(k−k_old) over the retrain
+    population — the same cost class as the retrain scan itself."""
+    from kafka_flink_exactlyonce_example_spark.operators import dedup as _ddp
+
+    old = old_seeds.select("label", F.explode("_seeds").alias("s")).select(
+        "label", F.col("s.cell").alias("cell"), F.col("s.seed").alias("seed")
+    )
+    counts = members.groupBy("label").agg(F.count(F.lit(1)).alias("_n"))
+    counts = counts.select(
+        "label",
+        F.greatest(
+            F.lit(1),
+            F.floor(F.sqrt(F.col("_n") / F.lit(_ddp._CELL_TARGET))),
+        )
+        .cast("int")
+        .alias("_k"),
+    )
+    h_old = F.md5(F.concat(F.lit("seed:"), F.col("cell").cast("string")))
+    keep = (
+        old.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("label").orderBy(h_old, F.col("cell"))
+            ),
+        )
+        .join(F.broadcast(counts), "label")
+        .filter(F.col("_rn") <= F.col("_k"))
+        .select("label", "cell", "seed")
+    )
+    n_keep = keep.groupBy("label").agg(F.count(F.lit(1)).alias("_nk"))
+    h_new = F.md5(F.concat(F.lit("seed:"), F.col("vec_id").cast("string")))
+    extras = (
+        members.join(
+            old.select("label", F.col("cell").alias("vec_id")),
+            ["label", "vec_id"],
+            "left_anti",
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("label").orderBy(h_new, F.col("vec_id"))
+            ),
+        )
+        .join(F.broadcast(counts), "label")
+        .join(F.broadcast(n_keep), "label", "left")
+        .filter(
+            F.col("_rn")
+            <= F.col("_k") - F.coalesce(F.col("_nk"), F.lit(0))
+        )
+        .select(
+            "label",
+            F.col("vec_id").alias("cell"),
+            F.col("embedding").alias("seed"),
+        )
+    )
+    return (
+        keep.unionByName(extras)
+        .groupBy("label")
+        .agg(F.collect_list(F.struct("cell", "seed")).alias("_seeds"))
+    )
+
+
 def warm_index_rebuild(
     merged: DataFrame,
     seeds1: DataFrame,
@@ -1373,24 +1448,65 @@ def warm_index_rebuild(
     diverge at the coarse grain; at 100 TB this one bounded reduce is
     the incremental-mean update n_old·μ_old + Σ_admitted over
     n_total, kept as a full recompute here for float-identity with
-    the cold reference)."""
+    the cold reference).
+
+    ID-SPACE CONTRACT (round-12 self-review): ``fired`` lives in
+    POSTING-CELL space — :func:`ingest.index_refresh_report` counts a
+    cell's old members by LAKE label (that is how indexed1 was built)
+    and its admitted growth by ROUTED cell, and the two can disagree
+    for an individual vector (the divergence case above). The rebuild
+    therefore selects the fired population the same way the report
+    counted it: old members by lake label, admitted members by their
+    frozen-routed cell (which becomes their label in the retrained
+    cell — their posting home). Two edge populations are handled
+    explicitly: (a) an admitted vector routed INTO a fired cell joins
+    that cell's retrain even when its lake label is elsewhere (the
+    naive lake-label filter would drop it from the index entirely);
+    (b) a BRAND-NEW lake label (no v1 seeds — the report cannot fire
+    it because it emits one row per OLD cell) is k=0→1 by definition
+    and is seeded + indexed at its lake label exactly as a cold
+    rebuild would, its members excluded from the routed-cell append
+    so no vector is double-indexed."""
     fired = sorted(int(x) for x in fired_labels)
     cent2 = frozen_centroids(merged)
-    fired_members = merged.filter(F.col("label").isin(fired))
-    seeds_fired = _ivf_seeds(fired_members)
-    seeds2 = seeds1.filter(~F.col("label").isin(fired)).unionByName(
-        seeds_fired
+    new_lbl = (
+        merged.select("label")
+        .distinct()
+        .join(seeds1.select("label").distinct(), "label", "left_anti")
     )
-    appended = adm_routed.select(
-        "vec_id",
-        F.col("cell").alias("label"),
-        F.col("icell").alias("cell"),
-        "embedding",
-    ).filter(~F.col("label").isin(fired))
+    newlbl_members = merged.join(F.broadcast(new_lbl), "label", "left_semi")
+    fired_old = indexed1.filter(F.col("label").isin(fired)).select(
+        "vec_id", "label", "embedding"
+    )
+    fired_new = (
+        adm_routed.filter(F.col("cell").isin(fired))
+        .join(newlbl_members.select("vec_id"), "vec_id", "left_anti")
+        .select("vec_id", F.col("cell").alias("label"), "embedding")
+    )
+    retrain_members = fired_old.unionByName(fired_new).unionByName(
+        newlbl_members.select("vec_id", "label", "embedding")
+    )
+    # identity-preserving retrain: fired cells keep their existing
+    # sub-cell seed ids up to the recomputed k (a no-split retrain is
+    # a posting no-op for old members); brand-new labels sample fresh
+    seeds_re = _warm_subseeds(
+        retrain_members, seeds1.filter(F.col("label").isin(fired))
+    )
+    seeds2 = seeds1.filter(~F.col("label").isin(fired)).unionByName(seeds_re)
+    appended = (
+        adm_routed.filter(~F.col("cell").isin(fired))
+        .join(newlbl_members.select("vec_id"), "vec_id", "left_anti")
+        .select(
+            "vec_id",
+            F.col("cell").alias("label"),
+            F.col("icell").alias("cell"),
+            "embedding",
+        )
+    )
     indexed2 = (
         indexed1.filter(~F.col("label").isin(fired))
         .unionByName(appended)
-        .unionByName(_assign_to_seeds(fired_members, seeds_fired))
+        .unionByName(_assign_to_seeds(retrain_members, seeds_re))
     )
     return cent2, seeds2, indexed2
 

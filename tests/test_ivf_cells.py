@@ -499,3 +499,131 @@ def test_frozen_top1_surfaces_empty_cell_as_null_row(spark):
     assert set(got) == {100, 101}, "a routed vector was silently dropped"
     assert got[100]["neighbor_id"] == 1 and got[100]["sim"] is not None
     assert got[101]["neighbor_id"] is None and got[101]["sim"] is None
+
+
+def test_warm_rebuild_id_spaces_and_new_labels(spark):
+    """Round-12 self-review findings, pinned: warm_index_rebuild's
+    ``fired`` set lives in POSTING-CELL space, so (a) an admitted
+    vector ROUTED into a fired cell joins that cell's retrain even
+    when its lake label is elsewhere (the naive lake-label filter
+    dropped it from the index entirely), and (b) a brand-new lake
+    label — which the refresh report can never fire, it reports old
+    cells only — is seeded + indexed at its lake label like a cold
+    rebuild, not appended at its routed cell, and is reachable
+    through (cent2, seeds2) routing."""
+    from kafka_flink_exactlyonce_example_spark.operators import simsearch
+
+    old = spark.createDataFrame(
+        [(i, 0, [1.0 + 0.01 * i, 0.0, 0.1 * i]) for i in range(4)]
+        + [(10 + i, 1, [0.0, 1.0 + 0.01 * i, 0.1 * i]) for i in range(4)],
+        "vec_id bigint, label int, embedding array<float>",
+    )
+    cent1, seeds1 = simsearch.frozen_index_frames(old)
+    cent1, seeds1 = cent1.localCheckpoint(), seeds1.localCheckpoint()
+    indexed1 = dedup._assign_to_seeds(old, seeds1).localCheckpoint()
+    icell = {r["label"]: r["_seeds"][0]["cell"] for r in seeds1.collect()}
+
+    # A: lake label 0, but the frozen router put it in cell 1 (the
+    # divergence case); B: brand-new lake label 7, routed to cell 0
+    A = (100, 0, [0.1, 1.0, 0.0])
+    B = (101, 7, [0.0, 0.0, 1.0])
+    merged = old.unionByName(
+        spark.createDataFrame(
+            [A, B], "vec_id bigint, label int, embedding array<float>"
+        )
+    )
+    adm_routed = spark.createDataFrame(
+        [
+            (100, 1, icell[1], A[2]),
+            (101, 0, icell[0], B[2]),
+        ],
+        "vec_id bigint, cell int, icell bigint, embedding array<float>",
+    )
+    cent2, seeds2, indexed2 = simsearch.warm_index_rebuild(
+        merged, seeds1, indexed1, adm_routed, fired_labels={1}
+    )
+    rows = indexed2.collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["vec_id"], []).append(r["label"])
+    # every merged vector indexed exactly once — nothing dropped or doubled
+    assert sorted(by_id) == sorted(
+        r["vec_id"] for r in merged.collect()
+    )
+    assert all(len(v) == 1 for v in by_id.values())
+    # (a) A lives in the fired cell it was routed to, not its lake label
+    assert by_id[100] == [1]
+    # (b) B lives at its brand-new lake label and has seeds there
+    assert by_id[101] == [7]
+    seed_labels = {r["label"] for r in seeds2.collect()}
+    assert seed_labels == {0, 1, 7}
+    # non-fired label 0 keeps its v1 seeds verbatim (no posting churn)
+    s1_0 = [r["_seeds"] for r in seeds1.collect() if r["label"] == 0]
+    s2_0 = [r["_seeds"] for r in seeds2.collect() if r["label"] == 0]
+    assert s1_0 == s2_0
+    # B is reachable through the v2 index: a query at B's vector routes
+    # to label 7 and finds B, not a NULL row
+    q = spark.createDataFrame(
+        [(500, [0.0, 0.0, 1.0])], "vec_id bigint, embedding array<float>"
+    )
+    hit = simsearch.frozen_top1(
+        simsearch.frozen_route(q, cent2.localCheckpoint(),
+                               seeds2.localCheckpoint()),
+        indexed2.localCheckpoint(),
+    ).collect()
+    assert len(hit) == 1 and hit[0]["neighbor_id"] == 101
+    assert hit[0]["sim"] == 1.0
+
+
+def test_warm_rebuild_avoids_cold_resample_churn(spark):
+    """The quantitative warm-start claim, isolated: a cold rebuild
+    re-samples every label's seeds over the merged corpus, so ONE new
+    member with a smaller md5('seed:') hash renames the whole cell
+    (cell id = seed vec_id) and nominally rewrites every posting row —
+    warm-start keeps non-fired cells' seeds verbatim and merely
+    appends, so its old-member churn is zero where cold's is the whole
+    cell. Fixture: label 5 with v1 seed 2002; admitted vec 101 hashes
+    below every old member (md5('seed:101') < md5('seed:2002')), so
+    cold's resample flips the seed to 101."""
+    from kafka_flink_exactlyonce_example_spark.operators import simsearch
+
+    old = spark.createDataFrame(
+        [(v, 5, [1.0, 0.1 * (v % 7), 0.0]) for v in (2000, 2001, 2002)],
+        "vec_id bigint, label int, embedding array<float>",
+    )
+    cent1, seeds1 = simsearch.frozen_index_frames(old)
+    cent1, seeds1 = cent1.localCheckpoint(), seeds1.localCheckpoint()
+    indexed1 = dedup._assign_to_seeds(old, seeds1).localCheckpoint()
+    assert {r["_seeds"][0]["cell"] for r in seeds1.collect()} == {2002}
+
+    newv = (101, 5, [1.0, 0.05, 0.0])
+    merged = old.unionByName(
+        spark.createDataFrame(
+            [newv], "vec_id bigint, label int, embedding array<float>"
+        )
+    )
+    adm_routed = spark.createDataFrame(
+        [(101, 5, 2002, newv[2])],
+        "vec_id bigint, cell int, icell bigint, embedding array<float>",
+    )
+    _, seeds2, indexed2 = simsearch.warm_index_rebuild(
+        merged, seeds1, indexed1, adm_routed, fired_labels=set()
+    )
+    _, seeds_c = simsearch.frozen_index_frames(merged)
+    indexed_c = dedup._assign_to_seeds(merged, seeds_c)
+
+    def cm(ix):
+        return {r["vec_id"]: (r["label"], r["cell"]) for r in ix.collect()}
+
+    m1, mw, mc = cm(indexed1), cm(indexed2), cm(indexed_c)
+    assert set(mw) == set(mc) == {2000, 2001, 2002, 101}
+    old_warm = sum(1 for v in m1 if mw[v] != m1[v])
+    old_cold = sum(1 for v in m1 if mc[v] != m1[v])
+    assert old_warm == 0, f"warm renamed {old_warm} old postings"
+    # cold's resample really did flip the seed -> the whole cell churns
+    assert {r["_seeds"][0]["cell"] for r in seeds_c.collect()} == {101}
+    assert old_cold == 3
+    # and warm's v2 seeds are v1's, verbatim
+    assert [r["_seeds"] for r in seeds2.collect()] == [
+        r["_seeds"] for r in seeds1.collect()
+    ]

@@ -2126,15 +2126,31 @@ def test_ingest_gate_rebuild_restart_lifecycle(spark, tmp_path, rebuild_fires):
         churn_warm = sum(1 for v, lc in mw.items() if m1.get(v) != lc)
         churn_cold = sum(1 for v, lc in mc.items() if m1.get(v) != lc)
         appended_ids = {r["vec_id"] for r in adm_routed.collect()}
-        # (b) warm churn = fired-cell members + the genuinely new rows;
-        # cold re-samples every label's seeds, so it must churn MORE
+        # (b) totality first: the warm index carries every merged
+        # vector exactly once (the round-12 id-space fix — routed-vs-
+        # lake divergent admits used to vanish here)
+        assert set(mw) == set(mc), (
+            f"warm/cold index membership differs: "
+            f"{sorted(set(mw) ^ set(mc))[:5]}"
+        )
+        # warm churn is confined to fired-cell members + new rows
         assert all(
             (lc[0] in fired) or (v in appended_ids)
             for v, lc in mw.items()
             if m1.get(v) != lc
         ), "warm rebuild churned a posting outside the fired cells"
-        assert churn_warm < churn_cold, (
-            f"warm-start bought no churn reduction: warm={churn_warm} "
+        # identity-preserving retrain: the fired cell's k did not
+        # actually split at the real _CELL_TARGET, so its old members'
+        # sub-cell ids survive verbatim — OLD-member churn is ZERO
+        # under warm (a cold resample renames cells on md5 luck)
+        old_moves_warm = sum(
+            1 for v, lc in mw.items() if v in m1 and m1[v] != lc
+        )
+        assert old_moves_warm == 0, (
+            f"warm retrain renamed {old_moves_warm} old postings"
+        )
+        assert churn_warm <= churn_cold, (
+            f"warm-start churned more than cold: warm={churn_warm} "
             f"cold={churn_cold}"
         )
     else:
