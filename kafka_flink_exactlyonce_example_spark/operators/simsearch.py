@@ -32,6 +32,21 @@ from kafka_flink_exactlyonce_example_spark.registry import plan_aux, query
 from kafka_flink_exactlyonce_example_spark.sources import table
 
 
+#: The unit-normalize CTE every exact-scoring oracle shares — a
+#: cross-engine determinism contract (left-to-right float64 fold,
+#: matching the Spark side's `_normalized` cache). ONE definition
+#: (round-12 self-review: 12 hand-maintained copies meant a future
+#: cast tweak applied to 11 of them would break bit-parity for the
+#: 12th query only, caught long after the edit).
+_NRM_SQL = """nrm AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)
+                 / sqrt(list_sum(list_transform(embedding,
+                     u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))))) AS ne
+        FROM embeddings
+    )"""
+
+
 @query(
     "q_cosine_topk",
     oracle=f"""
@@ -194,14 +209,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_knn_join",
-    oracle="""
-    WITH nrm AS MATERIALIZED (
-        SELECT vec_id,
-               list_transform(embedding, v -> CAST(v AS DOUBLE)
-                 / sqrt(list_sum(list_transform(embedding,
-                     u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))))) AS ne
-        FROM embeddings
-    ),
+    oracle=f"""
+    WITH {_NRM_SQL},
     probes AS (
         SELECT vec_id AS probe_id, ne AS p FROM nrm WHERE vec_id < 20
     ),
@@ -656,13 +665,7 @@ def _top1_by_cosine(cand: DataFrame, nrm: DataFrame) -> DataFrame:
         SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS neighbor_id
         FROM b x JOIN capped y ON x.tbl = y.tbl AND x.bucket = y.bucket
                               AND x.vec_id <> y.vec_id
-    ), nrm AS MATERIALIZED (
-        SELECT vec_id,
-               list_transform(embedding, v -> CAST(v AS DOUBLE)
-                 / sqrt(list_sum(list_transform(embedding,
-                     u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))))) AS ne
-        FROM embeddings
-    ), pairs AS (
+    ), {_NRM_SQL}, pairs AS (
         SELECT c.vec_id, c.neighbor_id,
                list_sum(list_transform(list_zip(ex.ne, ey.ne),
                    p -> p[1] * p[2])) AS sim
@@ -755,13 +758,7 @@ _RECALL_K = 10
         FROM b x JOIN capped y ON x.tbl = y.tbl AND x.bucket = y.bucket
                               AND x.vec_id <> y.vec_id
         WHERE x.vec_id IN (SELECT vec_id FROM panel)
-    ), nrm AS MATERIALIZED (
-        SELECT vec_id,
-               list_transform(embedding, v -> CAST(v AS DOUBLE)
-                 / sqrt(list_sum(list_transform(embedding,
-                     u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))))) AS ne
-        FROM embeddings
-    ), ann_pairs AS (
+    ), {_NRM_SQL}, ann_pairs AS (
         SELECT c.vec_id, c.neighbor_id,
                list_sum(list_transform(list_zip(ex.ne, ey.ne),
                    p -> p[1] * p[2])) AS sim
@@ -1024,10 +1021,15 @@ def _recall_audit(
 _MP_BITS = 6  # BASE bits for the multiprobe variant (finer tables)
 
 
-@query(
-    "q_mp_recall",
-    oracle=f"""
-    WITH kval AS ({_k_sql(_MP_BITS, _MP_TARGET_BUCKET)}),
+def _mp_oracle(kval_sql: str) -> str:
+    """The multiprobe recall-audit oracle, parameterized over the
+    kval CTE — the SQL twin of :func:`_mp_recall_frame`'s explicit
+    bit count (round-12 self-review: q_mp_frontier's oracle was a
+    verbatim copy of q_mp_recall's differing only in this line; a
+    one-sided edit to the shared audit tail would have silently
+    diverged the two graded rows)."""
+    return f"""
+    WITH kval AS ({kval_sql}),
     b AS MATERIALIZED (
 {_lsh_buckets_union_sql()}
     ), panel AS (
@@ -1047,13 +1049,7 @@ _MP_BITS = 6  # BASE bits for the multiprobe variant (finer tables)
         SELECT DISTINCT p.vec_id AS vec_id, y.vec_id AS neighbor_id
         FROM probes p JOIN capped y ON p.tbl = y.tbl AND p.bucket = y.bucket
                                    AND p.vec_id <> y.vec_id
-    ), nrm AS MATERIALIZED (
-        SELECT vec_id,
-               list_transform(embedding, v -> CAST(v AS DOUBLE)
-                 / sqrt(list_sum(list_transform(embedding,
-                     u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))))) AS ne
-        FROM embeddings
-    ), ann_pairs AS (
+    ), {_NRM_SQL}, ann_pairs AS (
         SELECT c.vec_id, c.neighbor_id,
                list_sum(list_transform(list_zip(ex.ne, ey.ne),
                    p -> p[1] * p[2])) AS sim
@@ -1097,7 +1093,12 @@ _MP_BITS = 6  # BASE bits for the multiprobe variant (finer tables)
            h.n_hit,
            round(CAST(h.n_hit AS DOUBLE) / h.n_true, 6) AS recall
     FROM hits h LEFT JOIN ncand nc ON nc.vec_id = h.vec_id
-    """,
+    """
+
+
+@query(
+    "q_mp_recall",
+    oracle=_mp_oracle(_k_sql(_MP_BITS, _MP_TARGET_BUCKET)),
 )
 def q_mp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 audit of the MULTIPROBE index (round 10) — the sibling
@@ -1166,78 +1167,7 @@ _MP_FRONTIER_BITS = 6
 
 @query(
     "q_mp_frontier",
-    oracle=f"""
-    WITH kval AS (SELECT {_MP_FRONTIER_BITS} AS k),
-    b AS MATERIALIZED (
-{_lsh_buckets_union_sql()}
-    ), panel AS (
-        SELECT vec_id FROM embeddings
-        ORDER BY md5('recall:' || CAST(vec_id AS VARCHAR)), vec_id
-        LIMIT {_RECALL_PROBES}
-    ), probes AS (
-        SELECT vec_id, tbl, bucket FROM b
-        WHERE vec_id IN (SELECT vec_id FROM panel)
-        UNION ALL
-        SELECT vec_id, tbl, xor(bucket, (1 << p)) AS bucket
-        FROM b, kval, (SELECT unnest(range(0, {_LSH_MAX_BITS})) AS p) pr
-        WHERE p < k AND vec_id IN (SELECT vec_id FROM panel)
-    ), capped AS (
-        {_capped_index_sql('b')}
-    ), cand AS (
-        SELECT DISTINCT p.vec_id AS vec_id, y.vec_id AS neighbor_id
-        FROM probes p JOIN capped y ON p.tbl = y.tbl AND p.bucket = y.bucket
-                                   AND p.vec_id <> y.vec_id
-    ), nrm AS MATERIALIZED (
-        SELECT vec_id,
-               list_transform(embedding, v -> CAST(v AS DOUBLE)
-                 / sqrt(list_sum(list_transform(embedding,
-                     u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))))) AS ne
-        FROM embeddings
-    ), ann_pairs AS (
-        SELECT c.vec_id, c.neighbor_id,
-               list_sum(list_transform(list_zip(ex.ne, ey.ne),
-                   p -> p[1] * p[2])) AS sim
-        FROM cand c
-        JOIN nrm ex ON ex.vec_id = c.vec_id
-        JOIN nrm ey ON ey.vec_id = c.neighbor_id
-    ), ann_topk AS (
-        SELECT vec_id, neighbor_id FROM (
-            SELECT vec_id, neighbor_id,
-                   row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY sim DESC, neighbor_id) AS rn
-            FROM ann_pairs) WHERE rn <= {_RECALL_K}
-    ), bprobes AS (
-        SELECT vec_id, ne FROM nrm
-        WHERE vec_id IN (SELECT vec_id FROM panel)
-    ), brute_pairs AS (
-        SELECT p.vec_id, n.vec_id AS neighbor_id,
-               list_sum(list_transform(list_zip(p.ne, n.ne),
-                   q -> q[1] * q[2])) AS sim
-        FROM bprobes p JOIN nrm n ON n.vec_id <> p.vec_id
-    ), brute_topk AS (
-        SELECT vec_id, neighbor_id FROM (
-            SELECT vec_id, neighbor_id,
-                   row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY sim DESC, neighbor_id) AS rn
-            FROM brute_pairs) WHERE rn <= {_RECALL_K}
-    ), ncand AS (
-        SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_cand
-        FROM cand GROUP BY vec_id
-    ), hits AS (
-        SELECT t.vec_id,
-               CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
-               CAST(COUNT(*) AS BIGINT) AS n_true
-        FROM brute_topk t
-        LEFT JOIN ann_topk a
-          ON a.vec_id = t.vec_id AND a.neighbor_id = t.neighbor_id
-        GROUP BY t.vec_id
-    )
-    SELECT h.vec_id,
-           COALESCE(nc.n_cand, 0) AS n_cand,
-           h.n_hit,
-           round(CAST(h.n_hit AS DOUBLE) / h.n_true, 6) AS recall
-    FROM hits h LEFT JOIN ncand nc ON nc.vec_id = h.vec_id
-    """,
+    oracle=_mp_oracle(f"SELECT {_MP_FRONTIER_BITS} AS k"),
 )
 def q_mp_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The k=6/H1 point of the multiprobe recall-vs-cost frontier,
@@ -1751,13 +1681,7 @@ def q_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT p.vec_id AS vec_id, y.vec_id AS neighbor_id
         FROM probes p JOIN capped y ON p.tbl = y.tbl AND p.bucket = y.bucket
                                    AND p.vec_id <> y.vec_id
-    ), nrm AS MATERIALIZED (
-        SELECT vec_id,
-               list_transform(embedding, v -> CAST(v AS DOUBLE)
-                 / sqrt(list_sum(list_transform(embedding,
-                     u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))))) AS ne
-        FROM embeddings
-    ), pairs AS (
+    ), {_NRM_SQL}, pairs AS (
         SELECT c.vec_id, c.neighbor_id,
                list_sum(list_transform(list_zip(ex.ne, ey.ne),
                    p -> p[1] * p[2])) AS sim
@@ -3953,13 +3877,7 @@ _SWEEP_DEPTHS = (1, 2, 4, 6)  # nprobe values graded by the sweep
                                       6) DESC, cb.c) AS rn
             FROM pvec p CROSS JOIN cqcent cb
         ) WHERE rn <= {max(_SWEEP_DEPTHS)}
-    ), nrm AS MATERIALIZED (
-        SELECT vec_id,
-               list_transform(embedding, v -> CAST(v AS DOUBLE)
-                 / sqrt(list_sum(list_transform(embedding,
-                     u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))))) AS ne
-        FROM embeddings
-    ), pairs AS (
+    ), {_NRM_SQL}, pairs AS (
         SELECT r.vec_id, a.vec_id AS neighbor_id, r.cell_rank,
                list_sum(list_transform(list_zip(ex.ne, ey.ne),
                    p -> p[1] * p[2])) AS sim
@@ -4131,13 +4049,7 @@ def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), npass AS (
         SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_pass
         FROM fpass GROUP BY vec_id
-    ), nrm AS MATERIALIZED (
-        SELECT vec_id,
-               list_transform(embedding, v -> CAST(v AS DOUBLE)
-                 / sqrt(list_sum(list_transform(embedding,
-                     u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))))) AS ne
-        FROM embeddings
-    ), ann_pairs AS (
+    ), {_NRM_SQL}, ann_pairs AS (
         SELECT c.vec_id, c.neighbor_id,
                list_sum(list_transform(list_zip(ex.ne, ey.ne),
                    p -> p[1] * p[2])) AS sim
@@ -4328,9 +4240,13 @@ def filtered_search_plan(
     pins both the route decision and the plan shapes (the brute plan
     must not reference the cell assignment)."""
     emb = table(spark, sf_dir, "embeddings")
-    n_total = emb.count()
-    n_pass = emb.filter(predicate).count()
-    route_name = filtered_route(n_pass, n_total)
+    # both planner statistics in ONE scan (round-12 self-review: the
+    # first cut ran count() + filter().count() = two full scans)
+    counts = emb.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(predicate, 1).otherwise(0)).cast("long").alias("n_pass"),
+    ).first()
+    route_name = filtered_route(counts["n_pass"], counts["n_total"])
 
     nrm = _normalized(spark, sf_dir)
     panel = _recall_panel(spark, sf_dir)
@@ -4402,13 +4318,7 @@ def filtered_search_plan(
     ), nivf AS (
         SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS ivf_pass
         FROM fpass GROUP BY vec_id
-    ), nrm AS MATERIALIZED (
-        SELECT vec_id,
-               list_transform(embedding, v -> CAST(v AS DOUBLE)
-                 / sqrt(list_sum(list_transform(embedding,
-                     u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))))) AS ne
-        FROM embeddings
-    ), ann_pairs AS (
+    ), {_NRM_SQL}, ann_pairs AS (
         SELECT c.vec_id, c.neighbor_id,
                list_sum(list_transform(list_zip(ex.ne, ey.ne),
                    p -> p[1] * p[2])) AS sim
@@ -4612,12 +4522,11 @@ _FSWEEP_THRESHOLDS = (1, 2, 3, 7)
 def _fsweep_sql_block(t: int) -> str:
     """Per-threshold oracle CTE chain (suffix ``_{t}``) + its 1-row
     SELECT — mirrored structurally from q_ann_filtered_sel's chain,
-    aggregated over the panel instead of per-probe."""
-    return f"""stats_{t} AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
-               CAST(COUNT(*) FILTER (WHERE label < {t}) AS BIGINT) AS n_pass
-        FROM embeddings
-    ), fpass_{t} AS (
+    aggregated over the panel instead of per-probe. The corpus/panel
+    counts live in the SHARED one-scan ``stats``/``ppass`` CTEs
+    (round-12 self-review: the first cut re-scanned embeddings per
+    tier for numbers one conditional aggregate produces)."""
+    return f"""fpass_{t} AS (
         SELECT f.vec_id, f.neighbor_id
         FROM fcand f
         JOIN embeddings e ON e.vec_id = f.neighbor_id
@@ -4655,47 +4564,55 @@ def _fsweep_sql_block(t: int) -> str:
              FROM btopk_{t} b JOIN atopk_{t} a
                ON a.vec_id = b.vec_id
               AND a.neighbor_id = b.neighbor_id) AS ivf_hits,
-            (SELECT CAST(COUNT(*) AS BIGINT) FROM fpass_{t}) AS ivf_scored,
-            (SELECT CAST({_RECALL_PROBES} AS BIGINT) * s.n_pass
-                    - (SELECT CAST(COUNT(*) AS BIGINT) FROM panel p
-                       JOIN embeddings e ON e.vec_id = p.vec_id
-                       WHERE e.label < {t})
-             FROM stats_{t} s) AS brute_scored,
-            s.n_pass, s.n_total
-        FROM stats_{t} s
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM fpass_{t}) AS ivf_scored
     )"""
 
 
 def _fsweep_sql_select(t: int) -> str:
-    brute = f"n_pass * {_CQ_K} <= n_total * {_IVF_NPROBE}"
+    brute = f"s.np_{t} * {_CQ_K} <= s.n_total * {_IVF_NPROBE}"
+    # brute scores |panel|·n_pass pairs minus the self-pairs of panel
+    # probes that themselves satisfy the predicate — the ACTUAL panel
+    # row count, not the _RECALL_PROBES cap (they differ on corpora
+    # smaller than the cap; round-12 self-review)
     return f"""
     SELECT CAST({t} AS BIGINT) AS thresh,
-           n_pass,
+           s.np_{t} AS n_pass,
            CASE WHEN {brute} THEN 'brute' ELSE 'ivf' END AS route,
-           CASE WHEN {brute} THEN brute_scored ELSE ivf_scored END AS scored,
+           CASE WHEN {brute} THEN s.n_panel * s.np_{t} - s.pp_{t}
+                ELSE ivf_scored END AS scored,
            CASE WHEN {brute} THEN n_true ELSE ivf_hits END AS n_hit,
            n_true,
            round(CAST(CASE WHEN {brute} THEN n_true ELSE ivf_hits END
                       AS DOUBLE) / n_true, 6) AS recall
-    FROM agg_{t}"""
+    FROM agg_{t} CROSS JOIN stats s"""
 
 
 @query(
     "q_filtered_sweep",
     oracle=_IVF_ROUTE_CTES
-    + """, fcand AS (
+    + f""", fcand AS (
         SELECT r.vec_id, a.vec_id AS neighbor_id
         FROM route r
         JOIN cqassign a ON a.ccell = r.ccell AND a.vec_id <> r.vec_id
-    ), nrm AS MATERIALIZED (
-        SELECT vec_id,
-               list_transform(embedding, v -> CAST(v AS DOUBLE)
-                 / sqrt(list_sum(list_transform(embedding,
-                     u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))))) AS ne
-        FROM embeddings
-    ), bprobes AS (
+    ), {_NRM_SQL}, bprobes AS (
         SELECT vec_id, ne FROM nrm
         WHERE vec_id IN (SELECT vec_id FROM panel)
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(COUNT(*) FILTER (WHERE p.vec_id IS NOT NULL)
+                    AS BIGINT) AS n_panel, """
+    + ", ".join(
+        f"CAST(COUNT(*) FILTER (WHERE e.label < {t}) AS BIGINT) AS np_{t}"
+        for t in _FSWEEP_THRESHOLDS
+    )
+    + ", "
+    + ", ".join(
+        f"CAST(COUNT(*) FILTER (WHERE p.vec_id IS NOT NULL"
+        f" AND e.label < {t}) AS BIGINT) AS pp_{t}"
+        for t in _FSWEEP_THRESHOLDS
+    )
+    + """
+        FROM embeddings e LEFT JOIN panel p ON p.vec_id = e.vec_id
     ), """
     + ", ".join(_fsweep_sql_block(t) for t in _FSWEEP_THRESHOLDS)
     + " UNION ALL ".join(_fsweep_sql_select(t) for t in _FSWEEP_THRESHOLDS),
@@ -4715,14 +4632,18 @@ def q_filtered_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads to price a predicate before dispatching it.
 
     Scale shape: everything rides the session caches (assignment,
-    route, normalized corpus, panel); per tier the added work is one
+    route, normalized corpus, panel); ALL tiers' corpus counts come
+    from ONE conditional-aggregate scan and all panel counts from one
+    panel-semi scan (round-12 self-review — the first cut paid 8
+    redundant embeddings scans), then per tier the added work is one
     predicate semi-join on 8-byte ids + one |panel|-broadcast scan of
     the s·n survivors, and the output contracts to ONE integer row
-    per tier. The route CASE rides the same two exact counts as
+    per tier. The route CASE rides the same exact counts as
     q_ann_filtered_sel (catalog statistics at scale); the
     corpus-size-invariance of the decision is probe-pinned
     (tools/scale_probe.py `filtered` rows: both costs ∝ corpus,
-    ratio constant at s/(nprobe/K))."""
+    ratio constant at s/(nprobe/K)). The brute cost uses the ACTUAL
+    panel row count (|panel| < _RECALL_PROBES on tiny corpora)."""
     emb = table(spark, sf_dir, "embeddings")
     nrm = _normalized(spark, sf_dir)
     panel = _recall_panel(spark, sf_dir)
@@ -4748,15 +4669,37 @@ def q_filtered_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank_w = Window.partitionBy("vec_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )
+    # ONE conditional-aggregate pass over a panel-flagged scan yields
+    # every tier's corpus counts AND panel counts, MATERIALIZED (a
+    # 1-row localCheckpoint): a lazily re-referenced subplan is
+    # re-EXECUTED per crossJoin reference — without the checkpoint the
+    # 4 tiers re-scanned embeddings 8× for numbers that never change
+    # (round-12 self-review). The frame is F.broadcast-forced at every
+    # use, so the checkpoint stats hazard cannot bite.
+    inp = F.col("_inp").isNotNull()
+    stats = F.broadcast(
+        emb.join(panel.withColumn("_inp", F.lit(1)), "vec_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(inp, 1).otherwise(0)).cast("long").alias("n_panel"),
+            *[
+                F.sum(F.when(F.col("label") < t, 1).otherwise(0))
+                .cast("long")
+                .alias(f"np_{t}")
+                for t in _FSWEEP_THRESHOLDS
+            ],
+            *[
+                F.sum(F.when(inp & (F.col("label") < t), 1).otherwise(0))
+                .cast("long")
+                .alias(f"pp_{t}")
+                for t in _FSWEEP_THRESHOLDS
+            ],
+        )
+        .localCheckpoint()
+    )
 
     def tier(t: int) -> DataFrame:
         allowed = emb.filter(F.col("label") < t).select("vec_id")
-        stats = emb.agg(
-            F.count(F.lit(1)).alias("n_total"),
-            F.sum(F.when(F.col("label") < t, 1).otherwise(0))
-            .cast("long")
-            .alias("n_pass"),
-        )
         fpass = cand.join(
             allowed.withColumnRenamed("vec_id", "neighbor_id"),
             "neighbor_id",
@@ -4789,26 +4732,19 @@ def q_filtered_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count(F.lit(1)).alias("ivf_hits"))
             )
             .crossJoin(fpass.agg(F.count(F.lit(1)).alias("ivf_scored")))
-            .crossJoin(
-                emb.join(panel, "vec_id", "left_semi")
-                .agg(
-                    F.sum(F.when(F.col("label") < t, 1).otherwise(0))
-                    .cast("long")
-                    .alias("panel_pass")
-                )
-            )
-            .crossJoin(F.broadcast(stats))
+            .crossJoin(stats)
         )
-        is_brute = F.col("n_pass") * _CQ_K <= F.col("n_total") * _IVF_NPROBE
+        is_brute = (
+            F.col(f"np_{t}") * _CQ_K <= F.col("n_total") * _IVF_NPROBE
+        )
         scored = F.when(
             is_brute,
-            F.lit(_RECALL_PROBES).cast("long") * F.col("n_pass")
-            - F.col("panel_pass"),
+            F.col("n_panel") * F.col(f"np_{t}") - F.col(f"pp_{t}"),
         ).otherwise(F.col("ivf_scored"))
         n_hit = F.when(is_brute, F.col("n_true")).otherwise(F.col("ivf_hits"))
         return agg.select(
             F.lit(t).cast("long").alias("thresh"),
-            "n_pass",
+            F.col(f"np_{t}").alias("n_pass"),
             F.when(is_brute, "brute").otherwise("ivf").alias("route"),
             scored.alias("scored"),
             n_hit.alias("n_hit"),
@@ -4829,13 +4765,7 @@ def q_filtered_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT r.vec_id, a.vec_id AS neighbor_id
         FROM route r
         JOIN cqassign a ON a.ccell = r.ccell AND a.vec_id <> r.vec_id
-    ), nrm AS MATERIALIZED (
-        SELECT vec_id,
-               list_transform(embedding, v -> CAST(v AS DOUBLE)
-                 / sqrt(list_sum(list_transform(embedding,
-                     u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))))) AS ne
-        FROM embeddings
-    ), ann_pairs AS (
+    ), {_NRM_SQL}, ann_pairs AS (
         SELECT c.vec_id, c.neighbor_id,
                list_sum(list_transform(list_zip(ex.ne, ey.ne),
                    p -> p[1] * p[2])) AS sim
@@ -5191,13 +5121,7 @@ def q_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_adc_recall",
     oracle=_ADC_CTES
-    + f""", nrm AS MATERIALIZED (
-        SELECT vec_id,
-               list_transform(embedding, v -> CAST(v AS DOUBLE)
-                 / sqrt(list_sum(list_transform(embedding,
-                     u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))))) AS ne
-        FROM embeddings
-    ), ann_pairs AS (
+    + f""", {_NRM_SQL}, ann_pairs AS (
         SELECT sl.probe_id AS vec_id, sl.neighbor_id,
                list_sum(list_transform(list_zip(ex.ne, ey.ne),
                    p -> p[1] * p[2])) AS sim
