@@ -368,3 +368,127 @@ def index_refresh_report(
             (_k(n_total) > _k(F.col("n_old"))).cast("int").alias("rebuild"),
         )
     )
+
+
+@query(
+    "q_index_compact",
+    oracle=f"""
+    WITH esplit AS (
+        SELECT vec_id, label,
+               CASE WHEN CAST(CAST(concat('0x', substring(
+                             md5('inc:' || CAST(vec_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 10 AS BIGINT) = 0
+                    THEN 1 ELSE 0 END AS is_new,
+               CASE WHEN CAST(CAST(concat('0x', substring(
+                             md5('del:' || CAST(vec_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 5 AS BIGINT) = 0
+                    THEN 1 ELSE 0 END AS is_del
+        FROM embeddings
+    ), oldcells AS (
+        SELECT label AS cell,
+               CAST(COUNT(*) AS BIGINT) AS n_before,
+               CAST(COUNT(*) FILTER (WHERE is_del = 1) AS BIGINT) AS n_deleted
+        FROM esplit WHERE is_new = 0 GROUP BY label
+    )
+    SELECT cell,
+           n_before,
+           n_deleted,
+           n_before - n_deleted AS n_after,
+           GREATEST(1, CAST(FLOOR(SQRT(n_before / {_CELL_TARGET}.0))
+                            AS BIGINT)) AS k_frozen,
+           GREATEST(1, CAST(FLOOR(SQRT((n_before - n_deleted)
+                                       / {_CELL_TARGET}.0))
+                            AS BIGINT)) AS k_after,
+           CASE WHEN GREATEST(1, CAST(FLOOR(SQRT((n_before - n_deleted)
+                                              / {_CELL_TARGET}.0)) AS BIGINT))
+                   < GREATEST(1, CAST(FLOOR(SQRT(n_before / {_CELL_TARGET}.0))
+                                      AS BIGINT))
+                THEN 1 ELSE 0 END AS compact
+    FROM oldcells
+    """,
+)
+def q_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHRINK half of the frozen-index lifecycle (round 12 —
+    q_index_refresh grades growth; production pipelines also DELETE:
+    takedowns, license revocations, dedup retractions). Per cell of
+    the frozen quantizer: how many vectors it held (n_before), how
+    many a deterministic md5 'del:' tombstone batch removes (~20% of
+    the frozen corpus — a takedown wave), the post-delete total, and
+    whether the shrink moves the cell's sub-cell count k = max(1,
+    ⌊√(n/_CELL_TARGET)⌋) DOWN — ``compact = 1`` means the next offline
+    rebuild should merge this cell's sub-cells (oversplit posting
+    lists waste probe fan-out: a query pays nprobe cells either way,
+    but each visit scans a list sized for a corpus that no longer
+    exists). The exact mirror-image of q_index_refresh's rebuild
+    trigger; a production scheduler runs BOTH reports after each
+    ingest/delete window and rebuilds when either fires.
+
+    Tombstone semantics before the rebuild fires: deletes are an
+    id-set filter on the posting scan (an anti-join on 8-byte ids —
+    the same shape as the admission digest check), so search stays
+    correct between rebuilds and this report prices when the index
+    geometry itself is due. At the graded SFs every cell sits far
+    below the split threshold (k_frozen = k_after = 1, compact = 0) —
+    the arithmetic is still fully hash-checked, and the FIRING branch
+    is exercised by tests/test_ivf_cells.py::
+    test_index_compact_flag_fires with a retuned cell target (the
+    test_index_refresh_rebuild_flag_fires recipe).
+
+    Scale shape: two label-grain conditional aggregates over one scan
+    of the frozen corpus — output |labels| rows, every column
+    integer-derived (counts and floor/sqrt of counts)."""
+    is_del = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("del:"), F.col("vec_id").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+        == 0
+    )
+    old = (
+        _inc_tagged(spark, sf_dir)
+        .filter(~F.col("is_new"))
+        .select("vec_id", "label", is_del.cast("int").alias("is_del"))
+    )
+    cells = old.groupBy(F.col("label").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.sum("is_del").cast("long").alias("n_deleted"),
+    )
+    return index_compact_report(cells)
+
+
+def index_compact_report(
+    cells: DataFrame, cell_target: float | None = None
+) -> DataFrame:
+    """The compaction-trigger arithmetic of q_index_compact as a
+    frame-level function (the :func:`index_refresh_report` twin, same
+    call-time ``cell_target`` contract): ``cells`` is (cell, n_before,
+    n_deleted); output one row per cell with k_frozen / k_after /
+    compact."""
+    t = float(_CELL_TARGET if cell_target is None else cell_target)
+
+    def _k(n):
+        return F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor(F.sqrt(n / F.lit(t))).cast("bigint"),
+        )
+
+    n_after = F.col("n_before") - F.col("n_deleted")
+    return cells.select(
+        "cell",
+        "n_before",
+        "n_deleted",
+        n_after.alias("n_after"),
+        _k(F.col("n_before")).alias("k_frozen"),
+        _k(n_after).alias("k_after"),
+        (_k(n_after) < _k(F.col("n_before"))).cast("int").alias("compact"),
+    )

@@ -371,6 +371,9 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     # and the selectivity-ladder operating table (route + chosen-route
     # recall/cost per tier — the crossover twin of q_ivf_nprobe_sweep)
     "q_filtered_sweep",
+    # and the SHRINK half of the index lifecycle: the post-delete
+    # compaction trigger, q_index_refresh's mirror image
+    "q_index_compact",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.

@@ -627,3 +627,31 @@ def test_warm_rebuild_avoids_cold_resample_churn(spark):
     assert [r["_seeds"] for r in seeds2.collect()] == [
         r["_seeds"] for r in seeds1.collect()
     ]
+
+
+def test_index_compact_flag_fires(spark):
+    """q_index_compact's firing branch (the graded SFs sit at
+    k_frozen = k_after = 1, compact = 0): retune the cell target so a
+    cell provably crosses k=2 -> 1 after the delete, and verify the
+    arithmetic against an independent float recomputation — the
+    test_index_refresh_rebuild_flag_fires recipe, mirrored for
+    shrink."""
+    import math
+
+    from kafka_flink_exactlyonce_example_spark.operators import ingest
+
+    cells = spark.createDataFrame(
+        [(0, 100, 80), (1, 100, 10), (2, 30, 0)],
+        "cell int, n_before bigint, n_deleted bigint",
+    )
+    # T = 20: k(100) = floor(sqrt(5)) = 2; k(20) = 1 -> cell 0 fires;
+    # cell 1: k(90) = 2 = k_frozen -> no fire; cell 2: k(30)=1=k(30)
+    rep = {r["cell"]: r for r in
+           ingest.index_compact_report(cells, cell_target=20.0).collect()}
+    for c, nb, nd in ((0, 100, 80), (1, 100, 10), (2, 30, 0)):
+        kf = max(1, math.floor(math.sqrt(nb / 20.0)))
+        ka = max(1, math.floor(math.sqrt((nb - nd) / 20.0)))
+        assert rep[c]["k_frozen"] == kf and rep[c]["k_after"] == ka
+        assert rep[c]["n_after"] == nb - nd
+        assert rep[c]["compact"] == int(ka < kf)
+    assert rep[0]["compact"] == 1 and rep[1]["compact"] == 0
