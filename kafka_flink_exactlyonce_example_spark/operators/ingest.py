@@ -52,6 +52,30 @@ from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
     frozen_top1,
     inc_index_build,
 )
+
+#: The deterministic md5 'del:' tombstone split (~20% of ids) shared by
+#: q_index_compact (the shrink trigger) and q_ann_tombstone (the
+#: tombstone-aware search it prices) — the 'inc:' convention at modulus
+#: 5. SQL twin inlined in both oracles.
+
+
+def _is_del_col():
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("del:"), F.col("vec_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    ) == 0
 from kafka_flink_exactlyonce_example_spark.registry import query
 from kafka_flink_exactlyonce_example_spark.sources import table
 
@@ -126,13 +150,17 @@ _GATE_CTES = (
                        ORDER BY {cosine_sql('a.embedding', 'x.embedding')}
                                 DESC, x.vec_id) AS rn
             FROM eassign a
+            -- LEFT join mirrors frozen_top1's totality contract
+            -- (ADVICE r12: an FP-tie-emptied sub-cell surfaces as a
+            -- NULL row on BOTH engines — the verdict CTE already
+            -- reads NULL sim as f_near_emb = 0 via COALESCE).
             -- LABEL-GRAIN scan vs Spark's ONE frozen sub-cell: exact
             -- only while every graded-SF label stays under
             -- 4*_CELL_TARGET (k=1 collapse). Guarded by tests/
             -- test_ivf_cells.py::test_graded_sfs_stay_under_split_threshold
             -- — if grading fails HERE after a testdata regen, check
             -- that guard before suspecting the engine.
-            JOIN esplit x ON x.is_new = 0 AND x.label = a.cell
+            LEFT JOIN esplit x ON x.is_new = 0 AND x.label = a.cell
         ) WHERE rn = 1
     ), verdict AS (
         SELECT d.doc_id,
@@ -437,27 +465,10 @@ def q_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two label-grain conditional aggregates over one scan
     of the frozen corpus — output |labels| rows, every column
     integer-derived (counts and floor/sqrt of counts)."""
-    is_del = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit("del:"), F.col("vec_id").cast("string")).cast(
-                        "binary"
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 5
-        == 0
-    )
     old = (
         _inc_tagged(spark, sf_dir)
         .filter(~F.col("is_new"))
-        .select("vec_id", "label", is_del.cast("int").alias("is_del"))
+        .select("vec_id", "label", _is_del_col().cast("int").alias("is_del"))
     )
     cells = old.groupBy(F.col("label").alias("cell")).agg(
         F.count(F.lit(1)).alias("n_before"),
@@ -491,4 +502,93 @@ def index_compact_report(
         _k(F.col("n_before")).alias("k_frozen"),
         _k(n_after).alias("k_after"),
         (_k(n_after) < _k(F.col("n_before"))).cast("int").alias("compact"),
+    )
+
+
+@query(
+    "q_ann_tombstone",
+    oracle=f"""
+    WITH split AS (
+        SELECT vec_id, label, embedding,
+               CASE WHEN CAST(CAST(concat('0x', substring(
+                             md5('inc:' || CAST(vec_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 10 AS BIGINT) = 0
+                    THEN 1 ELSE 0 END AS is_new,
+               CASE WHEN CAST(CAST(concat('0x', substring(
+                             md5('del:' || CAST(vec_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 5 AS BIGINT) = 0
+                    THEN 1 ELSE 0 END AS is_del
+        FROM embeddings
+    ), cent AS (
+        SELECT label, list(m ORDER BY i) AS centroid
+        FROM (
+            SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+            FROM split, generate_series(1, 64) t(i)
+            WHERE is_new = 0
+            GROUP BY label, i
+        )
+        GROUP BY label
+    ), assign AS (
+        SELECT vec_id, cell, embedding FROM (
+            SELECT n.vec_id, c.label AS cell, n.embedding,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY round({cosine_sql('n.embedding', 'c.centroid')},
+                                      6) DESC, c.label) AS rn
+            FROM split n, cent c
+            WHERE n.is_new = 1
+        ) WHERE rn = 1
+    )
+    SELECT vec_id, cell, neighbor_id, ROUND(sim, 6) AS sim FROM (
+        SELECT a.vec_id, a.cell, x.vec_id AS neighbor_id,
+               {cosine_sql('a.embedding', 'x.embedding')} AS sim,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {cosine_sql('a.embedding', 'x.embedding')}
+                            DESC, x.vec_id) AS rn
+        FROM assign a
+        -- LEFT join mirrors frozen_top1's totality contract (a cell
+        -- emptied by the tombstone wave surfaces as a NULL row on
+        -- both engines). LABEL-GRAIN scan vs Spark's ONE frozen
+        -- sub-cell: exact only under the k=1 collapse — guarded by
+        -- tests/test_ivf_cells.py::
+        -- test_graded_sfs_stay_under_split_threshold.
+        LEFT JOIN split x ON x.is_new = 0 AND x.is_del = 0
+                         AND x.label = a.cell
+    ) WHERE rn = 1
+    """,
+)
+def q_ann_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone-aware ingest-time ANN lookup (round 13, VERDICT r12
+    item 1a) — q_incremental_ann's exact machinery with the delete
+    path EXECUTED: the deterministic 'del:' takedown wave
+    (:func:`_is_del_col`, ~20% of the frozen corpus — the same wave
+    q_index_compact prices) is threaded through :func:`frozen_top1`'s
+    ``tombstones`` anti-join, so a deleted vector can never surface as
+    a neighbor BETWEEN rebuilds. The frozen index stays trained on the
+    FULL pre-delete corpus — takedowns arrive after training, and the
+    frozen-quantizer contract (a wave must not move the router) is
+    exactly why the delete is a scan-side id filter and not a retrain;
+    the retrain is :func:`warm_index_compact`, fired by
+    q_index_compact's report (lifecycle-tested).
+
+    Grading semantics: top-1 OVER THE SURVIVORS differs from
+    q_incremental_ann's top-1 wherever the old winner was tombstoned
+    (~20% of probes in expectation) — the oracle recomputes the truth
+    under ``is_del = 0``, so the anti-join path is value-graded, not
+    just row-counted.
+
+    Scale shape: q_incremental_ann's plus ONE broadcast anti semi-join
+    on 8-byte ids (the tombstone set is the small side — same shape as
+    the admission digest check). Output one row per new vector,
+    6-dp-rounded sims."""
+    cent, seeds = inc_index_build(spark, sf_dir)
+    tagged = _inc_tagged(spark, sf_dir)
+    old = tagged.filter(~F.col("is_new")).select("vec_id", "label", "embedding")
+    new = tagged.filter(F.col("is_new")).select("vec_id", "embedding")
+    tomb = old.filter(_is_del_col()).select("vec_id")
+    return frozen_top1(
+        frozen_route(new, cent, seeds),
+        _assign_to_seeds(old, seeds),
+        tombstones=tomb,
     )

