@@ -75,3 +75,50 @@ def test_baseline_has_no_python_eval_on_oracled_paths():
         and (feats.get("python_row_udf") or feats.get("python_udtf"))
     }
     assert not offenders, f"row-Python on oracled paths in baseline: {offenders}"
+
+
+def test_join_type_flip_moves_fingerprint():
+    """Seeded red-test for VERDICT r12 item 2: two plans identical
+    except for a join TYPE must produce different fingerprints, and
+    the diff must NAME the typed feature — the round-12 inner→left
+    flip on frozen_top1 was invisible to the untyped counts and had to
+    be hand-pinned; this pins the guard hole closed."""
+    sys.path.insert(0, str(REPO / "tools"))
+    import plan_fingerprints as pf
+
+    inner = (
+        "AdaptiveSparkPlan\n"
+        "+- SortMergeJoin [icell#5L], [icell#9L], Inner\n"
+        "   +- Exchange hashpartitioning(icell#5L, 8)\n"
+    )
+    left = inner.replace(", Inner", ", LeftOuter")
+    fp_i, fp_l = pf.fingerprint(inner), pf.fingerprint(left)
+    # untyped counts are blind to the flip — the r12 hole, reproduced
+    assert fp_i["sort_merge_join"] == fp_l["sort_merge_join"] == 1
+    assert fp_i != fp_l
+    assert fp_i.get("sort_merge_join:Inner") == 1
+    assert fp_l.get("sort_merge_join:LeftOuter") == 1
+    drift = pf.diff({"q": fp_i}, {"q": fp_l})
+    assert len(drift) == 1 and "q: " in drift[0]
+    assert "sort_merge_join:Inner" in drift[0]
+    assert "sort_merge_join:LeftOuter" in drift[0]
+
+
+def test_baseline_typed_join_counts_are_consistent():
+    """Every typed-join node in the committed baseline must carry a
+    join-type tag: per query and strategy, the untyped count equals
+    the sum of its typed counts — a plan line the type regex failed to
+    parse would silently re-open the join-type blind spot."""
+    sys.path.insert(0, str(REPO / "tools"))
+    from plan_fingerprints import _JOIN_STRATEGY_SNAKE
+
+    base = json.loads(BASELINE.read_text())
+    for name, feats in base.items():
+        for snake in _JOIN_STRATEGY_SNAKE.values():
+            typed = sum(
+                v for k, v in feats.items() if k.startswith(f"{snake}:")
+            )
+            assert typed == feats.get(snake, 0), (
+                f"{name}: {snake} has {feats.get(snake, 0)} nodes but "
+                f"{typed} typed tags — a join type went unparsed"
+            )

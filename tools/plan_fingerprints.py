@@ -70,9 +70,35 @@ FEATURES: dict[str, re.Pattern[str]] = {
     "cache_scan": re.compile(r"InMemoryTableScan|Scan ExistingRDD"),
 }
 
+#: Join-TYPE-aware counts (round 13, VERDICT r12 item 2): the round-12
+#: inner→left flip on frozen_top1 left every count above byte-identical
+#: — the gate could not see it and the consumers had to be hand-pinned
+#: via _CHANGED_IN_ROUND. Each typed-join physical node prints its join
+#: type on the same line (e.g. ``SortMergeJoin [k], [k], LeftOuter``;
+#: ExistenceJoin prints as ``ExistenceJoin(exists#N)``), so the
+#: fingerprint now also carries ``<strategy>:<JoinType>`` counts and a
+#: join-type change moves the fingerprint even when the per-strategy
+#: totals do not. Seeded red-test:
+#: tests/test_plan_regression.py::test_join_type_flip_moves_fingerprint.
+_JOIN_STRATEGY_SNAKE = {
+    "SortMergeJoin": "sort_merge_join",
+    "BroadcastHashJoin": "broadcast_hash_join",
+    "ShuffledHashJoin": "shuffled_hash_join",
+    "BroadcastNestedLoopJoin": "broadcast_nl_join",
+}
+_JOIN_TYPED_RX = re.compile(
+    r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|"
+    r"BroadcastNestedLoopJoin)[^\n]*?"
+    r"\b(Inner|FullOuter|LeftOuter|RightOuter|LeftSemi|LeftAnti|Cross|"
+    r"ExistenceJoin)\b"
+)
+
 
 def fingerprint(plan: str) -> dict[str, int]:
     counts = {name: len(rx.findall(plan)) for name, rx in FEATURES.items()}
+    for strategy, jtype in _JOIN_TYPED_RX.findall(plan):
+        key = f"{_JOIN_STRATEGY_SNAKE[strategy]}:{jtype}"
+        counts[key] = counts.get(key, 0) + 1
     return {k: v for k, v in counts.items() if v}
 
 
