@@ -1,0 +1,117 @@
+"""ANN operating-point planner (round 13, VERDICT r12 item 4).
+
+The graded row is q_ann_planned (the mp/k=6 contract); these tests pin
+what grading can't see — the choice function's arithmetic over the
+engine-graded operating table, the loud-failure contract, and the
+plan shape of each route (the chosen plan must never reference the
+unchosen indexes' caches — the filtered_search_plan discipline).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SMOKE_SF
+
+
+def test_ann_route_choice_arithmetic():
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        _ANN_OPERATING_TABLE,
+        ann_route,
+    )
+
+    # the graded contract: recall >= 0.90 inside 1200 -> mp/k=6 (the
+    # ONLY catalog row meeting both)
+    c = ann_route(0.90, 1200)
+    assert (c["index"], c["param"]) == ("mp", 6)
+    # cheapest-eligible: at (0.5, 400) both ivf/4 and every costlier
+    # row would do on recall, but ivf/4 is the cheapest within budget
+    c = ann_route(0.5, 400)
+    assert (c["index"], c["param"]) == ("ivf", 4)
+    # a row below target must not be picked even though it is cheaper
+    c = ann_route(0.3, 250)
+    assert (c["index"], c["param"]) == ("ivf", 2)
+    # brute fallback: target above every indexed point, budget admits
+    # the full scan
+    c = ann_route(0.99, 5000, n_corpus=2000)
+    assert c["index"] == "brute" and c["cand_per_probe"] == 1999
+    assert c["recall"] == 1.0
+    # loud failure: nothing indexed reaches 0.6 under 500, and the
+    # corpus does not fit the budget either
+    with pytest.raises(ValueError, match="graded frontier"):
+        ann_route(0.6, 500, n_corpus=2000)
+    # ...and without a count the indexed-only resolution also refuses
+    with pytest.raises(ValueError):
+        ann_route(0.99, 1200)
+    # table sanity: sorted cheapest-first, recalls consistent with cost
+    costs = [r[3] for r in _ANN_OPERATING_TABLE]
+    assert costs == sorted(costs)
+
+
+def test_ann_search_plan_builds_only_the_chosen_plan(spark):
+    """mp choice must not reference the IVF cell assignment (no ccell
+    anywhere in its plan); ivf choice must ride it; both resolve the
+    documented catalog row."""
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        ann_search_plan,
+    )
+
+    choice_mp, frame_mp = ann_search_plan(spark, SMOKE_SF, 0.90, 1200)
+    assert (choice_mp["index"], choice_mp["param"]) == ("mp", 6)
+    plan_mp = frame_mp._jdf.queryExecution().toString()
+    assert "ccell" not in plan_mp, "mp route must not touch the IVF index"
+
+    choice_ivf, frame_ivf = ann_search_plan(spark, SMOKE_SF, 0.5, 400)
+    assert (choice_ivf["index"], choice_ivf["param"]) == ("ivf", 4)
+    plan_ivf = frame_ivf._jdf.queryExecution().toString()
+    assert "ccell" in plan_ivf, "ivf route must ride the cell assignment"
+
+
+def test_ann_planned_equals_mp_frontier(spark):
+    """The planner contract end-to-end at smoke scale: the built plan's
+    audit equals q_mp_frontier's row-for-row (same panel, same k)."""
+    from kafka_flink_exactlyonce_example_spark.registry import QUERIES
+
+    got = sorted(
+        tuple(r) for r in QUERIES["q_ann_planned"](spark, SMOKE_SF).collect()
+    )
+    want = sorted(
+        tuple(r) for r in QUERIES["q_mp_frontier"](spark, SMOKE_SF).collect()
+    )
+    assert got == want and got
+
+
+def test_ann_plan_ivf_depth_matches_graded_point(spark):
+    """The ivf builder at nprobe=_IVF_NPROBE is q_ivf_recall's exact
+    relation — the catalog's nprobe=4 row IS the graded point."""
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        _IVF_NPROBE,
+        _ivf_recall_frame,
+    )
+    from kafka_flink_exactlyonce_example_spark.registry import QUERIES
+
+    got = sorted(
+        tuple(r)
+        for r in _ivf_recall_frame(spark, SMOKE_SF, _IVF_NPROBE).collect()
+    )
+    want = sorted(
+        tuple(r) for r in QUERIES["q_ivf_recall"](spark, SMOKE_SF).collect()
+    )
+    assert got == want and got
+
+
+def test_ann_plan_brute_fallback_shape(spark):
+    """The brute fallback returns the same audit schema with recall
+    1.0 and n_cand = corpus − 1 on every probe."""
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        ann_search_plan,
+    )
+    from kafka_flink_exactlyonce_example_spark.sources import table
+
+    n = table(spark, SMOKE_SF, "embeddings").count()
+    choice, frame = ann_search_plan(spark, SMOKE_SF, 0.999, n + 10)
+    assert choice["index"] == "brute"
+    rows = frame.collect()
+    assert rows
+    assert frame.columns == ["vec_id", "n_cand", "n_hit", "recall"]
+    assert all(r["recall"] == 1.0 and r["n_cand"] == n - 1 for r in rows)
