@@ -266,11 +266,15 @@ _CHANGED_IN_ROUND: dict[int, frozenset[str]] = {
     #: rows on the DuckDB side too — parity is total, not conditional
     #: on a healthy corpus). Values identical at every graded SF, but
     #: a changed oracle is a changed grading artifact, so all three
-    #: re-earn driver rows.
+    #: re-earn driver rows. And q_filtered_sweep's nested-tier truth
+    #: derivation (VERDICT r12 item 6): one widest-tier scored relation
+    #: + running-sum per-tier ranks replaces the four per-tier brute
+    #: scans — plan changed, values hash-equal at both SFs.
     13: frozenset({
         "q_incremental_ann",
         "q_ingest_gate",
         "q_index_refresh",
+        "q_filtered_sweep",
     }),
 }
 
