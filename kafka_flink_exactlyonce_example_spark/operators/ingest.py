@@ -453,9 +453,15 @@ def q_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Tombstone semantics before the rebuild fires: deletes are an
     id-set filter on the posting scan (an anti-join on 8-byte ids —
-    the same shape as the admission digest check), so search stays
-    correct between rebuilds and this report prices when the index
-    geometry itself is due. At the graded SFs every cell sits far
+    the same shape as the admission digest check). Since round 13 the
+    engine EXECUTES both halves of what this report prices:
+    :func:`simsearch.tombstone_filter` threads the id-set through
+    frozen_top1 (graded end-to-end by q_ann_tombstone), and
+    :func:`simsearch.warm_index_compact` performs the fired merge
+    (lifecycle-tested: wave → fire → warm merge → deleted data gone,
+    churn ≤ cold). So search stays correct between rebuilds and this
+    report prices when the index geometry itself is due. At the
+    graded SFs every cell sits far
     below the split threshold (k_frozen = k_after = 1, compact = 0) —
     the arithmetic is still fully hash-checked, and the FIRING branch
     is exercised by tests/test_ivf_cells.py::

@@ -993,6 +993,87 @@ def main() -> None:
             f"wall={dt:6.2f}s"
         )
 
+    # Tombstone-filtered posting scan (round 13, q_ann_tombstone /
+    # frozen_top1(tombstones=...)): at each mult, the frozen (label →
+    # sub-cell) index over the scaled corpus, a 24-probe disjoint-id
+    # panel routed against it, and the per-probe posting scan BEFORE vs
+    # AFTER the 'del:' ~20% tombstone anti-join. Healthy = the survivor
+    # fraction is ~0.8 at EVERY mult (the del: tag is id-uniform, so
+    # the anti-join removes a constant FRACTION — never a growing one),
+    # the filtered scan inherits the posting scan's own growth shape
+    # (sub-cells split ∝ √mult under the k law), and frozen_top1 with
+    # the tombstone set returns ZERO deleted neighbors at any scale.
+    from kafka_flink_exactlyonce_example_spark.operators import ingest as ing
+
+    base_ts = None
+    for mult in multiples:
+        parts = [
+            emb0.select(
+                (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                "label",
+                "embedding",
+            )
+            for i in range(mult)
+        ]
+        big = parts[0]
+        for p_ in parts[1:]:
+            big = big.unionByName(p_)
+        t0 = time.perf_counter()
+        cent_f, seeds_f = sim.frozen_index_frames(big)
+        cent_f, seeds_f = cent_f.localCheckpoint(), seeds_f.localCheckpoint()
+        indexed_f = ddp._assign_to_seeds(big, seeds_f).localCheckpoint()
+        tomb = big.filter(ing._is_del_col()).select("vec_id").localCheckpoint()
+        probes = (
+            big.orderBy(
+                F.md5(F.concat(F.lit("recall:"), F.col("vec_id").cast("string"))),
+                "vec_id",
+            )
+            .limit(24)
+            .select(
+                (F.col("vec_id") + F.lit(900_000_000)).alias("vec_id"),
+                "embedding",
+            )
+            .localCheckpoint()
+        )
+        routed = sim.frozen_route(probes, cent_f, seeds_f).localCheckpoint()
+        sz_all = indexed_f.groupBy(F.col("cell").alias("icell")).agg(
+            F.count(F.lit(1)).alias("na")
+        )
+        sz_surv = (
+            sim.tombstone_filter(indexed_f, tomb)
+            .groupBy(F.col("cell").alias("icell"))
+            .agg(F.count(F.lit(1)).alias("ns"))
+        )
+        scans = (
+            routed.select("icell")
+            .join(sz_all, "icell")
+            .join(sz_surv, "icell", "left")
+            .agg(
+                F.sum("na").alias("before"),
+                F.sum(F.coalesce("ns", F.lit(0))).alias("after"),
+            )
+            .collect()[0]
+        )
+        ghosts = (
+            sim.frozen_top1(routed, indexed_f, tombstones=tomb)
+            .join(
+                tomb.withColumnRenamed("vec_id", "neighbor_id"),
+                "neighbor_id",
+                "leftsemi",
+            )
+            .count()
+        )
+        dt = time.perf_counter() - t0
+        bpp, app = scans["before"] / 24.0, scans["after"] / 24.0
+        if base_ts is None:
+            base_ts = max(app, 1e-9)
+        print(
+            f"tombstone x{mult:<3d} scan/probe={bpp:8.1f} -> {app:8.1f} "
+            f"(surv={app / max(bpp, 1e-9):0.3f}, x{app / base_ts:4.2f}) "
+            f"deleted_neighbors={ghosts}  wall={dt:6.2f}s"
+        )
+        assert ghosts == 0, "a tombstoned id surfaced as a neighbor"
+
 
 if __name__ == "__main__":
     main()
