@@ -234,6 +234,16 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _word_set_col():
+    """The near-dup verifier's word-set tokenizer, defined ONCE
+    (round-13 self-review: three inline copies meant a future
+    tokenization tweak edited in one place would silently break
+    f_near_text parity between the graded gate, the frozen text
+    index, and the streaming gate — they must stay byte-identical
+    because the oracle's `words_f` CTE mirrors exactly this)."""
+    return F.array_distinct(F.filter(F.split("text", " "), lambda w: w != ""))
+
+
 def _verified_pairs_frame(d: DataFrame, bands: DataFrame) -> DataFrame:
     """(doc_a, doc_b, jaccard): capped LSH candidates scored by exact
     word-set Jaccard ≥ 0.8 within lang — frame-level so the scale
@@ -246,7 +256,7 @@ def _verified_pairs_frame(d: DataFrame, bands: DataFrame) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    ws = F.array_distinct(F.filter(F.split("text", " "), lambda w: w != ""))
+    ws = _word_set_col()
     docs = d.select("doc_id", "lang", ws.alias("ws"), F.size(ws).alias("n"))
     a = docs.select(
         F.col("doc_id").alias("doc_a"),
@@ -1256,7 +1266,7 @@ def text_index_build(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     corpus's distinct tokens per doc — both linear, both hash-join
     keyed on ids/band keys, nothing broadcast at data scale."""
     bands = _bands_rel(_signatures_frame(_shingles_frame(docs)))
-    ws = F.array_distinct(F.filter(F.split("text", " "), lambda w: w != ""))
+    ws = _word_set_col()
     sets = docs.select(
         "doc_id", "lang", ws.alias("ws"), F.size(ws).alias("n")
     )
@@ -1278,11 +1288,24 @@ def text_index_fold(
     return bands.unionByName(ab), sets.unionByName(asets)
 
 
+def text_index_freeze(bands: DataFrame) -> DataFrame:
+    """The probe-facing CAPPED view of a stored (uncapped) band
+    relation — derive ONCE per index generation and materialize
+    (localCheckpoint / write), then pass to :func:`near_text_flags`
+    with ``bands_capped=True``. Round-13 self-review: the first
+    streaming wiring re-derived the cap window (a corpus-scale
+    shuffle) inside every micro-batch for an index that is frozen for
+    the stream's lifetime — the cap only changes when the index
+    generation does, so it belongs with the fold, not the probe."""
+    return _cap_bands_rel(bands)
+
+
 def near_text_flags(
     batch: DataFrame,
     bands: DataFrame,
     sets: DataFrame,
     threshold: float = 0.8,
+    bands_capped: bool = False,
 ) -> DataFrame:
     """Per batch doc (doc_id, lang, text): ``f_near_text`` = 1 iff a
     banded candidate IN THE FROZEN INDEX verifies at same-lang exact
@@ -1300,9 +1323,13 @@ def near_text_flags(
     Scale shape: candidate generation is one equi-join on (band_idx,
     band_key) with the capped index (C(cap,·)-bounded fan-out); the
     verifier joins word sets on 8-byte doc ids for candidates only;
-    output contracts to one flag per batch doc."""
+    output contracts to one flag per batch doc. Pass
+    ``bands_capped=True`` when ``bands`` is already the materialized
+    :func:`text_index_freeze` view (the streaming fast path — the cap
+    window then never re-runs per micro-batch); the default re-derives
+    it, which is fine for one-shot batch checks."""
     qb = _bands_rel(_signatures_frame(_shingles_frame(batch)))
-    cap = _cap_bands_rel(bands)
+    cap = bands if bands_capped else _cap_bands_rel(bands)
     cand = (
         qb.join(
             cap.select(
@@ -1314,7 +1341,7 @@ def near_text_flags(
         .select("doc_id", "idx_doc")
         .distinct()
     )
-    ws = F.array_distinct(F.filter(F.split("text", " "), lambda w: w != ""))
+    ws = _word_set_col()
     qsets = batch.select(
         "doc_id",
         F.col("lang").alias("lang_q"),

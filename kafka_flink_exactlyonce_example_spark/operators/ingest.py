@@ -52,6 +52,8 @@ from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
     frozen_top1,
     inc_index_build,
 )
+from kafka_flink_exactlyonce_example_spark.registry import query
+from kafka_flink_exactlyonce_example_spark.sources import table
 
 #: The deterministic md5 'del:' tombstone split (~20% of ids) shared by
 #: q_index_compact (the shrink trigger) and q_ann_tombstone (the
@@ -76,8 +78,7 @@ def _is_del_col():
         ).cast("long")
         % 5
     ) == 0
-from kafka_flink_exactlyonce_example_spark.registry import query
-from kafka_flink_exactlyonce_example_spark.sources import table
+
 
 #: Admission threshold on the 6-dp-rounded frozen-index cosine. 0.35
 #: sits just above this synthetic corpus's intra-cluster sim peak

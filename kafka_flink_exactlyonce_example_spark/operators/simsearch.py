@@ -4878,11 +4878,13 @@ def q_filtered_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate pairs. The ORACLE is unchanged — it states the result,
     # not the physical strategy, and every pair's sim comes from the
     # identical op chain as before (hash-equal re-verified both SFs).
-    # Honest A/B at sf0.1 (warm ×3, loadavg ~9-10): old 3.4-3.8 s vs
-    # new 3.1-4.0 s — a WASH locally, because this row is
+    # Honest A/B at sf0.1 (warm ×3, loadavg ~9): old 3.4-3.8 s vs new
+    # 3.0-3.4 s — near a WASH locally, because this row is
     # stage-overhead-bound at 600k rows; the cut is scan VOLUME (1.3n
-    # → 0.7n scored pairs, 8 → 2 windows), which is the dominant term
-    # at 100 TB and the reason the nested form ships anyway.
+    # → 0.7n scored pairs; executed-plan Window nodes 51 → 7, the
+    # sweep's own scored sorts 8 → 2 — see the single-pass consumption
+    # below), which is the dominant term at 100 TB and the reason the
+    # nested form ships anyway.
     widest = _FSWEEP_THRESHOLDS[-1]
     lbl = emb.select("vec_id", "label")
     run_w = rank_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -4923,49 +4925,95 @@ def q_filtered_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "neighbor_id", "nlabel", sim.alias("sim"))
     )
 
-    def tier(t: int) -> DataFrame:
-        in_tier = F.col("nlabel") < t
-        btopk = bscored.filter(in_tier & (F.col(f"rn_{t}") <= _RECALL_K)).select(
-            "vec_id", "neighbor_id"
-        )
-        ann_topk = ascored.filter(
-            in_tier & (F.col(f"rn_{t}") <= _RECALL_K)
-        ).select("vec_id", "neighbor_id")
-        agg = (
-            btopk.agg(F.count(F.lit(1)).alias("n_true"))
-            .crossJoin(
-                btopk.join(ann_topk, ["vec_id", "neighbor_id"], "left_semi")
-                .agg(F.count(F.lit(1)).alias("ivf_hits"))
+    # SINGLE-PASS consumption (round-13 self-review: the first cut's
+    # per-tier union referenced the lazy scored relations 8× — only
+    # the shuffle is deduped by ReusedExchange, the Sort+Window above
+    # it re-ran per reference, so the rewrite's claimed window cut
+    # wasn't physically realized). Each scored relation is now
+    # consumed EXACTLY ONCE: filter to the any-tier top-k rows
+    # (≤ 4·K·|panel| — bounded), join the two bounded sets, and read
+    # every tier's n_true / ivf_hits from ONE conditional aggregate;
+    # ivf_scored never needed the window at all (it counts UNSCORED
+    # candidate pairs by neighbor label). The 4 output rows come from
+    # exploding an array of per-tier structs over the single 1-row
+    # frame — not from 4 union branches that would re-execute it.
+    def in_t(t: int, rn: str = "rn"):
+        return (F.col("nlabel") < t) & (F.col(f"{rn}_{t}") <= _RECALL_K)
+
+    def in_any(rn: str = "rn"):
+        cond = in_t(_FSWEEP_THRESHOLDS[0], rn)
+        for t in _FSWEEP_THRESHOLDS[1:]:
+            cond = cond | in_t(t, rn)
+        return cond
+
+    btop = bscored.filter(in_any())
+    atop = ascored.filter(in_any()).select(
+        "vec_id",
+        "neighbor_id",
+        *[F.col(f"rn_{t}").alias(f"arn_{t}") for t in _FSWEEP_THRESHOLDS],
+    )
+    joined = btop.join(F.broadcast(atop), ["vec_id", "neighbor_id"], "left")
+    hagg = joined.agg(
+        *[
+            F.sum(F.when(in_t(t), 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_true_{t}")
+            for t in _FSWEEP_THRESHOLDS
+        ],
+        *[
+            F.sum(
+                F.when(in_t(t) & (F.col(f"arn_{t}") <= _RECALL_K), 1).otherwise(0)
             )
-            .crossJoin(
-                ascored.filter(in_tier).agg(
-                    F.count(F.lit(1)).alias("ivf_scored")
-                )
-            )
-            .crossJoin(stats)
+            .cast("long")
+            .alias(f"hits_{t}")
+            for t in _FSWEEP_THRESHOLDS
+        ],
+    )
+    scored_counts = (
+        cand.join(
+            lbl.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+                "label", "nlabel"
+            ),
+            "neighbor_id",
         )
-        is_brute = (
-            F.col(f"np_{t}") * _CQ_K <= F.col("n_total") * _IVF_NPROBE
+        .agg(
+            *[
+                F.sum(F.when(F.col("nlabel") < t, 1).otherwise(0))
+                .cast("long")
+                .alias(f"ivf_scored_{t}")
+                for t in _FSWEEP_THRESHOLDS
+            ]
         )
+    )
+
+    def tier_struct(t: int):
+        is_brute = F.col(f"np_{t}") * _CQ_K <= F.col("n_total") * _IVF_NPROBE
+        n_true = F.col(f"n_true_{t}")
         scored = F.when(
             is_brute,
             F.col("n_panel") * F.col(f"np_{t}") - F.col(f"pp_{t}"),
-        ).otherwise(F.col("ivf_scored"))
-        n_hit = F.when(is_brute, F.col("n_true")).otherwise(F.col("ivf_hits"))
-        return agg.select(
+        ).otherwise(F.col(f"ivf_scored_{t}"))
+        n_hit = F.when(is_brute, n_true).otherwise(F.col(f"hits_{t}"))
+        return F.struct(
             F.lit(t).cast("long").alias("thresh"),
             F.col(f"np_{t}").alias("n_pass"),
             F.when(is_brute, "brute").otherwise("ivf").alias("route"),
             scored.alias("scored"),
             n_hit.alias("n_hit"),
-            "n_true",
-            F.round(n_hit.cast("double") / F.col("n_true"), 6).alias("recall"),
+            n_true.alias("n_true"),
+            F.round(n_hit.cast("double") / n_true, 6).alias("recall"),
         )
 
-    out = tier(_FSWEEP_THRESHOLDS[0])
-    for t in _FSWEEP_THRESHOLDS[1:]:
-        out = out.unionByName(tier(t))
-    return out
+    return (
+        hagg.crossJoin(F.broadcast(scored_counts))
+        .crossJoin(stats)
+        .select(
+            F.explode(
+                F.array(*[tier_struct(t) for t in _FSWEEP_THRESHOLDS])
+            ).alias("r")
+        )
+        .select("r.*")
+    )
 
 
 @query(
@@ -5046,20 +5094,10 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-probe candidate cost IS data-scaled (that is the property
     being measured and reported as n_cand), but the panel is absolute,
     so the audit total stays one O(n) scan at any corpus size. Audit
-    tail + integer output via :func:`_recall_audit`."""
-    nrm = _normalized(spark, sf_dir)
-    panel = _recall_panel(spark, sf_dir)
-    _, route = _ivf_route_frames(spark, sf_dir)
-    cand = (
-        _cq_cells_for(spark, sf_dir)
-        .select(F.col("vec_id").alias("neighbor_id"), "ccell")
-        .join(F.broadcast(route), "ccell")
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select("vec_id", "neighbor_id")
-    )
-    return _recall_audit(
-        cand, panel, nrm, brute_topk=brute_topk_for(spark, sf_dir)
-    )
+    tail + integer output via :func:`_recall_audit`. Since round 13
+    this delegates to :func:`_ivf_recall_frame` at the shipped depth
+    (the ann_search_plan builder — one implementation, no drift)."""
+    return _ivf_recall_frame(spark, sf_dir, _IVF_NPROBE)
 
 
 def ivf_adc_scan(fine_route: DataFrame, assigned: DataFrame) -> DataFrame:

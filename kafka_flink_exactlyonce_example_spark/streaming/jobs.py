@@ -545,6 +545,7 @@ def ingest_gate_decisions(
     indexed: DataFrame,
     near_threshold: float = 0.9,
     text_index: tuple[DataFrame, DataFrame] | None = None,
+    text_index_capped: bool = False,
 ) -> DataFrame:
     """Admission decisions for ONE ingest micro-batch against a FROZEN
     corpus index — the batch core of the streaming ingest gate (the
@@ -574,7 +575,10 @@ def ingest_gate_decisions(
     closing the gen-2-near-copy blind spot on the streaming path
     too — lifecycle-tested with the planted-near-copy recipe. The
     default None keeps the historical two-check schema (and every
-    existing plan) unchanged.
+    existing plan) unchanged. ``text_index_capped=True`` declares
+    ``bands`` to be the materialized :func:`dedup.text_index_freeze`
+    view, skipping the per-call cap window —
+    :func:`streaming_ingest_gate` freezes once per stream and sets it.
 
     Exactly-once interplay: every input here is FROZEN for the life of
     the stream (index rebuilds are an offline job that starts a new
@@ -624,7 +628,10 @@ def ingest_gate_decisions(
         bands, sets = text_index
         out = out.join(
             near_text_flags(
-                batch.select("doc_id", "lang", "text"), bands, sets
+                batch.select("doc_id", "lang", "text"),
+                bands,
+                sets,
+                bands_capped=text_index_capped,
             ),
             "doc_id",
             "left",
@@ -684,6 +691,18 @@ def streaming_ingest_gate(
     was never committed. Exactly-once therefore holds over the UNION
     of generations, and ``q_index_refresh`` (operators/ingest.py) is
     the report that decides when this swap is due."""
+    if text_index is not None:
+        from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+            text_index_freeze,
+        )
+
+        # the index is frozen for the stream's lifetime, so the capped
+        # probe view is too: derive + materialize it ONCE here instead
+        # of paying the corpus-scale cap window in every micro-batch
+        # (round-13 self-review). Determinism for replay is preserved —
+        # the view is a pure function of the frozen bands.
+        bands, sets = text_index
+        text_index = (text_index_freeze(bands).localCheckpoint(), sets)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sink(
@@ -695,6 +714,7 @@ def streaming_ingest_gate(
                 indexed,
                 near_threshold,
                 text_index=text_index,
+                text_index_capped=True,
             ),
             batch_id,
         )
