@@ -1406,8 +1406,57 @@ def warm_index_rebuild(
     the warm sample the literal restriction of the cold one (same
     oversample pre-filter, same fallback, any label size), not merely
     the same k law; members excluded from the routed-cell append so
-    no vector is double-indexed."""
+    no vector is double-indexed.
+
+    Since round 13 this is the grow-only special case of
+    :func:`warm_index_cycle` (``tombstones=None``)."""
+    return warm_index_cycle(
+        merged, seeds1, indexed1, adm_routed, None, fired_labels
+    )
+
+
+def warm_index_cycle(
+    merged: DataFrame,
+    seeds1: DataFrame,
+    indexed1: DataFrame,
+    adm_routed: DataFrame | None,
+    tombstones: DataFrame | None,
+    fired_labels,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """ONE ingest/delete window's warm rebuild — the scheduler's
+    single entry point (round 13): a production window both ADMITS
+    vectors and TAKES DOWN vectors, then runs BOTH reports
+    (:func:`ingest.index_refresh_report` for growth,
+    :func:`ingest.index_compact_report` for shrink) and rebuilds the
+    UNION of their fired cells in one pass. ``merged`` is the
+    post-window lake corpus (old ∖ tombstones ∪ admits, at lake
+    labels); ``adm_routed`` the admitted batch routed by the frozen
+    v1 quantizer (None = delete-only window); ``tombstones`` the
+    takedown id-set (None = ingest-only window); ``fired_labels`` the
+    union of both reports' fired cells. Returns (cent2, seeds2,
+    indexed2). :func:`warm_index_rebuild` (grow-only) and
+    :func:`warm_index_compact` (shrink-only) are the two special
+    cases and delegate here — one implementation, three lifecycle
+    tests.
+
+    Per population: tombstoned rows leave every posting list
+    (:func:`tombstone_filter`); fired cells retrain over their
+    SURVIVING members plus the admits the frozen router sent them,
+    with the v1 seeds pre-filtered to the surviving ones (a takedown
+    removes the embedding from the quantizer too) and identities
+    retained up to the recomputed k (:func:`_warm_subseeds` — a
+    grow-fired k=1→2 cell KEEPS its old sub-cell and adds one; a
+    shrink-fired k=2→1 cell keeps the md5-first surviving seed);
+    non-fired cells keep seeds and surviving postings verbatim;
+    brand-new lake labels train through :func:`dedup._ivf_seeds`
+    (cold-identical); an admitted vector that was tombstoned within
+    the same window never enters the index. Coarse centroids are
+    recomputed over ``merged`` (bounded reduce, identical to a cold
+    coarse stage)."""
+    from kafka_flink_exactlyonce_example_spark.operators.dedup import _ivf_seeds
+
     fired = sorted(int(x) for x in fired_labels)
+    surv = tombstone_filter(indexed1, tombstones)
     cent2 = frozen_centroids(merged)
     new_lbl = (
         merged.select("label")
@@ -1415,24 +1464,52 @@ def warm_index_rebuild(
         .join(seeds1.select("label").distinct(), "label", "left_anti")
     )
     newlbl_members = merged.join(F.broadcast(new_lbl), "label", "left_semi")
-    fired_old = indexed1.filter(F.col("label").isin(fired)).select(
+    fired_old = surv.filter(F.col("label").isin(fired)).select(
         "vec_id", "label", "embedding"
     )
-    fired_new = (
-        adm_routed.filter(F.col("cell").isin(fired))
-        .join(newlbl_members.select("vec_id"), "vec_id", "left_anti")
-        .select("vec_id", F.col("cell").alias("label"), "embedding")
-    )
-    fired_members = fired_old.unionByName(fired_new)
-    # identity-preserving retrain: fired cells keep their existing
-    # sub-cell seed ids up to the recomputed k (a no-split retrain is
-    # a posting no-op for old members); brand-new labels train through
-    # the COLD sampler itself (cold-identical by construction)
-    from kafka_flink_exactlyonce_example_spark.operators.dedup import _ivf_seeds
-
-    seeds_re = _warm_subseeds(
-        fired_members, seeds1.filter(F.col("label").isin(fired))
-    )
+    if adm_routed is not None:
+        adm_routed = tombstone_filter(adm_routed, tombstones)
+        fired_new = (
+            adm_routed.filter(F.col("cell").isin(fired))
+            .join(newlbl_members.select("vec_id"), "vec_id", "left_anti")
+            .select("vec_id", F.col("cell").alias("label"), "embedding")
+        )
+        fired_members = fired_old.unionByName(fired_new)
+        appended = (
+            adm_routed.filter(~F.col("cell").isin(fired))
+            .join(newlbl_members.select("vec_id"), "vec_id", "left_anti")
+            .select(
+                "vec_id",
+                F.col("cell").alias("label"),
+                F.col("icell").alias("cell"),
+                "embedding",
+            )
+        )
+    else:
+        fired_members = fired_old
+        appended = None
+    fired_seeds = seeds1.filter(F.col("label").isin(fired))
+    if tombstones is not None:
+        # a tombstoned member cannot remain a quantizer anchor in a
+        # cell being retrained — drop it before the identity-keeping
+        # rank (non-fired cells keep theirs until they next fire; the
+        # force-fire contract covers compliance purges)
+        fired_seeds = (
+            fired_seeds.select("label", F.explode("_seeds").alias("s"))
+            .select(
+                "label",
+                F.col("s.cell").alias("cell"),
+                F.col("s.seed").alias("seed"),
+            )
+            .join(
+                tombstones.select(F.col("vec_id").alias("cell")),
+                "cell",
+                "left_anti",
+            )
+            .groupBy("label")
+            .agg(F.collect_list(F.struct("cell", "seed")).alias("_seeds"))
+        )
+    seeds_re = _warm_subseeds(fired_members, fired_seeds)
     seeds_new = _ivf_seeds(
         newlbl_members.select("vec_id", "label", "embedding")
     )
@@ -1441,19 +1518,8 @@ def warm_index_rebuild(
         .unionByName(seeds_re)
         .unionByName(seeds_new)
     )
-    appended = (
-        adm_routed.filter(~F.col("cell").isin(fired))
-        .join(newlbl_members.select("vec_id"), "vec_id", "left_anti")
-        .select(
-            "vec_id",
-            F.col("cell").alias("label"),
-            F.col("icell").alias("cell"),
-            "embedding",
-        )
-    )
     indexed2 = (
-        indexed1.filter(~F.col("label").isin(fired))
-        .unionByName(appended)
+        surv.filter(~F.col("label").isin(fired))
         .unionByName(_assign_to_seeds(fired_members, seeds_re))
         .unionByName(
             _assign_to_seeds(
@@ -1462,6 +1528,8 @@ def warm_index_rebuild(
             )
         )
     )
+    if appended is not None:
+        indexed2 = indexed2.unionByName(appended)
     return cent2, seeds2, indexed2
 
 
@@ -1513,36 +1581,20 @@ def warm_index_compact(
     + one bounded centroid reduce. Lifecycle-tested (tombstone wave →
     compact fires → warm merge) in tests/test_ivf_cells.py with churn
     asserted ≤ the cold full retrain and deleted ids asserted absent
-    from both the index and the search results."""
-    fired = sorted(int(x) for x in fired_labels)
+    from both the index and the search results.
+
+    Since round 13 this is the delete-only special case of
+    :func:`warm_index_cycle` (``adm_routed=None``, ``merged`` = the
+    surviving corpus)."""
     surv = tombstone_filter(indexed1, tombstones)
-    cent2 = frozen_centroids(surv)
-    retrain = surv.filter(F.col("label").isin(fired)).select(
-        "vec_id", "label", "embedding"
+    return warm_index_cycle(
+        surv.select("vec_id", "label", "embedding"),
+        seeds1,
+        indexed1,
+        None,
+        tombstones,
+        fired_labels,
     )
-    surv_seeds = (
-        seeds1.filter(F.col("label").isin(fired))
-        .select("label", F.explode("_seeds").alias("s"))
-        .select(
-            "label",
-            F.col("s.cell").alias("cell"),
-            F.col("s.seed").alias("seed"),
-        )
-        .join(
-            tombstones.select(F.col("vec_id").alias("cell")),
-            "cell",
-            "left_anti",
-        )
-        .groupBy("label")
-        .agg(F.collect_list(F.struct("cell", "seed")).alias("_seeds"))
-    )
-    seeds_re = _warm_subseeds(retrain, surv_seeds)
-    seeds2 = seeds1.filter(~F.col("label").isin(fired)).unionByName(seeds_re)
-    indexed2 = (
-        surv.filter(~F.col("label").isin(fired))
-        .unionByName(_assign_to_seeds(retrain, seeds_re))
-    )
-    return cent2, seeds2, indexed2
 
 
 def frozen_route(new: DataFrame, cent: DataFrame, seeds: DataFrame) -> DataFrame:

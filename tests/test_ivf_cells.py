@@ -821,3 +821,134 @@ def test_compact_fire_warm_merge_lifecycle(spark, monkeypatch):
     ).collect()
     assert len(ghost) == 1
     assert ghost[0]["neighbor_id"] is None or ghost[0]["neighbor_id"] in survivors
+
+
+def test_combined_wave_warm_cycle_lifecycle(spark, monkeypatch):
+    """Round 13: warm_index_cycle — ONE window that both admits and
+    deletes, with the SHRINK report firing one cell (takedowns push
+    k 2→1) and the GROWTH report firing another (admits push k 1→2),
+    rebuilt in one pass: deleted data gone everywhere, the shrink
+    cell merges onto its surviving seed, the grow cell splits KEEPING
+    its old seed identity, the untouched cell churns zero rows, a
+    brand-new lake label indexes cold-identically, and an admit that
+    was tombstoned within the same window never enters the index."""
+    from kafka_flink_exactlyonce_example_spark.operators import ingest, simsearch
+
+    monkeypatch.setattr(dedup, "_CELL_TARGET", 8)
+    monkeypatch.setattr(dedup, "_SEED_OVERSAMPLE", 10**9)
+    old_rows = (
+        [(i, 0, [1.0, 0.03 * i, 0.002 * (i * i % 17)]) for i in range(40)]
+        + [(100 + i, 1, [0.0, 1.0, 0.05 * i]) for i in range(10)]
+        + [(200 + i, 2, [0.0, 0.05 * i, 1.0]) for i in range(10)]
+    )
+    old = spark.createDataFrame(
+        old_rows, "vec_id bigint, label int, embedding array<float>"
+    )
+    cent1, seeds1 = simsearch.frozen_index_frames(old)
+    cent1, seeds1 = cent1.localCheckpoint(), seeds1.localCheckpoint()
+    indexed1 = dedup._assign_to_seeds(old, seeds1).localCheckpoint()
+    s1 = {r["label"]: sorted(s["cell"] for s in r["_seeds"])
+          for r in seeds1.collect()}
+    assert len(s1[0]) == 2 and len(s1[1]) == 1 and len(s1[2]) == 1
+
+    # the window: delete 26 of label 0 (incl. one seed) -> shrink
+    # fires; admit 30 vectors routed to cell 1 -> growth fires; admit
+    # one brand-new lake label 7; admit one vector into untouched
+    # cell 2 and tombstone it IN THE SAME WINDOW
+    dead_seed, keep_seed = s1[0][1], s1[0][0]
+    dead0 = [dead_seed] + [
+        i for i in range(40) if i not in (dead_seed, keep_seed)
+    ][:25]
+    dead = sorted(dead0) + [777]
+    tomb = spark.createDataFrame([(d,) for d in dead], "vec_id bigint")
+    admits = (
+        [(500 + i, 1, s1[1][0], [0.0, 1.0, 0.03 * i]) for i in range(30)]
+        + [(600, 7, s1[1][0], [0.5, 0.5, 0.5])]
+        + [(777, 2, s1[2][0], [0.0, 0.1, 1.0])]
+    )
+    adm_routed = spark.createDataFrame(
+        admits, "vec_id bigint, cell int, icell bigint, embedding array<float>"
+    )
+    adm_lake = spark.createDataFrame(
+        [(500 + i, 1, [0.0, 1.0, 0.03 * i]) for i in range(30)]
+        + [(600, 7, [0.5, 0.5, 0.5])],
+        "vec_id bigint, label int, embedding array<float>",
+    )
+    merged = (
+        old.join(tomb, "vec_id", "left_anti").unionByName(adm_lake)
+    )
+
+    # BOTH reports, and each fires its own cell
+    oldcells = indexed1.groupBy(F.col("label").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_old")
+    )
+    newcells = (
+        adm_routed.join(tomb, "vec_id", "left_anti")
+        .filter(F.col("cell") != 7)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_admitted"))
+    )
+    grow = {r["cell"] for r in ingest.index_refresh_report(
+        oldcells, newcells, cell_target=8.0).collect() if r["rebuild"] == 1}
+    dcells = (
+        indexed1.join(tomb.withColumn("_d", F.lit(1)), "vec_id", "left")
+        .groupBy(F.col("label").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum(F.coalesce("_d", F.lit(0))).cast("long").alias("n_deleted"),
+        )
+    )
+    shrink = {r["cell"] for r in ingest.index_compact_report(
+        dcells, cell_target=8.0).collect() if r["compact"] == 1}
+    assert grow == {1} and shrink == {0}
+    fired = grow | shrink
+
+    cent2, seeds2, indexed2 = simsearch.warm_index_cycle(
+        merged, seeds1, indexed1, adm_routed, tomb, fired
+    )
+    cent2, seeds2, indexed2 = (
+        cent2.localCheckpoint(),
+        seeds2.localCheckpoint(),
+        indexed2.localCheckpoint(),
+    )
+    want_ids = sorted(
+        ({r[0] for r in old_rows} - set(dead))
+        | {500 + i for i in range(30)}
+        | {600}
+    )
+    got = [r["vec_id"] for r in indexed2.collect()]
+    assert sorted(got) == want_ids, "membership broke (777 or a dead id?)"
+    assert len(got) == len(set(got))
+    s2 = {r["label"]: sorted(s["cell"] for s in r["_seeds"])
+          for r in seeds2.collect()}
+    # shrink cell merged onto its surviving seed
+    assert s2[0] == [keep_seed]
+    # grow cell split to 2, KEEPING the old seed identity
+    assert len(s2[1]) == 2 and s1[1][0] in s2[1]
+    # untouched cell: seeds + postings verbatim
+    assert s2[2] == s1[2]
+    m1 = {r["vec_id"]: (r["label"], r["cell"]) for r in indexed1.collect()}
+    mw = {r["vec_id"]: (r["label"], r["cell"]) for r in indexed2.collect()}
+    assert all(mw[v] == m1[v] for v in mw if v in m1 and m1[v][0] == 2)
+    # brand-new label: cold-identical seeding at its lake label
+    assert s2[7] == [600] and mw[600] == (7, 600)
+    # the same-window admit+takedown never became a seed either
+    assert 777 not in {c for cs in s2.values() for c in cs}
+    # search sanity: an admitted vector is findable at sim 1.0, a
+    # deleted one never comes back
+    q = spark.createDataFrame(
+        [(900, [0.0, 1.0, 0.03 * 7])], "vec_id bigint, embedding array<float>"
+    )
+    hit = simsearch.frozen_top1(
+        simsearch.frozen_route(q, cent2, seeds2), indexed2
+    ).collect()
+    assert len(hit) == 1 and hit[0]["sim"] == 1.0
+    assert hit[0]["neighbor_id"] in {107, 507}
+    dead_emb = [r[2] for r in old_rows if r[0] == dead0[1]][0]
+    qd = spark.createDataFrame(
+        [(901, dead_emb)], "vec_id bigint, embedding array<float>"
+    )
+    ghost = simsearch.frozen_top1(
+        simsearch.frozen_route(qd, cent2, seeds2), indexed2
+    ).collect()
+    assert len(ghost) == 1 and ghost[0]["neighbor_id"] not in set(dead)
