@@ -1597,6 +1597,46 @@ def warm_index_compact(
     )
 
 
+def save_frozen_index(
+    path: str, cent: DataFrame, seeds: DataFrame, indexed: DataFrame
+) -> None:
+    """Persist one frozen-index GENERATION as three parquet relations
+    (round 13) — the handoff artifact between the offline rebuild
+    (:func:`warm_index_cycle` and friends) and the serving stream
+    (streaming/jobs.py restarts on the new generation): ``centroids/``
+    (bounded, labels × d), ``seeds/`` (Σk ∝ √n nested
+    struct arrays — parquet-native), and ``postings/`` PARTITIONED BY
+    the lake label, so a routed search's posting scan prunes to the
+    assigned label's directory before any row is read (the search
+    touches one label's one sub-cell; partition pruning makes the
+    label grain free — verified by PartitionFilters in the loaded
+    scan plan). At 100 TB the postings would additionally be BUCKETED
+    by ``cell`` within each label partition (the write_bucketed shape
+    tests/test_storage.py pins) so repeated scan joins co-locate;
+    the bounded centroid/seed tables stay plain parquet and broadcast
+    on read."""
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    seeds.write.mode("overwrite").parquet(f"{path}/seeds")
+    indexed.write.mode("overwrite").partitionBy("label").parquet(
+        f"{path}/postings"
+    )
+
+
+def load_frozen_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Reload a :func:`save_frozen_index` generation as the
+    (cent, seeds, indexed) triple every search/ingest entry point
+    takes — round-trip equality (routing, top-1, tombstone-filtered
+    top-1) is pinned in tests/test_ivf_cells.py."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    seeds = spark.read.parquet(f"{path}/seeds")
+    indexed = spark.read.parquet(f"{path}/postings").select(
+        "vec_id", "label", "cell", "embedding"
+    )
+    return cent, seeds, indexed
+
+
 def frozen_route(new: DataFrame, cent: DataFrame, seeds: DataFrame) -> DataFrame:
     """Two-stage frozen-quantizer routing of a batch of (vec_id,
     embedding) rows: coarse (nearest label centroid, 6-dp-rounded

@@ -823,6 +823,75 @@ def test_compact_fire_warm_merge_lifecycle(spark, monkeypatch):
     assert ghost[0]["neighbor_id"] is None or ghost[0]["neighbor_id"] in survivors
 
 
+def test_frozen_index_parquet_round_trip(spark, tmp_path, monkeypatch):
+    """Round 13: a frozen-index generation persists to parquet and
+    reloads into the same (cent, seeds, indexed) triple — routing,
+    top-1, and tombstone-filtered top-1 all byte-equal across the
+    round trip, and the loaded posting scan PRUNES to the routed
+    label's partition (PartitionFilters in the plan — the label grain
+    is free on disk, exactly as the save docstring claims)."""
+    from kafka_flink_exactlyonce_example_spark.operators import simsearch
+    from kafka_flink_exactlyonce_example_spark.plans import plan_string
+
+    monkeypatch.setattr(dedup, "_CELL_TARGET", 8)
+    monkeypatch.setattr(dedup, "_SEED_OVERSAMPLE", 10**9)
+    old = spark.createDataFrame(
+        [(i, 0, [1.0, 0.03 * i, 0.002 * (i * i % 17)]) for i in range(40)]
+        + [(100 + i, 1, [0.0, 1.0, 0.05 * i]) for i in range(10)],
+        "vec_id bigint, label int, embedding array<float>",
+    )
+    cent1, seeds1 = simsearch.frozen_index_frames(old)
+    cent1, seeds1 = cent1.localCheckpoint(), seeds1.localCheckpoint()
+    indexed1 = dedup._assign_to_seeds(old, seeds1).localCheckpoint()
+
+    path = str(tmp_path / "ivf_gen1")
+    simsearch.save_frozen_index(path, cent1, seeds1, indexed1)
+    cent2, seeds2, indexed2 = simsearch.load_frozen_index(spark, path)
+
+    # relation equality (seeds arrays order-normalized per label)
+    assert sorted(
+        (r["cell"], tuple(r["centroid"])) for r in cent1.collect()
+    ) == sorted((r["cell"], tuple(r["centroid"])) for r in cent2.collect())
+    norm = lambda rows: sorted(
+        (r["label"], tuple(sorted(s["cell"] for s in r["_seeds"])))
+        for r in rows
+    )
+    assert norm(seeds1.collect()) == norm(seeds2.collect())
+    assert sorted(
+        (r["vec_id"], r["label"], r["cell"]) for r in indexed1.collect()
+    ) == sorted((r["vec_id"], r["label"], r["cell"]) for r in indexed2.collect())
+
+    # search equality across the round trip, with and without a
+    # tombstone set
+    q = spark.createDataFrame(
+        [(900, [0.0, 1.0, 0.35]), (901, [1.0, 0.5, 0.01])],
+        "vec_id bigint, embedding array<float>",
+    )
+    tomb = spark.createDataFrame([(107,), (3,)], "vec_id bigint")
+
+    def run(cent, seeds, indexed, ts):
+        return sorted(
+            tuple(r)
+            for r in simsearch.frozen_top1(
+                simsearch.frozen_route(q, cent, seeds), indexed,
+                tombstones=ts,
+            ).collect()
+        )
+
+    assert run(cent1, seeds1, indexed1, None) == run(
+        cent2, seeds2, indexed2, None
+    )
+    assert run(cent1, seeds1, indexed1, tomb) == run(
+        cent2, seeds2, indexed2, tomb
+    )
+
+    # the loaded posting scan prunes by the routed label on disk
+    plan = plan_string(indexed2.filter(F.col("label") == 1))
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "label" in seg
+
+
 def test_combined_wave_warm_cycle_lifecycle(spark, monkeypatch):
     """Round 13: warm_index_cycle — ONE window that both admits and
     deletes, with the SHRINK report firing one cell (takedowns push
