@@ -5108,9 +5108,12 @@ def q_filtered_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_ivf_recall",
-    oracle=_IVF_ROUTE_CTES
+#: The IVF recall-audit oracle at the shipped nprobe — shared verbatim
+#: by q_ivf_recall and q_ann_planned_ivf (round 13: the planner's ivf
+#: branch grades against exactly the relation its catalog row
+#: promises; one oracle string, no copy to drift).
+_IVF_RECALL_ORACLE = (
+    _IVF_ROUTE_CTES
     + f""", cand AS (
         SELECT r.vec_id, a.vec_id AS neighbor_id
         FROM route r
@@ -5159,8 +5162,11 @@ def q_filtered_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
            h.n_hit,
            round(CAST(h.n_hit AS DOUBLE) / h.n_true, 6) AS recall
     FROM hits h LEFT JOIN ncand nc ON nc.vec_id = h.vec_id
-    """,
+    """
 )
+
+
+@query("q_ivf_recall", oracle=_IVF_RECALL_ORACLE)
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 audit of the IVF index — the third row of the
     index-selection matrix, on the SAME absolute panel as q_ann_recall
@@ -5757,5 +5763,42 @@ def q_ann_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert choice["index"] == "mp" and choice["param"] == _MP_FRONTIER_BITS, (
         f"planner resolved {choice} — the graded contract expects mp/k=6"
+    )
+    return frame
+
+
+#: The second graded planner request: recall ≥ 0.5 inside a
+#: 400-candidate budget — only ivf/nprobe=4 (0.517 @ 398) qualifies
+#: (ivf/2 misses the recall bar, mp/k=7 blows the budget), so the
+#: catalog resolves the OTHER branch of the builder dispatch.
+_PLAN_IVF_TARGET = 0.5
+_PLAN_IVF_BUDGET = 400
+
+
+@query("q_ann_planned_ivf", oracle=_IVF_RECALL_ORACLE)
+def q_ann_planned_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN planner's IVF branch, graded end-to-end (round 13 —
+    q_ann_planned grades the multiprobe branch; without this row the
+    ivf builder dispatch was only test-pinned):
+    ann_search_plan(recall ≥ 0.5, budget 400) must resolve by catalog
+    arithmetic to ivf/nprobe=4 — the shipped q_ivf_recall operating
+    point — and the plan it builds must reproduce q_ivf_recall's
+    audit row-for-row (same oracle string, shared via
+    _IVF_RECALL_ORACLE so the two graded rows cannot drift). Together
+    the two planner rows cover both sides of the builder dispatch
+    with full oracles; the brute fallback's shape is unit-pinned in
+    tests/test_ann_planner.py (its audit is trivially recall 1.0 —
+    nothing an oracle could falsify).
+
+    Scale shape: the decision is static-table arithmetic (zero data
+    touched before the chosen plan); the built plan is q_ivf_recall's
+    exactly (bounded broadcast route onto the session-cached
+    assignment, panel-broadcast audit tail). Output |panel| rows,
+    integer-derived."""
+    choice, frame = ann_search_plan(
+        spark, sf_dir, _PLAN_IVF_TARGET, _PLAN_IVF_BUDGET
+    )
+    assert choice["index"] == "ivf" and choice["param"] == _IVF_NPROBE, (
+        f"planner resolved {choice} — the graded contract expects ivf/4"
     )
     return frame

@@ -393,9 +393,11 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     # round-13 capability additions: the delete path EXECUTED (the
     # tombstone anti-join threaded through frozen_top1, graded against
     # the survivors-recomputed truth — VERDICT r12 item 1a) and the
-    # ANN operating-point planner row (item 4)
+    # ANN operating-point planner rows (item 4 — both branches of the
+    # builder dispatch carry full oracles)
     "q_ann_tombstone",
     "q_ann_planned",
+    "q_ann_planned_ivf",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.
