@@ -140,6 +140,108 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _del_tag_col(name: str):
+    """The deterministic md5 'del:' takedown tag (~20% of ids, the
+    'inc:' convention at modulus 5) over an arbitrary id column —
+    shared by the embedding-side delete path (ingest._is_del_col over
+    vec_id: q_index_compact / q_ann_tombstone) and the text-side
+    keeper-churn report (q_dedup_tombstone over doc_id). SQL twin
+    inlined in each consumer's oracle."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("del:"), F.col(name).cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    ) == 0
+
+
+@query(
+    "q_dedup_tombstone",
+    oracle="""
+    WITH tagged AS (
+        SELECT md5(lower(trim(text))) AS text_hash, doc_id,
+               CASE WHEN CAST(CAST(concat('0x', substring(
+                             md5('del:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 5 AS BIGINT) = 0
+                    THEN 1 ELSE 0 END AS is_del
+        FROM documents
+    ), g AS (
+        SELECT text_hash,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_before,
+               CAST(MIN(CASE WHEN is_del = 0 THEN doc_id END)
+                    AS BIGINT) AS keep_after,
+               CAST(COUNT(*) AS BIGINT) AS n_before,
+               CAST(COUNT(*) FILTER (WHERE is_del = 0) AS BIGINT) AS n_after
+        FROM tagged GROUP BY text_hash
+    )
+    SELECT text_hash, keep_before, keep_after, n_before, n_after
+    FROM g
+    WHERE keep_after IS NULL OR keep_after <> keep_before
+    """,
+)
+def q_dedup_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper churn under a takedown wave — the TEXT-dedup side of the
+    round-13 delete path (q_ann_tombstone's sibling): exact-dedup
+    keep-best decisions are only stable while the keeper exists, so
+    when the deterministic 'del:' wave (~20% of doc ids — the same
+    tag family q_index_compact prices) removes documents, every group
+    whose KEEPER was taken down must recompute. Output one row per
+    such group: the old keeper, the new keeper (min surviving doc_id
+    — NULL when the whole group is extinct, exercising the nullable
+    branch on both engines), and the before/after sizes. This is the
+    report a production dedup pipeline emits after a takedown window:
+    downstream consumers that materialized keeper ids (training
+    manifests, canonical-URL maps) re-point exactly these groups and
+    no others.
+
+    Measured branch coverage: at sf0.1 both outcomes grade (3 groups
+    re-point, 1051 go extinct — the corpus has 8 multi-member digest
+    groups); at sf0.01 every doc is digest-unique, so only the
+    extinct branch appears in the driver grade — the re-point branch
+    is additionally unit-pinned on a toy frame
+    (tests/test_text_index.py::test_dedup_tombstone_repoint_branch).
+
+    Scale shape: q_exact_dedup's exactly — ONE digest groupBy (16-byte
+    hash shuffles, never the text) now carrying two conditional
+    aggregates, then a group-grain filter; output ≈ tombstone-rate ×
+    |groups| rows, every column hash- or integer-derived."""
+    d = table(spark, sf_dir, "documents")
+    g = (
+        d.select(
+            F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias(
+                "text_hash"
+            ),
+            "doc_id",
+            _del_tag_col("doc_id").cast("int").alias("is_del"),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_before"),
+            F.min(F.when(F.col("is_del") == 0, F.col("doc_id"))).alias(
+                "keep_after"
+            ),
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum(F.when(F.col("is_del") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_after"),
+        )
+    )
+    return g.filter(
+        F.col("keep_after").isNull()
+        | (F.col("keep_after") != F.col("keep_before"))
+    )
+
+
 
 
 # LSH candidates + exact word-set Jaccard scoring — shared between the

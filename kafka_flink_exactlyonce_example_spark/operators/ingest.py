@@ -57,27 +57,17 @@ from kafka_flink_exactlyonce_example_spark.sources import table
 
 #: The deterministic md5 'del:' tombstone split (~20% of ids) shared by
 #: q_index_compact (the shrink trigger) and q_ann_tombstone (the
-#: tombstone-aware search it prices) — the 'inc:' convention at modulus
-#: 5. SQL twin inlined in both oracles.
+#: tombstone-aware search it prices) — one definition
+#: (:func:`dedup._del_tag_col`) also serving the text-side keeper-churn
+#: report (q_dedup_tombstone). SQL twin inlined in each oracle.
 
 
 def _is_del_col():
-    return (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("del:"), F.col("vec_id").cast("string")
-                    ).cast("binary")
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 5
-    ) == 0
+    from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+        _del_tag_col,
+    )
+
+    return _del_tag_col("vec_id")
 
 
 #: Admission threshold on the 6-dp-rounded frozen-index cosine. 0.35

@@ -398,6 +398,9 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     "q_ann_tombstone",
     "q_ann_planned",
     "q_ann_planned_ivf",
+    # and the text-dedup side of the delete path: keeper churn under
+    # the takedown wave (groups whose keep-best must recompute)
+    "q_dedup_tombstone",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.

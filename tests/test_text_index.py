@@ -143,3 +143,34 @@ def test_near_text_flags_matches_graded_gate(spark):
     # non-vacuity: the smoke split exercises BOTH outcomes (measured:
     # 3 near-text flags among 44 batch docs)
     assert any(want.values()) and not all(want.values())
+
+
+def test_dedup_tombstone_repoint_branch(spark, tmp_path):
+    """q_dedup_tombstone's RE-POINT branch on a toy corpus (the graded
+    sf0.01 corpus is digest-unique, so the driver row only exercises
+    the extinct branch): a group whose keeper (doc 1, 'del:'-tagged)
+    is taken down re-points to the min surviving member; a deleted
+    singleton (doc 6) goes extinct with NULL keep_after; a group
+    whose keeper survives never appears."""
+    from kafka_flink_exactlyonce_example_spark.registry import QUERIES
+
+    # ids 1, 6, 7 are 'del:'-tagged (md5-derived, deterministic);
+    # 0, 2, 3, 4, 5 are not
+    rows = [
+        (1, "en", "group a text"),   # keeper of group a — DELETED
+        (2, "en", "group a text"),   # survivor -> new keeper
+        (3, "en", "group a text"),
+        (6, "en", "lonely text"),    # deleted singleton -> extinct
+        (0, "en", "group b text"),   # keeper survives...
+        (7, "en", "group b text"),   # ...a deleted non-keeper member
+        (4, "en", "untouched text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    path = str(tmp_path / "docs")
+    docs.write.parquet(f"{path}/documents.parquet")
+    out = {r["keep_before"]: r
+           for r in QUERIES["q_dedup_tombstone"](spark, path).collect()}
+    assert set(out) == {1, 6}, "group b's surviving keeper must not appear"
+    assert out[1]["keep_after"] == 2 and out[1]["n_before"] == 3
+    assert out[1]["n_after"] == 2
+    assert out[6]["keep_after"] is None and out[6]["n_after"] == 0
