@@ -4491,15 +4491,40 @@ def filtered_search_plan(
     post-filter-inside-probed-cells scan. tests/test_filtered_search.py
     pins both the route decision and the plan shapes (the brute plan
     must not reference the cell assignment)."""
-    emb = table(spark, sf_dir, "embeddings")
-    # both planner statistics in ONE scan (round-12 self-review: the
-    # first cut ran count() + filter().count() = two full scans)
-    counts = emb.agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.sum(F.when(predicate, 1).otherwise(0)).cast("long").alias("n_pass"),
-    ).first()
+    counts = _filtered_counts(spark, sf_dir, predicate)
     route_name = filtered_route(counts["n_pass"], counts["n_total"])
+    return route_name, _filtered_topk_frame(
+        spark, sf_dir, predicate, route_name
+    )
 
+
+def _filtered_counts(spark: SparkSession, sf_dir: str, predicate):
+    """Both filtered-planner statistics in ONE conditional-aggregate
+    scan (round-12 self-review: the first cut ran count() +
+    filter().count() = two full scans; at 100 TB these are catalog/AQE
+    statistics, not scans). Shared by :func:`filtered_search_plan` and
+    the predicate branch of :func:`ann_search_plan`."""
+    return (
+        table(spark, sf_dir, "embeddings")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(predicate, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pass"),
+        )
+        .first()
+    )
+
+
+def _filtered_topk_frame(
+    spark: SparkSession, sf_dir: str, predicate, route_name: str
+) -> DataFrame:
+    """The physical plan behind a resolved filtered-search route —
+    per-panel-probe top-_RECALL_K (vec_id, neighbor_id, sim) under the
+    predicate, built for EXACTLY the route the caller chose (the brute
+    plan never references the cell assignment; plan-shape-pinned in
+    tests/test_filtered_search.py and tests/test_ann_planner.py)."""
+    emb = table(spark, sf_dir, "embeddings")
     nrm = _normalized(spark, sf_dir)
     panel = _recall_panel(spark, sf_dir)
     allowed = emb.filter(predicate).select("vec_id")
@@ -4547,7 +4572,7 @@ def filtered_search_plan(
         .filter(F.col("rn") <= _RECALL_K)
         .select("vec_id", "neighbor_id", F.round("sim", 6).alias("sim"))
     )
-    return route_name, topk
+    return topk
 
 
 @query(
@@ -5694,11 +5719,82 @@ def _brute_recall_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The recall the planner may PROMISE for post-filter IVF: the minimum
+#: of the engine-graded q_filtered_sweep recalls over the tiers the
+#: crossover rule actually routes to ivf (sf0.1: 0.475 at s≈0.3, 0.504
+#: at s≈0.7 — recall recovers with selectivity as survivors-per-cell
+#: grow, so the lowest ivf-routed tier is the floor). Below the
+#: crossover post-filter IVF is ungraded-and-starving territory
+#: (q_ann_filtered_sel's s≈0.1 point reads 0.446) — the planner never
+#: offers it there: brute is cheaper by the same arithmetic that
+#: defines the crossover, so the honest menu is exact-brute or a loud
+#: refusal.
+_FILTERED_IVF_RECALL_FLOOR = 0.475
+
+
+def filtered_ann_route(
+    recall_target: float,
+    candidate_budget: int,
+    n_pass: int,
+    n_total: int,
+) -> dict:
+    """The composed planners' pure choice function — filtered search
+    under a (recall_target, candidate_budget) contract. Menu:
+
+    - ``fbrute`` — exact top-k over the predicate's survivors: recall
+      1.0 by construction, scan cost n_pass rows/probe. Eligible iff
+      n_pass fits the budget.
+    - ``fivf`` — post-filter IVF: scan cost ⌊n_total·nprobe/K⌋
+      rows/probe (the posting-list scan; the predicate cannot shrink
+      it), recall promised at _FILTERED_IVF_RECALL_FLOOR. Eligible iff
+      the crossover rule itself routes ivf (``n_pass`` strictly above
+      ⌊n_total·nprobe/K⌋ — below that line the regime is graded as
+      starving and brute is cheaper anyway), the floor meets the
+      target, and the scan fits the budget.
+
+    Cheapest eligible wins; when both qualify the ivf posting scan is
+    strictly smaller by the eligibility arithmetic, so the choice
+    agrees with :func:`filtered_route` exactly — raising the recall
+    target above the floor is the ONLY thing that overrides the
+    crossover (exactness bought with the bigger scan). No eligible
+    route → ValueError quoting both routes' promise and cost: a
+    planner must fail loudly rather than silently under-deliver.
+    Pure integer/float arithmetic — testable without a SparkSession,
+    can never diverge between build and explain."""
+    eligible: list[tuple[str, int, float, int]] = []
+    if n_pass <= candidate_budget and recall_target <= 1.0:
+        eligible.append(("fbrute", 0, 1.0, n_pass))
+    cost_ivf = (n_total * _IVF_NPROBE) // _CQ_K
+    if (
+        filtered_route(n_pass, n_total) == "ivf"
+        and recall_target <= _FILTERED_IVF_RECALL_FLOOR
+        and cost_ivf <= candidate_budget
+    ):
+        eligible.append(
+            ("fivf", _IVF_NPROBE, _FILTERED_IVF_RECALL_FLOOR, cost_ivf)
+        )
+    if eligible:
+        kind, param, recall, cost = min(eligible, key=lambda r: r[3])
+        return {
+            "index": kind,
+            "param": param,
+            "recall": recall,
+            "cand_per_probe": cost,
+        }
+    raise ValueError(
+        f"no filtered route meets recall {recall_target} within "
+        f"{candidate_budget} candidates/probe (fbrute: 1.0 @ {n_pass}; "
+        f"fivf: {_FILTERED_IVF_RECALL_FLOOR} @ {cost_ivf}, offered only "
+        f"above the crossover n_pass·{_CQ_K} > n_total·{_IVF_NPROBE})"
+    )
+
+
 def ann_search_plan(
     spark: SparkSession,
     sf_dir: str,
     recall_target: float,
     candidate_budget: int,
+    predicate=None,
 ) -> tuple[dict, DataFrame]:
     """PRODUCTION ANN operating-point planner: resolve
     (recall_target, candidate_budget) against the engine-graded
@@ -5711,10 +5807,32 @@ def ann_search_plan(
     the shared absolute panel — directly comparable row-for-row with
     every other index-matrix audit.
 
+    With a ``predicate`` the request is FILTERED search and the two
+    planners compose: selectivity comes from ONE conditional-aggregate
+    scan (:func:`_filtered_counts` — a catalog statistic at 100 TB),
+    the route from :func:`filtered_ann_route` (the crossover rule
+    under the recall/budget contract), and the frame is the chosen
+    route's top-k RESULT relation (vec_id, neighbor_id, sim) —
+    filtered requests deliver neighbors, not audits, because the
+    filtered ground truth is predicate-specific (q_ann_filtered_sel /
+    q_filtered_sweep are the audit instruments).
+
     The corpus count feeding the brute fallback runs ONLY when no
     indexed point satisfies the request (one aggregate here; a catalog
     statistic at 100 TB) — the common path is pure table arithmetic
     and builds nothing it does not return."""
+    if predicate is not None:
+        counts = _filtered_counts(spark, sf_dir, predicate)
+        choice = filtered_ann_route(
+            recall_target,
+            candidate_budget,
+            counts["n_pass"],
+            counts["n_total"],
+        )
+        route_name = "brute" if choice["index"] == "fbrute" else "ivf"
+        return choice, _filtered_topk_frame(
+            spark, sf_dir, predicate, route_name
+        )
     try:
         choice = ann_route(recall_target, candidate_budget)
     except ValueError:
@@ -5800,5 +5918,77 @@ def q_ann_planned_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert choice["index"] == "ivf" and choice["param"] == _IVF_NPROBE, (
         f"planner resolved {choice} — the graded contract expects ivf/4"
+    )
+    return frame
+
+
+#: The graded filtered-planner request: the ~50% predicate (label
+#: even), recall ≥ 0.45 inside a deliberately permissive budget — both
+#: routes are budget-eligible at every SF, so the graded decision is
+#: the COST arithmetic itself (the ⌊n·nprobe/K⌋ posting scan strictly
+#: beats the ~n/2 filtered brute scan), not a budget cliff; the target
+#: sits under _FILTERED_IVF_RECALL_FLOOR so post-filter IVF may be
+#: promised at all.
+_PLAN_FILTERED_TARGET = 0.45
+_PLAN_FILTERED_BUDGET = 1_000_000
+
+
+@query(
+    "q_ann_planned_filtered",
+    oracle=_IVF_ROUTE_CTES
+    + f""", fpass AS (
+        SELECT r.vec_id, a.vec_id AS neighbor_id
+        FROM route r
+        JOIN cqassign a ON a.ccell = r.ccell AND a.vec_id <> r.vec_id
+        JOIN embeddings e ON e.vec_id = a.vec_id AND e.label % 2 = 0
+    ), {_NRM_SQL}, fpairs AS (
+        SELECT c.vec_id, c.neighbor_id,
+               list_sum(list_transform(list_zip(ex.ne, ey.ne),
+                   p -> p[1] * p[2])) AS sim
+        FROM fpass c
+        JOIN nrm ex ON ex.vec_id = c.vec_id
+        JOIN nrm ey ON ey.vec_id = c.neighbor_id
+    )
+    SELECT vec_id, neighbor_id, round(sim, 6) AS sim FROM (
+        SELECT vec_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, neighbor_id) AS rn
+        FROM fpairs) WHERE rn <= {_RECALL_K}
+    """,
+)
+def q_ann_planned_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED planner graded end-to-end (round 13 — q_ann_planned
+    / q_ann_planned_ivf grade the unfiltered operating-point planner;
+    this row grades the predicate branch that marries it to the
+    round-12 filtered-search crossover): ann_search_plan(recall ≥
+    0.45, permissive budget, predicate = label even, s ≈ 0.5) must
+    resolve by :func:`filtered_ann_route`'s arithmetic to fivf — the
+    posting scan ⌊n·nprobe/K⌋ is strictly cheaper than the ~n/2
+    filtered brute scan, the target sits under the graded
+    _FILTERED_IVF_RECALL_FLOOR, and the decision is corpus-size-
+    invariant (both costs ∝ n; the scale probe's `filtered` shape pins
+    the ratio) — and the plan it builds must reproduce the post-filter
+    IVF top-k RESULT relation value-for-value against the oracle's
+    independent CTE derivation. Unlike the audit rows, the graded
+    payload here is the actual neighbor lists a caller would consume
+    (vec_id, neighbor_id, 6-dp sim). The decision matrix (exactness
+    override above the floor, starvation-regime refusal below the
+    crossover, loud failure) is unit-pinned in
+    tests/test_ann_planner.py.
+
+    Scale shape: ONE conditional-aggregate scan decides the route
+    (catalog statistics at 100 TB), then the chosen plan only — the
+    session-cached assignment joined to the ≤|panel|·nprobe broadcast
+    route, predicate semi-join on 8-byte ids, |panel|-bounded scoring.
+    Output ≤ |panel|·K rows."""
+    choice, frame = ann_search_plan(
+        spark,
+        sf_dir,
+        _PLAN_FILTERED_TARGET,
+        _PLAN_FILTERED_BUDGET,
+        predicate=(F.col("label") % 2) == 0,
+    )
+    assert choice["index"] == "fivf" and choice["param"] == _IVF_NPROBE, (
+        f"planner resolved {choice} — the graded contract expects fivf/4"
     )
     return frame

@@ -401,6 +401,10 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     # and the text-dedup side of the delete path: keeper churn under
     # the takedown wave (groups whose keep-best must recompute)
     "q_dedup_tombstone",
+    # the composed planner: operating-point planning married to the
+    # filtered-search crossover (predicate requests resolve through
+    # filtered_ann_route and deliver the chosen route's neighbors)
+    "q_ann_planned_filtered",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.

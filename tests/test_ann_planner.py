@@ -100,6 +100,88 @@ def test_ann_plan_ivf_depth_matches_graded_point(spark):
     assert got == want and got
 
 
+def test_filtered_ann_route_arithmetic():
+    """The composed choice function (round 13): agreement with the
+    bare crossover rule under a permissive contract, the exactness
+    override above the ivf recall floor, and the loud-failure paths."""
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        _CQ_K,
+        _FILTERED_IVF_RECALL_FLOOR,
+        _IVF_NPROBE,
+        filtered_ann_route,
+        filtered_route,
+    )
+
+    n = 10_000
+    big = 10**9
+    boundary = n * _IVF_NPROBE // _CQ_K
+    # agreement theorem: with recall/budget permissive, the composed
+    # choice IS filtered_route's, at and around the crossover
+    for n_pass in (0, 1, boundary - 1, boundary, boundary + 1, n // 2, n):
+        want = {"brute": "fbrute", "ivf": "fivf"}[filtered_route(n_pass, n)]
+        assert filtered_ann_route(0.0, big, n_pass, n)["index"] == want
+    # the fivf promise quotes the graded floor and the posting scan
+    c = filtered_ann_route(_FILTERED_IVF_RECALL_FLOOR, big, n // 2, n)
+    assert c["index"] == "fivf"
+    assert c["recall"] == _FILTERED_IVF_RECALL_FLOOR
+    assert c["cand_per_probe"] == (n * _IVF_NPROBE) // _CQ_K
+    # exactness override: a target above the floor forces brute even
+    # where the posting scan is cheaper...
+    c = filtered_ann_route(0.9, big, n // 2, n)
+    assert c["index"] == "fbrute" and c["recall"] == 1.0
+    assert c["cand_per_probe"] == n // 2
+    # ...and if the survivor scan then misses the budget, loud failure
+    with pytest.raises(ValueError, match="fbrute: 1.0"):
+        filtered_ann_route(0.9, n // 4, n // 2, n)
+    # starvation-regime refusal: below the crossover ivf is never
+    # offered (the regime is graded as starving), so a brute scan over
+    # budget refuses rather than under-delivering
+    with pytest.raises(ValueError, match="above the crossover"):
+        filtered_ann_route(0.3, boundary - 1, boundary, n)
+    # budget cliff: nothing fits
+    with pytest.raises(ValueError):
+        filtered_ann_route(0.0, boundary // 2, n, n)
+
+
+def test_ann_search_plan_filtered_branch(spark):
+    """The predicate branch builds EXACTLY the route the composed
+    choice resolves, and its output is filtered_search_plan's
+    relation for that route (the two planner entries can never
+    disagree on what a route means)."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        ann_search_plan,
+        filtered_search_plan,
+    )
+
+    # exactness override -> fbrute: no ccell in the plan, rows equal
+    # the brute route of filtered_search_plan
+    choice, frame = ann_search_plan(
+        spark, SMOKE_SF, 1.0, 10**9, predicate=F.col("label") == 3
+    )
+    assert choice["index"] == "fbrute"
+    assert "ccell" not in frame._jdf.queryExecution().toString()
+    route, want = filtered_search_plan(spark, SMOKE_SF, F.col("label") == 3)
+    assert route == "brute"
+    got = sorted(tuple(r) for r in frame.collect())
+    assert got == sorted(tuple(r) for r in want.collect()) and got
+
+    # the graded scenario -> fivf: rides the cell assignment, rows
+    # equal the ivf route of filtered_search_plan
+    choice, frame = ann_search_plan(
+        spark, SMOKE_SF, 0.45, 10**9, predicate=F.col("label") % 2 == 0
+    )
+    assert choice["index"] == "fivf"
+    assert "ccell" in frame._jdf.queryExecution().toString()
+    route, want = filtered_search_plan(
+        spark, SMOKE_SF, F.col("label") % 2 == 0
+    )
+    assert route == "ivf"
+    got = sorted(tuple(r) for r in frame.collect())
+    assert got == sorted(tuple(r) for r in want.collect()) and got
+
+
 def test_ann_plan_brute_fallback_shape(spark):
     """The brute fallback returns the same audit schema with recall
     1.0 and n_cand = corpus − 1 on every probe."""
