@@ -1402,6 +1402,47 @@ def text_index_freeze(bands: DataFrame) -> DataFrame:
     return _cap_bands_rel(bands)
 
 
+def save_text_index(path: str, bands: DataFrame, sets: DataFrame) -> None:
+    """Persist one TEXT near-dup index GENERATION as two parquet
+    relations (round 13) — the text twin of
+    :func:`simsearch.save_frozen_index`, the handoff artifact between
+    the offline fold/rebuild and the serving stream: ``bands/`` (the
+    UNCAPPED band relation, PARTITIONED BY band_idx so each of the
+    _BANDS band spaces is an independently scannable directory — the
+    stored form stays append-only and the probe-facing cap is derived
+    per generation by :func:`text_index_freeze`, exactly the fold
+    invariant) and ``sets/`` (per-doc distinct word sets, arrays
+    parquet-native). At 100 TB the bands would additionally be
+    BUCKETED by ``band_key`` within each band_idx partition (the
+    write_bucketed shape tests/test_storage.py pins) so the candidate
+    equi-join on (band_idx, band_key) is storage-co-located, and the
+    sets by ``doc_id`` for the verifier join; the relations are both
+    linear in the corpus, nothing broadcast."""
+    bands.write.mode("overwrite").partitionBy("band_idx").parquet(
+        f"{path}/bands"
+    )
+    sets.write.mode("overwrite").parquet(f"{path}/sets")
+
+
+def load_text_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Reload a :func:`save_text_index` generation as the (bands,
+    sets) pair every text-index entry point takes — round-trip
+    equality (relations and near-text verdicts, planted near-copy
+    included) is pinned in tests/test_text_index.py. The serving
+    stream derives + materializes the capped probe view ONCE per
+    loaded generation (:func:`text_index_freeze`), never per
+    micro-batch."""
+    bands = spark.read.parquet(f"{path}/bands").select(
+        "doc_id", "band_idx", "band_key"
+    )
+    sets = spark.read.parquet(f"{path}/sets").select(
+        "doc_id", "lang", "ws", "n"
+    )
+    return bands, sets
+
+
 def near_text_flags(
     batch: DataFrame,
     bands: DataFrame,
