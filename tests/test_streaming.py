@@ -2393,6 +2393,143 @@ def test_streaming_gate_text_index_fold_lifecycle(spark, tmp_path):
     assert v1["f_near_text"] == 0 and v1["admitted"] == 1
 
 
+def test_streaming_gate_runs_on_persisted_generations(spark, tmp_path):
+    """The full offline/online HANDOFF (round 13): every index the
+    gate consumes — digests, frozen embedding index, frozen text
+    index — is persisted to parquet per generation and each stream
+    start loads it from disk ONLY (a serving restart is a new process;
+    nothing in-memory may survive the swap). Gen 1 admits fresh doc X
+    from the loaded gen-1 artifacts; the offline refresh folds X into
+    digests + text index and SAVES generation 2; the restart on the
+    same checkpoint/sink loads gen 2 and rejects the planted NEAR-copy
+    Y through f_near_text. Exactly-once admission holds over the
+    generation union. (The in-memory fold lifecycle is
+    test_streaming_gate_text_index_fold_lifecycle; this pins that the
+    parquet generations are a sufficient serving contract.)"""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+        _assign_to_seeds,
+        load_text_index,
+        save_text_index,
+        text_index_build,
+        text_index_fold,
+    )
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        frozen_index_frames,
+        load_frozen_index,
+        save_frozen_index,
+    )
+    from kafka_flink_exactlyonce_example_spark.streaming.jobs import (
+        streaming_ingest_gate,
+    )
+
+    schema = "doc_id bigint, lang string, text string, embedding array<float>"
+    corpus = spark.createDataFrame(
+        [
+            (
+                i,
+                "en",
+                " ".join(f"w{i}x{j}" for j in range(30)),
+                [1.0, 0.01 * i, 0.0],
+            )
+            for i in range(1, 7)
+        ],
+        schema,
+    )
+    old = corpus.select(
+        F.col("doc_id").alias("vec_id"),
+        F.lit(0).cast("int").alias("label"),
+        "embedding",
+    )
+    cent1, seeds1 = frozen_index_frames(old)
+    indexed1 = _assign_to_seeds(old, seeds1)
+    digests1 = corpus.select(
+        F.md5(F.lower(F.trim("text")).cast("binary")).alias("h")
+    ).distinct()
+    bands1, sets1 = text_index_build(corpus.select("doc_id", "lang", "text"))
+
+    # persist generation 1, then forget the in-memory frames
+    gen1 = str(tmp_path / "gen1")
+    save_frozen_index(gen1, cent1, seeds1, indexed1)
+    save_text_index(f"{gen1}/text", bands1, sets1)
+    digests1.write.parquet(f"{gen1}/digests")
+    del cent1, seeds1, indexed1, digests1, bands1, sets1
+
+    x_words = [f"fresh{j}" for j in range(30)]
+    y_words = list(x_words)
+    y_words[13] = "mutated"
+    X = {
+        "doc_id": 100, "lang": "en",
+        "text": " ".join(x_words), "embedding": [0.0, 0.0, 1.0],
+    }
+    Y = {
+        "doc_id": 200, "lang": "en",
+        "text": " ".join(y_words), "embedding": [0.0, 1.0, 0.0],
+    }
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    with open(f"{inp}/g0.json", "w") as f:
+        f.write(json.dumps(X) + "\n")
+    os.utime(f"{inp}/g0.json", (1_700_000_000, 1_700_000_000))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    sink = IdempotentBatchSink(out)
+
+    # generation 1 serving: every frame loaded from disk
+    cent, seeds, indexed = load_frozen_index(spark, gen1)
+    q = streaming_ingest_gate(
+        file_stream(spark, inp, schema, fmt="json", maxFilesPerTrigger="1"),
+        spark.read.parquet(f"{gen1}/digests"),
+        cent, seeds, indexed, sink, ckpt,
+        near_threshold=0.9,
+        text_index=load_text_index(spark, f"{gen1}/text"),
+    )
+    q.awaitTermination(120)
+    g1 = {r["doc_id"]: r for r in sink.read_committed(spark).collect()}
+    assert g1[100]["admitted"] == 1
+
+    # offline refresh: fold the admitted doc into digests + text index
+    # and PERSIST generation 2 (embedding index carried over verbatim —
+    # the near-emb path must not be what catches the plant)
+    xdf = spark.createDataFrame(
+        [(X["doc_id"], X["lang"], X["text"], X["embedding"])], schema
+    )
+    b1, s1 = load_text_index(spark, f"{gen1}/text")
+    bands2, sets2 = text_index_fold(
+        b1, s1, xdf.select("doc_id", "lang", "text")
+    )
+    gen2 = str(tmp_path / "gen2")
+    save_text_index(f"{gen2}/text", bands2, sets2)
+    spark.read.parquet(f"{gen1}/digests").unionByName(
+        xdf.select(F.md5(F.lower(F.trim("text")).cast("binary")).alias("h"))
+    ).distinct().write.parquet(f"{gen2}/digests")
+    del b1, s1, bands2, sets2
+
+    with open(f"{inp}/g1.json", "w") as f:
+        f.write(json.dumps(Y) + "\n")
+    os.utime(f"{inp}/g1.json", (1_700_000_001, 1_700_000_001))
+
+    # generation 2 serving: restart on the same checkpoint/sink, all
+    # frames again from disk only
+    cent, seeds, indexed = load_frozen_index(spark, gen1)
+    q2 = streaming_ingest_gate(
+        file_stream(spark, inp, schema, fmt="json", maxFilesPerTrigger="1"),
+        spark.read.parquet(f"{gen2}/digests"),
+        cent, seeds, indexed, sink, ckpt,
+        near_threshold=0.9,
+        text_index=load_text_index(spark, f"{gen2}/text"),
+    )
+    q2.awaitTermination(120)
+    rows = sink.read_committed(spark).collect()
+    assert sorted(r["doc_id"] for r in rows) == [100, 200], (
+        "exactly-once broken across the persisted-generation swap"
+    )
+    y_row = next(r for r in rows if r["doc_id"] == 200)
+    assert y_row["f_exact"] == 0 and y_row["f_near"] == 0
+    assert y_row["f_near_text"] == 1 and y_row["admitted"] == 0
+
+
 def test_stream_stream_full_outer_interval_join_emits_nulls_both_sides(
     spark, tmp_path
 ):
