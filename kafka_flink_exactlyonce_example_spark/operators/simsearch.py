@@ -5992,3 +5992,62 @@ def q_ann_planned_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"planner resolved {choice} — the graded contract expects fivf/4"
     )
     return frame
+
+
+@query(
+    "q_ann_planned_fbrute",
+    oracle=f"""
+    WITH {_NRM_SQL}, panel AS (
+        SELECT vec_id FROM embeddings
+        ORDER BY md5('recall:' || CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {_RECALL_PROBES}
+    ), bprobes AS (
+        SELECT vec_id, ne FROM nrm
+        WHERE vec_id IN (SELECT vec_id FROM panel)
+    ), fpairs AS (
+        SELECT p.vec_id, n.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(p.ne, n.ne),
+                   q -> q[1] * q[2])) AS sim
+        FROM bprobes p
+        JOIN nrm n ON n.vec_id <> p.vec_id
+        JOIN embeddings el ON el.vec_id = n.vec_id
+                           AND el.label = {_SEL_LABEL}
+    )
+    SELECT vec_id, neighbor_id, round(sim, 6) AS sim FROM (
+        SELECT vec_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, neighbor_id) AS rn
+        FROM fpairs) WHERE rn <= {_RECALL_K}
+    """,
+)
+def q_ann_planned_fbrute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed planner's EXACTNESS OVERRIDE graded end-to-end
+    (q_ann_planned_filtered grades the fivf cost path; this row grades
+    the other composed branch): ann_search_plan(recall = 1.0,
+    permissive budget, predicate label = _SEL_LABEL, s ≈ 0.1) must
+    resolve to fbrute — no indexed filtered route may promise
+    exactness, so the recall contract overrides everything the cost
+    arithmetic could prefer — and the plan it builds must reproduce
+    the filtered BRUTE top-k result relation against an independent
+    oracle derivation (lean CTEs: normalize, panel, survivors-only
+    scoring — no quantizer anywhere, mirroring the plan-shape pin that
+    the built frame never references ccell). With this row every
+    composed dispatch branch carries a full oracle, matching the
+    unfiltered planner's two graded branches.
+
+    Scale shape: ONE conditional-aggregate scan decides (catalog
+    statistics at 100 TB), then the brute plan scans only the s·n
+    survivors against the |panel| broadcast probes — by the crossover
+    rule this is AT MOST the posting scan the index would have read
+    at this selectivity. Output ≤ |panel|·K rows."""
+    choice, frame = ann_search_plan(
+        spark,
+        sf_dir,
+        1.0,
+        _PLAN_FILTERED_BUDGET,
+        predicate=F.col("label") == _SEL_LABEL,
+    )
+    assert choice["index"] == "fbrute" and choice["recall"] == 1.0, (
+        f"planner resolved {choice} — the graded contract expects fbrute"
+    )
+    return frame

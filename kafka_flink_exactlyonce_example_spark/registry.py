@@ -405,6 +405,9 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     # filtered-search crossover (predicate requests resolve through
     # filtered_ann_route and deliver the chosen route's neighbors)
     "q_ann_planned_filtered",
+    # ...and its exactness-override branch (recall 1.0 forces the
+    # filtered brute route regardless of cost)
+    "q_ann_planned_fbrute",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.
