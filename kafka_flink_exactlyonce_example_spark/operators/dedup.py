@@ -1518,6 +1518,336 @@ def near_text_flags(
     )
 
 
+#: Planted near-copy count for q_text_gen_fold — bounded so the probe
+#: batch stays |b2| + O(1) at every SF (the plant is a determinism
+#: device, not a data-scaled relation).
+_TEXT_GEN_PLANT = 8
+
+#: Planted ids live far above every graded-SF doc_id (max 4,999 at
+#: sf0.1) so the synthetic probes can never collide with a real doc.
+_TEXT_GEN_PLANT_BASE = 1_000_000_000
+
+
+def _text_gen_g():
+    """Generation tag g ∈ [0, 10): the SAME 'inc:' md5 split the
+    whole incremental family keys on (q_ingest_gate's is_new is
+    g == 0), extended to a three-way split — g == 0 the admitted
+    batch, g == 1 the probe batch, g ≥ 2 the frozen corpus."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("inc:"), F.col("doc_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+
+
+def _text_gen_verify(cand: DataFrame, qsets: DataFrame, isets: DataFrame) -> DataFrame:
+    """Distinct probe doc_ids whose candidate verifies at same-lang
+    exact word-set Jaccard ≥ 0.8 — the near_text_flags verifier over
+    pre-built word-set relations (parity with the lifecycle API is
+    pinned by tests/test_text_index.py::test_graded_fold_matches_api)."""
+    n_common = F.size(F.array_intersect("wq", "wi")).cast("double")
+    jacc = n_common / (F.col("nq") + F.col("ni") - n_common)
+    return (
+        cand.join(qsets, "doc_id")
+        .join(isets, "idx_doc")
+        .filter(F.col("lang_q") == F.col("lang_i"))
+        .filter(jacc >= 0.8)
+        .select("doc_id")
+        .distinct()
+    )
+
+
+#: One band/word-set pass over ``documents``, sliced per generation —
+#: the graded-row formulation of the text fold lifecycle. Signatures
+#: are a pure per-doc function, so every role (index v1, batch 1,
+#: index v2, probe batch) is a semi-join slice of the ONE cached
+#: signature relation; only the _TEXT_GEN_PLANT planted near-copies
+#: (not in ``documents``) get their own O(1)-row signature build.
+def _text_gen_frames(spark: SparkSession, sf_dir: str):
+    d = table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "lang", "text", _text_gen_g().alias("g"))
+    bands_all = _bands_rel(_minhash_signatures(spark, sf_dir))
+    ws = _word_set_col()
+    sets_all = d.select(
+        "doc_id", "lang", ws.alias("ws"), F.size(ws).alias("n")
+    )
+
+    def _slice_bands(ids: DataFrame) -> DataFrame:
+        return bands_all.join(ids, "doc_id", "leftsemi")
+
+    def _qsets(ids: DataFrame) -> DataFrame:
+        return sets_all.join(ids, "doc_id", "leftsemi").select(
+            "doc_id",
+            F.col("lang").alias("lang_q"),
+            F.col("ws").alias("wq"),
+            F.col("n").alias("nq"),
+        )
+
+    def _isets(ids: DataFrame) -> DataFrame:
+        return sets_all.join(ids, "doc_id", "leftsemi").select(
+            F.col("doc_id").alias("idx_doc"),
+            F.col("lang").alias("lang_i"),
+            F.col("ws").alias("wi"),
+            F.col("n").alias("ni"),
+        )
+
+    def _cand(qb: DataFrame, capped: DataFrame) -> DataFrame:
+        return (
+            qb.join(
+                capped.select(
+                    F.col("doc_id").alias("idx_doc"), "band_idx", "band_key"
+                ),
+                ["band_idx", "band_key"],
+            )
+            .filter(F.col("doc_id") != F.col("idx_doc"))
+            .select("doc_id", "idx_doc")
+            .distinct()
+        )
+
+    corpus_ids = base.filter(F.col("g") >= 2).select("doc_id")
+    b1_ids = base.filter(F.col("g") == 0).select("doc_id")
+    b2_ids = base.filter(F.col("g") == 1).select("doc_id")
+
+    # phase 1: check batch 1 against the v1 (corpus-only) index
+    capped1 = _cap_bands_rel(_slice_bands(corpus_ids))
+    hits1 = _text_gen_verify(
+        _cand(_slice_bands(b1_ids), capped1), _qsets(b1_ids), _isets(corpus_ids)
+    )
+    admitted_ids = b1_ids.join(hits1, "doc_id", "left_anti")
+
+    # planted near-copies of the first _TEXT_GEN_PLANT admitted docs:
+    # append the doc's own first word — word set IDENTICAL (Jaccard
+    # 1.0), text not byte-equal, shingle set +1 — the lifecycle test's
+    # near-copy recipe, derived deterministically on both engines
+    first_word = F.element_at(
+        F.filter(F.split("text", " "), lambda w: w != ""), 1
+    )
+    planted = (
+        base.join(admitted_ids, "doc_id", "leftsemi")
+        .orderBy("doc_id")
+        .limit(_TEXT_GEN_PLANT)
+        .select(
+            (F.col("doc_id") + F.lit(_TEXT_GEN_PLANT_BASE)).alias("doc_id"),
+            "lang",
+            F.concat(
+                F.col("text"), F.lit(" "), F.coalesce(first_word, F.lit("x"))
+            ).alias("text"),
+        )
+    )
+    bands_p = _bands_rel(_signatures_frame(_shingles_frame(planted)))
+    wsp = _word_set_col()
+    qsets_p = planted.select(
+        "doc_id",
+        F.col("lang").alias("lang_q"),
+        wsp.alias("wq"),
+        F.size(wsp).alias("nq"),
+    )
+
+    # phase 2: probe batch = batch 2 ∪ planted, against v1 AND v2
+    probe_ids = b2_ids.unionByName(planted.select("doc_id"))
+    qb = _slice_bands(b2_ids).unionByName(bands_p)
+    qsets = _qsets(b2_ids).unionByName(qsets_p)
+    idx2_ids = corpus_ids.unionByName(admitted_ids)
+    capped2 = _cap_bands_rel(_slice_bands(idx2_ids))
+    hits_v1 = _text_gen_verify(_cand(qb, capped1), qsets, _isets(corpus_ids))
+    hits_v2 = _text_gen_verify(_cand(qb, capped2), qsets, _isets(idx2_ids))
+    return probe_ids, hits_v1, hits_v2
+
+
+_TEXT_GEN_SIG_SQL = """
+        SELECT doc_id, seed,
+               MIN(substring(md5(CAST(seed // 4 AS VARCHAR) || ':' || shingle),
+                             1 + 8 * (seed % 4), 8)) AS mh
+        FROM {src}
+        CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed)
+        GROUP BY doc_id, seed
+"""
+
+_TEXT_GEN_SHINGLE_SQL = """
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+                                     i -> concat_ws(' ', w[i], w[i + 1])))
+                   AS shingle
+        FROM {src}
+"""
+
+
+@query(
+    "q_text_gen_fold",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, lang, text,
+               CAST(CAST(concat('0x', substring(
+                         md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % 10 AS BIGINT) AS g
+        FROM documents
+    ), arr AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), shingles AS ({_TEXT_GEN_SHINGLE_SQL.format(src='arr')}
+    ), sig AS ({_TEXT_GEN_SIG_SQL.format(src='shingles')}
+    ), bands AS (
+        SELECT doc_id, CAST(seed // 4 AS BIGINT) AS band_idx,
+               string_agg(mh, '' ORDER BY seed) AS band_key
+        FROM sig GROUP BY doc_id, seed // 4
+    ), words AS (
+        SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), words_f AS (
+        SELECT * FROM words WHERE word <> ''
+    ), sets AS (
+        SELECT doc_id, any_value(lang) AS lang,
+               CAST(COUNT(*) AS BIGINT) AS n, list(word) AS ws
+        FROM words_f GROUP BY doc_id
+    ), capped1 AS (
+        SELECT b.* FROM bands b JOIN base d USING (doc_id) WHERE d.g >= 2
+        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_key) <= {_MAX_BUCKET}
+    ), cand1 AS (
+        SELECT DISTINCT q.doc_id, c.doc_id AS idx_doc
+        FROM bands q
+        JOIN base dq ON dq.doc_id = q.doc_id AND dq.g = 0
+        JOIN capped1 c ON c.band_idx = q.band_idx
+                      AND c.band_key = q.band_key
+                      AND c.doc_id <> q.doc_id
+    ), hits1 AS (
+        SELECT DISTINCT c.doc_id
+        FROM cand1 c
+        JOIN sets sq ON sq.doc_id = c.doc_id
+        JOIN sets si ON si.doc_id = c.idx_doc AND si.lang = sq.lang
+        WHERE CAST(len(list_intersect(sq.ws, si.ws)) AS DOUBLE)
+              / (sq.n + si.n - len(list_intersect(sq.ws, si.ws))) >= 0.8
+    ), admitted AS (
+        SELECT d.doc_id, d.lang, d.text FROM base d
+        WHERE d.g = 0 AND d.doc_id NOT IN (SELECT doc_id FROM hits1)
+    ), planted AS (
+        SELECT {_TEXT_GEN_PLANT_BASE} + doc_id AS doc_id, lang,
+               text || ' ' || coalesce(
+                   list_filter(string_split(text, ' '), w -> w <> '')[1],
+                   'x') AS text
+        FROM admitted ORDER BY doc_id LIMIT {_TEXT_GEN_PLANT}
+    ), arrp AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM planted
+    ), shingp AS ({_TEXT_GEN_SHINGLE_SQL.format(src='arrp')}
+    ), sigp AS ({_TEXT_GEN_SIG_SQL.format(src='shingp')}
+    ), bandsp AS (
+        SELECT doc_id, CAST(seed // 4 AS BIGINT) AS band_idx,
+               string_agg(mh, '' ORDER BY seed) AS band_key
+        FROM sigp GROUP BY doc_id, seed // 4
+    ), wordsp AS (
+        SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        FROM planted
+    ), setsp AS (
+        SELECT doc_id, any_value(lang) AS lang,
+               CAST(COUNT(*) AS BIGINT) AS n, list(word) AS ws
+        FROM wordsp WHERE word <> '' GROUP BY doc_id
+    ), qbands AS (
+        SELECT b.* FROM bands b JOIN base d USING (doc_id) WHERE d.g = 1
+        UNION ALL SELECT * FROM bandsp
+    ), qsets AS (
+        SELECT s.* FROM sets s JOIN base d USING (doc_id) WHERE d.g = 1
+        UNION ALL SELECT * FROM setsp
+    ), idx2 AS (
+        SELECT doc_id FROM base WHERE g >= 2
+        UNION ALL SELECT doc_id FROM admitted
+    ), capped2 AS (
+        SELECT b.* FROM bands b JOIN idx2 USING (doc_id)
+        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_key) <= {_MAX_BUCKET}
+    ), candv1 AS (
+        SELECT DISTINCT q.doc_id, c.doc_id AS idx_doc
+        FROM qbands q JOIN capped1 c ON c.band_idx = q.band_idx
+                                    AND c.band_key = q.band_key
+                                    AND c.doc_id <> q.doc_id
+    ), candv2 AS (
+        SELECT DISTINCT q.doc_id, c.doc_id AS idx_doc
+        FROM qbands q JOIN capped2 c ON c.band_idx = q.band_idx
+                                    AND c.band_key = q.band_key
+                                    AND c.doc_id <> q.doc_id
+    ), hitsv1 AS (
+        SELECT DISTINCT c.doc_id
+        FROM candv1 c
+        JOIN qsets sq ON sq.doc_id = c.doc_id
+        JOIN sets si ON si.doc_id = c.idx_doc AND si.lang = sq.lang
+        JOIN base di ON di.doc_id = c.idx_doc AND di.g >= 2
+        WHERE CAST(len(list_intersect(sq.ws, si.ws)) AS DOUBLE)
+              / (sq.n + si.n - len(list_intersect(sq.ws, si.ws))) >= 0.8
+    ), hitsv2 AS (
+        SELECT DISTINCT c.doc_id
+        FROM candv2 c
+        JOIN qsets sq ON sq.doc_id = c.doc_id
+        JOIN sets si ON si.doc_id = c.idx_doc
+                    AND si.lang = sq.lang
+        JOIN idx2 ON idx2.doc_id = c.idx_doc
+        WHERE CAST(len(list_intersect(sq.ws, si.ws)) AS DOUBLE)
+              / (sq.n + si.n - len(list_intersect(sq.ws, si.ws))) >= 0.8
+    ), probes AS (
+        SELECT doc_id FROM base WHERE g = 1
+        UNION ALL SELECT doc_id FROM planted
+    )
+    SELECT p.doc_id,
+           CASE WHEN h1.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_v1,
+           CASE WHEN h2.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_v2
+    FROM probes p
+    LEFT JOIN hitsv1 h1 ON h1.doc_id = p.doc_id
+    LEFT JOIN hitsv2 h2 ON h2.doc_id = p.doc_id
+    """,
+)
+def q_text_gen_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frozen TEXT near-dup index's fold lifecycle, driver-graded
+    end-to-end (round 13 — the embedding index has had graded
+    generation semantics since q_incremental_ann; this row gives the
+    MinHash side the same status). Three-generation 'inc:' md5 split
+    (g=0 the admitted batch — q_ingest_gate's is_new population —
+    g=1 the probe batch, g≥2 the frozen corpus): batch 1 is checked
+    against the v1 (corpus-only) index, its near-text survivors are
+    ADMITTED and folded (v2 = v1 ∪ admitted bands/word-sets, the
+    :func:`text_index_fold` append-only semantics with the cap
+    re-derived per generation); then the probe batch — generation 2
+    docs PLUS _TEXT_GEN_PLANT (8) deterministic planted near-copies of
+    admitted docs (own first word appended: word-set Jaccard exactly
+    1.0, text not byte-equal — the lifecycle test's recipe, §test_
+    text_index) — is checked against BOTH generations. Output one row
+    per probe doc: (doc_id, f_v1, f_v2). The graded claim is the
+    gen-2 blind spot closing: f_v2 ≥ f_v1 row-wise (append-only index
+    ⇒ monotone flags), and the planted rows read (0→1 or 1→1) —
+    near-copies of ADMITTED docs are invisible to v1 unless they also
+    near-dup the corpus, and always caught by v2.
+
+    Engine formulation: ONE cached signature pass over ``documents``
+    (signatures are a pure per-doc function) sliced per role by
+    8-byte-id semi-joins, plus an O(1)-row signature build for the
+    planted probes; candidates via the (band_idx, band_key) equi-join
+    against the per-generation capped view; exact word-set Jaccard
+    verify on candidates only. Parity with the lifecycle API
+    (:func:`text_index_build` → :func:`text_index_fold` →
+    :func:`near_text_flags`) is pinned by tests/test_text_index.py.
+
+    Scale shape: every relation is linear in the corpus (4 band
+    rows/doc, one word-set row/doc), every join is keyed on ids or
+    band keys, the cap bounds bucket fan-out at C(_MAX_BUCKET,·),
+    and the fold is append-only (zero churn for indexed docs). At
+    100 TB the generations persist via :func:`save_text_index` and
+    the capped probe view derives once per generation
+    (:func:`text_index_freeze`)."""
+    probe_ids, hits_v1, hits_v2 = _text_gen_frames(spark, sf_dir)
+    return (
+        probe_ids.join(hits_v1.withColumn("_h1", F.lit(1)), "doc_id", "left")
+        .join(hits_v2.withColumn("_h2", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_h1", F.lit(0)).alias("f_v1"),
+            F.coalesce("_h2", F.lit(0)).alias("f_v2"),
+        )
+    )
 
 
 @query(

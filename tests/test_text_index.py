@@ -227,3 +227,82 @@ def test_dedup_tombstone_repoint_branch(spark, tmp_path):
     assert out[1]["keep_after"] == 2 and out[1]["n_before"] == 3
     assert out[1]["n_after"] == 2
     assert out[6]["keep_after"] is None and out[6]["n_after"] == 0
+
+def test_graded_fold_matches_api(spark):
+    """q_text_gen_fold (the driver-graded fold-lifecycle row) must
+    reproduce the REAL lifecycle API's verdicts exactly: v1 =
+    text_index_build(corpus), v2 = text_index_fold(v1, admitted), and
+    near_text_flags of the probe batch (gen-2 docs + the 8 planted
+    near-copies) against each generation. The graded row rides one
+    shared signature pass for efficiency; this test is what makes that
+    formulation honest."""
+    from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+        _TEXT_GEN_PLANT,
+        _TEXT_GEN_PLANT_BASE,
+        _text_gen_g,
+        near_text_flags,
+        text_index_build,
+        text_index_fold,
+    )
+    from kafka_flink_exactlyonce_example_spark import registry
+    from kafka_flink_exactlyonce_example_spark.sources import table
+
+    registry.load_all()
+    graded = {
+        r["doc_id"]: (r["f_v1"], r["f_v2"])
+        for r in registry.QUERIES["q_text_gen_fold"](spark, SMOKE_SF).collect()
+    }
+
+    d = table(spark, SMOKE_SF, "documents")
+    base = d.select("doc_id", "lang", "text", _text_gen_g().alias("g"))
+    corpus = base.filter(F.col("g") >= 2).select("doc_id", "lang", "text")
+    b1 = base.filter(F.col("g") == 0).select("doc_id", "lang", "text")
+    b2 = base.filter(F.col("g") == 1).select("doc_id", "lang", "text")
+
+    bands1, sets1 = text_index_build(corpus)
+    bands1, sets1 = bands1.localCheckpoint(), sets1.localCheckpoint()
+    f1 = near_text_flags(b1, bands1, sets1)
+    admitted = b1.join(
+        f1.filter(F.col("f_near_text") == 1).select("doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+    bands2, sets2 = text_index_fold(bands1, sets1, admitted)
+    bands2, sets2 = bands2.localCheckpoint(), sets2.localCheckpoint()
+
+    first_word = F.element_at(
+        F.filter(F.split("text", " "), lambda w: w != ""), 1
+    )
+    planted = (
+        admitted.orderBy("doc_id")
+        .limit(_TEXT_GEN_PLANT)
+        .select(
+            (F.col("doc_id") + F.lit(_TEXT_GEN_PLANT_BASE)).alias("doc_id"),
+            "lang",
+            F.concat(
+                F.col("text"), F.lit(" "), F.coalesce(first_word, F.lit("x"))
+            ).alias("text"),
+        )
+    )
+    probes = b2.unionByName(planted)
+    v1 = {
+        r["doc_id"]: r["f_near_text"]
+        for r in near_text_flags(probes, bands1, sets1).collect()
+    }
+    v2 = {
+        r["doc_id"]: r["f_near_text"]
+        for r in near_text_flags(probes, bands2, sets2).collect()
+    }
+    want = {k: (v1[k], v2[k]) for k in v1}
+    assert graded == want
+
+    # the lifecycle invariants the graded row claims: append-only
+    # index => monotone flags; every planted near-copy caught by v2;
+    # at least one planted probe is the counterfactual (blind in v1)
+    assert all(a <= b for a, b in graded.values())
+    plants = {
+        k: v for k, v in graded.items() if k >= _TEXT_GEN_PLANT_BASE
+    }
+    assert len(plants) == _TEXT_GEN_PLANT
+    assert all(v2f == 1 for _, v2f in plants.values())
+    assert any(v1f == 0 for v1f, _ in plants.values())
