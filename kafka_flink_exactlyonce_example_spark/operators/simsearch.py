@@ -1610,9 +1610,9 @@ def save_frozen_index(
     assigned label's directory before any row is read (the search
     touches one label's one sub-cell; partition pruning makes the
     label grain free — verified by PartitionFilters in the loaded
-    scan plan). At 100 TB the postings would additionally be BUCKETED
-    by ``cell`` within each label partition (the write_bucketed shape
-    tests/test_storage.py pins) so repeated scan joins co-locate;
+    scan plan). At 100 TB prefer :func:`save_frozen_index_bucketed`,
+    which writes the postings id-bucketed so the takedown-wave
+    anti-join runs storage-partitioned (zero corpus-side shuffle);
     the bounded centroid/seed tables stay plain parquet and broadcast
     on read."""
     cent.write.mode("overwrite").parquet(f"{path}/centroids")
@@ -1620,6 +1620,79 @@ def save_frozen_index(
     indexed.write.mode("overwrite").partitionBy("label").parquet(
         f"{path}/postings"
     )
+
+
+def save_frozen_index_bucketed(
+    path: str,
+    table_prefix: str,
+    cent: DataFrame,
+    seeds: DataFrame,
+    indexed: DataFrame,
+    n_buckets: int = 8,
+) -> None:
+    """The 100 TB layout variant of :func:`save_frozen_index` — the
+    shape both delete-path docstrings promise, executed instead of
+    merely documented (round 13): postings land as a BUCKETED external
+    table (``bucketBy(n_buckets, vec_id)`` + in-bucket sort), so any
+    relation written with the same layout joins them with ZERO
+    exchange AND zero sort on the posting side. The case that matters
+    operationally is the takedown wave past the broadcast threshold:
+    :func:`tombstone_filter`'s generic anti-join would reshuffle the
+    whole posting relation (embeddings included) by vec_id — with the
+    wave written through :func:`save_tombstones_bucketed` the LeftAnti
+    runs storage-partitioned (ids co-located at write time, the
+    shuffle paid once on the O(wave)-sized side, never on the corpus),
+    which tests/test_ivf_cells.py pins as an Exchange-free
+    SortMergeJoin LeftAnti with results identical to the in-memory
+    filter. Centroids/seeds stay plain parquet exactly as in
+    :func:`save_frozen_index` — bounded relations that broadcast on
+    read have nothing to co-locate."""
+    from kafka_flink_exactlyonce_example_spark.sources import write_bucketed
+
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    seeds.write.mode("overwrite").parquet(f"{path}/seeds")
+    write_bucketed(
+        indexed.select("vec_id", "label", "cell", "embedding"),
+        f"{table_prefix}_postings",
+        f"{path}/postings",
+        n_buckets,
+        "vec_id",
+    )
+
+
+def save_tombstones_bucketed(
+    tombstones: DataFrame, table_prefix: str, path: str, n_buckets: int = 8
+) -> None:
+    """Write a takedown wave in the posting relation's bucket layout
+    (same key, same bucket count) — the storage-partitioned side of
+    the at-scale tombstone anti-join. The wave is O(|wave|) rows of
+    8-byte ids; bucketing it costs one narrow shuffle at write time
+    and removes the corpus-wide shuffle from EVERY subsequent
+    tombstone-filtered scan of the generation."""
+    from kafka_flink_exactlyonce_example_spark.sources import write_bucketed
+
+    write_bucketed(
+        tombstones.select("vec_id"),
+        f"{table_prefix}_tombstones",
+        path,
+        n_buckets,
+        "vec_id",
+    )
+
+
+def load_frozen_index_bucketed(
+    spark: SparkSession, path: str, table_prefix: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Reload a :func:`save_frozen_index_bucketed` generation — the
+    postings come back through the catalog table (the bucket layout
+    lives in table metadata; a plain parquet read of the same files
+    would silently drop the co-location guarantee)."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    seeds = spark.read.parquet(f"{path}/seeds")
+    indexed = spark.table(f"{table_prefix}_postings").select(
+        "vec_id", "label", "cell", "embedding"
+    )
+    return cent, seeds, indexed
 
 
 def load_frozen_index(
@@ -1693,7 +1766,14 @@ def tombstone_filter(
     BUCKETED to the posting layout (storage-partitioned anti-join: ids
     co-located, zero wide-side shuffle) or pushes a Bloom filter of
     the tombstone ids into the posting scan and exact-checks only the
-    survivors; both reuse this exact logical shape. Between rebuilds
+    survivors; both reuse this exact logical shape. The bucketed
+    variant is EXECUTABLE, not hypothetical:
+    :func:`save_frozen_index_bucketed` and
+    :func:`save_tombstones_bucketed` write the two relations in
+    matching (vec_id, n_buckets)
+    layouts and this same function then plans an Exchange-free
+    SortMergeJoin LeftAnti over them (pinned, with result equality,
+    by tests/test_ivf_cells.py). Between rebuilds
     this filter is what keeps search correct (a deleted vector can
     never surface as a neighbor); :func:`warm_index_compact` is the
     rebuild that then removes the rows — and the tombstoned
@@ -6051,3 +6131,152 @@ def q_ann_planned_fbrute(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"planner resolved {choice} — the graded contract expects fbrute"
     )
     return frame
+
+
+# --------------------------------------------------------------------------
+# q_ann_route_matrix — the planner's whole decision surface, graded
+# --------------------------------------------------------------------------
+
+#: The graded request ladder: one request per catalog row (request 4
+#: has BOTH an ivf and an mp point eligible, so the argmin is
+#: genuinely exercised), then the fallback regime — request 7 is the
+#: always-admitted brute fallback (no indexed point reaches 0.95; the
+#: cost is the DATA-DEPENDENT n − 1), requests 8 and 9 FLIP with the
+#: corpus size (budgets 700/500 admit the 499-row sf0.01 corpus scan
+#: but refuse the 1,999-row sf0.1 one — the planner's corpus
+#: sensitivity is itself part of the graded surface, verified green
+#: at BOTH SFs), and request 10 is the unconditional refusal (budget
+#: below every indexed point and every graded corpus).
+_ROUTE_MATRIX_REQUESTS: tuple[tuple[int, float, int], ...] = (
+    (1, 0.20, 100),
+    (2, 0.35, 250),
+    (3, 0.50, 400),
+    (4, 0.60, 1200),
+    (5, 0.80, 900),
+    (6, 0.90, 1200),
+    (7, 0.95, 1_000_000),
+    (8, 0.70, 700),
+    (9, 0.99, 500),
+    (10, 0.30, 50),
+)
+
+_ROUTE_MATRIX_OPS_SQL = " UNION ALL ".join(
+    f"SELECT '{k}' AS kind, CAST({p} AS INT) AS param, "
+    f"CAST({r} AS DOUBLE) AS op_recall, CAST({c} AS BIGINT) AS cost"
+    for k, p, r, c in _ANN_OPERATING_TABLE
+)
+
+_ROUTE_MATRIX_REQ_SQL = " UNION ALL ".join(
+    f"SELECT CAST({i} AS INT) AS req_id, CAST({t} AS DOUBLE) AS "
+    f"recall_target, CAST({b} AS BIGINT) AS budget"
+    for i, t, b in _ROUTE_MATRIX_REQUESTS
+)
+
+
+@query(
+    "q_ann_route_matrix",
+    oracle=f"""
+    WITH ops AS ({_ROUTE_MATRIX_OPS_SQL}
+    ), req AS ({_ROUTE_MATRIX_REQ_SQL}
+    ), ncorp AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+    ), elig AS (
+        SELECT r.req_id, o.kind, o.param, o.op_recall, o.cost
+        FROM req r
+        JOIN ops o ON o.op_recall >= r.recall_target
+                  AND o.cost <= r.budget
+    ), best AS (
+        SELECT req_id, kind, param, op_recall, cost FROM (
+            SELECT req_id, kind, param, op_recall, cost,
+                   row_number() OVER (PARTITION BY req_id
+                                      ORDER BY cost) AS rn
+            FROM elig) WHERE rn = 1
+    ), fb AS (
+        SELECT r.req_id, 'brute' AS kind, CAST(0 AS INT) AS param,
+               CAST(1.0 AS DOUBLE) AS op_recall, n.n - 1 AS cost
+        FROM req r CROSS JOIN ncorp n
+        WHERE r.req_id NOT IN (SELECT req_id FROM best)
+          AND n.n - 1 <= r.budget
+    ), resolved AS (
+        SELECT * FROM best UNION ALL SELECT * FROM fb
+    )
+    SELECT r.req_id, r.recall_target, r.budget,
+           coalesce(a.kind, 'refused') AS route,
+           a.param,
+           a.op_recall AS promised_recall,
+           a.cost AS cand_per_probe
+    FROM req r LEFT JOIN resolved a ON a.req_id = r.req_id
+    """,
+)
+def q_ann_route_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN planner's WHOLE decision surface, graded in one row
+    (round 13 — the four q_ann_planned* rows each grade one resolved
+    branch end-to-end; this row grades the RESOLVER itself across its
+    operating domain): the request ladder of _ROUTE_MATRIX_REQUESTS is
+    resolved by the cheapest-eligible rule expressed RELATIONALLY —
+    requests θ-joined to the literal graded operating table on
+    (recall ≥ target AND cost ≤ budget), per-request argmin by cost,
+    the brute fallback derived from the corpus count for requests no
+    indexed point satisfies, refusals surfacing as explicit
+    route='refused' NULL rows — and the DuckDB oracle reimplements the
+    same rule independently, so the graded claim is that the decision
+    arithmetic itself cannot drift between formulations. The ladder
+    hits every regime: each catalog row as a unique winner, a request
+    where ivf AND mp both qualify (argmin exercised), the
+    data-dependent brute fallback (cost n − 1 from the live corpus),
+    two requests whose FALLBACK ELIGIBILITY flips with corpus size
+    (budgets 700/500: brute over the 499-row sf0.01 scan, refused at
+    the 1,999-row sf0.1 one — the planner's corpus sensitivity is
+    part of the graded surface, green at both SFs), and the
+    unconditional refusal cliff. Three-way agreement
+    with the pure-python :func:`ann_route` (the function production
+    calls) is pinned per-request in tests/test_ann_planner.py.
+
+    Scale shape: the operating table is bounded (6 graded points) and
+    the request panel literal, so everything broadcasts; the only
+    data touched is ONE corpus count (a catalog statistic at 100 TB).
+    Output |requests| rows."""
+    ops = spark.createDataFrame(
+        list(_ANN_OPERATING_TABLE),
+        "kind string, param int, op_recall double, cost long",
+    )
+    req = spark.createDataFrame(
+        list(_ROUTE_MATRIX_REQUESTS),
+        "req_id int, recall_target double, budget long",
+    )
+    n = table(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    elig = req.join(
+        F.broadcast(ops),
+        (F.col("op_recall") >= F.col("recall_target"))
+        & (F.col("cost") <= F.col("budget")),
+    )
+    w = Window.partitionBy("req_id").orderBy("cost")
+    best = (
+        elig.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("req_id", "kind", "param", "op_recall", "cost")
+    )
+    fb = (
+        req.join(best.select("req_id"), "req_id", "left_anti")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("n") - 1 <= F.col("budget"))
+        .select(
+            "req_id",
+            F.lit("brute").alias("kind"),
+            F.lit(0).cast("int").alias("param"),
+            F.lit(1.0).alias("op_recall"),
+            (F.col("n") - 1).alias("cost"),
+        )
+    )
+    resolved = best.unionByName(fb)
+    return req.join(resolved, "req_id", "left").select(
+        "req_id",
+        "recall_target",
+        "budget",
+        F.coalesce("kind", F.lit("refused")).alias("route"),
+        "param",
+        F.col("op_recall").alias("promised_recall"),
+        F.col("cost").alias("cand_per_probe"),
+    )

@@ -197,3 +197,143 @@ def test_ann_plan_brute_fallback_shape(spark):
     assert rows
     assert frame.columns == ["vec_id", "n_cand", "n_hit", "recall"]
     assert all(r["recall"] == 1.0 and r["n_cand"] == n - 1 for r in rows)
+
+
+def test_route_matrix_three_way_agreement(spark):
+    """q_ann_route_matrix's RELATIONAL cheapest-eligible resolution
+    must agree per-request with the pure-python ann_route — the
+    function production calls — over the live smoke corpus count
+    (the DuckDB oracle is the third formulation; the driver grade
+    pins engine == oracle, this test pins engine == python)."""
+    from kafka_flink_exactlyonce_example_spark import registry
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        _ROUTE_MATRIX_REQUESTS,
+        ann_route,
+    )
+    from kafka_flink_exactlyonce_example_spark.sources import table
+
+    registry.load_all()
+    got = {
+        r["req_id"]: (
+            r["route"],
+            r["param"],
+            r["promised_recall"],
+            r["cand_per_probe"],
+        )
+        for r in registry.QUERIES["q_ann_route_matrix"](
+            spark, SMOKE_SF
+        ).collect()
+    }
+    n = table(spark, SMOKE_SF, "embeddings").count()
+    assert set(got) == {i for i, _, _ in _ROUTE_MATRIX_REQUESTS}
+    for req_id, target, budget in _ROUTE_MATRIX_REQUESTS:
+        try:
+            c = ann_route(target, budget, n_corpus=n)
+            want = (
+                c["index"],
+                c["param"],
+                c["recall"],
+                c["cand_per_probe"],
+            )
+        except ValueError:
+            want = ("refused", None, None, None)
+        assert got[req_id] == want, f"request {req_id}: {got[req_id]} != {want}"
+    # non-vacuity: the ladder must exercise indexed picks, the
+    # data-dependent fallback, and a refusal on this corpus
+    routes = {v[0] for v in got.values()}
+    assert {"ivf", "mp", "brute", "refused"} <= routes
+
+
+def test_ann_route_properties():
+    """Property pins for the choice function: any returned row meets
+    the request, is the cheapest eligible one, and refusal happens
+    exactly when nothing (indexed or brute) is eligible. Hypothesis
+    drives (target, budget, n) over the whole operating domain."""
+    from hypothesis import given, settings, strategies as st
+
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        _ANN_OPERATING_TABLE,
+        ann_route,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        target=st.floats(0.0, 1.0),
+        budget=st.integers(0, 3000),
+        n=st.one_of(st.none(), st.integers(2, 5000)),
+    )
+    def prop(target, budget, n):
+        eligible = [
+            r
+            for r in _ANN_OPERATING_TABLE
+            if r[2] >= target and r[3] <= budget
+        ]
+        brute_ok = n is not None and n - 1 <= budget
+        try:
+            c = ann_route(target, budget, n_corpus=n)
+        except ValueError:
+            assert not eligible and not brute_ok
+            return
+        assert c["recall"] >= target or c["index"] == "brute"
+        assert c["cand_per_probe"] <= budget
+        if eligible:
+            # indexed pick, and exactly the cheapest eligible row
+            assert c["index"] != "brute"
+            assert c["cand_per_probe"] == min(r[3] for r in eligible)
+        else:
+            assert c["index"] == "brute" and c["recall"] == 1.0
+            assert c["cand_per_probe"] == n - 1
+
+    prop()
+
+
+def test_filtered_ann_route_properties():
+    """Property pins for the composed filtered choice: fbrute promises
+    exactness at n_pass cost; fivf is only ever offered above the
+    crossover, under the graded floor, within budget; when both are
+    eligible the crossover arithmetic makes fivf the cheaper pick."""
+    from hypothesis import given, settings, strategies as st
+
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        _CQ_K,
+        _FILTERED_IVF_RECALL_FLOOR,
+        _IVF_NPROBE,
+        filtered_ann_route,
+        filtered_route,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        target=st.floats(0.0, 1.0),
+        budget=st.integers(0, 100_000),
+        n_total=st.integers(1, 50_000),
+        data=st.data(),
+    )
+    def prop(target, budget, n_total, data):
+        n_pass = data.draw(st.integers(0, n_total))
+        cost_ivf = (n_total * _IVF_NPROBE) // _CQ_K
+        try:
+            c = filtered_ann_route(target, budget, n_pass, n_total)
+        except ValueError:
+            # refusal iff neither route is eligible
+            assert n_pass > budget
+            assert not (
+                filtered_route(n_pass, n_total) == "ivf"
+                and target <= _FILTERED_IVF_RECALL_FLOOR
+                and cost_ivf <= budget
+            )
+            return
+        assert c["cand_per_probe"] <= budget
+        if c["index"] == "fbrute":
+            assert c["recall"] == 1.0 and c["cand_per_probe"] == n_pass
+        else:
+            assert c["index"] == "fivf"
+            assert filtered_route(n_pass, n_total) == "ivf"
+            assert target <= _FILTERED_IVF_RECALL_FLOOR
+            assert c["cand_per_probe"] == cost_ivf
+            # when both eligible, fivf won on cost: the crossover rule
+            # guarantees the posting scan is strictly smaller
+            if n_pass <= budget:
+                assert cost_ivf < n_pass
+
+    prop()

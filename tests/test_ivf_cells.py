@@ -1021,3 +1021,88 @@ def test_combined_wave_warm_cycle_lifecycle(spark, monkeypatch):
         simsearch.frozen_route(qd, cent2, seeds2), indexed2
     ).collect()
     assert len(ghost) == 1 and ghost[0]["neighbor_id"] not in set(dead)
+
+
+def test_bucketed_generation_tombstone_join_no_shuffle(
+    spark, tmp_path, monkeypatch
+):
+    """Round 13: the at-scale tombstone shape EXECUTED — a generation
+    persisted via save_frozen_index_bucketed plus a takedown wave
+    written in the same (vec_id, n_buckets) layout anti-join with
+    ZERO Exchange on either side (the corpus-wide reshuffle the
+    generic anti-join would pay past the broadcast threshold is paid
+    once at write time instead), with results and tombstone-filtered
+    search byte-equal to the in-memory filter."""
+    from kafka_flink_exactlyonce_example_spark.operators import simsearch
+    from kafka_flink_exactlyonce_example_spark.plans import plan_string
+
+    monkeypatch.setattr(dedup, "_CELL_TARGET", 8)
+    monkeypatch.setattr(dedup, "_SEED_OVERSAMPLE", 10**9)
+    old = spark.createDataFrame(
+        [(i, 0, [1.0, 0.03 * i, 0.002 * (i * i % 17)]) for i in range(40)]
+        + [(100 + i, 1, [0.0, 1.0, 0.05 * i]) for i in range(10)],
+        "vec_id bigint, label int, embedding array<float>",
+    )
+    cent1, seeds1 = simsearch.frozen_index_frames(old)
+    cent1, seeds1 = cent1.localCheckpoint(), seeds1.localCheckpoint()
+    indexed1 = dedup._assign_to_seeds(old, seeds1).localCheckpoint()
+    tomb = spark.createDataFrame(
+        [(107,), (3,), (17,)], "vec_id bigint"
+    )
+
+    path = str(tmp_path / "ivf_gen1_bucketed")
+    simsearch.save_frozen_index_bucketed(
+        path, "g1b", cent1, seeds1, indexed1
+    )
+    simsearch.save_tombstones_bucketed(tomb, "g1b", str(tmp_path / "tomb"))
+    try:
+        cent2, seeds2, indexed2 = simsearch.load_frozen_index_bucketed(
+            spark, path, "g1b"
+        )
+        wave = spark.table("g1b_tombstones")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            filt = simsearch.tombstone_filter(indexed2, wave)
+            plan = plan_string(filt)
+            assert "Exchange" not in plan, (
+                f"bucketed tombstone anti-join still shuffles:\n{plan}"
+            )
+            assert "SortMergeJoin" in plan and "LeftAnti" in plan
+            got = sorted(
+                (r["vec_id"], r["label"], r["cell"]) for r in filt.collect()
+            )
+            want = sorted(
+                (r["vec_id"], r["label"], r["cell"])
+                for r in simsearch.tombstone_filter(indexed1, tomb).collect()
+            )
+            assert got == want
+            # deleted ids are gone, survivors intact
+            assert not {3, 17, 107} & {v for v, _, _ in got}
+            assert len(got) == 47
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+        # tombstone-filtered search over the bucketed generation
+        # matches the in-memory run exactly
+        q = spark.createDataFrame(
+            [(900, [0.0, 1.0, 0.35]), (901, [1.0, 0.5, 0.01])],
+            "vec_id bigint, embedding array<float>",
+        )
+
+        def run(cent, seeds, indexed, ts):
+            return sorted(
+                tuple(r)
+                for r in simsearch.frozen_top1(
+                    simsearch.frozen_route(q, cent, seeds),
+                    indexed,
+                    tombstones=ts,
+                ).collect()
+            )
+
+        assert run(cent2, seeds2, indexed2, wave) == run(
+            cent1, seeds1, indexed1, tomb
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS g1b_postings")
+        spark.sql("DROP TABLE IF EXISTS g1b_tombstones")
