@@ -1624,7 +1624,11 @@ def _text_gen_frames(spark: SparkSession, sf_dir: str):
     hits1 = _text_gen_verify(
         _cand(_slice_bands(b1_ids), capped1), _qsets(b1_ids), _isets(corpus_ids)
     )
-    admitted_ids = b1_ids.join(hits1, "doc_id", "left_anti")
+    # |batch|-bounded id list, referenced by the plant, the v2 index
+    # slice, AND the v2 verifier — left lazy, each reference re-runs
+    # the whole phase-1 band-join + verify (the round-12 crossJoin
+    # re-execution lesson); one O(|batch|)-row checkpoint runs it once
+    admitted_ids = b1_ids.join(hits1, "doc_id", "left_anti").localCheckpoint()
 
     # planted near-copies of the first _TEXT_GEN_PLANT admitted docs:
     # append the doc's own first word — word set IDENTICAL (Jaccard
@@ -1644,6 +1648,8 @@ def _text_gen_frames(spark: SparkSession, sf_dir: str):
                 F.col("text"), F.lit(" "), F.coalesce(first_word, F.lit("x"))
             ).alias("text"),
         )
+        # referenced three times (bands, word sets, probe ids) — 8 rows
+        .localCheckpoint()
     )
     bands_p = _bands_rel(_signatures_frame(_shingles_frame(planted)))
     wsp = _word_set_col()
