@@ -87,3 +87,26 @@ def test_dedup_decisions_identical_across_lanes(spark, monkeypatch):
     assert decisions["md5"][1] == decisions["xxhash64"][1], (
         "keep-best decisions diverged across hash lanes"
     )
+
+
+def test_text_gen_fold_flags_identical_across_lanes(spark, monkeypatch):
+    """The fold-lifecycle row's (f_v1, f_v2) verdicts are DECISIONS in
+    the lane contract's sense: the hash family only generates banded
+    candidates, exact word-set Jaccard ≥ 0.8 decides the flag — so the
+    per-probe flag map (admission, fold membership, and both
+    generation checks included) must be identical under md5 and
+    xxhash64 lanes at sf0.01. Any divergence means a lane dropped a
+    true near-dup candidate somewhere in the two-generation chain."""
+    flags = {}
+    for lane in ("md5", "xxhash64"):
+        dedup = _fresh_dedup(monkeypatch, lane)
+        flags[lane] = {
+            r["doc_id"]: (r["f_v1"], r["f_v2"])
+            for r in dedup.q_text_gen_fold(spark, ORACLE_SF).collect()
+        }
+        assert any(v != (0, 0) for v in flags[lane].values()), (
+            f"{lane}: no flags at sf0.01 — broken build"
+        )
+    assert flags["md5"] == flags["xxhash64"], (
+        "fold-lifecycle verdicts diverged across hash lanes"
+    )
