@@ -1854,6 +1854,57 @@ def frozen_top1(
     )
 
 
+def frozen_topk(
+    routed: DataFrame,
+    indexed: DataFrame,
+    k: int,
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """Top-``k`` existing neighbors per routed vector — the serving
+    generalization of :func:`frozen_top1` (round 13: a production ANN
+    service returns a result LIST, not a single merge decision; this
+    is the same one-sub-cell posting scan with the rank filter widened
+    and the rank emitted). Returns (vec_id, cell, nb_rank, neighbor_id,
+    sim), ≤ k rows per routed vector — fewer when the sub-cell holds
+    fewer survivors, one explicit NULL row when it holds none (the
+    LEFT-join totality contract of frozen_top1, verbatim: an emptied
+    cell is visible, never a vanished probe). Rank-1 equality with
+    frozen_top1 under any tombstone set is drift-pinned by
+    tests/test_ivf_cells.py (kept as a TEST rather than delegation so
+    the three graded top-1 consumers' plans stay byte-identical).
+
+    Scale shape: identical to frozen_top1 — the widened filter changes
+    output rows (≤ k per probe), not scan cost (∝ √n posting rows per
+    probe either way)."""
+    indexed = tombstone_filter(indexed, tombstones)
+    x = indexed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell").alias("icell"),
+        F.col("embedding").alias("xe"),
+    )
+    nb_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim_raw"), F.col("neighbor_id")
+    )
+    return (
+        routed.join(x, "icell", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "neighbor_id",
+            cosine(F.col("embedding"), F.col("xe")).alias("sim_raw"),
+        )
+        .withColumn("nb_rank", F.row_number().over(nb_w))
+        .filter(F.col("nb_rank") <= k)
+        .select(
+            "vec_id",
+            "cell",
+            "nb_rank",
+            "neighbor_id",
+            F.round("sim_raw", 6).alias("sim"),
+        )
+    )
+
+
 def _inc_index_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """q_incremental_ann's frozen index: :func:`frozen_index_frames`
     trained on the OLD split of the embeddings table only."""
@@ -1987,6 +2038,90 @@ def q_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same helpers the streaming ingest gate runs per micro-batch
     return frozen_top1(
         frozen_route(new, cent, seeds), _assign_to_seeds(old, seeds)
+    )
+
+
+#: Result-list depth of the graded serving row — small enough that
+#: every graded-SF sub-cell holds ≥ k members (no short-list branch in
+#: the hash surface; the short-list case is unit-pinned instead).
+_SERVE_K = 3
+
+
+@query(
+    "q_serve_topk",
+    oracle=f"""
+    WITH split AS (
+        SELECT vec_id, label, embedding,
+               CASE WHEN CAST(CAST(concat('0x', substring(
+                             md5('inc:' || CAST(vec_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 10 AS BIGINT) = 0
+                    THEN 1 ELSE 0 END AS is_new
+        FROM embeddings
+    ), cent AS (
+        SELECT label, list(m ORDER BY i) AS centroid
+        FROM (
+            SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+            FROM split, generate_series(1, 64) t(i)
+            WHERE is_new = 0
+            GROUP BY label, i
+        )
+        GROUP BY label
+    ), assign AS (
+        SELECT vec_id, cell, embedding FROM (
+            SELECT n.vec_id, c.label AS cell, n.embedding,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY round({cosine_sql('n.embedding', 'c.centroid')},
+                                      6) DESC, c.label) AS rn
+            FROM split n, cent c
+            WHERE n.is_new = 1
+        ) WHERE rn = 1
+    )
+    SELECT vec_id, cell, rn AS nb_rank, neighbor_id,
+           ROUND(sim, 6) AS sim FROM (
+        SELECT a.vec_id, a.cell, x.vec_id AS neighbor_id,
+               {cosine_sql('a.embedding', 'x.embedding')} AS sim,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {cosine_sql('a.embedding', 'x.embedding')}
+                            DESC, x.vec_id) AS rn
+        FROM assign a
+        -- LEFT join: frozen_topk inherits frozen_top1's totality
+        -- contract verbatim (an emptied sub-cell is one explicit
+        -- NULL row at rank 1 on BOTH engines). Same label-grain-vs-
+        -- sub-cell exactness guard as q_incremental_ann.
+        LEFT JOIN split x ON x.is_new = 0 AND x.label = a.cell
+    ) WHERE rn <= {_SERVE_K}
+    """,
+)
+def q_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING result list, driver-graded (round 13 —
+    q_incremental_ann grades the ingest-time top-1 merge decision;
+    this row grades the top-k answer a search service actually
+    returns, the relation :func:`streaming_ann_serve` commits when
+    asked for lists): the 'inc:' new vectors play the query batch,
+    each routed two-stage against the frozen index and answered with
+    its top-_SERVE_K (3) existing neighbors from ONE sub-cell posting
+    scan — (vec_id, cell, nb_rank, neighbor_id, sim), rank emitted so
+    the list ORDER is part of the graded claim, not just membership.
+    Tie-breaks (raw-cosine DESC, neighbor_id ASC) make the rank
+    deterministic on both engines; rank-1 equality with frozen_top1
+    under any tombstone set is pinned in tests/test_ivf_cells.py.
+
+    Scale shape: identical to q_incremental_ann's (bounded centroid +
+    √n seed broadcasts, ∝ √n posting rows scanned per query) — the
+    widened rank filter triples output rows, not scan cost. Output
+    ≤ 3·|batch| rows, sims 6-dp-rounded."""
+    cent, seeds = inc_index_build(spark, sf_dir)
+    tagged = _inc_tagged(spark, sf_dir)
+    old = tagged.filter(~F.col("is_new")).select(
+        "vec_id", "label", "embedding"
+    )
+    new = tagged.filter(F.col("is_new")).select("vec_id", "embedding")
+    return frozen_topk(
+        frozen_route(new, cent, seeds),
+        _assign_to_seeds(old, seeds),
+        _SERVE_K,
     )
 
 

@@ -735,6 +735,7 @@ def ann_serve_results(
     seeds: DataFrame,
     indexed: DataFrame,
     tombstones: DataFrame | None = None,
+    k: int = 1,
 ) -> DataFrame:
     """Top-1 answers for ONE micro-batch of query vectors against a
     FROZEN index generation — the search-side twin of
@@ -745,7 +746,10 @@ def ann_serve_results(
     neighbor between rebuilds. ``batch`` carries (vec_id, embedding);
     output one row per query: (vec_id, cell, neighbor_id, sim) —
     total (NULL neighbor for an emptied sub-cell) exactly as the
-    batch-graded search.
+    batch-graded search. ``k > 1`` serves the RESULT LIST instead —
+    :func:`simsearch.frozen_topk`'s (vec_id, cell, nb_rank,
+    neighbor_id, sim) relation, the shape q_serve_topk grades; the
+    default keeps the historical top-1 schema and plan.
 
     Scale shape: inherited verbatim from the graded parts — bounded
     centroid + Σk ∝ √n seed broadcasts, ∝ √n posting rows scanned per
@@ -755,15 +759,15 @@ def ann_serve_results(
     from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
         frozen_route,
         frozen_top1,
+        frozen_topk,
     )
 
-    return frozen_top1(
-        frozen_route(
-            batch.select("vec_id", "embedding"), centroids, seeds
-        ),
-        indexed,
-        tombstones=tombstones,
+    routed = frozen_route(
+        batch.select("vec_id", "embedding"), centroids, seeds
     )
+    if k == 1:
+        return frozen_top1(routed, indexed, tombstones=tombstones)
+    return frozen_topk(routed, indexed, k, tombstones=tombstones)
 
 
 def streaming_ann_serve(
@@ -775,6 +779,7 @@ def streaming_ann_serve(
     checkpoint_dir: str,
     tombstones: DataFrame | None = None,
     trigger_once: bool = True,
+    k: int = 1,
 ) -> StreamingQuery:
     """Exactly-once streaming vector-search serving — the missing half
     of the serving story (round 13: the ingest gate streams ADMISSION
@@ -802,7 +807,7 @@ def streaming_ann_serve(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sink(
             ann_serve_results(
-                batch_df, centroids, seeds, indexed, tombstones
+                batch_df, centroids, seeds, indexed, tombstones, k=k
             ),
             batch_id,
         )

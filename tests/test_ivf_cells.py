@@ -1106,3 +1106,73 @@ def test_bucketed_generation_tombstone_join_no_shuffle(
     finally:
         spark.sql("DROP TABLE IF EXISTS g1b_postings")
         spark.sql("DROP TABLE IF EXISTS g1b_tombstones")
+
+
+def test_frozen_topk_rank1_equals_top1_and_list_contract(spark, monkeypatch):
+    """frozen_topk is frozen_top1 with the rank filter widened — kept
+    as a separate function so the three graded top-1 consumers' plans
+    stay byte-identical, with THIS test as the drift pin: rank-1 rows
+    equal frozen_top1 exactly (with and without a tombstone set), the
+    list is rank-dense and sim-monotone per probe, a sub-cell with
+    fewer than k survivors yields a SHORT list, and an emptied cell
+    yields the explicit NULL row (the totality contract verbatim)."""
+    from kafka_flink_exactlyonce_example_spark.operators import simsearch
+
+    monkeypatch.setattr(dedup, "_CELL_TARGET", 8)
+    monkeypatch.setattr(dedup, "_SEED_OVERSAMPLE", 10**9)
+    old = spark.createDataFrame(
+        [(i, 0, [1.0, 0.03 * i, 0.002 * (i * i % 17)]) for i in range(40)]
+        + [(100 + i, 1, [0.0, 1.0, 0.05 * i]) for i in range(4)],
+        "vec_id bigint, label int, embedding array<float>",
+    )
+    cent, seeds = simsearch.frozen_index_frames(old)
+    cent, seeds = cent.localCheckpoint(), seeds.localCheckpoint()
+    indexed = dedup._assign_to_seeds(old, seeds).localCheckpoint()
+    q = spark.createDataFrame(
+        [(900, [0.0, 1.0, 0.35]), (901, [1.0, 0.5, 0.01])],
+        "vec_id bigint, embedding array<float>",
+    )
+    routed = simsearch.frozen_route(q, cent, seeds).localCheckpoint()
+
+    for tomb in (None, spark.createDataFrame([(3,), (101,)], "vec_id bigint")):
+        k5 = simsearch.frozen_topk(routed, indexed, 5, tombstones=tomb)
+        rows = k5.collect()
+        top1 = sorted(
+            tuple(r)
+            for r in simsearch.frozen_top1(
+                routed, indexed, tombstones=tomb
+            ).collect()
+        )
+        rank1 = sorted(
+            (r["vec_id"], r["cell"], r["neighbor_id"], r["sim"])
+            for r in rows
+            if r["nb_rank"] == 1
+        )
+        assert rank1 == top1
+        by_probe = {}
+        for r in rows:
+            by_probe.setdefault(r["vec_id"], []).append(r)
+        for vid, lst in by_probe.items():
+            lst.sort(key=lambda r: r["nb_rank"])
+            assert [r["nb_rank"] for r in lst] == list(
+                range(1, len(lst) + 1)
+            ), "rank not dense"
+            sims = [r["sim"] for r in lst if r["sim"] is not None]
+            assert sims == sorted(sims, reverse=True), "list not sim-sorted"
+        # tombstoned ids never served at any rank
+        if tomb is not None:
+            assert not {3, 101} & {
+                r["neighbor_id"] for r in rows if r["neighbor_id"] is not None
+            }
+            # label-1's cell had 4 members, 1 tombstoned -> 3 < k:
+            # short list, not padding
+            lab1 = [r for r in rows if r["cell"] == 1]
+            assert 0 < len(lab1) < 5
+
+    # emptied cell: tombstone every label-1 member -> explicit NULL row
+    wipe = spark.createDataFrame(
+        [(100 + i,) for i in range(4)], "vec_id bigint"
+    )
+    rows = simsearch.frozen_topk(routed, indexed, 5, tombstones=wipe).collect()
+    nulls = [r for r in rows if r["neighbor_id"] is None]
+    assert len(nulls) == 1 and nulls[0]["nb_rank"] == 1
