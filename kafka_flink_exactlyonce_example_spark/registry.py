@@ -408,6 +408,17 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     # ...and its exactness-override branch (recall 1.0 forces the
     # filtered brute route regardless of cost)
     "q_ann_planned_fbrute",
+    # round-13 second-session additions: the text near-dup index's
+    # fold lifecycle graded (three-generation split + planted
+    # near-copies, the gen-2 blind-spot closure under the hash grade)
+    "q_text_gen_fold",
+    # the planner's whole decision surface (10-request ladder resolved
+    # relationally vs an independent SQL argmin, fallback/refusal
+    # regimes included)
+    "q_ann_route_matrix",
+    # and the serving result LIST: frozen_topk's ranked top-3 relation
+    # (rank emitted — list order is part of the graded claim)
+    "q_serve_topk",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.
