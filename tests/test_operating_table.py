@@ -1,0 +1,34 @@
+"""Provenance pin for the ANN planner's catalog (round 13): the
+shipped `_ANN_OPERATING_TABLE` claims to be the engine-graded sf0.1
+operating points; tools/operating_table.py is the promised
+regeneration. This test closes the loop — the derivation, run on the
+declared corpus, must reproduce the shipped constants bit-for-bit, so
+the catalog can never silently drift from the instruments that
+justify it."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+SF01 = "/root/testdata/sf0.1"
+
+
+def test_shipped_catalog_reproduces_from_instruments(spark):
+    import operating_table as ot
+
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        _ANN_OPERATING_TABLE,
+    )
+
+    rows = ot.derive(spark, SF01)
+    assert rows == _ANN_OPERATING_TABLE, (
+        "shipped catalog diverged from the instrument-derived rows — "
+        "regenerate with tools/operating_table.py or fix the derivation"
+    )
+    # the catalog invariants the planner's argmin relies on
+    costs = [r[3] for r in rows]
+    assert costs == sorted(costs)
+    assert all(0.0 < r[2] <= 1.0 for r in rows)
