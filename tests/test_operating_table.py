@@ -32,3 +32,13 @@ def test_shipped_catalog_reproduces_from_instruments(spark):
     costs = [r[3] for r in rows]
     assert costs == sorted(costs)
     assert all(0.0 < r[2] <= 1.0 for r in rows)
+
+
+def test_shipped_filtered_floor_reproduces_from_sweep(spark):
+    import operating_table as ot
+
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        _FILTERED_IVF_RECALL_FLOOR,
+    )
+
+    assert ot.derive_filtered_floor(spark, SF01) == _FILTERED_IVF_RECALL_FLOOR

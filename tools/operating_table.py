@@ -91,9 +91,24 @@ def derive(spark, sf_dir: str) -> tuple[tuple[str, int, float, int], ...]:
     return tuple(sorted(rows, key=lambda r: r[3]))
 
 
+def derive_filtered_floor(spark, sf_dir: str) -> float:
+    """Regenerate `_FILTERED_IVF_RECALL_FLOOR`: the minimum 3-dp
+    recall over the q_filtered_sweep tiers the crossover rule routes
+    to ivf — the only recall the composed planner may PROMISE for
+    post-filter IVF (its docstring's provenance claim)."""
+    from kafka_flink_exactlyonce_example_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["q_filtered_sweep"](spark, sf_dir).collect()
+    ivf = [r for r in rows if r["route"] == "ivf"]
+    assert ivf, "no ivf-routed tier in the sweep — floor undefined"
+    return min(_recall_3dp(r["n_hit"], r["n_true"]) for r in ivf)
+
+
 def main() -> None:
     from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
         _ANN_OPERATING_TABLE,
+        _FILTERED_IVF_RECALL_FLOOR,
     )
     from kafka_flink_exactlyonce_example_spark.session import get_spark
 
@@ -102,19 +117,30 @@ def main() -> None:
         app_name="operating-table", master="local[8]", shuffle_partitions=8
     )
     rows = derive(spark, sf_dir)
+    floor = derive_filtered_floor(spark, sf_dir)
     spark.stop()
     print("_ANN_OPERATING_TABLE = (")
     for r in rows:
         print(f"    {r!r},")
     print(")")
+    print(f"_FILTERED_IVF_RECALL_FLOOR = {floor}")
     if "--print" in sys.argv:
         return
+    ok = True
     if rows != _ANN_OPERATING_TABLE:
         print("MISMATCH vs shipped catalog:")
         print(f"  shipped:     {_ANN_OPERATING_TABLE}")
         print(f"  regenerated: {rows}")
+        ok = False
+    if floor != _FILTERED_IVF_RECALL_FLOOR:
+        print(
+            f"MISMATCH floor: shipped {_FILTERED_IVF_RECALL_FLOOR}, "
+            f"regenerated {floor}"
+        )
+        ok = False
+    if not ok:
         sys.exit(1)
-    print("regenerated rows match the shipped catalog")
+    print("regenerated rows and floor match the shipped catalog")
 
 
 if __name__ == "__main__":
