@@ -6415,3 +6415,169 @@ def q_ann_route_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("op_recall").alias("promised_recall"),
         F.col("cost").alias("cand_per_probe"),
     )
+
+
+#: The composed (filtered) resolver's graded request ladder —
+#: (req_id, tier threshold t for the nested predicate label < t,
+#: recall_target, budget). Tiers reuse q_filtered_sweep's nested
+#: ladder so n_pass spans both crossover regimes; the ladder hits:
+#: crossover-brute (t=1, and t=2 a few counts under the boundary —
+#: fivf ineligible REGARDLESS of target), the cost pick where both
+#: routes qualify (t=3/t=7 under the floor → fivf strictly cheaper by
+#: the crossover arithmetic), the exactness override (target above
+#: the floor forces fbrute at any cost), a budget-refusal below both
+#: costs, a brute-side budget cliff in the crossover-brute regime,
+#: and a request whose outcome FLIPS with corpus size (t=7 exact
+#: within 1000: fbrute over 344 survivors at sf0.01, refused at
+#: 1,379 at sf0.1 — green at both SFs).
+_FROUTE_MATRIX_REQUESTS: tuple[tuple[int, int, float, int], ...] = (
+    (1, 1, 1.00, 1_000_000),
+    (2, 3, 0.45, 1_000_000),
+    (3, 3, 0.60, 1_000_000),
+    (4, 3, 0.45, 3),
+    (5, 2, 0.45, 1_000_000),
+    (6, 7, 0.45, 1_000_000),
+    (7, 7, 1.00, 1000),
+    (8, 2, 0.45, 50),
+)
+
+_FROUTE_MATRIX_REQ_SQL = " UNION ALL ".join(
+    f"SELECT CAST({i} AS INT) AS req_id, CAST({t} AS INT) AS thresh, "
+    f"CAST({rt} AS DOUBLE) AS recall_target, CAST({b} AS BIGINT) AS budget"
+    for i, t, rt, b in _FROUTE_MATRIX_REQUESTS
+)
+
+
+@query(
+    "q_filtered_route_matrix",
+    oracle=f"""
+    WITH counts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(COUNT(*) FILTER (label < 1) AS BIGINT) AS np1,
+               CAST(COUNT(*) FILTER (label < 2) AS BIGINT) AS np2,
+               CAST(COUNT(*) FILTER (label < 3) AS BIGINT) AS np3,
+               CAST(COUNT(*) FILTER (label < 7) AS BIGINT) AS np7
+        FROM embeddings
+    ), req AS ({_FROUTE_MATRIX_REQ_SQL}
+    ), reqc AS (
+        SELECT r.*, c.n_total,
+               CASE r.thresh WHEN 1 THEN c.np1 WHEN 2 THEN c.np2
+                             WHEN 3 THEN c.np3 ELSE c.np7 END AS n_pass,
+               (c.n_total * {_IVF_NPROBE}) // {_CQ_K} AS cost_ivf
+        FROM req r CROSS JOIN counts c
+    ), elig AS (
+        SELECT req_id, 'fbrute' AS route, CAST(0 AS INT) AS param,
+               CAST(1.0 AS DOUBLE) AS promised_recall, n_pass AS cost
+        FROM reqc WHERE n_pass <= budget
+        UNION ALL
+        SELECT req_id, 'fivf', CAST({_IVF_NPROBE} AS INT),
+               CAST({_FILTERED_IVF_RECALL_FLOOR} AS DOUBLE), cost_ivf
+        FROM reqc
+        WHERE n_pass * {_CQ_K} > n_total * {_IVF_NPROBE}
+          AND recall_target <= {_FILTERED_IVF_RECALL_FLOOR}
+          AND cost_ivf <= budget
+    ), best AS (
+        SELECT req_id, route, param, promised_recall, cost FROM (
+            SELECT *, row_number() OVER (PARTITION BY req_id
+                                         ORDER BY cost) AS rn
+            FROM elig) WHERE rn = 1
+    )
+    SELECT r.req_id, r.thresh, r.recall_target, r.budget, r.n_pass,
+           coalesce(b.route, 'refused') AS route,
+           b.param, b.promised_recall,
+           b.cost AS cand_per_probe
+    FROM reqc r LEFT JOIN best b ON b.req_id = r.req_id
+    """,
+)
+def q_filtered_route_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED resolver's whole decision surface, graded (round
+    13 — the unfiltered twin is q_ann_route_matrix; the two composed
+    branch rows q_ann_planned_filtered / q_ann_planned_fbrute each
+    grade one resolved plan, this grades
+    :func:`filtered_ann_route`'s arithmetic across its domain): the
+    8-request ladder of _FROUTE_MATRIX_REQUESTS — nested sweep-tier
+    predicates so n_pass spans both crossover regimes — resolved
+    RELATIONALLY (per-tier survivor counts from ONE conditional-
+    aggregate scan of the live corpus, exactly the statistic
+    filtered_search_plan reads; fbrute eligible iff the survivor scan
+    fits the budget; fivf offered ONLY above the crossover, under the
+    graded floor, within budget; cheapest eligible wins; refusals
+    explicit) against the DuckDB reimplementation of the same rule.
+    n_pass is emitted so the graded row also pins the selectivity
+    statistics themselves. Regimes covered: both crossover sides
+    (t=2 sits a few counts UNDER the boundary, so fivf ineligibility
+    there is genuinely computed), the cost pick where both routes
+    qualify, the exactness override, both refusal shapes, and a
+    request that FLIPS with corpus size (t=7 exact within 1000:
+    fbrute at sf0.01's 344 survivors, refused at sf0.1's 1,379 —
+    green at both SFs). Three-way agreement with the pure-python
+    :func:`filtered_ann_route` pinned per-request in
+    tests/test_ann_planner.py.
+
+    Scale shape: ONE conditional-aggregate corpus scan (4 tier counts
+    + the total — catalog statistics at 100 TB), everything after is
+    literal-sized and broadcasts. Output |requests| rows."""
+    emb = table(spark, sf_dir, "embeddings")
+    counts = emb.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        *[
+            F.sum((F.col("label") < t).cast("long")).alias(f"np{t}")
+            for t in (1, 2, 3, 7)
+        ],
+    )
+    req = spark.createDataFrame(
+        list(_FROUTE_MATRIX_REQUESTS),
+        "req_id int, thresh int, recall_target double, budget long",
+    )
+    reqc = (
+        req.crossJoin(F.broadcast(counts))
+        .withColumn(
+            "n_pass",
+            F.when(F.col("thresh") == 1, F.col("np1"))
+            .when(F.col("thresh") == 2, F.col("np2"))
+            .when(F.col("thresh") == 3, F.col("np3"))
+            .otherwise(F.col("np7")),
+        )
+        .withColumn(
+            "cost_ivf",
+            F.floor(
+                F.col("n_total") * F.lit(_IVF_NPROBE) / F.lit(_CQ_K)
+            ).cast("long"),
+        )
+    )
+    fb = reqc.filter(F.col("n_pass") <= F.col("budget")).select(
+        "req_id",
+        F.lit("fbrute").alias("route"),
+        F.lit(0).cast("int").alias("param"),
+        F.lit(1.0).alias("promised_recall"),
+        F.col("n_pass").alias("cost"),
+    )
+    fv = reqc.filter(
+        (F.col("n_pass") * F.lit(_CQ_K) > F.col("n_total") * F.lit(_IVF_NPROBE))
+        & (F.col("recall_target") <= F.lit(_FILTERED_IVF_RECALL_FLOOR))
+        & (F.col("cost_ivf") <= F.col("budget"))
+    ).select(
+        "req_id",
+        F.lit("fivf").alias("route"),
+        F.lit(_IVF_NPROBE).cast("int").alias("param"),
+        F.lit(_FILTERED_IVF_RECALL_FLOOR).alias("promised_recall"),
+        F.col("cost_ivf").alias("cost"),
+    )
+    w = Window.partitionBy("req_id").orderBy("cost")
+    best = (
+        fb.unionByName(fv)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("req_id", "route", "param", "promised_recall", "cost")
+    )
+    return reqc.join(best, "req_id", "left").select(
+        "req_id",
+        "thresh",
+        "recall_target",
+        "budget",
+        "n_pass",
+        F.coalesce("route", F.lit("refused")).alias("route"),
+        "param",
+        "promised_recall",
+        F.col("cost").alias("cand_per_probe"),
+    )

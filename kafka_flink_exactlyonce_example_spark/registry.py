@@ -419,6 +419,10 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     # and the serving result LIST: frozen_topk's ranked top-3 relation
     # (rank emitted — list order is part of the graded claim)
     "q_serve_topk",
+    # the composed resolver's decision surface (the filtered twin of
+    # q_ann_route_matrix: crossover/override/refusal regimes over the
+    # live survivor counts)
+    "q_filtered_route_matrix",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.

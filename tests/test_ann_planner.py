@@ -337,3 +337,52 @@ def test_filtered_ann_route_properties():
                 assert cost_ivf < n_pass
 
     prop()
+
+
+def test_filtered_route_matrix_three_way_agreement(spark):
+    """q_filtered_route_matrix's relational resolution must agree
+    per-request with the pure-python filtered_ann_route over the live
+    smoke-corpus survivor counts (the DuckDB oracle is the third
+    formulation)."""
+    from kafka_flink_exactlyonce_example_spark import registry
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        _FROUTE_MATRIX_REQUESTS,
+        filtered_ann_route,
+    )
+    from kafka_flink_exactlyonce_example_spark.sources import table
+    from pyspark.sql import functions as F
+
+    registry.load_all()
+    got = {
+        r["req_id"]: (
+            r["route"],
+            r["param"],
+            r["promised_recall"],
+            r["cand_per_probe"],
+            r["n_pass"],
+        )
+        for r in registry.QUERIES["q_filtered_route_matrix"](
+            spark, SMOKE_SF
+        ).collect()
+    }
+    emb = table(spark, SMOKE_SF, "embeddings")
+    n_total = emb.count()
+    n_pass = {
+        t: emb.filter(F.col("label") < t).count() for t in (1, 2, 3, 7)
+    }
+    assert set(got) == {i for i, _, _, _ in _FROUTE_MATRIX_REQUESTS}
+    for req_id, t, target, budget in _FROUTE_MATRIX_REQUESTS:
+        try:
+            c = filtered_ann_route(target, budget, n_pass[t], n_total)
+            want = (
+                c["index"],
+                c["param"],
+                c["recall"],
+                c["cand_per_probe"],
+                n_pass[t],
+            )
+        except ValueError:
+            want = ("refused", None, None, None, n_pass[t])
+        assert got[req_id] == want, f"request {req_id}: {got[req_id]} != {want}"
+    routes = {v[0] for v in got.values()}
+    assert {"fbrute", "fivf", "refused"} <= routes
