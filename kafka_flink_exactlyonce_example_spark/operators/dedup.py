@@ -140,18 +140,19 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _del_tag_col(name: str):
-    """The deterministic md5 'del:' takedown tag (~20% of ids, the
-    'inc:' convention at modulus 5) over an arbitrary id column —
-    shared by the embedding-side delete path (ingest._is_del_col over
-    vec_id: q_index_compact / q_ann_tombstone) and the text-side
-    keeper-churn report (q_dedup_tombstone over doc_id). SQL twin
-    inlined in each consumer's oracle."""
+def _md5_mod_col(prefix: str, name: str, mod: int):
+    """The deterministic md5 split expression every engine-side
+    incremental/tombstone tag derives from — defined ONCE (round-13
+    self-review: four byte-equal inline copies meant a tweak to one
+    would silently desynchronize the others from their oracle twins,
+    which all inline the same CAST(concat('0x', substring(md5(prefix
+    || id), 1, 8)) ...) % mod SQL). Returns the LongType remainder;
+    callers compare against their tag value."""
     return (
         F.conv(
             F.substring(
                 F.md5(
-                    F.concat(F.lit("del:"), F.col(name).cast("string")).cast(
+                    F.concat(F.lit(prefix), F.col(name).cast("string")).cast(
                         "binary"
                     )
                 ),
@@ -161,8 +162,18 @@ def _del_tag_col(name: str):
             16,
             10,
         ).cast("long")
-        % 5
-    ) == 0
+        % mod
+    )
+
+
+def _del_tag_col(name: str):
+    """The deterministic md5 'del:' takedown tag (~20% of ids, the
+    'inc:' convention at modulus 5) over an arbitrary id column —
+    shared by the embedding-side delete path (ingest._is_del_col over
+    vec_id: q_index_compact / q_ann_tombstone) and the text-side
+    keeper-churn report (q_dedup_tombstone over doc_id). SQL twin
+    inlined in each consumer's oracle."""
+    return _md5_mod_col("del:", name, 5) == 0
 
 
 @query(
@@ -1533,22 +1544,7 @@ def _text_gen_g():
     whole incremental family keys on (q_ingest_gate's is_new is
     g == 0), extended to a three-way split — g == 0 the admitted
     batch, g == 1 the probe batch, g ≥ 2 the frozen corpus."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("inc:"), F.col("doc_id").cast("string")
-                    ).cast("binary")
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 10
-    )
+    return _md5_mod_col("inc:", "doc_id", 10)
 
 
 def _text_gen_verify(cand: DataFrame, qsets: DataFrame, isets: DataFrame) -> DataFrame:
@@ -1823,10 +1819,20 @@ def q_text_gen_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.0, text not byte-equal — the lifecycle test's recipe, §test_
     text_index) — is checked against BOTH generations. Output one row
     per probe doc: (doc_id, f_v1, f_v2). The graded claim is the
-    gen-2 blind spot closing: f_v2 ≥ f_v1 row-wise (append-only index
-    ⇒ monotone flags), and the planted rows read (0→1 or 1→1) —
-    near-copies of ADMITTED docs are invisible to v1 unless they also
-    near-dup the corpus, and always caught by v2.
+    gen-2 blind spot closing: f_v2 ≥ f_v1 row-wise, and the planted
+    rows read (0→1 or 1→1) — near-copies of ADMITTED docs are
+    invisible to v1 unless they also near-dup the corpus, and always
+    caught by v2. Honest caveat (self-review): the monotonicity is a
+    theorem of append-only bands only while no bucket CROSSES
+    _MAX_BUCKET because of the fold — the per-generation cap
+    re-derivation (deliberate: fold semantics == cold rebuild) can
+    then drop a v1 bucket from capped2 and flip a flag 1→0. Engine
+    and oracle agree either way (both re-derive the cap), so grading
+    is unconditional; the monotone claim is asserted under its
+    precondition (all merged buckets ≤ cap — measured max 3 vs 64 on
+    the graded corpora) in tests/test_text_index.py, which checks the
+    precondition FIRST so a corpus change fails with the right
+    diagnosis.
 
     Engine formulation: ONE cached signature pass over ``documents``
     (signatures are a pure per-doc function) sliced per role by
@@ -2391,23 +2397,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the corpus. Everything here is semi-joins and keyed rollups;
     nothing rescans corpus text."""
     d = table(spark, sf_dir, "documents")
-    is_new = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit("inc:"), F.col("doc_id").cast("string")).cast(
-                        "binary"
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 10
-        == 0
-    )
+    is_new = _md5_mod_col("inc:", "doc_id", 10) == 0
     split = d.select(
         "doc_id",
         "lang",

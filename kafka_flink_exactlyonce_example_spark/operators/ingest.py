@@ -45,6 +45,7 @@ from kafka_flink_exactlyonce_example_spark.operators.dedup import (
     _MINHASH_CTES,
     _assign_to_seeds,
     _lsh_verified_edges,
+    _md5_mod_col,
 )
 from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
     _inc_tagged,
@@ -181,23 +182,7 @@ def _gate_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Spark twin of the oracle's ``verdict`` CTE. q_ingest_gate
     drops the cell; q_index_refresh groups admitted docs by it."""
     d = table(spark, sf_dir, "documents")
-    is_new = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit("inc:"), F.col("doc_id").cast("string")).cast(
-                        "binary"
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 10
-        == 0
-    )
+    is_new = _md5_mod_col("inc:", "doc_id", 10) == 0
     dsplit = d.select(
         "doc_id",
         is_new.cast("int").alias("is_new"),

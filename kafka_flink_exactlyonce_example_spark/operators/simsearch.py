@@ -1206,22 +1206,11 @@ _INC_INDEX_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 def _inc_is_new_col():
     """Deterministic ~10% md5 batch split (same 'inc:' convention as
     q_incremental_dedup) — the 'new batch' vs 'indexed corpus' tag."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("inc:"), F.col("vec_id").cast("string")
-                    ).cast("binary")
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 10
-    ) == 0
+    from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+        _md5_mod_col,
+    )
+
+    return _md5_mod_col("inc:", "vec_id", 10) == 0
 
 
 def _inc_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5866,7 +5855,9 @@ def ann_route(
         if row[2] >= recall_target and row[3] <= candidate_budget
     ]
     if eligible:
-        kind, param, recall, cost = min(eligible, key=lambda r: r[3])
+        kind, param, recall, cost = min(
+            eligible, key=lambda r: (r[3], r[0], r[1])
+        )
         return {
             "index": kind,
             "param": param,
@@ -5989,7 +5980,9 @@ def filtered_ann_route(
             ("fivf", _IVF_NPROBE, _FILTERED_IVF_RECALL_FLOOR, cost_ivf)
         )
     if eligible:
-        kind, param, recall, cost = min(eligible, key=lambda r: r[3])
+        kind, param, recall, cost = min(
+            eligible, key=lambda r: (r[3], r[0], r[1])
+        )
         return {
             "index": kind,
             "param": param,
@@ -6324,7 +6317,7 @@ _ROUTE_MATRIX_REQ_SQL = " UNION ALL ".join(
         SELECT req_id, kind, param, op_recall, cost FROM (
             SELECT req_id, kind, param, op_recall, cost,
                    row_number() OVER (PARTITION BY req_id
-                                      ORDER BY cost) AS rn
+                                      ORDER BY cost, kind, param) AS rn
             FROM elig) WHERE rn = 1
     ), fb AS (
         SELECT r.req_id, 'brute' AS kind, CAST(0 AS INT) AS param,
@@ -6387,7 +6380,11 @@ def q_ann_route_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("op_recall") >= F.col("recall_target"))
         & (F.col("cost") <= F.col("budget")),
     )
-    w = Window.partitionBy("req_id").orderBy("cost")
+    # deterministic argmin: the SHIPPED catalog has distinct costs,
+    # but a deployment-regenerated one may tie — the tie-break must
+    # never depend on the engine (self-review; ann_route's min() key
+    # carries the same (cost, kind, param) order)
+    w = Window.partitionBy("req_id").orderBy("cost", "kind", "param")
     best = (
         elig.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -6468,7 +6465,7 @@ _FROUTE_MATRIX_REQ_SQL = " UNION ALL ".join(
     ), elig AS (
         SELECT req_id, 'fbrute' AS route, CAST(0 AS INT) AS param,
                CAST(1.0 AS DOUBLE) AS promised_recall, n_pass AS cost
-        FROM reqc WHERE n_pass <= budget
+        FROM reqc WHERE n_pass <= budget AND recall_target <= 1.0
         UNION ALL
         SELECT req_id, 'fivf', CAST({_IVF_NPROBE} AS INT),
                CAST({_FILTERED_IVF_RECALL_FLOOR} AS DOUBLE), cost_ivf
@@ -6479,7 +6476,7 @@ _FROUTE_MATRIX_REQ_SQL = " UNION ALL ".join(
     ), best AS (
         SELECT req_id, route, param, promised_recall, cost FROM (
             SELECT *, row_number() OVER (PARTITION BY req_id
-                                         ORDER BY cost) AS rn
+                                         ORDER BY cost, route, param) AS rn
             FROM elig) WHERE rn = 1
     )
     SELECT r.req_id, r.thresh, r.recall_target, r.budget, r.n_pass,
@@ -6518,13 +6515,17 @@ def q_filtered_route_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     + the total — catalog statistics at 100 TB), everything after is
     literal-sized and broadcasts. Output |requests| rows."""
     emb = table(spark, sf_dir, "embeddings")
+    # ONE conditional-aggregate scan, like the docstring says: the
+    # 1-row counts frame is referenced by both eligibility branches
+    # AND the final join — left lazy each reference re-runs the scan
+    # (self-review; the q_filtered_sweep checkpointed-stats discipline)
     counts = emb.agg(
         F.count(F.lit(1)).cast("long").alias("n_total"),
         *[
             F.sum((F.col("label") < t).cast("long")).alias(f"np{t}")
             for t in (1, 2, 3, 7)
         ],
-    )
+    ).localCheckpoint()
     req = spark.createDataFrame(
         list(_FROUTE_MATRIX_REQUESTS),
         "req_id int, thresh int, recall_target double, budget long",
@@ -6545,7 +6546,13 @@ def q_filtered_route_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
     )
-    fb = reqc.filter(F.col("n_pass") <= F.col("budget")).select(
+    fb = reqc.filter(
+        (F.col("n_pass") <= F.col("budget"))
+        # mirror filtered_ann_route's guard exactly: exactness is the
+        # MOST fbrute may promise — a target above 1.0 must refuse,
+        # not silently under-deliver (self-review)
+        & (F.col("recall_target") <= F.lit(1.0))
+    ).select(
         "req_id",
         F.lit("fbrute").alias("route"),
         F.lit(0).cast("int").alias("param"),
@@ -6563,7 +6570,10 @@ def q_filtered_route_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_FILTERED_IVF_RECALL_FLOOR).alias("promised_recall"),
         F.col("cost_ivf").alias("cost"),
     )
-    w = Window.partitionBy("req_id").orderBy("cost")
+    # cost ties are impossible here (strict crossover ⇒ cost_ivf <
+    # n_pass whenever both qualify) but the tie-break is deterministic
+    # anyway — argmin order must never depend on the engine
+    w = Window.partitionBy("req_id").orderBy("cost", "route", "param")
     best = (
         fb.unionByName(fv)
         .withColumn("rn", F.row_number().over(w))

@@ -296,9 +296,27 @@ def test_graded_fold_matches_api(spark):
     want = {k: (v1[k], v2[k]) for k in v1}
     assert graded == want
 
-    # the lifecycle invariants the graded row claims: append-only
-    # index => monotone flags; every planted near-copy caught by v2;
-    # at least one planted probe is the counterfactual (blind in v1)
+    # the lifecycle invariants the graded row claims. Monotone flags
+    # are a theorem ONLY while no band bucket crosses _MAX_BUCKET via
+    # the fold (the per-generation cap re-derivation could then drop
+    # a v1 bucket from v2) — assert that precondition first, so a
+    # corpus change fails here with the right diagnosis rather than
+    # as a baffling monotonicity break
+    from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+        _MAX_BUCKET,
+    )
+
+    max_bucket = (
+        bands2.groupBy("band_idx", "band_key")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert max_bucket <= _MAX_BUCKET, (
+        f"a fold-merged bucket crossed the cap ({max_bucket} > "
+        f"{_MAX_BUCKET}) — the monotone-flags invariant below no "
+        "longer holds by construction on this corpus"
+    )
     assert all(a <= b for a, b in graded.values())
     plants = {
         k: v for k, v in graded.items() if k >= _TEXT_GEN_PLANT_BASE

@@ -112,7 +112,8 @@ def main() -> None:
     )
     from kafka_flink_exactlyonce_example_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SF
+    positional = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = positional[0] if positional else DEFAULT_SF
     spark = get_spark(
         app_name="operating-table", master="local[8]", shuffle_partitions=8
     )
