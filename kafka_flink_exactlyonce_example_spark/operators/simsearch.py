@@ -2114,6 +2114,167 @@ def q_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_rebuild_churn",
+    oracle=f"""
+    WITH split AS (
+        SELECT vec_id, label, embedding,
+               CASE WHEN CAST(CAST(concat('0x', substring(
+                             md5('inc:' || CAST(vec_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 10 AS BIGINT) = 0
+                    THEN 1 ELSE 0 END AS is_new
+        FROM embeddings
+    ), cent1 AS (
+        SELECT label, list(m ORDER BY i) AS centroid
+        FROM (
+            SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+            FROM split, generate_series(1, 64) t(i)
+            WHERE is_new = 0
+            GROUP BY label, i
+        )
+        GROUP BY label
+    ), cent2 AS (
+        SELECT label, list(m ORDER BY i) AS centroid
+        FROM (
+            SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+            FROM split, generate_series(1, 64) t(i)
+            GROUP BY label, i
+        )
+        GROUP BY label
+    ), assign1 AS (
+        SELECT vec_id, cell, embedding FROM (
+            SELECT n.vec_id, c.label AS cell, n.embedding,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY round({cosine_sql('n.embedding', 'c.centroid')},
+                                      6) DESC, c.label) AS rn
+            FROM split n, cent1 c
+            WHERE n.is_new = 1
+        ) WHERE rn = 1
+    ), assign2 AS (
+        SELECT vec_id, cell, embedding FROM (
+            SELECT n.vec_id, c.label AS cell, n.embedding,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY round({cosine_sql('n.embedding', 'c.centroid')},
+                                      6) DESC, c.label) AS rn
+            FROM split n, cent2 c
+            WHERE n.is_new = 1
+        ) WHERE rn = 1
+    ), nn1 AS (
+        SELECT vec_id, neighbor_id, ROUND(sim, 6) AS sim FROM (
+            SELECT a.vec_id, x.vec_id AS neighbor_id,
+                   {cosine_sql('a.embedding', 'x.embedding')} AS sim,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {cosine_sql('a.embedding', 'x.embedding')}
+                                DESC, x.vec_id) AS rn
+            FROM assign1 a
+            LEFT JOIN split x ON x.is_new = 0 AND x.label = a.cell
+        ) WHERE rn = 1
+    ), nn2 AS (
+        SELECT vec_id, neighbor_id, ROUND(sim, 6) AS sim FROM (
+            SELECT a.vec_id, x.vec_id AS neighbor_id,
+                   {cosine_sql('a.embedding', 'x.embedding')} AS sim,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {cosine_sql('a.embedding', 'x.embedding')}
+                                DESC, x.vec_id) AS rn
+            FROM assign2 a
+            -- gen-2 contains the probe itself (it was admitted):
+            -- self-exclusion lives IN the join condition so an
+            -- all-self cell still surfaces as a NULL row (totality)
+            LEFT JOIN split x ON x.label = a.cell
+                             AND x.vec_id <> a.vec_id
+        ) WHERE rn = 1
+    )
+    SELECT n1.vec_id,
+           n1.neighbor_id AS nb_v1, n1.sim AS sim_v1,
+           n2.neighbor_id AS nb_v2, n2.sim AS sim_v2,
+           CASE WHEN n1.neighbor_id IS DISTINCT FROM n2.neighbor_id
+                THEN 1 ELSE 0 END AS changed
+    FROM nn1 n1 JOIN nn2 n2 ON n2.vec_id = n1.vec_id
+    """,
+)
+def q_rebuild_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-side ANSWER CHURN across an index-generation roll (round
+    13 — the deploy-gating metric of every production rebuild: the
+    keeper-churn report q_dedup_tombstone audits the DEDUP side of a
+    wave, this audits what a rebuild does to SEARCH ANSWERS): each
+    'inc:' probe is answered twice — against generation 1 (the frozen
+    old-split index, exactly q_incremental_ann's relation) and against
+    generation 2 (the post-admission rebuild over the FULL corpus,
+    self excluded via the join condition so an all-self cell keeps the
+    totality NULL row) — and the report emits per probe (nb_v1,
+    sim_v1, nb_v2, sim_v2, changed). Churn is non-vacuous by
+    construction: gen 2 adds the admitted batch as candidate
+    neighbors AND recomputes the coarse centroids, so both
+    re-ranking and re-routing changes occur at every graded SF (both
+    outcomes of ``changed`` present — the report a deployment
+    thresholds before promoting a generation).
+
+    Scale shape: two bounded-coarse routings + two one-sub-cell
+    posting scans per probe (the q_incremental_ann shape, twice); the
+    gen-2 quantizer is the same bounded label-mean + √n seed build
+    the offline rebuild runs. Output |batch| rows, sims
+    6-dp-rounded."""
+    cent1, seeds1 = inc_index_build(spark, sf_dir)
+    tagged = _inc_tagged(spark, sf_dir)
+    old = tagged.filter(~F.col("is_new")).select(
+        "vec_id", "label", "embedding"
+    )
+    new = tagged.filter(F.col("is_new")).select("vec_id", "embedding")
+    v1 = frozen_top1(
+        frozen_route(new, cent1, seeds1), _assign_to_seeds(old, seeds1)
+    ).select(
+        "vec_id",
+        F.col("neighbor_id").alias("nb_v1"),
+        F.col("sim").alias("sim_v1"),
+    )
+
+    allv = tagged.select("vec_id", "label", "embedding")
+    cent2, seeds2 = frozen_index_frames(allv)
+    routed2 = frozen_route(new, cent2, seeds2)
+    x2 = _assign_to_seeds(allv, seeds2).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell").alias("icell2"),
+        F.col("embedding").alias("xe"),
+    )
+    nb_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim_raw"), F.col("neighbor_id")
+    )
+    v2 = (
+        routed2.join(
+            x2,
+            (F.col("icell") == F.col("icell2"))
+            & (F.col("neighbor_id") != F.col("vec_id")),
+            "left",
+        )
+        .select(
+            "vec_id",
+            "neighbor_id",
+            cosine(F.col("embedding"), F.col("xe")).alias("sim_raw"),
+        )
+        .withColumn("rn", F.row_number().over(nb_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("neighbor_id").alias("nb_v2"),
+            F.round("sim_raw", 6).alias("sim_v2"),
+        )
+    )
+    return v1.join(v2, "vec_id").select(
+        "vec_id",
+        "nb_v1",
+        "sim_v1",
+        "nb_v2",
+        "sim_v2",
+        F.when(~F.col("nb_v1").eqNullSafe(F.col("nb_v2")), 1)
+        .otherwise(0)
+        .alias("changed"),
+    )
+
+
 
 @query(
     "q_ann_multiprobe",

@@ -423,6 +423,9 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     # q_ann_route_matrix: crossover/override/refusal regimes over the
     # live survivor counts)
     "q_filtered_route_matrix",
+    # serve-side answer churn across an index-generation roll (the
+    # deploy-gating report: which probes' top-1 changed and why)
+    "q_rebuild_churn",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.
