@@ -2762,3 +2762,129 @@ def test_streaming_ann_serve_exactly_once_and_tombstone_swap(spark, tmp_path):
     # same query set answered, and the filter changed at least one answer
     assert [g[0] for g in got2] == ids
     assert got2 != got1
+
+
+def test_streaming_serve_generation_swap_on_persisted_index(spark, tmp_path):
+    """The serve-side HANDOFF (the gate has
+    test_streaming_gate_runs_on_persisted_generations; this is the
+    query path): generation 1 is persisted in the BUCKETED layout and
+    served from the loaded frames only; a takedown wave (ids that
+    WERE served as neighbors) is persisted in the same layout and a
+    restart on the SAME checkpoint/sink answers the next batch with
+    the loaded wave anti-joined (no deleted id served); the offline
+    warm compact then removes the rows for good, generation 2 is
+    persisted, and a second restart serves from it. Exactly-once
+    holds over the union of the three phases, and every phase's
+    committed answers equal the batch search over exactly the frames
+    that phase loaded from disk."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+        _assign_to_seeds,
+    )
+    from kafka_flink_exactlyonce_example_spark.operators import simsearch
+    from kafka_flink_exactlyonce_example_spark.streaming.jobs import (
+        ann_serve_results,
+        streaming_ann_serve,
+    )
+
+    old = spark.createDataFrame(
+        [(i, 0, [1.0, 0.03 * i, 0.002 * (i * i % 17)]) for i in range(40)]
+        + [(100 + i, 1, [0.0, 1.0, 0.05 * i]) for i in range(10)],
+        "vec_id bigint, label int, embedding array<float>",
+    )
+    cent1, seeds1 = simsearch.frozen_index_frames(old)
+    cent1, seeds1 = cent1.localCheckpoint(), seeds1.localCheckpoint()
+    indexed1 = _assign_to_seeds(old, seeds1).localCheckpoint()
+    gen1 = str(tmp_path / "sgen1")
+    simsearch.save_frozen_index_bucketed(gen1, "sg1", cent1, seeds1, indexed1)
+
+    schema = "vec_id bigint, embedding array<float>"
+    inp = str(tmp_path / "sin")
+    os.makedirs(inp)
+
+    def put(fname, rows, mtime):
+        with open(os.path.join(inp, fname), "w") as f:
+            for vid, emb in rows:
+                f.write(json.dumps({"vec_id": vid, "embedding": emb}) + "\n")
+        os.utime(os.path.join(inp, fname), (mtime, mtime))
+
+    out, ckpt = str(tmp_path / "sout"), str(tmp_path / "sckpt")
+    sink = IdempotentBatchSink(out)
+
+    def serve(cent, seeds, indexed, wave):
+        q = streaming_ann_serve(
+            file_stream(spark, inp, schema, fmt="json", maxFilesPerTrigger="4"),
+            cent, seeds, indexed, sink, ckpt, tombstones=wave,
+        )
+        q.awaitTermination(120)
+
+    row = lambda r: (r["vec_id"], r["cell"], r["neighbor_id"], r["sim"])
+
+    # phase 1: serve from the LOADED bucketed generation, no wave
+    put("p0.json", [(900, [0.0, 1.0, 0.35]), (901, [1.0, 0.5, 0.01])],
+        1_700_000_000)
+    c, s, x = simsearch.load_frozen_index_bucketed(spark, gen1, "sg1")
+    try:
+        serve(c, s, x, None)
+        g1 = {row(r) for r in sink.read_committed(spark).collect()}
+        served = sorted(nb for _, _, nb, _ in g1 if nb is not None)
+        assert served, "phase 1 served nothing"
+
+        # phase 2: persist a wave of ids that WERE served; restart on
+        # the same checkpoint with the loaded wave
+        wave_ids = served[:2]
+        simsearch.save_tombstones_bucketed(
+            spark.createDataFrame([(int(v),) for v in wave_ids],
+                                  "vec_id bigint"),
+            "sg1", str(tmp_path / "swave"),
+        )
+        put("p1.json", [(902, [0.0, 1.0, 0.35])], 1_700_000_001)
+        wave = spark.table("sg1_tombstones")
+        serve(c, s, x, wave)
+        g2 = {row(r) for r in sink.read_committed(spark).collect()}
+        new2 = g2 - g1
+        assert new2, "phase 2 committed nothing new"
+        assert not (set(wave_ids) & {nb for _, _, nb, _ in new2}), (
+            "a tombstoned id was served after the wave restart"
+        )
+
+        # phase 3: offline warm compact -> generation 2 persisted ->
+        # restart serves from the loaded gen 2, wave retired
+        cent2, seeds2, indexed2 = simsearch.warm_index_compact(
+            seeds1, indexed1, wave, fired_labels=[]
+        )
+        gen2 = str(tmp_path / "sgen2")
+        simsearch.save_frozen_index_bucketed(
+            gen2, "sg2", cent2.localCheckpoint(), seeds2.localCheckpoint(),
+            indexed2.localCheckpoint(),
+        )
+        put("p2.json", [(903, [0.0, 1.0, 0.40])], 1_700_000_002)
+        c2, s2, x2 = simsearch.load_frozen_index_bucketed(spark, gen2, "sg2")
+        serve(c2, s2, x2, None)
+        g3 = {row(r) for r in sink.read_committed(spark).collect()}
+        new3 = g3 - g2
+        assert new3
+        assert not (set(wave_ids) & {nb for _, _, nb, _ in new3}), (
+            "a compacted-away id resurfaced from generation 2"
+        )
+
+        # exactly-once over the union: every query answered once
+        ids = [v for v, _, _, _ in g3]
+        assert sorted(ids) == [900, 901, 902, 903]
+
+        # each phase's answers equal the batch search over exactly the
+        # frames that phase loaded
+        def batch(vids, cc, ss, xx, wv):
+            probe = spark.read.schema(schema).json(inp).filter(
+                F.col("vec_id").isin(vids)
+            )
+            return {row(r) for r in ann_serve_results(
+                probe, cc, ss, xx, tombstones=wv).collect()}
+
+        assert {g for g in g1} == batch([900, 901], c, s, x, None)
+        assert new2 == batch([902], c, s, x, wave)
+        assert new3 == batch([903], c2, s2, x2, None)
+    finally:
+        for t in ("sg1_postings", "sg1_tombstones", "sg2_postings"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
