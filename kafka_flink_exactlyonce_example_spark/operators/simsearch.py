@@ -2232,10 +2232,22 @@ def q_rebuild_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sim").alias("sim_v1"),
     )
 
+    # generation 2 = the full-corpus quantizer the embed-dup family
+    # already session-caches: _ivf_seeds_for is seeds2 verbatim and
+    # _ivf_cells_for IS _assign_to_seeds(all, seeds2) (dedup._ivf_cells
+    # docstring: the independently-derived relations embody the SAME
+    # deterministic quantizer) — riding them cuts the row's marginal
+    # cost from ~5.3 to ~2 s warm at sf0.1
+    from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+        _ivf_cells_for,
+        _ivf_seeds_for,
+    )
+
     allv = tagged.select("vec_id", "label", "embedding")
-    cent2, seeds2 = frozen_index_frames(allv)
+    cent2 = frozen_centroids(allv)
+    seeds2 = _ivf_seeds_for(spark, sf_dir)
     routed2 = frozen_route(new, cent2, seeds2)
-    x2 = _assign_to_seeds(allv, seeds2).select(
+    x2 = _ivf_cells_for(spark, sf_dir).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("cell").alias("icell2"),
         F.col("embedding").alias("xe"),
