@@ -1074,6 +1074,89 @@ def main() -> None:
         )
         assert ghosts == 0, "a tombstoned id surfaced as a neighbor"
 
+    # Frozen TEXT near-dup index fold lifecycle (round 13,
+    # q_text_gen_fold / text_index_build/fold/freeze): the corpus is
+    # replicated mult x BYTE-IDENTICALLY (deliberately pathological —
+    # every replica shares all 4 band keys with its copies, the
+    # boilerplate-duplication worst case the _MAX_BUCKET guard exists
+    # for). Healthy = (a) the fold appends EXACTLY 4 band rows + 1 set
+    # row per admitted doc at every mult (append-only is an identity,
+    # not a measurement); (b) candidates/probe grows at most ~ mult
+    # WHILE the duplicated buckets stay under _MAX_BUCKET (printed as
+    # max_bucket — at graded-SF bucket sizes of 1-3 the cap is 20-60x
+    # away, so growth ∝ mult here is the healthy reading; the cap
+    # COLLAPSE itself is demonstrated by the `nearband` shape above:
+    # 4,950 uncapped hot pairs → 25 surviving candidates); (c) the
+    # frozen capped view derives once (one window over the band
+    # shuffle), wall ~linear in the corpus.
+    docs0 = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    base_tg = None
+    for mult in multiples:
+        parts = [
+            docs0.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                "lang",
+                "text",
+            )
+            for i in range(mult)
+        ]
+        bigd = parts[0]
+        for p_ in parts[1:]:
+            bigd = bigd.unionByName(p_)
+        t0 = time.perf_counter()
+        bands, sets = ddp.text_index_build(bigd)
+        bands = bands.localCheckpoint()
+        sets = sets.localCheckpoint()
+        frozen = ddp.text_index_freeze(bands).localCheckpoint()
+        probes = (
+            bigd.orderBy(
+                F.md5(F.concat(F.lit("tg:"), F.col("doc_id").cast("string"))),
+                "doc_id",
+            )
+            .limit(24)
+            .select(
+                (F.col("doc_id") + F.lit(900_000_000)).alias("doc_id"),
+                "lang",
+                "text",
+            )
+            .localCheckpoint()
+        )
+        qb = ddp._bands_rel(
+            ddp._signatures_frame(ddp._shingles_frame(probes))
+        )
+        n_cand = (
+            qb.join(
+                frozen.select(
+                    F.col("doc_id").alias("idx_doc"), "band_idx", "band_key"
+                ),
+                ["band_idx", "band_key"],
+            )
+            .select("doc_id", "idx_doc")
+            .distinct()
+            .count()
+        )
+        max_bucket = (
+            bands.groupBy("band_idx", "band_key")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        admitted = probes.limit(8)
+        b2, s2 = ddp.text_index_fold(bands, sets, admitted)
+        d_b = b2.count() - bands.count()
+        d_s = s2.count() - sets.count()
+        dt = time.perf_counter() - t0
+        cpp = n_cand / 24.0
+        if base_tg is None:
+            base_tg = max(cpp, 1e-9)
+        print(
+            f"textgen x{mult:<3d} cand/probe={cpp:8.1f} "
+            f"(x{cpp / base_tg:4.2f})  max_bucket={max_bucket} "
+            f"(cap {ddp._MAX_BUCKET})  fold_appends bands=+{d_b} "
+            f"sets=+{d_s}  wall={dt:6.2f}s"
+        )
+        assert d_b == 4 * 8 and d_s == 8, "fold is not append-4/append-1"
+
 
 if __name__ == "__main__":
     main()
