@@ -25,7 +25,10 @@ from kafka_flink_exactlyonce_example_spark.functions.similarity import (
 )
 from kafka_flink_exactlyonce_example_spark.operators.dedup import (
     _assign_to_seeds,
+    _ivf_cells_for,
     _ivf_seeds,
+    _ivf_seeds_for,
+    _md5_mod_col,
 )
 from kafka_flink_exactlyonce_example_spark.operators.scale import widen_small_scan
 from kafka_flink_exactlyonce_example_spark.registry import plan_aux, query
@@ -1206,10 +1209,6 @@ _INC_INDEX_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 def _inc_is_new_col():
     """Deterministic ~10% md5 batch split (same 'inc:' convention as
     q_incremental_dedup) — the 'new batch' vs 'indexed corpus' tag."""
-    from kafka_flink_exactlyonce_example_spark.operators.dedup import (
-        _md5_mod_col,
-    )
-
     return _md5_mod_col("inc:", "vec_id", 10) == 0
 
 
@@ -2237,12 +2236,7 @@ def q_rebuild_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _ivf_cells_for IS _assign_to_seeds(all, seeds2) (dedup._ivf_cells
     # docstring: the independently-derived relations embody the SAME
     # deterministic quantizer) — riding them cuts the row's marginal
-    # cost from ~5.3 to ~2 s warm at sf0.1
-    from kafka_flink_exactlyonce_example_spark.operators.dedup import (
-        _ivf_cells_for,
-        _ivf_seeds_for,
-    )
-
+    # cost from ~5.3 to ~3 s warm at sf0.1
     allv = tagged.select("vec_id", "label", "embedding")
     cent2 = frozen_centroids(allv)
     seeds2 = _ivf_seeds_for(spark, sf_dir)

@@ -253,14 +253,18 @@ def test_exactly_once_kill_restart(spark, tmp_path):
     q = build_query(crashing_sink)
     # NOT pytest.raises(Exception): a sentinel raised inside that block
     # would satisfy it, silently passing when the crash batch is never
-    # reached or the wait times out (round-13 self-review)
-    terminated_cleanly = False
+    # reached or the wait times out (round-13 self-review). A timeout
+    # (awaitTermination returns False) is diagnosed as such and the
+    # still-running query is stopped so it cannot bleed into later
+    # tests on the shared session.
+    outcome = None
     try:
-        q.awaitTermination(120)
-        terminated_cleanly = True
+        outcome = "finished" if q.awaitTermination(120) else "timed out"
     except Exception:
-        pass
-    assert not terminated_cleanly, "query should have failed mid-protocol"
+        pass  # the expected mid-protocol crash
+    if outcome is not None:
+        q.stop()
+    assert outcome is None, f"query should have failed mid-protocol, {outcome}"
     assert not crashing_sink.is_committed(1), "crashed batch must be uncommitted"
 
     # restart: same checkpoint, healthy sink over the same directories —
@@ -1869,14 +1873,18 @@ def test_streaming_ingest_gate_exactly_once_across_crash(spark, tmp_path):
     q = build(crashing)
     # NOT pytest.raises(Exception): a sentinel raised inside that block
     # would satisfy it, silently passing when the crash batch is never
-    # reached or the wait times out (round-13 self-review)
-    terminated_cleanly = False
+    # reached or the wait times out (round-13 self-review). A timeout
+    # (awaitTermination returns False) is diagnosed as such and the
+    # still-running query is stopped so it cannot bleed into later
+    # tests on the shared session.
+    outcome = None
     try:
-        q.awaitTermination(120)
-        terminated_cleanly = True
+        outcome = "finished" if q.awaitTermination(120) else "timed out"
     except Exception:
-        pass
-    assert not terminated_cleanly, "query should have failed mid-protocol"
+        pass  # the expected mid-protocol crash
+    if outcome is not None:
+        q.stop()
+    assert outcome is None, f"query should have failed mid-protocol, {outcome}"
     assert not crashing.is_committed(1), "crashed batch must be uncommitted"
 
     sink = IdempotentBatchSink(out)
@@ -2038,14 +2046,18 @@ def test_ingest_gate_rebuild_restart_lifecycle(spark, tmp_path, rebuild_fires):
     q = build(crashing, digests1, cent1, seeds1, indexed1)
     # NOT pytest.raises(Exception): a sentinel raised inside that block
     # would satisfy it, silently passing when the crash batch is never
-    # reached or the wait times out (round-13 self-review)
-    terminated_cleanly = False
+    # reached or the wait times out (round-13 self-review). A timeout
+    # (awaitTermination returns False) is diagnosed as such and the
+    # still-running query is stopped so it cannot bleed into later
+    # tests on the shared session.
+    outcome = None
     try:
-        q.awaitTermination(120)
-        terminated_cleanly = True
+        outcome = "finished" if q.awaitTermination(120) else "timed out"
     except Exception:
-        pass
-    assert not terminated_cleanly, "query should have failed mid-protocol"
+        pass  # the expected mid-protocol crash
+    if outcome is not None:
+        q.stop()
+    assert outcome is None, f"query should have failed mid-protocol, {outcome}"
     ro = IdempotentBatchSink(out)
     assert ro.committed_batches() == [0, 1]
     gen1 = ro.read_committed(spark).collect()
@@ -2711,14 +2723,18 @@ def test_streaming_ann_serve_exactly_once_and_tombstone_swap(spark, tmp_path):
     q = build(crashing, "serve_ckpt1")
     # NOT pytest.raises(Exception): a sentinel raised inside that block
     # would satisfy it, silently passing when the crash batch is never
-    # reached or the wait times out (round-13 self-review)
-    terminated_cleanly = False
+    # reached or the wait times out (round-13 self-review). A timeout
+    # (awaitTermination returns False) is diagnosed as such and the
+    # still-running query is stopped so it cannot bleed into later
+    # tests on the shared session.
+    outcome = None
     try:
-        q.awaitTermination(120)
-        terminated_cleanly = True
+        outcome = "finished" if q.awaitTermination(120) else "timed out"
     except Exception:
-        pass
-    assert not terminated_cleanly, "query should have failed mid-protocol"
+        pass  # the expected mid-protocol crash
+    if outcome is not None:
+        q.stop()
+    assert outcome is None, f"query should have failed mid-protocol, {outcome}"
     assert not crashing.is_committed(1)
 
     sink1 = IdempotentBatchSink(out1)
@@ -2817,7 +2833,13 @@ def test_streaming_serve_generation_swap_on_persisted_index(spark, tmp_path):
             file_stream(spark, inp, schema, fmt="json", maxFilesPerTrigger="4"),
             cent, seeds, indexed, sink, ckpt, tombstones=wave,
         )
-        q.awaitTermination(120)
+        # a timed-out (still-running) query must not be treated as a
+        # finished phase: the next phase would start a second query on
+        # the same checkpoint/sink (self-review)
+        finished = q.awaitTermination(120)
+        if not finished:
+            q.stop()
+        assert finished, "serve phase timed out"
 
     row = lambda r: (r["vec_id"], r["cell"], r["neighbor_id"], r["sim"])
 
@@ -2869,9 +2891,14 @@ def test_streaming_serve_generation_swap_on_persisted_index(spark, tmp_path):
             "a compacted-away id resurfaced from generation 2"
         )
 
-        # exactly-once over the union: every query answered once
-        ids = [v for v, _, _, _ in g3]
-        assert sorted(ids) == [900, 901, 902, 903]
+        # exactly-once over the union: every query answered once —
+        # counted on the RAW committed rows, not a set (a duplicate
+        # commit of byte-identical answers would collapse in a set
+        # and hide the violation — self-review)
+        committed_rows = sink.read_committed(spark).collect()
+        assert len(committed_rows) == 4
+        ids = sorted(r["vec_id"] for r in committed_rows)
+        assert ids == [900, 901, 902, 903]
 
         # each phase's answers equal the batch search over exactly the
         # frames that phase loaded
@@ -2882,7 +2909,7 @@ def test_streaming_serve_generation_swap_on_persisted_index(spark, tmp_path):
             return {row(r) for r in ann_serve_results(
                 probe, cc, ss, xx, tombstones=wv).collect()}
 
-        assert {g for g in g1} == batch([900, 901], c, s, x, None)
+        assert g1 == batch([900, 901], c, s, x, None)
         assert new2 == batch([902], c, s, x, wave)
         assert new3 == batch([903], c2, s2, x2, None)
     finally:
