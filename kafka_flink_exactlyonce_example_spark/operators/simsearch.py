@@ -6612,6 +6612,23 @@ _FROUTE_MATRIX_REQ_SQL = " UNION ALL ".join(
 )
 
 
+@plan_aux("q_filtered_route_matrix::counts")
+def _froute_counts_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filtered matrix's ONE conditional-aggregate corpus scan
+    (n_total + the 4 nested tier survivor counts). q_filtered_route_
+    matrix checkpoints this 1-row frame, which hides the scan behind a
+    LogicalRDD in the returned plan — so the scan is registered here
+    under the plan guards in its lazy form (the q_pca_power::moments
+    rule)."""
+    return table(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        *[
+            F.sum((F.col("label") < t).cast("long")).alias(f"np{t}")
+            for t in (1, 2, 3, 7)
+        ],
+    )
+
+
 @query(
     "q_filtered_route_matrix",
     oracle=f"""
@@ -6681,18 +6698,15 @@ def q_filtered_route_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE conditional-aggregate corpus scan (4 tier counts
     + the total — catalog statistics at 100 TB), everything after is
     literal-sized and broadcasts. Output |requests| rows."""
-    emb = table(spark, sf_dir, "embeddings")
     # ONE conditional-aggregate scan, like the docstring says: the
     # 1-row counts frame is referenced by both eligibility branches
     # AND the final join — left lazy each reference re-runs the scan
-    # (self-review; the q_filtered_sweep checkpointed-stats discipline)
-    counts = emb.agg(
-        F.count(F.lit(1)).cast("long").alias("n_total"),
-        *[
-            F.sum((F.col("label") < t).cast("long")).alias(f"np{t}")
-            for t in (1, 2, 3, 7)
-        ],
-    ).localCheckpoint()
+    # (self-review; the q_filtered_sweep checkpointed-stats
+    # discipline). The scan itself is plan-aux-registered below: the
+    # checkpoint hides it behind a LogicalRDD, and a corpus-touching
+    # stage the returned frame cannot show belongs under the plan
+    # guards (the ADVICE-r08 q_pca_power rule).
+    counts = _froute_counts_frame(spark, sf_dir).localCheckpoint()
     req = spark.createDataFrame(
         list(_FROUTE_MATRIX_REQUESTS),
         "req_id int, thresh int, recall_target double, budget long",
