@@ -5239,6 +5239,35 @@ def _fsweep_sql_select(t: int) -> str:
     FROM agg_{t} CROSS JOIN stats s"""
 
 
+
+
+@plan_aux("q_filtered_sweep::stats")
+def _fsweep_stats_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_filtered_sweep's ONE panel-flagged conditional-aggregate
+    corpus scan (total + panel + per-tier corpus/panel survivor
+    counts). The query checkpoints this 1-row frame, which hides the
+    scan behind a LogicalRDD — registered here in lazy form under the
+    plan guards (the q_pca_power::moments rule)."""
+    emb = table(spark, sf_dir, "embeddings")
+    panel = _recall_panel(spark, sf_dir)
+    inp = F.col("_inp").isNotNull()
+    return emb.join(panel.withColumn("_inp", F.lit(1)), "vec_id", "left").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(inp, 1).otherwise(0)).cast("long").alias("n_panel"),
+        *[
+            F.sum(F.when(F.col("label") < t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"np_{t}")
+            for t in _FSWEEP_THRESHOLDS
+        ],
+        *[
+            F.sum(F.when(inp & (F.col("label") < t), 1).otherwise(0))
+            .cast("long")
+            .alias(f"pp_{t}")
+            for t in _FSWEEP_THRESHOLDS
+        ],
+    )
+
 @query(
     "q_filtered_sweep",
     oracle=_IVF_ROUTE_CTES
@@ -5332,28 +5361,10 @@ def q_filtered_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-EXECUTED per crossJoin reference — without the checkpoint the
     # 4 tiers re-scanned embeddings 8× for numbers that never change
     # (round-12 self-review). The frame is F.broadcast-forced at every
-    # use, so the checkpoint stats hazard cannot bite.
-    inp = F.col("_inp").isNotNull()
-    stats = F.broadcast(
-        emb.join(panel.withColumn("_inp", F.lit(1)), "vec_id", "left")
-        .agg(
-            F.count(F.lit(1)).alias("n_total"),
-            F.sum(F.when(inp, 1).otherwise(0)).cast("long").alias("n_panel"),
-            *[
-                F.sum(F.when(F.col("label") < t, 1).otherwise(0))
-                .cast("long")
-                .alias(f"np_{t}")
-                for t in _FSWEEP_THRESHOLDS
-            ],
-            *[
-                F.sum(F.when(inp & (F.col("label") < t), 1).otherwise(0))
-                .cast("long")
-                .alias(f"pp_{t}")
-                for t in _FSWEEP_THRESHOLDS
-            ],
-        )
-        .localCheckpoint()
-    )
+    # use, so the checkpoint stats hazard cannot bite. The scan itself
+    # is plan-aux-registered (q_filtered_sweep::stats) — the
+    # checkpoint hides it behind a LogicalRDD in the returned plan.
+    stats = F.broadcast(_fsweep_stats_frame(spark, sf_dir).localCheckpoint())
 
     # NESTED-TIER derivation (round 13, VERDICT r12 item 6): the tiers
     # nest (label<1 ⊂ label<2 ⊂ label<3 ⊂ label<7), so ONE scored
