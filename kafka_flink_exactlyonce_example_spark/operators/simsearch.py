@@ -2113,9 +2113,7 @@ def q_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_rebuild_churn",
-    oracle=f"""
+_CHURN_ORACLE = f"""
     WITH split AS (
         SELECT vec_id, label, embedding,
                CASE WHEN CAST(CAST(concat('0x', substring(
@@ -2193,9 +2191,11 @@ def q_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN n1.neighbor_id IS DISTINCT FROM n2.neighbor_id
                 THEN 1 ELSE 0 END AS changed
     FROM nn1 n1 JOIN nn2 n2 ON n2.vec_id = n1.vec_id
-    """,
-)
-def q_rebuild_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+@plan_aux("q_rebuild_churn::chain")
+def _rebuild_churn_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serve-side ANSWER CHURN across an index-generation roll (round
     13 — the deploy-gating metric of every production rebuild: the
     keeper-churn report q_dedup_tombstone audits the DEDUP side of a
@@ -2278,6 +2278,102 @@ def q_rebuild_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(~F.col("nb_v1").eqNullSafe(F.col("nb_v2")), 1)
         .otherwise(0)
         .alias("changed"),
+    )
+
+
+#: The churn relation is consumed by TWO graded rows (the per-probe
+#: report and the promote verdict) — materialize once per (session,
+#: sf), |batch| rows; the lazy chain stays visible to the plan gate
+#: through the q_rebuild_churn::chain aux above.
+_CHURN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def rebuild_churn_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+        _session_key,
+    )
+
+    key = _session_key(spark, sf_dir)
+    if key not in _CHURN_CACHE:
+        _CHURN_CACHE[key] = _rebuild_churn_frame(
+            spark, sf_dir
+        ).localCheckpoint()
+    return _CHURN_CACHE[key]
+
+
+@query("q_rebuild_churn", oracle=_CHURN_ORACLE)
+def q_rebuild_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-probe churn report — :func:`_rebuild_churn_frame` (see
+    its docstring for the semantics and scale shape), served from the
+    shared session cache so the promote verdict (q_gen_promote) never
+    re-runs the two-generation search chain."""
+    return rebuild_churn_for(spark, sf_dir)
+
+
+#: The graded promote thresholds: one STRICT bar the measured churn
+#: fails at every graded SF and one LENIENT bar it clears — both
+#: verdict branches hash-graded from live data (sf0.01 churn 26/44 ≈
+#: 0.591, sf0.1 59/178 ≈ 0.331; the synthetic corpus churns hard
+#: because gen 2 adds 10% new candidates AND moves every centroid —
+#: a production embedding index rolls at single-digit churn and
+#: gates around 0.05–0.15).
+_PROMOTE_THRESHOLDS = (0.25, 0.70)
+
+
+@query(
+    "q_gen_promote",
+    oracle=f"""
+    WITH churn AS ({_CHURN_ORACLE}
+    ), th AS (
+        SELECT CAST(0.25 AS DOUBLE) AS max_churn
+        UNION ALL SELECT CAST(0.70 AS DOUBLE)
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+               CAST(SUM(changed) AS BIGINT) AS n_changed,
+               ROUND(CAST(SUM(changed) AS DOUBLE) / COUNT(*), 6)
+                   AS churn_frac
+        FROM churn
+    )
+    SELECT t.max_churn, a.n_probes, a.n_changed, a.churn_frac,
+           CASE WHEN a.churn_frac <= t.max_churn THEN 1 ELSE 0
+                END AS promote
+    FROM th t CROSS JOIN agg a
+    """,
+)
+def q_gen_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PROMOTE/ROLLBACK verdict a deployment derives from the
+    churn report (round 13 — the serve-side member of the
+    report-driven-lifecycle triad: index_refresh_report prices
+    growth, index_compact_report prices shrink, this gates the
+    generation roll on what it does to live answers): the per-probe
+    churn relation contracts to ONE (n_probes, n_changed,
+    churn_frac) row, thresholded against the graded promote bars —
+    one strict bar the measured churn fails at every SF, one lenient
+    bar it clears, so BOTH verdict branches are hash-graded from
+    live data. The comparison runs on the 6-dp-rounded fraction on
+    both engines, so the verdict is integer-exact.
+
+    Scale shape: rides the session-cached churn relation (built once,
+    shared with q_rebuild_churn — |batch| rows), then one bounded
+    aggregate × a 2-row literal. Output 2 rows."""
+    th = spark.createDataFrame(
+        [(t,) for t in _PROMOTE_THRESHOLDS], "max_churn double"
+    )
+    agg = rebuild_churn_for(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum("changed").cast("long").alias("n_changed"),
+        F.round(
+            F.sum("changed").cast("double") / F.count(F.lit(1)), 6
+        ).alias("churn_frac"),
+    )
+    return th.crossJoin(F.broadcast(agg)).select(
+        "max_churn",
+        "n_probes",
+        "n_changed",
+        "churn_frac",
+        F.when(F.col("churn_frac") <= F.col("max_churn"), 1)
+        .otherwise(0)
+        .alias("promote"),
     )
 
 

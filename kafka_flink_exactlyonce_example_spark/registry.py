@@ -426,6 +426,9 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     # serve-side answer churn across an index-generation roll (the
     # deploy-gating report: which probes' top-1 changed and why)
     "q_rebuild_churn",
+    # ...and the promote/rollback verdict derived from it (both
+    # branches hash-graded via a strict and a lenient bar)
+    "q_gen_promote",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.
