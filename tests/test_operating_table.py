@@ -42,3 +42,29 @@ def test_shipped_filtered_floor_reproduces_from_sweep(spark):
     )
 
     assert ot.derive_filtered_floor(spark, SF01) == _FILTERED_IVF_RECALL_FLOOR
+
+
+def test_recall_3dp_is_exact_half_up():
+    """The provenance derivation's 3-dp rounding must be HALF-UP in
+    exact arithmetic — float round() is banker's on an inexact double
+    and sent the real 57/240 half-way case the wrong way. Hypothesis
+    pins equality with decimal's ROUND_HALF_UP over the whole
+    (hits, trials) domain the instruments can produce."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hypothesis import given, settings, strategies as st
+
+    import operating_table as ot
+
+    @settings(max_examples=500, deadline=None)
+    @given(trials=st.integers(1, 100_000), data=st.data())
+    def prop(trials, data):
+        hits = data.draw(st.integers(0, trials))
+        want = float(
+            (Decimal(hits) / Decimal(trials)).quantize(
+                Decimal("0.001"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert ot._recall_3dp(hits, trials) == want
+
+    prop()
