@@ -6828,10 +6828,14 @@ def q_filtered_route_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("np7")),
         )
         .withColumn(
+            # exact integer division (ADVICE r13): the oracle and
+            # filtered_ann_route both compute n_total·nprobe // K in
+            # integer arithmetic — the former F.floor(double /) form
+            # diverges once n_total·nprobe exceeds 2^53, contradicting
+            # the "decision arithmetic cannot drift" claim at exactly
+            # the corpus sizes the claim is FOR
             "cost_ivf",
-            F.floor(
-                F.col("n_total") * F.lit(_IVF_NPROBE) / F.lit(_CQ_K)
-            ).cast("long"),
+            F.expr(f"n_total * {_IVF_NPROBE} div {_CQ_K}"),
         )
     )
     fb = reqc.filter(

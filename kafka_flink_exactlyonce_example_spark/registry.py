@@ -276,6 +276,14 @@ _CHANGED_IN_ROUND: dict[int, frozenset[str]] = {
         "q_index_refresh",
         "q_filtered_sweep",
     }),
+    #: Round 14 (ADVICE r13): q_filtered_route_matrix's cost_ivf moved
+    #: from F.floor(double division) to exact integer `div`, keeping
+    #: the three formulations (engine / oracle / filtered_ann_route)
+    #: bit-identical at any corpus size — values unchanged at every
+    #: graded SF, but the expression (hence the plan) changed.
+    14: frozenset({
+        "q_filtered_route_matrix",
+    }),
 }
 
 

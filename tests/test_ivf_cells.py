@@ -1176,3 +1176,66 @@ def test_frozen_topk_rank1_equals_top1_and_list_contract(spark, monkeypatch):
     rows = simsearch.frozen_topk(routed, indexed, 5, tombstones=wipe).collect()
     nulls = [r for r in rows if r["neighbor_id"] is None]
     assert len(nulls) == 1 and nulls[0]["nb_rank"] == 1
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_serve_topk_label_grain_equals_subcell_topk(spark, sf_dir):
+    """ADVICE r13: q_serve_topk (and the churn chain's gen-2 side)
+    ranks neighbors within the routed SUB-CELL while the DuckDB oracle
+    ranks over the whole coarse label; at k=3 the required agreement —
+    the label-grain top-3 all living in the probe's one sub-cell — is
+    strictly stronger than the top-1 convention
+    test_graded_sfs_stay_under_split_threshold was written for, and
+    was previously protected only by the hash grade itself. Assert
+    the equality DIRECTLY on the graded corpora (the k=1 collapse
+    makes sub-cell == label there), so a testdata regeneration fails
+    HERE with the right diagnosis instead of as an opaque driver
+    hash mismatch on q_serve_topk."""
+    from pyspark.sql import Window
+
+    from kafka_flink_exactlyonce_example_spark.operators import simsearch
+
+    cent, seeds = simsearch.inc_index_build(spark, sf_dir)
+    tagged = simsearch._inc_tagged(spark, sf_dir)
+    old = tagged.filter(~F.col("is_new")).select(
+        "vec_id", "label", "embedding"
+    )
+    new = tagged.filter(F.col("is_new")).select("vec_id", "embedding")
+    routed = simsearch.frozen_route(new, cent, seeds).localCheckpoint()
+    sub = simsearch.frozen_topk(
+        routed, dedup._assign_to_seeds(old, seeds), simsearch._SERVE_K
+    )
+    x = old.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("cell"),
+        F.col("embedding").alias("xe"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim_raw"), F.col("neighbor_id")
+    )
+    lab = (
+        routed.select("vec_id", "cell", "embedding")
+        .join(x, "cell", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "neighbor_id",
+            simsearch.cosine(F.col("embedding"), F.col("xe")).alias(
+                "sim_raw"
+            ),
+        )
+        .withColumn("nb_rank", F.row_number().over(w))
+        .filter(F.col("nb_rank") <= simsearch._SERVE_K)
+        .select(
+            "vec_id",
+            "cell",
+            "nb_rank",
+            "neighbor_id",
+            F.round("sim_raw", 6).alias("sim"),
+        )
+    )
+    assert sorted(map(tuple, sub.collect())) == sorted(
+        map(tuple, lab.collect())
+    ), f"label-grain top-{simsearch._SERVE_K} != sub-cell top-k at {sf_dir}"
