@@ -437,6 +437,24 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     # ...and the promote/rollback verdict derived from it (both
     # branches hash-graded via a strict and a lenient bar)
     "q_gen_promote",
+    # round-14 capability additions (VERDICT r13 items 1-4): the TEXT
+    # index's delete path (near-text flags against the pre-takedown vs
+    # survivors-only index, planted flip/hold probes — q_ann_tombstone's
+    # text twin)
+    "q_text_tombstone",
+    # the keeper re-point EXECUTED: the post-wave exact-dedup manifest
+    # consuming q_dedup_tombstone's report (re-pointed keepers named,
+    # extinct groups dropped)
+    "q_manifest_repoint",
+    # filtered serving: the composed planner's predicate branch
+    # threaded through the serve path (fivf cost pick and the
+    # exactness-override fbrute, both graded at k=_SERVE_K)
+    "q_serve_filtered",
+    "q_serve_fbrute",
+    # the generation-roll census: one row per roll stage over the
+    # graded 'inc:'/'del:' window (gate, takedowns, digest/posting
+    # deltas, churn, both promote verdicts)
+    "q_generation_roll",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.

@@ -2915,3 +2915,133 @@ def test_streaming_serve_generation_swap_on_persisted_index(spark, tmp_path):
     finally:
         for t in ("sg1_postings", "sg1_tombstones", "sg2_postings"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_streaming_gate_on_compacted_text_generation(spark, tmp_path):
+    """Round 14 (VERDICT r13 item 1, the STREAMING side): the takedown
+    lifecycle on PERSISTED text generations. Gen 1's index contains
+    doc 1; the stream rejects a planted near-copy of it through
+    f_near_text — correct then, but doc 1 is subsequently TAKEN DOWN,
+    and a fresh near-copy must not keep dying on a ghost. The offline
+    compact (load gen 1 → text_index_compact → save gen 2) removes the
+    tombstoned doc's bands + word set + digest; the restart on the
+    same checkpoint/sink loads gen 2 and ADMITS the same content under
+    a new doc id, while a near-copy of a SURVIVING doc is still
+    rejected. Exactly-once admission holds over the generation union
+    (the gen-1 rejection stands — committed batches are never
+    recomputed)."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+        _assign_to_seeds,
+        load_text_index,
+        save_text_index,
+        text_index_build,
+        text_index_compact,
+    )
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        frozen_index_frames,
+        load_frozen_index,
+        save_frozen_index,
+    )
+    from kafka_flink_exactlyonce_example_spark.streaming.jobs import (
+        streaming_ingest_gate,
+    )
+
+    schema = "doc_id bigint, lang string, text string, embedding array<float>"
+    corpus = spark.createDataFrame(
+        [
+            (
+                i,
+                "en",
+                " ".join(f"w{i}x{j}" for j in range(30)),
+                [1.0, 0.01 * i, 0.0],
+            )
+            for i in range(1, 7)
+        ],
+        schema,
+    )
+    old = corpus.select(
+        F.col("doc_id").alias("vec_id"),
+        F.lit(0).cast("int").alias("label"),
+        "embedding",
+    )
+    cent1, seeds1 = frozen_index_frames(old)
+    indexed1 = _assign_to_seeds(old, seeds1)
+    gen1 = str(tmp_path / "gen1")
+    save_frozen_index(gen1, cent1, seeds1, indexed1)
+    bands1, sets1 = text_index_build(corpus.select("doc_id", "lang", "text"))
+    save_text_index(f"{gen1}/text", bands1, sets1)
+    corpus.select(
+        F.md5(F.lower(F.trim("text")).cast("binary")).alias("h")
+    ).distinct().write.parquet(f"{gen1}/digests")
+    del cent1, seeds1, indexed1, bands1, sets1
+
+    def near_copy_of(src: int, pid: int) -> dict:
+        words = [f"w{src}x{j}" for j in range(30)]
+        words[13] = "mutated"
+        return {
+            "doc_id": pid, "lang": "en",
+            "text": " ".join(words), "embedding": [0.0, 1.0, 0.0],
+        }
+
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    with open(f"{inp}/g0.json", "w") as f:
+        f.write(json.dumps(near_copy_of(1, 900)) + "\n")
+    os.utime(f"{inp}/g0.json", (1_700_000_000, 1_700_000_000))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    sink = IdempotentBatchSink(out)
+    cent, seeds, indexed = load_frozen_index(spark, gen1)
+    q = streaming_ingest_gate(
+        file_stream(spark, inp, schema, fmt="json", maxFilesPerTrigger="1"),
+        spark.read.parquet(f"{gen1}/digests"),
+        cent, seeds, indexed, sink, ckpt,
+        near_threshold=0.9,
+        text_index=load_text_index(spark, f"{gen1}/text"),
+    )
+    q.awaitTermination(120)
+    g1 = {r["doc_id"]: r for r in sink.read_committed(spark).collect()}
+    assert g1[900]["f_near_text"] == 1 and g1[900]["admitted"] == 0, (
+        "gen-1 must reject the near-copy while doc 1 is live"
+    )
+
+    # offline takedown window: doc 1 leaves. Compact the persisted
+    # text generation and rebuild the digest relation over survivors.
+    takedowns = spark.createDataFrame([(1,)], "doc_id bigint")
+    b1, s1 = load_text_index(spark, f"{gen1}/text")
+    bands2, sets2 = text_index_compact(b1, s1, takedowns)
+    gen2 = str(tmp_path / "gen2")
+    save_text_index(f"{gen2}/text", bands2, sets2)
+    corpus.filter(F.col("doc_id") != 1).select(
+        F.md5(F.lower(F.trim("text")).cast("binary")).alias("h")
+    ).distinct().write.parquet(f"{gen2}/digests")
+    del b1, s1, bands2, sets2
+
+    # same content, new doc id (901) + a near-copy of a SURVIVOR (902)
+    with open(f"{inp}/g1.json", "w") as f:
+        f.write(json.dumps(near_copy_of(1, 901)) + "\n")
+        f.write(json.dumps(near_copy_of(2, 902)) + "\n")
+    os.utime(f"{inp}/g1.json", (1_700_000_001, 1_700_000_001))
+
+    cent, seeds, indexed = load_frozen_index(spark, gen1)
+    q2 = streaming_ingest_gate(
+        file_stream(spark, inp, schema, fmt="json", maxFilesPerTrigger="1"),
+        spark.read.parquet(f"{gen2}/digests"),
+        cent, seeds, indexed, sink, ckpt,
+        near_threshold=0.9,
+        text_index=load_text_index(spark, f"{gen2}/text"),
+    )
+    q2.awaitTermination(120)
+    rows = {r["doc_id"]: r for r in sink.read_committed(spark).collect()}
+    assert sorted(rows) == [900, 901, 902], (
+        "exactly-once broken across the compacted-generation swap"
+    )
+    assert rows[900]["admitted"] == 0, "committed gen-1 verdict must stand"
+    assert rows[901]["f_near_text"] == 0 and rows[901]["admitted"] == 1, (
+        "near-copy of the taken-down doc must be admitted post-compact"
+    )
+    assert rows[902]["f_near_text"] == 1 and rows[902]["admitted"] == 0, (
+        "near-copy of a surviving doc must still be rejected"
+    )

@@ -324,3 +324,229 @@ def test_graded_fold_matches_api(spark):
     assert len(plants) == _TEXT_GEN_PLANT
     assert all(v2f == 1 for _, v2f in plants.values())
     assert any(v1f == 0 for v1f, _ in plants.values())
+
+
+# ---------------------------------------------------------------------------
+# Round 14 (VERDICT r13 item 1): the TEXT index's delete path — the
+# symmetry closure of the round-13 embedding-side tombstone work.
+# ---------------------------------------------------------------------------
+
+
+def test_text_index_compact_lifecycle(spark):
+    """The round-13 recipe, delete direction: a near-copy of a
+    TAKEN-DOWN doc is rejected by the v1 (pre-takedown) index —
+    the bug the delete path fixes — and ADMITTED both post-compact
+    (text_index_compact) and via the tombstone-aware probe
+    (near_text_flags(takedowns=...), both bands_capped modes); a
+    near-copy of a SURVIVING doc stays rejected under every
+    formulation; and the compacted relations equal a cold build over
+    the survivors row-for-row (the cold-equivalence the compact
+    docstring claims)."""
+    from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+        near_text_flags,
+        text_index_build,
+        text_index_compact,
+        text_index_freeze,
+    )
+
+    corpus = _corpus_docs(spark)  # docs 1..6, mutually dissimilar
+    bands1, sets1 = text_index_build(corpus)
+    bands1, sets1 = bands1.localCheckpoint(), sets1.localCheckpoint()
+    takedowns = spark.createDataFrame([(1,)], "doc_id bigint")
+
+    # near-copy of the taken-down doc 1 (one of 30 words replaced:
+    # digest differs, Jaccard 29/31 >= 0.8) and of surviving doc 2
+    def near_copy(pid: int, src: int):
+        words = [f"w{src}x{j}" for j in range(30)]
+        words[13] = "mutated"
+        return _mkdoc(pid, words)
+
+    probe = spark.createDataFrame(
+        [near_copy(900, 1), near_copy(901, 2)], _SCHEMA
+    )
+
+    def flags(bands, sets, **kw):
+        return {
+            r["doc_id"]: r["f_near_text"]
+            for r in near_text_flags(probe, bands, sets, **kw).collect()
+        }
+
+    # v1 full index: BOTH rejected — 900 because of a doc that no
+    # longer exists (the bug)
+    assert flags(bands1, sets1) == {900: 1, 901: 1}
+
+    # post-compact: 900 admitted, 901 still rejected
+    bands2, sets2 = text_index_compact(bands1, sets1, takedowns)
+    assert flags(bands2, sets2) == {900: 0, 901: 1}
+
+    # tombstone-aware probe, uncapped path: identical verdicts
+    assert flags(bands1, sets1, takedowns=takedowns) == {900: 0, 901: 1}
+
+    # tombstone-aware probe against the FROZEN capped view (the
+    # streaming fast path)
+    frozen = text_index_freeze(bands1).localCheckpoint()
+    assert flags(
+        frozen, sets1, bands_capped=True, takedowns=takedowns
+    ) == {900: 0, 901: 1}
+
+    # cold-equivalence: compact == cold build over the survivors
+    cold_b, cold_s = text_index_build(
+        corpus.filter(F.col("doc_id") != 1)
+    )
+    assert sorted(map(tuple, bands2.collect())) == sorted(
+        map(tuple, cold_b.collect())
+    )
+    assert sorted(
+        (r["doc_id"], r["lang"], r["n"], tuple(sorted(r["ws"])))
+        for r in sets2.collect()
+    ) == sorted(
+        (r["doc_id"], r["lang"], r["n"], tuple(sorted(r["ws"])))
+        for r in cold_s.collect()
+    )
+
+
+def test_near_text_probe_vs_compact_parity_on_graded_corpus(spark):
+    """The two delete formulations — tombstone-aware probe of the
+    frozen capped view vs probing the compacted index — agree exactly
+    while no band bucket straddles _MAX_BUCKET (the documented cap
+    boundary). Precondition asserted FIRST on the graded smoke corpus
+    so a corpus regen fails with the right diagnosis."""
+    from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+        _MAX_BUCKET,
+        _del_tag_col,
+        near_text_flags,
+        text_index_build,
+        text_index_compact,
+        text_index_freeze,
+    )
+    from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+        _md5_mod_col,
+    )
+    from kafka_flink_exactlyonce_example_spark.sources import table
+
+    d = table(spark, SMOKE_SF, "documents")
+    base = d.select(
+        "doc_id", "lang", "text",
+        (_md5_mod_col("inc:", "doc_id", 10) == 0).alias("is_new"),
+        _del_tag_col("doc_id").alias("is_del"),
+    )
+    corpus = base.filter(~F.col("is_new")).select("doc_id", "lang", "text")
+    batch = base.filter(F.col("is_new")).select("doc_id", "lang", "text")
+    takedowns = base.filter(
+        ~F.col("is_new") & F.col("is_del")
+    ).select("doc_id")
+
+    bands, sets = text_index_build(corpus)
+    bands, sets = bands.localCheckpoint(), sets.localCheckpoint()
+
+    # cap precondition: every bucket of the FULL index under the cap
+    # (then no bucket can straddle it in any survivor subset)
+    max_bucket = (
+        bands.groupBy("band_idx", "band_key").count().agg(F.max("count"))
+    ).first()[0]
+    assert max_bucket <= _MAX_BUCKET, (
+        f"cap precondition broken (max bucket {max_bucket} > "
+        f"{_MAX_BUCKET}): probe-vs-compact parity is no longer a "
+        "theorem — re-examine q_text_tombstone's formulation"
+    )
+
+    frozen = text_index_freeze(bands).localCheckpoint()
+    via_probe = {
+        r["doc_id"]: r["f_near_text"]
+        for r in near_text_flags(
+            batch, frozen, sets, bands_capped=True, takedowns=takedowns
+        ).collect()
+    }
+    cb, cs = text_index_compact(bands, sets, takedowns)
+    via_compact = {
+        r["doc_id"]: r["f_near_text"]
+        for r in near_text_flags(batch, cb, cs).collect()
+    }
+    assert via_probe == via_compact
+
+
+def test_graded_text_tombstone_row_invariants(spark, registry_loaded):
+    """q_text_tombstone's graded surface carries what its docstring
+    claims, asserted on the smoke corpus: monotonicity f_surv <= f_all
+    (under the cap precondition the sibling test pins), every planted
+    probe flagged by the full index, every survivor-plant still
+    flagged post-takedown (the hold), at least one deleted-doc plant
+    admitted post-takedown (the flip), and both f_surv branches
+    non-vacuous."""
+    from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+        _TT_DEL_PLANT_BASE,
+        _TT_SURV_PLANT_BASE,
+    )
+
+    rows = registry_loaded.QUERIES["q_text_tombstone"](
+        spark, SMOKE_SF
+    ).collect()
+    assert all(r["f_surv"] <= r["f_all"] for r in rows), "monotonicity"
+    dels = [
+        r for r in rows
+        if _TT_DEL_PLANT_BASE <= r["doc_id"] < _TT_SURV_PLANT_BASE
+    ]
+    survs = [r for r in rows if r["doc_id"] >= _TT_SURV_PLANT_BASE]
+    assert len(dels) == 4 and len(survs) == 4
+    assert all(r["f_all"] == 1 for r in dels + survs), "plants must hit v1"
+    assert all(r["f_surv"] == 1 for r in survs), "survivor-plant hold"
+    assert any(r["f_surv"] == 0 for r in dels), "deleted-plant flip"
+    fs = {r["f_surv"] for r in rows}
+    assert fs == {0, 1}, "both f_surv branches must be non-vacuous"
+
+
+def test_repoint_manifest_executes_report_branches(spark, tmp_path):
+    """Round 14 (VERDICT r13 item 2): repoint_manifest CONSUMES the
+    keeper-churn report — on the toy corpus whose branch structure
+    test_dedup_tombstone_repoint_branch pins (re-pointed group,
+    extinct group, keeper-survives group, untouched singleton), the
+    post-wave manifest (a) re-points exactly the churned group, (b)
+    drops the extinct group, (c) leaves every other keeper untouched,
+    (d) never names a tombstoned doc, and (e) equals the cold
+    keep-best recompute over survivors (the graded q_manifest_repoint
+    claim, asserted here with every branch non-vacuous)."""
+    from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+        _del_tag_col,
+        repoint_manifest,
+    )
+    from kafka_flink_exactlyonce_example_spark.registry import QUERIES
+
+    # ids 1, 6, 7 are 'del:'-tagged; 0, 2, 3, 4, 5 are not
+    rows = [
+        (1, "en", "group a text"),   # keeper of group a — DELETED
+        (2, "en", "group a text"),   # survivor -> new keeper
+        (3, "en", "group a text"),
+        (6, "en", "lonely text"),    # deleted singleton -> extinct
+        (0, "en", "group b text"),   # keeper survives...
+        (7, "en", "group b text"),   # ...a deleted non-keeper member
+        (4, "en", "untouched text"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, text string"
+    )
+    path = str(tmp_path / "docs")
+    docs.write.parquet(f"{path}/documents.parquet")
+
+    manifest = QUERIES["q_exact_dedup"](spark, path)
+    report = QUERIES["q_dedup_tombstone"](spark, path)
+    got = {
+        r["text_hash"]: r["keep_doc_id"]
+        for r in repoint_manifest(manifest, report).collect()
+    }
+
+    # cold recompute over survivors (the oracle's formulation)
+    cold = {
+        r["text_hash"]: r["keep_doc_id"]
+        for r in docs.filter(~_del_tag_col("doc_id"))
+        .groupBy(
+            F.md5(F.lower(F.trim("text")).cast("binary")).alias("text_hash")
+        )
+        .agg(F.min("doc_id").alias("keep_doc_id"))
+        .collect()
+    }
+    assert got == cold
+    # branch coverage: 3 groups survive (a re-pointed to 2, b kept at
+    # 0, untouched kept at 4); the extinct singleton is gone
+    assert sorted(got.values()) == [0, 2, 4]
+    # the invariant: no tombstoned doc is ever named
+    assert not {1, 6, 7} & set(got.values())
