@@ -5337,6 +5337,344 @@ def _fsweep_sql_select(t: int) -> str:
 
 
 
+# --------------------------------------------------------------------------
+# Filtered serving (round 14, VERDICT r13 item 4): the composed
+# planner's predicate branch threaded through the SERVE path — a served
+# request can carry a label predicate and the stream resolves it by the
+# graded route (filtered_ann_route), freezing the decision for the
+# stream's lifetime exactly like the index generation itself.
+# --------------------------------------------------------------------------
+
+
+def serve_route(
+    indexed: DataFrame,
+    predicate,
+    recall_target: float,
+    candidate_budget: int,
+    tombstones: DataFrame | None = None,
+) -> dict:
+    """Resolve a filtered SERVING request against a frozen posting
+    relation: survivor counts from ONE conditional-aggregate scan of
+    the (tombstone-filtered) postings — the statistic a production
+    catalog already holds per generation — then
+    :func:`filtered_ann_route`'s crossover/override/refusal arithmetic
+    verbatim. Resolved ONCE per stream start (the route, like the
+    index, is frozen for the stream's lifetime)."""
+    counts = (
+        tombstone_filter(indexed, tombstones)
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(predicate, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pass"),
+        )
+        .first()
+    )
+    return filtered_ann_route(
+        recall_target,
+        candidate_budget,
+        int(counts["n_pass"]),
+        int(counts["n_total"]),
+    )
+
+
+def filtered_frozen_topk(
+    new: DataFrame,
+    cent: DataFrame,
+    seeds: DataFrame,
+    indexed: DataFrame,
+    predicate,
+    k: int,
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """The fivf serve plan: top-``k`` predicate-passing neighbors from
+    the frozen generation, with the LABEL predicate PUSHED INTO THE
+    ROUTER — the coarse centroid table is filtered to qualifying
+    labels BEFORE routing, so a query routes to its nearest
+    QUALIFYING cell and scans that cell's qualifying survivors. This
+    is strictly better than generic post-filtering for label
+    predicates (which resolve at the bounded quantizer grain for
+    free): post-filtering a label-routed index starves every probe
+    routed to a non-qualifying label's cell (~half the batch under a
+    parity predicate), while the pushed route stays total — the only
+    NULL rows are frozen_topk's FP-tie contract. Output
+    (vec_id, cell, nb_rank, neighbor_id, sim), the q_serve_topk shape.
+
+    Scale shape: the centroid filter is free (bounded table); the
+    posting scan stays one sub-cell per probe, now of the predicate's
+    survivors; the tombstone set rides frozen_topk's anti-join."""
+    cent_f = (
+        cent.withColumnRenamed("cell", "label")
+        .filter(predicate)
+        .withColumnRenamed("label", "cell")
+    )
+    return frozen_topk(
+        frozen_route(new, cent_f, seeds),
+        indexed.filter(predicate),
+        k,
+        tombstones=tombstones,
+    )
+
+
+def brute_serve_topk(
+    new: DataFrame,
+    indexed: DataFrame,
+    predicate,
+    k: int,
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """The fbrute serve plan (the exactness override's executor):
+    exact top-``k`` over the predicate's tombstone-surviving postings
+    — recall 1.0 by construction, scan cost n_pass rows per query,
+    which is exactly what :func:`filtered_ann_route` priced when it
+    chose this route. The batch side broadcasts (a micro-batch is
+    bounded); the survivors are scanned once per batch. Totality by a
+    join-back instead of frozen_topk's LEFT scan join: a probe with
+    zero qualifying survivors surfaces as one explicit all-NULL row
+    (nb_rank NULL — there is no rank without a candidate). Output
+    (vec_id, nb_rank, neighbor_id, sim) — no ``cell``: the brute
+    route never routes, and the schema says so."""
+    surv = tombstone_filter(indexed, tombstones).filter(predicate)
+    x = surv.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("xe"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim_raw"), F.col("neighbor_id")
+    )
+    ranked = (
+        x.crossJoin(F.broadcast(new.select("vec_id", "embedding")))
+        .filter(F.col("neighbor_id") != F.col("vec_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            cosine(F.col("embedding"), F.col("xe")).alias("sim_raw"),
+        )
+        .withColumn("nb_rank", F.row_number().over(w))
+        .filter(F.col("nb_rank") <= k)
+        .select(
+            "vec_id",
+            "nb_rank",
+            "neighbor_id",
+            F.round("sim_raw", 6).alias("sim"),
+        )
+    )
+    return new.select("vec_id").join(ranked, "vec_id", "left")
+
+
+def filtered_serve_topk(
+    new: DataFrame,
+    cent: DataFrame,
+    seeds: DataFrame,
+    indexed: DataFrame,
+    predicate,
+    recall_target: float,
+    candidate_budget: int,
+    k: int,
+    tombstones: DataFrame | None = None,
+) -> tuple[dict, DataFrame]:
+    """Filtered serving, planner-routed end-to-end: resolve the
+    request (:func:`serve_route` — survivor statistics + the graded
+    crossover arithmetic, a loud ValueError when neither route
+    qualifies), then build ONLY the chosen plan. Returns (choice,
+    frame); the frame's schema is route-dependent (fivf carries the
+    routed cell, fbrute does not) and frozen per stream because the
+    choice is."""
+    choice = serve_route(
+        indexed, predicate, recall_target, candidate_budget, tombstones
+    )
+    if choice["index"] == "fivf":
+        return choice, filtered_frozen_topk(
+            new, cent, seeds, indexed, predicate, k, tombstones=tombstones
+        )
+    return choice, brute_serve_topk(
+        new, indexed, predicate, k, tombstones=tombstones
+    )
+
+
+#: The graded filtered-serving request: the ~50% parity predicate at
+#: recall ≥ 0.45 in a permissive budget resolves to fivf by the same
+#: arithmetic q_ann_planned_filtered grades (survivor scan n_pass ≈
+#: n/2 strictly beats the ⌊n·nprobe/K⌋ = n/5 posting scan... the other
+#: way around: the posting scan is strictly cheaper), at every SF.
+_SERVE_FILTERED_TARGET = 0.45
+_SERVE_FILTERED_BUDGET = 1_000_000
+
+
+@query(
+    "q_serve_filtered",
+    oracle=f"""
+    WITH split AS (
+        SELECT vec_id, label, embedding,
+               CASE WHEN CAST(CAST(concat('0x', substring(
+                             md5('inc:' || CAST(vec_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 10 AS BIGINT) = 0
+                    THEN 1 ELSE 0 END AS is_new,
+               CASE WHEN CAST(CAST(concat('0x', substring(
+                             md5('del:' || CAST(vec_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 5 AS BIGINT) = 0
+                    THEN 1 ELSE 0 END AS is_del
+        FROM embeddings
+    ), cent AS (
+        SELECT label, list(m ORDER BY i) AS centroid
+        FROM (
+            SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+            FROM split, generate_series(1, 64) t(i)
+            WHERE is_new = 0
+            GROUP BY label, i
+        )
+        GROUP BY label
+    ), assign AS (
+        -- predicate-pushed routing: nearest QUALIFYING (even) label
+        SELECT vec_id, cell, embedding FROM (
+            SELECT n.vec_id, c.label AS cell, n.embedding,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY round({cosine_sql('n.embedding', 'c.centroid')},
+                                      6) DESC, c.label) AS rn
+            FROM split n, cent c
+            WHERE n.is_new = 1 AND c.label % 2 = 0
+        ) WHERE rn = 1
+    )
+    SELECT vec_id, cell, rn AS nb_rank, neighbor_id,
+           ROUND(sim, 6) AS sim FROM (
+        SELECT a.vec_id, a.cell, x.vec_id AS neighbor_id,
+               {cosine_sql('a.embedding', 'x.embedding')} AS sim,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {cosine_sql('a.embedding', 'x.embedding')}
+                            DESC, x.vec_id) AS rn
+        FROM assign a
+        -- LEFT join: frozen_topk's totality contract (q_serve_topk's
+        -- convention); the takedown wave leaves via is_del = 0 (the
+        -- q_ann_tombstone convention); x.label = a.cell is even by
+        -- the pushed route's construction. Same label-grain-vs-
+        -- sub-cell k=1 guard as q_incremental_ann.
+        LEFT JOIN split x ON x.is_new = 0 AND x.is_del = 0
+                         AND x.label = a.cell
+    ) WHERE rn <= {_SERVE_K}
+    """,
+)
+def q_serve_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED serving graded end-to-end (round 14, VERDICT r13 item
+    4 — q_serve_topk grades the unfiltered result list; this grades
+    the list a PREDICATED request gets, under a live takedown wave):
+    the 'inc:' query batch asks for top-_SERVE_K neighbors restricted
+    to EVEN labels while the 'del:' wave (~20%) is tombstoned, and
+    :func:`filtered_serve_topk` must (a) resolve the request by the
+    composed planner's arithmetic to the fivf route — the survivor
+    statistics come from one conditional-aggregate scan and the
+    ⌊n·nprobe/K⌋-vs-n_pass crossover picks the posting scan at every
+    graded SF — then (b) build the predicate-PUSHED frozen plan
+    (route among even-label centroids, scan that cell's even-label
+    survivors, tombstones anti-joined) whose result list the oracle
+    recomputes independently at label grain. Output ≤ 3·|batch| rows
+    (vec_id, cell, nb_rank, neighbor_id, sim), 6-dp sims; emptied
+    cells surface as frozen_topk's explicit NULL rows on both engines.
+
+    Scale shape: q_serve_topk's exactly (bounded centroid broadcast,
+    one √n sub-cell posting scan per probe) plus one 8-byte-id
+    anti-join and the free centroid-grain predicate; the route
+    decision is catalog arithmetic, resolved once."""
+    cent, seeds = inc_index_build(spark, sf_dir)
+    tagged = _inc_tagged(spark, sf_dir)
+    old = tagged.filter(~F.col("is_new")).select(
+        "vec_id", "label", "embedding"
+    )
+    new = tagged.filter(F.col("is_new")).select("vec_id", "embedding")
+    from kafka_flink_exactlyonce_example_spark.operators.ingest import (
+        _is_del_col,
+    )
+
+    tomb = old.filter(_is_del_col()).select("vec_id")
+    choice, frame = filtered_serve_topk(
+        new,
+        cent,
+        seeds,
+        _assign_to_seeds(old, seeds),
+        (F.col("label") % 2) == 0,
+        _SERVE_FILTERED_TARGET,
+        _SERVE_FILTERED_BUDGET,
+        _SERVE_K,
+        tombstones=tomb,
+    )
+    assert choice["index"] == "fivf" and choice["param"] == _IVF_NPROBE, (
+        f"serve route resolved {choice} — the graded contract expects fivf"
+    )
+    return frame
+
+
+@query(
+    "q_serve_fbrute",
+    oracle=f"""
+    WITH split AS (
+        SELECT vec_id, label, embedding,
+               CASE WHEN CAST(CAST(concat('0x', substring(
+                             md5('inc:' || CAST(vec_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 10 AS BIGINT) = 0
+                    THEN 1 ELSE 0 END AS is_new
+        FROM embeddings
+    ), probes AS (
+        SELECT vec_id FROM split WHERE is_new = 1
+    ), ranked AS (
+        SELECT n.vec_id, x.vec_id AS neighbor_id,
+               {cosine_sql('n.embedding', 'x.embedding')} AS sim,
+               row_number() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY {cosine_sql('n.embedding', 'x.embedding')}
+                            DESC, x.vec_id) AS rn
+        FROM split n
+        JOIN split x ON x.is_new = 0 AND x.label = {_SEL_LABEL}
+                    AND x.vec_id <> n.vec_id
+        WHERE n.is_new = 1
+    )
+    SELECT p.vec_id, r.rn AS nb_rank, r.neighbor_id,
+           ROUND(r.sim, 6) AS sim
+    FROM probes p
+    LEFT JOIN ranked r ON r.vec_id = p.vec_id AND r.rn <= {_SERVE_K}
+    """,
+)
+def q_serve_fbrute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered serving's EXACTNESS OVERRIDE graded end-to-end (the
+    q_ann_planned_fbrute of the serve path): a recall-1.0 request
+    under the ~10% label = _SEL_LABEL predicate must resolve to
+    fbrute — no indexed filtered route may promise exactness — and
+    :func:`brute_serve_topk` answers with the exact top-_SERVE_K over
+    the predicate's survivors, totality by the join-back (a probe
+    with zero qualifying candidates would surface as one all-NULL
+    row; non-occurring on the graded corpora where label _SEL_LABEL
+    is always populated, and exercised on a toy frame in
+    tests/test_ann_planner.py). Output |batch| ≤ rows ≤ 3·|batch|,
+    (vec_id, nb_rank, neighbor_id, sim) — no routed cell, the schema
+    of a route that never routes.
+
+    Scale shape: the survivors scan once per batch against the
+    BROADCAST bounded micro-batch — cost n_pass rows/query, exactly
+    the price :func:`filtered_ann_route` quoted when exactness was
+    demanded; by the crossover arithmetic this is the cheapest exact
+    plan at this selectivity."""
+    cent, seeds = inc_index_build(spark, sf_dir)
+    tagged = _inc_tagged(spark, sf_dir)
+    old = tagged.filter(~F.col("is_new")).select(
+        "vec_id", "label", "embedding"
+    )
+    new = tagged.filter(F.col("is_new")).select("vec_id", "embedding")
+    choice, frame = filtered_serve_topk(
+        new,
+        cent,
+        seeds,
+        _assign_to_seeds(old, seeds),
+        F.col("label") == _SEL_LABEL,
+        1.0,
+        _SERVE_FILTERED_BUDGET,
+        _SERVE_K,
+    )
+    assert choice["index"] == "fbrute" and choice["recall"] == 1.0, (
+        f"serve route resolved {choice} — the graded contract expects fbrute"
+    )
+    return frame
+
+
 @plan_aux("q_filtered_sweep::stats")
 def _fsweep_stats_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_filtered_sweep's ONE panel-flagged conditional-aggregate

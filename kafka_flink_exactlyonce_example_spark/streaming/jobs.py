@@ -736,6 +736,8 @@ def ann_serve_results(
     indexed: DataFrame,
     tombstones: DataFrame | None = None,
     k: int = 1,
+    predicate=None,
+    route: dict | None = None,
 ) -> DataFrame:
     """Top-1 answers for ONE micro-batch of query vectors against a
     FROZEN index generation — the search-side twin of
@@ -751,17 +753,47 @@ def ann_serve_results(
     neighbor_id, sim) relation, the shape q_serve_topk grades; the
     default keeps the historical top-1 schema and plan.
 
+    ``predicate`` + ``route`` (round 14, VERDICT r13 item 4): a
+    FILTERED request — answers restricted to predicate-passing corpus
+    vectors, executed by the composed planner's chosen route.
+    ``route`` is the resolved :func:`simsearch.serve_route` choice
+    dict — decided ONCE per stream by :func:`streaming_ann_serve`,
+    never per batch: 'fivf' builds the predicate-pushed frozen plan
+    (:func:`simsearch.filtered_frozen_topk`, the q_serve_filtered
+    shape), 'fbrute' the exact survivor scan
+    (:func:`simsearch.brute_serve_topk`, the q_serve_fbrute shape).
+
     Scale shape: inherited verbatim from the graded parts — bounded
     centroid + Σk ∝ √n seed broadcasts, ∝ √n posting rows scanned per
     query, the wave an 8-byte-id anti-join (broadcast at graded SFs;
     storage-partitioned via the bucketed layout past the broadcast
     threshold). Nothing rescans the corpus per batch."""
     from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        brute_serve_topk,
+        filtered_frozen_topk,
         frozen_route,
         frozen_top1,
         frozen_topk,
     )
 
+    if predicate is not None:
+        if route is None or route.get("index") not in ("fivf", "fbrute"):
+            raise ValueError(
+                "a predicated serve batch needs the stream's resolved "
+                f"route (simsearch.serve_route), got {route!r}"
+            )
+        q = batch.select("vec_id", "embedding")
+        if route["index"] == "fivf":
+            return filtered_frozen_topk(
+                q,
+                centroids,
+                seeds,
+                indexed,
+                predicate,
+                k,
+                tombstones=tombstones,
+            )
+        return brute_serve_topk(q, indexed, predicate, k, tombstones=tombstones)
     routed = frozen_route(
         batch.select("vec_id", "embedding"), centroids, seeds
     )
@@ -780,6 +812,9 @@ def streaming_ann_serve(
     tombstones: DataFrame | None = None,
     trigger_once: bool = True,
     k: int = 1,
+    predicate=None,
+    recall_target: float | None = None,
+    candidate_budget: int | None = None,
 ) -> StreamingQuery:
     """Exactly-once streaming vector-search serving — the missing half
     of the serving story (round 13: the ingest gate streams ADMISSION
@@ -790,6 +825,16 @@ def streaming_ann_serve(
     create replays the batch, recomputes byte-identical answers, and
     commits once — ``sink.read_committed`` holds each query's answer
     EXACTLY once.
+
+    ``predicate`` (round 14, VERDICT r13 item 4): FILTERED serving —
+    the stream's answers are restricted to predicate-passing corpus
+    vectors. The route is resolved HERE, once, at stream start, by
+    the composed planner (:func:`simsearch.serve_route` under the
+    request's (recall_target, candidate_budget) contract — a loud
+    ValueError if neither filtered route qualifies, before any batch
+    is consumed); every micro-batch then builds the ONE chosen plan,
+    so the schema is stable per stream and replay determinism is
+    untouched (a frozen route is part of the frozen state).
 
     Determinism by construction: the index triple AND the tombstone
     set are FROZEN for the stream's lifetime. A takedown wave or an
@@ -803,11 +848,31 @@ def streaming_ann_serve(
     never committed. Exactly-once therefore holds over the union of
     generations — the same argument the round-10 gate swap test
     proves, now for the query path."""
+    route = None
+    if predicate is not None:
+        from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+            serve_route,
+        )
+
+        route = serve_route(
+            indexed,
+            predicate,
+            1.0 if recall_target is None else recall_target,
+            2**62 if candidate_budget is None else candidate_budget,
+            tombstones=tombstones,
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sink(
             ann_serve_results(
-                batch_df, centroids, seeds, indexed, tombstones, k=k
+                batch_df,
+                centroids,
+                seeds,
+                indexed,
+                tombstones,
+                k=k,
+                predicate=predicate,
+                route=route,
             ),
             batch_id,
         )

@@ -386,3 +386,54 @@ def test_filtered_route_matrix_three_way_agreement(spark):
         assert got[req_id] == want, f"request {req_id}: {got[req_id]} != {want}"
     routes = {v[0] for v in got.values()}
     assert {"fbrute", "fivf", "refused"} <= routes
+
+
+def test_brute_serve_topk_totality_and_exactness(spark):
+    """Round 14: brute_serve_topk (the fbrute serve executor) on a toy
+    frame — exact top-k over the predicate's tombstone-surviving
+    postings with deterministic tie-breaks, and TOTALITY by the
+    join-back: a probe whose predicate population is empty (or fully
+    tombstoned) surfaces as one explicit all-NULL row (nb_rank NULL —
+    no rank without a candidate), never a vanished probe."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        brute_serve_topk,
+    )
+
+    indexed = spark.createDataFrame(
+        [
+            (1, 0, 0, [1.0, 0.0]),
+            (2, 0, 0, [0.9, 0.1]),
+            (3, 0, 0, [0.8, 0.2]),
+            (4, 1, 1, [0.0, 1.0]),
+        ],
+        "vec_id bigint, label int, cell bigint, embedding array<float>",
+    )
+    probes = spark.createDataFrame(
+        [(100, [1.0, 0.05])], "vec_id bigint, embedding array<float>"
+    )
+
+    # exactness + rank order on label 0 (three candidates, k=2)
+    rows = sorted(
+        map(tuple, brute_serve_topk(
+            probes, indexed, F.col("label") == 0, 2
+        ).collect())
+    )
+    assert [r[2] for r in rows] == [1, 2] and [r[1] for r in rows] == [1, 2]
+
+    # empty predicate population -> one explicit all-NULL row
+    empty = brute_serve_topk(
+        probes, indexed, F.col("label") == 9, 2
+    ).collect()
+    assert len(empty) == 1
+    assert (empty[0]["nb_rank"], empty[0]["neighbor_id"], empty[0]["sim"]) == (
+        None, None, None,
+    )
+
+    # fully-tombstoned population behaves the same way
+    wave = spark.createDataFrame([(4,)], "vec_id bigint")
+    dead = brute_serve_topk(
+        probes, indexed, F.col("label") == 1, 2, tombstones=wave
+    ).collect()
+    assert len(dead) == 1 and dead[0]["neighbor_id"] is None
