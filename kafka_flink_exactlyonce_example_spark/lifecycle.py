@@ -1,0 +1,714 @@
+"""One-transaction corpus GENERATION ROLL (round 14, VERDICT r13 item
+3): the orchestrator that composes the individually-tested lifecycle
+pieces — ingest gate → digest/text/embedding folds (admits AND
+takedowns in one window) → persist generation N+1 → churn report →
+promote verdict GATING the swap — so a deployment no longer sequences
+them by hand.
+
+The pieces, all pre-existing and individually graded/runtime-tested:
+
+- admission:  ``streaming.jobs.ingest_gate_decisions`` (q_ingest_gate)
+- digests:    per-doc (doc_id, h) relation; fold = anti-join takedowns
+              + union admitted (q_incremental_dedup / q_exact_dedup
+              semantics)
+- text index: ``dedup.text_index_compact`` (round 14) then
+              ``dedup.text_index_fold`` (round 13) — q_text_tombstone
+              / q_text_gen_fold
+- embedding:  ``ingest.index_refresh_report`` +
+              ``ingest.index_compact_report`` fire cells,
+              ``simsearch.warm_index_cycle`` rebuilds them warm
+              (q_index_refresh / q_index_compact / q_ann_tombstone)
+- catalog:    each generation carries its OWN planner operating table
+              (``simsearch.save_operating_table`` — VERDICT r13 item
+              5; the roll stamps derived rows when given them, else
+              carries the prior generation's forward, recorded as
+              such)
+- verdict:    serve-side answer churn over the roll, thresholded
+              (q_rebuild_churn / q_gen_promote semantics) — promote=0
+              leaves generation N serving (the CURRENT pointer does
+              not move).
+
+A generation on disk is a directory:
+
+    gen/digests/            (doc_id, h) parquet
+    gen/text/{bands,sets}/  dedup.save_text_index
+    gen/emb/{centroids,seeds,postings}/  simsearch.save_frozen_index
+    gen/operating_table.json             simsearch.save_operating_table
+
+and serving state is one tiny JSON pointer file (``CURRENT``) naming
+the generation streams must load — the swap IS the pointer write, so
+it is atomic-enough for the marker-sink restart discipline (a stream
+restarting mid-roll reads either generation N or N+1 in full, never a
+mix; the exactly-once argument over the union of generations is the
+round-10/13 swap tests').
+
+Scale notes: every stage is the graded operator's plan — nothing here
+adds a shuffle. The roll's own arithmetic (fired-cell union, churn
+fraction, verdict) touches only bounded relations (|labels| report
+rows, |probes| churn rows); the one driver-side collect is the fired
+label list, catalog-grain by construction. The graded census row
+(q_generation_roll) grades the whole window's bookkeeping against an
+independent DuckDB derivation at the driver's SFs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+    _assign_to_seeds,
+    load_text_index,
+    save_text_index,
+    text_index_build,
+    text_index_compact,
+    text_index_fold,
+)
+from kafka_flink_exactlyonce_example_spark.operators.ingest import (
+    index_compact_report,
+    index_refresh_report,
+)
+from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+    _ANN_OPERATING_TABLE,
+    _FILTERED_IVF_RECALL_FLOOR,
+    frozen_index_frames,
+    frozen_route,
+    frozen_top1,
+    load_frozen_index,
+    load_operating_table,
+    save_frozen_index,
+    save_operating_table,
+    tombstone_filter,
+    warm_index_cycle,
+)
+
+#: The default promote bar — the strict end of q_gen_promote's graded
+#: thresholds; a deployment passes its own.
+DEFAULT_MAX_CHURN = 0.25
+
+
+def _self_excluded_top1(routed: DataFrame, indexed: DataFrame) -> DataFrame:
+    """frozen_top1 with the probe excluded from its own candidates —
+    the post-roll side of the churn comparison: an ADMITTED probe is a
+    member of generation 2, and "your nearest neighbor is yourself"
+    is not an answer (the q_rebuild_churn gen-2 convention; exclusion
+    lives IN the join condition so an all-self cell still surfaces as
+    a totality NULL row). Same tie-breaks as frozen_top1."""
+    from pyspark.sql import Window
+
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        cosine,
+    )
+
+    x = indexed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell").alias("icell2"),
+        F.col("embedding").alias("xe"),
+    )
+    nb_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim_raw"), F.col("neighbor_id")
+    )
+    return (
+        routed.join(
+            x,
+            (F.col("icell") == F.col("icell2"))
+            & (F.col("neighbor_id") != F.col("vec_id")),
+            "left",
+        )
+        .select(
+            "vec_id",
+            "neighbor_id",
+            cosine(F.col("embedding"), F.col("xe")).alias("sim_raw"),
+        )
+        .withColumn("rn", F.row_number().over(nb_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "neighbor_id")
+    )
+
+
+def _doc_digest():
+    return F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("h")
+
+
+def init_generation(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    catalog: tuple | None = None,
+    catalog_floor: float | None = None,
+) -> None:
+    """Build and persist generation 1 from a corpus of (doc_id, lang,
+    text, label, embedding) rows — digests, text index, frozen
+    embedding index, and the planner catalog (the shipped graded rows
+    unless the deployment passes its own derivation)."""
+    docs = corpus.select("doc_id", "lang", "text")
+    docs.select("doc_id", _doc_digest()).write.mode("overwrite").parquet(
+        f"{path}/digests"
+    )
+    bands, sets = text_index_build(docs)
+    save_text_index(f"{path}/text", bands, sets)
+    vecs = corpus.select(
+        F.col("doc_id").alias("vec_id"), "label", "embedding"
+    )
+    cent, seeds = frozen_index_frames(vecs)
+    seeds = seeds.localCheckpoint()  # referenced by save AND assign
+    save_frozen_index(f"{path}/emb", cent, seeds, _assign_to_seeds(vecs, seeds))
+    save_operating_table(
+        path,
+        _ANN_OPERATING_TABLE if catalog is None else catalog,
+        _FILTERED_IVF_RECALL_FLOOR if catalog_floor is None else catalog_floor,
+    )
+
+
+def load_generation(spark: SparkSession, path: str) -> dict:
+    """Reload a persisted generation as the frames every lifecycle
+    entry point takes (plus its planner catalog)."""
+    digests = spark.read.parquet(f"{path}/digests")
+    bands, sets = load_text_index(spark, f"{path}/text")
+    cent, seeds, indexed = load_frozen_index(spark, f"{path}/emb")
+    rows, floor = load_operating_table(path)
+    return {
+        "digests": digests,
+        "bands": bands,
+        "sets": sets,
+        "cent": cent,
+        "seeds": seeds,
+        "indexed": indexed,
+        "catalog": rows,
+        "catalog_floor": floor,
+    }
+
+
+def read_current(pointer: str) -> dict:
+    """The serving pointer: which generation streams must load."""
+    with open(pointer) as f:
+        return json.load(f)
+
+
+def write_current(pointer: str, payload: dict) -> None:
+    """Write the serving pointer (atomically — temp + rename). The
+    roll calls this with the verdict payload; deployments call it once
+    at bootstrap to point serving at generation 1."""
+    tmp = f"{pointer}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, pointer)  # atomic on POSIX — the swap itself
+
+
+def corpus_generation_roll(
+    spark: SparkSession,
+    gen1_path: str,
+    batch: DataFrame,
+    takedowns: DataFrame,
+    gen2_path: str,
+    pointer: str,
+    max_churn: float = DEFAULT_MAX_CHURN,
+    near_threshold: float = 0.9,
+    catalog: tuple | None = None,
+    catalog_floor: float | None = None,
+) -> dict:
+    """Run ONE ingest/delete window end-to-end and return the roll
+    census. ``batch`` carries the window's new docs (doc_id, lang,
+    text, label, embedding — the lake label the admitted vectors
+    index under); ``takedowns`` the window's takedown doc-id set
+    (ids of GENERATION-1 corpus members; a doc admitted and taken
+    down in the same window is out of scope here —
+    :func:`simsearch.warm_index_cycle` handles it at the frame level).
+    Generation 2 is ALWAYS built and persisted (the artifact is the
+    cheap part and a rejected roll should be inspectable); what the
+    verdict GATES is the ``pointer`` — serving moves to gen 2 only
+    when the churn clears ``max_churn``, otherwise the pointer keeps
+    naming gen 1 and streams restart on the old state.
+
+    Census (all counts from bounded aggregates): batch/admission,
+    takedown, digest and posting deltas, fired cells, churn, verdict,
+    and which generation now serves."""
+    from kafka_flink_exactlyonce_example_spark.streaming.jobs import (
+        ingest_gate_decisions,
+    )
+
+    g1 = load_generation(spark, gen1_path)
+    tomb_docs = takedowns.select("doc_id").localCheckpoint()
+    tomb_vecs = tomb_docs.select(F.col("doc_id").alias("vec_id"))
+
+    # --- 1. admission: the gate against the FROZEN gen-1 state -----
+    decisions = ingest_gate_decisions(
+        batch.select("doc_id", "lang", "text", "embedding"),
+        g1["digests"].select("h").distinct(),
+        g1["cent"],
+        g1["seeds"],
+        g1["indexed"],
+        near_threshold,
+        text_index=(g1["bands"], g1["sets"]),
+    ).localCheckpoint()  # |batch| rows, referenced by every fold below
+    admitted_ids = decisions.filter(F.col("admitted") == 1).select("doc_id")
+    admitted_docs = batch.join(admitted_ids, "doc_id", "left_semi")
+
+    # --- 2. digest fold: survivors ∪ admitted -----------------------
+    digests2 = (
+        g1["digests"]
+        .join(tomb_docs, "doc_id", "left_anti")
+        .unionByName(
+            admitted_docs.select("doc_id", _doc_digest())
+        )
+    )
+
+    # --- 3. text index: compact the wave out, fold the admits in ---
+    bands2, sets2 = text_index_fold(
+        *text_index_compact(g1["bands"], g1["sets"], tomb_docs),
+        admitted_docs.select("doc_id", "lang", "text"),
+    )
+
+    # --- 4. embedding index: both reports fire cells, one warm pass -
+    admitted_vecs = admitted_docs.select(
+        F.col("doc_id").alias("vec_id"), "label", "embedding"
+    ).localCheckpoint()  # routed + merged + probed
+    adm_routed = frozen_route(
+        admitted_vecs.select("vec_id", "embedding"), g1["cent"], g1["seeds"]
+    )
+    oldcells = g1["indexed"].groupBy(F.col("label").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_old")
+    )
+    newcells = adm_routed.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_admitted")
+    )
+    refresh = index_refresh_report(oldcells, newcells)
+    delcells = (
+        g1["indexed"]
+        .join(tomb_vecs.withColumn("_d", F.lit(1)), "vec_id", "left")
+        .groupBy(F.col("label").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum(F.coalesce("_d", F.lit(0))).cast("long").alias("n_deleted"),
+        )
+    )
+    compact = index_compact_report(delcells)
+    fired = sorted(
+        {
+            int(r["cell"])
+            for r in refresh.filter(F.col("rebuild") == 1).collect()
+        }
+        | {
+            int(r["cell"])
+            for r in compact.filter(F.col("compact") == 1).collect()
+        }
+    )
+    survivors = tombstone_filter(
+        g1["indexed"].select("vec_id", "label", "embedding"), tomb_vecs
+    )
+    merged = survivors.unionByName(admitted_vecs)
+    cent2, seeds2, indexed2 = warm_index_cycle(
+        merged, g1["seeds"], g1["indexed"], adm_routed, tomb_vecs, fired
+    )
+
+    # --- 5. persist generation 2 (artifact first, verdict second) ---
+    digests2.write.mode("overwrite").parquet(f"{gen2_path}/digests")
+    save_text_index(f"{gen2_path}/text", bands2, sets2)
+    save_frozen_index(f"{gen2_path}/emb", cent2, seeds2, indexed2)
+    catalog_source = "derived" if catalog is not None else "carried"
+    save_operating_table(
+        gen2_path,
+        g1["catalog"] if catalog is None else catalog,
+        g1["catalog_floor"] if catalog_floor is None else catalog_floor,
+    )
+
+    # --- 6. churn gate: the window's probes answered by BOTH states -
+    # v1 = what serving says today (gen 1 + the live tombstone
+    # anti-join — q_ann_tombstone's relation); v2 = the rolled index,
+    # reloaded from ITS OWN artifacts (the verdict must judge what a
+    # restarted stream would actually load).
+    g2 = load_generation(spark, gen2_path)
+    probes = batch.select(F.col("doc_id").alias("vec_id"), "embedding")
+    v1 = frozen_top1(
+        frozen_route(probes, g1["cent"], g1["seeds"]),
+        g1["indexed"],
+        tombstones=tomb_vecs,
+    ).select("vec_id", F.col("neighbor_id").alias("nb_v1"))
+    v2 = _self_excluded_top1(
+        frozen_route(probes, g2["cent"], g2["seeds"]), g2["indexed"]
+    ).select("vec_id", F.col("neighbor_id").alias("nb_v2"))
+    churn = v1.join(v2, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(
+            (~F.col("nb_v1").eqNullSafe(F.col("nb_v2"))).cast("int")
+        ).alias("n_changed"),
+    ).first()
+    n_probes = int(churn["n_probes"] or 0)
+    n_changed = int(churn["n_changed"] or 0)
+    churn_frac = round(n_changed / n_probes, 6) if n_probes else 0.0
+    promote = churn_frac <= max_churn
+
+    # --- 7. the swap, gated ----------------------------------------
+    serving = gen2_path if promote else gen1_path
+    write_current(
+        pointer,
+        {
+            "generation": serving,
+            "candidate": gen2_path,
+            "churn_frac": churn_frac,
+            "max_churn": max_churn,
+            "promote": int(promote),
+        },
+    )
+
+    return {
+        "n_batch": batch.count(),
+        "n_admitted": admitted_ids.count(),
+        "n_takedowns": tomb_docs.count(),
+        "fired_cells": fired,
+        "n_postings_v1": g1["indexed"].count(),
+        "n_postings_v2": g2["indexed"].count(),
+        "n_probes": n_probes,
+        "n_changed": n_changed,
+        "churn_frac": churn_frac,
+        "max_churn": max_churn,
+        "promote": promote,
+        "serving": serving,
+        "catalog_source": catalog_source,
+    }
+
+
+# --------------------------------------------------------------------------
+# q_generation_roll — the roll's bookkeeping, driver-graded
+# --------------------------------------------------------------------------
+
+from kafka_flink_exactlyonce_example_spark.operators.dedup import (  # noqa: E402
+    _md5_mod_col,
+)
+from kafka_flink_exactlyonce_example_spark.operators.ingest import (  # noqa: E402
+    _GATE_CTES,
+    _gate_frame,
+    _is_del_col,
+)
+from kafka_flink_exactlyonce_example_spark.operators.simsearch import (  # noqa: E402
+    _inc_tagged,
+    cosine_sql,
+    inc_index_build,
+)
+from kafka_flink_exactlyonce_example_spark.registry import plan_aux, query  # noqa: E402
+from kafka_flink_exactlyonce_example_spark.sources import table  # noqa: E402
+
+#: q_gen_promote's graded bars, reused so the census's two verdict
+#: columns grade both branches from live data at every SF.
+_ROLL_BARS = (0.25, 0.70)
+
+_DEL_VEC_SQL = """CAST(CAST(concat('0x', substring(
+                         md5('del:' || CAST({col} AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % 5 AS BIGINT) = 0"""
+
+_ROLL_ORACLE = (
+    _GATE_CTES
+    + f"""
+    , admitted AS (
+        SELECT doc_id FROM verdict WHERE admitted = 1
+    ), takedown AS (
+        SELECT doc_id FROM dsplit
+        WHERE is_new = 0 AND {_DEL_VEC_SQL.format(col='doc_id')}
+    ), dig2 AS (
+        SELECT DISTINCT h FROM dsplit d
+        WHERE (d.is_new = 0
+               AND NOT {_DEL_VEC_SQL.format(col='d.doc_id')})
+           OR (d.is_new = 1
+               AND d.doc_id IN (SELECT doc_id FROM admitted))
+    ), adm_vec AS (
+        -- admitted docs that have a vector: indexed by the roll at
+        -- the cell the FROZEN gen-1 router chose (verdict.cell)
+        SELECT v.doc_id AS vec_id, v.cell, e.embedding
+        FROM verdict v
+        JOIN esplit e ON e.vec_id = v.doc_id AND e.is_new = 1
+        WHERE v.admitted = 1 AND v.cell IS NOT NULL
+    ), surv AS (
+        SELECT vec_id, label, embedding FROM esplit
+        WHERE is_new = 0 AND NOT {_DEL_VEC_SQL.format(col='vec_id')}
+    ), x2 AS (
+        -- generation-2 posting members at label grain (k=1 collapse):
+        -- survivors at their lake label ∪ admits at their routed cell
+        SELECT vec_id, label, embedding FROM surv
+        UNION ALL
+        SELECT vec_id, cell AS label, embedding FROM adm_vec
+    ), merged AS (
+        -- the coarse retrain corpus: survivors ∪ admits at LAKE label
+        -- (warm_index_cycle's contract — routing home ≠ coarse home
+        -- for an admitted vector whose routed cell differs)
+        SELECT vec_id, label, embedding FROM surv
+        UNION ALL
+        SELECT e.vec_id, e.label, e.embedding
+        FROM esplit e JOIN admitted a ON a.doc_id = e.vec_id
+        WHERE e.is_new = 1
+    ), cent2 AS (
+        SELECT label, list(m ORDER BY i) AS centroid
+        FROM (
+            SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+            FROM merged, generate_series(1, 64) t(i)
+            GROUP BY label, i
+        )
+        GROUP BY label
+    ), assign2 AS (
+        SELECT vec_id, cell, embedding FROM (
+            SELECT n.vec_id, c.label AS cell, n.embedding,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY round({cosine_sql('n.embedding', 'c.centroid')},
+                                      6) DESC, c.label) AS rn
+            FROM esplit n, cent2 c
+            WHERE n.is_new = 1
+        ) WHERE rn = 1
+    ), nn1d AS (
+        -- what serving answers TODAY: gen 1 + the live tombstone
+        -- anti-join (q_ann_tombstone's relation)
+        SELECT vec_id, neighbor_id FROM (
+            SELECT a.vec_id, x.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {cosine_sql('a.embedding', 'x.embedding')}
+                                DESC, x.vec_id) AS rn
+            FROM eassign a
+            LEFT JOIN esplit x
+              ON x.is_new = 0 AND x.label = a.cell
+             AND NOT {_DEL_VEC_SQL.format(col='x.vec_id')}
+        ) WHERE rn = 1
+    ), nn2 AS (
+        -- what the rolled generation answers (self excluded: an
+        -- admitted probe is a gen-2 member)
+        SELECT vec_id, neighbor_id FROM (
+            SELECT a.vec_id, x.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {cosine_sql('a.embedding', 'x.embedding')}
+                                DESC, x.vec_id) AS rn
+            FROM assign2 a
+            LEFT JOIN x2 x ON x.label = a.cell AND x.vec_id <> a.vec_id
+        ) WHERE rn = 1
+    ), churn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+               CAST(SUM(CASE WHEN n1.neighbor_id IS DISTINCT FROM
+                                  n2.neighbor_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_changed
+        FROM nn1d n1 JOIN nn2 n2 ON n2.vec_id = n1.vec_id
+    )
+    SELECT b.n_batch, b.n_admitted, t.n_takedowns,
+           d1.n_digests_v1, d2.n_digests_v2,
+           p1.n_postings_v1, p2.n_postings_v2,
+           c.n_probes, c.n_changed,
+           ROUND(CAST(c.n_changed AS DOUBLE) / c.n_probes, 6)
+               AS churn_frac,
+           CASE WHEN ROUND(CAST(c.n_changed AS DOUBLE) / c.n_probes, 6)
+                     <= {_ROLL_BARS[0]} THEN 1 ELSE 0 END AS promote_strict,
+           CASE WHEN ROUND(CAST(c.n_changed AS DOUBLE) / c.n_probes, 6)
+                     <= {_ROLL_BARS[1]} THEN 1 ELSE 0 END AS promote_lenient
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
+                 CAST(SUM(admitted) AS BIGINT) AS n_admitted
+          FROM verdict) b
+    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_takedowns
+                FROM takedown) t
+    CROSS JOIN (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS n_digests_v1
+                FROM dsplit WHERE is_new = 0) d1
+    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_digests_v2
+                FROM dig2) d2
+    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_postings_v1
+                FROM esplit WHERE is_new = 0) p1
+    CROSS JOIN (SELECT CAST((SELECT COUNT(*) FROM surv)
+                          + (SELECT COUNT(*) FROM adm_vec)
+                     AS BIGINT) AS n_postings_v2) p2
+    CROSS JOIN churn c
+    """
+)
+
+
+@plan_aux("q_generation_roll::gate")
+def _roll_gate_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The roll census's admission stage in LAZY form — the census
+    checkpoints the |batch|-bounded gate verdict (it is referenced by
+    the digest fold, the admitted-vector slice, AND the batch
+    aggregate, and a lazy reference re-runs the whole gate chain per
+    consumer), which hides the chain behind a LogicalRDD; registered
+    here under the plan guards (the q_pca_power::moments rule)."""
+    return _gate_frame(spark, sf_dir)
+
+
+@query("q_generation_roll", oracle=_ROLL_ORACLE)
+def q_generation_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generation roll's BOOKKEEPING, driver-graded in one row
+    (round 14, VERDICT r13 item 3 — the orchestrator
+    :func:`corpus_generation_roll` is runtime-tested end-to-end in
+    tests/test_lifecycle.py with both verdict branches driving the
+    serving pointer; this row grades the same window's arithmetic on
+    the graded fixtures against an independent DuckDB derivation):
+    the standing 'inc:' batch is gated against the frozen gen-1 state
+    (the q_ingest_gate chain), the 'del:' wave (~20% of the OLD
+    corpus) is taken down, both index reports fire cells (zero at the
+    graded SFs — the reports still run), the embedding index rolls
+    through :func:`simsearch.warm_index_cycle`, and the census emits:
+    batch/admission counts, takedown count, digest-set sizes before
+    and after the fold (survivors ∪ admitted), posting counts before
+    and after the warm cycle, and the churn gate — every probe
+    answered by TODAY's serving state (gen 1 + live tombstone
+    anti-join, q_ann_tombstone's relation) and by the rolled
+    generation (self excluded — an admitted probe is a gen-2 member),
+    with both q_gen_promote bars emitted so BOTH verdict branches are
+    hash-graded from live data.
+
+    Oracle-parity notes: the gen-2 scan is label-grain on the DuckDB
+    side vs the engine's warm sub-cells — exact under the k=1
+    collapse (the standing split-threshold guard); admitted vectors
+    enter the posting relation at their FROZEN-ROUTED cell but the
+    coarse retrain at their LAKE label (warm_index_cycle's id-space
+    contract, mirrored CTE-for-CTE); fired cells are empty at the
+    graded SFs, and at k=1 a fired retrain rescans the same members,
+    so the grade is fired-insensitive (same guard).
+
+    Scale shape: the gate chain + two label-grain reports + the warm
+    cycle's anti-join/union relations + two |batch|-grain search
+    passes — every stage is a graded operator's plan; the census
+    itself is bounded 1-row aggregates cross-joined broadcast. The
+    fired-label collect is catalog-grain (|labels| report rows). The
+    |batch|-bounded gate verdict and admitted-vector slices are
+    checkpointed (re-execution discipline), with the hidden gate
+    chain plan-aux-registered."""
+    flags = _gate_frame(spark, sf_dir).localCheckpoint()
+    cent1, seeds1 = inc_index_build(spark, sf_dir)
+    tagged = _inc_tagged(spark, sf_dir)
+    old = tagged.filter(~F.col("is_new")).select(
+        "vec_id", "label", "embedding"
+    )
+    new = tagged.filter(F.col("is_new")).select(
+        "vec_id", "label", "embedding"
+    )
+    tomb = old.filter(_is_del_col()).select("vec_id")
+    admitted = flags.filter(F.col("admitted") == 1).select("doc_id")
+
+    adm_vecs = new.join(
+        admitted.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left_semi"
+    ).localCheckpoint()
+    adm_routed = frozen_route(
+        adm_vecs.select("vec_id", "embedding"), cent1, seeds1
+    ).localCheckpoint()
+    indexed1 = _assign_to_seeds(old, seeds1)
+
+    oldcells = old.groupBy(F.col("label").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_old")
+    )
+    newcells = adm_routed.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_admitted")
+    )
+    delcells = (
+        old.select("label", _is_del_col().cast("int").alias("is_del"))
+        .groupBy(F.col("label").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum("is_del").cast("long").alias("n_deleted"),
+        )
+    )
+    fired = sorted(
+        {
+            int(r["cell"])
+            for r in index_refresh_report(oldcells, newcells)
+            .filter(F.col("rebuild") == 1)
+            .collect()
+        }
+        | {
+            int(r["cell"])
+            for r in index_compact_report(delcells)
+            .filter(F.col("compact") == 1)
+            .collect()
+        }
+    )
+    survivors = tombstone_filter(old, tomb)
+    merged = survivors.unionByName(adm_vecs)
+    cent2, seeds2, indexed2 = warm_index_cycle(
+        merged, seeds1, indexed1, adm_routed, tomb, fired
+    )
+
+    probes = new.select("vec_id", "embedding")
+    v1 = frozen_top1(
+        frozen_route(probes, cent1, seeds1), indexed1, tombstones=tomb
+    ).select("vec_id", F.col("neighbor_id").alias("nb_v1"))
+    v2 = _self_excluded_top1(
+        frozen_route(probes, cent2, seeds2), indexed2
+    ).select("vec_id", F.col("neighbor_id").alias("nb_v2"))
+    churn = v1.join(v2, "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum((~F.col("nb_v1").eqNullSafe(F.col("nb_v2"))).cast("int"))
+        .cast("long")
+        .alias("n_changed"),
+    )
+
+    d = table(spark, sf_dir, "documents")
+    dsplit = d.select(
+        "doc_id",
+        (_md5_mod_col("inc:", "doc_id", 10) == 0)
+        .cast("int")
+        .alias("is_new"),
+        _is_del_doc().cast("int").alias("is_del"),
+        F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("h"),
+    )
+    batch_agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch"),
+        F.sum("admitted").cast("long").alias("n_admitted"),
+    )
+    takedowns_agg = (
+        dsplit.filter((F.col("is_new") == 0) & (F.col("is_del") == 1))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_takedowns"))
+    )
+    dig1 = (
+        dsplit.filter(F.col("is_new") == 0)
+        .select("h")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_digests_v1"))
+    )
+    dig2 = (
+        dsplit.filter((F.col("is_new") == 0) & (F.col("is_del") == 0))
+        .select("h")
+        .unionByName(
+            dsplit.filter(F.col("is_new") == 1)
+            .join(admitted, "doc_id", "left_semi")
+            .select("h")
+        )
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_digests_v2"))
+    )
+    post1 = old.agg(F.count(F.lit(1)).cast("long").alias("n_postings_v1"))
+    post2 = indexed2.agg(
+        F.count(F.lit(1)).cast("long").alias("n_postings_v2")
+    )
+
+    frac = F.round(
+        F.col("n_changed").cast("double") / F.col("n_probes"), 6
+    )
+    return (
+        batch_agg.crossJoin(F.broadcast(takedowns_agg))
+        .crossJoin(F.broadcast(dig1))
+        .crossJoin(F.broadcast(dig2))
+        .crossJoin(F.broadcast(post1))
+        .crossJoin(F.broadcast(post2))
+        .crossJoin(F.broadcast(churn))
+        .select(
+            "n_batch",
+            "n_admitted",
+            "n_takedowns",
+            "n_digests_v1",
+            "n_digests_v2",
+            "n_postings_v1",
+            "n_postings_v2",
+            "n_probes",
+            "n_changed",
+            frac.alias("churn_frac"),
+            F.when(frac <= _ROLL_BARS[0], 1).otherwise(0).alias(
+                "promote_strict"
+            ),
+            F.when(frac <= _ROLL_BARS[1], 1).otherwise(0).alias(
+                "promote_lenient"
+            ),
+        )
+    )
+
+
+def _is_del_doc():
+    from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+        _del_tag_col,
+    )
+
+    return _del_tag_col("doc_id")

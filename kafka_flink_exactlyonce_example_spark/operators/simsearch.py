@@ -6444,10 +6444,55 @@ _PLAN_RECALL_TARGET = 0.90
 _PLAN_CAND_BUDGET = 1200
 
 
+def save_operating_table(
+    path: str,
+    rows: tuple[tuple[str, int, float, int], ...],
+    filtered_floor: float,
+) -> None:
+    """Stamp an index GENERATION with its own planner catalog (round
+    14, VERDICT r13 item 5): the shipped `_ANN_OPERATING_TABLE` was
+    derived from THIS corpus's sf0.1 instruments, so a promoted
+    generation that kept serving it would price routes against an
+    index that no longer exists. ``lifecycle.corpus_generation_roll``
+    writes the generation's rows (tools/operating_table.py's
+    derivation run on the generation's corpus — or the prior
+    generation's rows carried forward when no re-derivation ran this
+    window, explicitly recorded as such) next to the persisted index;
+    :func:`ann_route`/:func:`filtered_ann_route` then read the loaded
+    table. One bounded JSON file — catalog metadata, not data."""
+    import json as _json
+
+    with open(f"{path}/operating_table.json", "w") as f:
+        _json.dump(
+            {
+                "rows": [list(r) for r in rows],
+                "filtered_floor": filtered_floor,
+            },
+            f,
+        )
+
+
+def load_operating_table(
+    path: str,
+) -> tuple[tuple[tuple[str, int, float, int], ...], float]:
+    """Reload a generation's planner catalog: (rows, filtered_floor)
+    in exactly the shapes :func:`ann_route`'s ``table`` and
+    :func:`filtered_ann_route`'s ``floor`` take."""
+    import json as _json
+
+    with open(f"{path}/operating_table.json") as f:
+        d = _json.load(f)
+    return (
+        tuple((k, int(p), float(r), int(c)) for k, p, r, c in d["rows"]),
+        float(d["filtered_floor"]),
+    )
+
+
 def ann_route(
     recall_target: float,
     candidate_budget: int,
     n_corpus: int | None = None,
+    table: tuple[tuple[str, int, float, int], ...] | None = None,
 ) -> dict:
     """The planner's pure choice function: the CHEAPEST
     _ANN_OPERATING_TABLE row with recall ≥ target and cand/probe ≤
@@ -6458,12 +6503,20 @@ def ann_route(
     rather than silently under-deliver recall. Pure arithmetic over
     the static table + at most one corpus count (a catalog statistic
     at 100 TB), so the decision is testable without a SparkSession
-    and can never diverge between build and explain. ``n_corpus`` is
+    and can never diverge between build and explain. ``table``
+    (round 14, VERDICT r13 item 5): an operating table to resolve
+    against INSTEAD of the shipped sf0.1 catalog — a promoted index
+    generation ships with its OWN derived rows
+    (:func:`save_operating_table` / :func:`load_operating_table`,
+    stamped by ``lifecycle.corpus_generation_roll``), so the planner
+    prices the generation it is actually routing over, not the one
+    the constants were graded on. ``n_corpus`` is
     only consulted on the fallback path — pass None to mean "no count
     available yet"; the indexed common path never needs it."""
+    rows = _ANN_OPERATING_TABLE if table is None else table
     eligible = [
         row
-        for row in _ANN_OPERATING_TABLE
+        for row in rows
         if row[2] >= recall_target and row[3] <= candidate_budget
     ]
     if eligible:
@@ -6484,7 +6537,7 @@ def ann_route(
             "cand_per_probe": n_corpus - 1,
         }
     frontier = ", ".join(
-        f"{k}/{p}={r}@{c}" for k, p, r, c in _ANN_OPERATING_TABLE
+        f"{k}/{p}={r}@{c}" for k, p, r, c in rows
     )
     raise ValueError(
         f"no ANN operating point reaches recall {recall_target} within "
@@ -6555,6 +6608,7 @@ def filtered_ann_route(
     candidate_budget: int,
     n_pass: int,
     n_total: int,
+    floor: float | None = None,
 ) -> dict:
     """The composed planners' pure choice function — filtered search
     under a (recall_target, candidate_budget) contract. Menu:
@@ -6578,19 +6632,22 @@ def filtered_ann_route(
     route → ValueError quoting both routes' promise and cost: a
     planner must fail loudly rather than silently under-deliver.
     Pure integer/float arithmetic — testable without a SparkSession,
-    can never diverge between build and explain."""
+    can never diverge between build and explain. ``floor`` (round 14):
+    a generation-specific fivf recall promise to resolve against
+    instead of the shipped `_FILTERED_IVF_RECALL_FLOOR` — the filtered
+    twin of :func:`ann_route`'s ``table``
+    (see :func:`load_operating_table`)."""
+    f = _FILTERED_IVF_RECALL_FLOOR if floor is None else floor
     eligible: list[tuple[str, int, float, int]] = []
     if n_pass <= candidate_budget and recall_target <= 1.0:
         eligible.append(("fbrute", 0, 1.0, n_pass))
     cost_ivf = (n_total * _IVF_NPROBE) // _CQ_K
     if (
         filtered_route(n_pass, n_total) == "ivf"
-        and recall_target <= _FILTERED_IVF_RECALL_FLOOR
+        and recall_target <= f
         and cost_ivf <= candidate_budget
     ):
-        eligible.append(
-            ("fivf", _IVF_NPROBE, _FILTERED_IVF_RECALL_FLOOR, cost_ivf)
-        )
+        eligible.append(("fivf", _IVF_NPROBE, f, cost_ivf))
     if eligible:
         kind, param, recall, cost = min(
             eligible, key=lambda r: (r[3], r[0], r[1])
@@ -6604,7 +6661,7 @@ def filtered_ann_route(
     raise ValueError(
         f"no filtered route meets recall {recall_target} within "
         f"{candidate_budget} candidates/probe (fbrute: 1.0 @ {n_pass}; "
-        f"fivf: {_FILTERED_IVF_RECALL_FLOOR} @ {cost_ivf}, offered only "
+        f"fivf: {f} @ {cost_ivf}, offered only "
         f"above the crossover n_pass·{_CQ_K} > n_total·{_IVF_NPROBE})"
     )
 

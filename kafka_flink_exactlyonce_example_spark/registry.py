@@ -577,7 +577,7 @@ def load_all() -> None:
 
     operators.load_all()
 
-    from kafka_flink_exactlyonce_example_spark import pipeline  # noqa: F401
+    from kafka_flink_exactlyonce_example_spark import lifecycle, pipeline  # noqa: F401
 
     window = derive_window()
     missing = [k for k in window if k not in QUERIES]

@@ -1,0 +1,200 @@
+"""The generation-roll orchestrator (round 14, VERDICT r13 item 3):
+gate → digest/text/embedding folds (admits AND takedowns in one
+window) → persist gen 2 → churn report → promote verdict GATING the
+serving-pointer swap — with both verdict branches exercised and
+streams restarting on whatever generation the pointer names."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SMOKE_SF
+
+_SCHEMA = (
+    "doc_id bigint, lang string, text string, "
+    "label int, embedding array<float>"
+)
+
+
+def _doc(i, words, label, emb):
+    return (i, "en", " ".join(words), label, emb)
+
+
+def _toy_corpus(spark):
+    # 8 mutually-dissimilar docs across 2 labels; embeddings spread so
+    # every doc has a distinct, stable nearest neighbor
+    rows = [
+        _doc(
+            i,
+            [f"w{i}x{j}" for j in range(30)],
+            i % 2,
+            [1.0, 0.05 * i, 0.01 * ((i * i) % 7)],
+        )
+        for i in range(1, 9)
+    ]
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def _roll_window(spark):
+    """The window: X fresh (admitted), N a near-copy of X (gen-1-blind
+    on both the digest and text side -> ALSO admitted; its post-roll
+    nearest neighbor becomes X, which is the churn the verdict
+    thresholds), D a byte-copy of corpus doc 2 (rejected, f_exact).
+    Takedown: corpus doc 1."""
+    x_words = [f"fresh{j}" for j in range(30)]
+    n_words = list(x_words)
+    n_words[13] = "mutated"
+    batch = spark.createDataFrame(
+        [
+            _doc(100, x_words, 0, [0.0, 1.0, 0.0]),
+            _doc(101, n_words, 0, [0.0, 1.0, 0.02]),
+            _doc(102, [f"w2x{j}" for j in range(30)], 0, [0.0, 0.0, 1.0]),
+        ],
+        _SCHEMA,
+    )
+    takedowns = spark.createDataFrame([(1,)], "doc_id bigint")
+    return batch, takedowns
+
+
+def test_generation_roll_verdict_gates_the_swap(spark, tmp_path):
+    from kafka_flink_exactlyonce_example_spark import lifecycle as lc
+
+    corpus = _toy_corpus(spark)
+    gen1 = str(tmp_path / "gen1")
+    lc.init_generation(spark, gen1, corpus)
+    pointer = str(tmp_path / "CURRENT")
+    lc.write_current(pointer, {"generation": gen1, "promote": 1})
+
+    batch, takedowns = _roll_window(spark)
+
+    # --- strict bar: the roll is BUILT but the swap is BLOCKED ------
+    census_a = lc.corpus_generation_roll(
+        spark, gen1, batch, takedowns,
+        str(tmp_path / "gen2a"), pointer, max_churn=0.25,
+    )
+    assert census_a["n_batch"] == 3
+    assert census_a["n_admitted"] == 2, "X and its near-copy are gen-1-blind"
+    assert census_a["n_takedowns"] == 1
+    assert census_a["n_postings_v1"] == 8
+    assert census_a["n_postings_v2"] == 9  # 8 - 1 + 2
+    assert census_a["n_probes"] == 3
+    # N's post-roll neighbor is X (admitted together) and X's is N —
+    # the fresh pair churns; the byte-copy D keeps its source
+    assert census_a["n_changed"] == 2 and census_a["churn_frac"] == round(
+        2 / 3, 6
+    )
+    assert census_a["promote"] is False
+    assert census_a["serving"] == gen1
+    assert lc.read_current(pointer)["generation"] == gen1, (
+        "a failed verdict must not move serving"
+    )
+    # the artifact exists and is inspectable even though rejected
+    assert os.path.isdir(str(tmp_path / "gen2a") + "/emb/postings")
+
+    # --- lenient bar: same window, the swap happens -----------------
+    census_b = lc.corpus_generation_roll(
+        spark, gen1, batch, takedowns,
+        str(tmp_path / "gen2b"), pointer, max_churn=0.70,
+    )
+    assert census_b["promote"] is True
+    assert census_b["serving"] == str(tmp_path / "gen2b")
+    assert lc.read_current(pointer)["generation"] == str(tmp_path / "gen2b")
+
+    # --- generation-2 content invariants ----------------------------
+    g2 = lc.load_generation(spark, str(tmp_path / "gen2b"))
+    post_ids = {r["vec_id"] for r in g2["indexed"].select("vec_id").collect()}
+    assert 1 not in post_ids, "tombstoned vector still in the postings"
+    assert {100, 101} <= post_ids, "admitted vectors missing"
+    assert 102 not in post_ids, "a rejected doc was indexed"
+    dig_ids = {r["doc_id"] for r in g2["digests"].select("doc_id").collect()}
+    assert 1 not in dig_ids and {100, 101} <= dig_ids
+    set_ids = {r["doc_id"] for r in g2["sets"].select("doc_id").collect()}
+    assert 1 not in set_ids and {100, 101} <= set_ids
+
+    # --- streams restart on whatever the pointer names ---------------
+    from kafka_flink_exactlyonce_example_spark.streaming.jobs import (
+        ingest_gate_decisions,
+    )
+
+    probe_words = list([f"fresh{j}" for j in range(30)])
+    probe_words[7] = "different"
+    probe = spark.createDataFrame(
+        [_doc(200, probe_words, 0, [0.3, 0.1, 0.9])], _SCHEMA
+    ).select("doc_id", "lang", "text", "embedding")
+
+    def gate_on(path):
+        g = lc.load_generation(spark, path)
+        return ingest_gate_decisions(
+            probe, g["digests"].select("h").distinct(), g["cent"],
+            g["seeds"], g["indexed"], 0.9,
+            text_index=(g["bands"], g["sets"]),
+        ).first()
+
+    # under gen 1 the near-copy-of-X probe is blind-admitted; under
+    # the promoted generation the folded text index rejects it
+    assert gate_on(gen1)["admitted"] == 1
+    now = gate_on(lc.read_current(pointer)["generation"])
+    assert now["f_near_text"] == 1 and now["admitted"] == 0
+
+
+def test_generation_carries_its_own_operating_table(spark, tmp_path):
+    """VERDICT r13 item 5: a promoted generation ships with its OWN
+    planner catalog. Gen 1 carries the shipped sf0.1 rows; the roll
+    stamps gen 2 with rows DERIVED from the generation's corpus
+    (tools/operating_table.py's derivation, run here at the smoke SF
+    where the tiny corpus provably yields different rows), and
+    ann_route's pick FOLLOWS the loaded table — at least one request
+    resolves to a different operating point under the two catalogs."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import operating_table as ot
+
+    from kafka_flink_exactlyonce_example_spark import lifecycle as lc
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        _ANN_OPERATING_TABLE,
+        ann_route,
+    )
+
+    corpus = _toy_corpus(spark)
+    gen1 = str(tmp_path / "gen1")
+    lc.init_generation(spark, gen1, corpus)
+    rows1, floor1 = lc.load_operating_table(gen1)
+    assert rows1 == _ANN_OPERATING_TABLE
+
+    derived = ot.derive(spark, SMOKE_SF)
+    assert derived != _ANN_OPERATING_TABLE, (
+        "the smoke corpus must derive different rows — if this ever "
+        "matches, pick a different derivation corpus for the test"
+    )
+    batch, takedowns = _roll_window(spark)
+    census = lc.corpus_generation_roll(
+        spark, gen1, batch, takedowns,
+        str(tmp_path / "gen2"), str(tmp_path / "CURRENT"),
+        max_churn=1.0, catalog=derived, catalog_floor=0.5,
+    )
+    assert census["catalog_source"] == "derived"
+    rows2, floor2 = lc.load_operating_table(str(tmp_path / "gen2"))
+    assert rows2 == derived and floor2 == 0.5
+
+    # the planner's pick follows the generation's table: scan a grid
+    # of requests and require at least one divergent resolution
+    grid = [
+        (r / 100, b)
+        for r in (20, 35, 50, 60, 80, 90, 95)
+        for b in (100, 250, 400, 900, 1200, 2000)
+    ]
+    diverged = 0
+    for target, budget in grid:
+        def pick(table):
+            try:
+                return ann_route(target, budget, table=table)["index"], \
+                    ann_route(target, budget, table=table)["param"]
+            except ValueError:
+                return ("refused", None)
+        if pick(rows1) != pick(rows2):
+            diverged += 1
+    assert diverged > 0, "no request resolved differently — table inert"
