@@ -5352,6 +5352,7 @@ def serve_route(
     recall_target: float,
     candidate_budget: int,
     tombstones: DataFrame | None = None,
+    floor: float | None = None,
 ) -> dict:
     """Resolve a filtered SERVING request against a frozen posting
     relation: survivor counts from ONE conditional-aggregate scan of
@@ -5359,7 +5360,10 @@ def serve_route(
     catalog already holds per generation — then
     :func:`filtered_ann_route`'s crossover/override/refusal arithmetic
     verbatim. Resolved ONCE per stream start (the route, like the
-    index, is frozen for the stream's lifetime)."""
+    index, is frozen for the stream's lifetime). ``floor``: the
+    serving generation's own fivf recall promise
+    (:func:`load_operating_table`) — a stream serving a rolled
+    generation prices routes against that generation's catalog."""
     counts = (
         tombstone_filter(indexed, tombstones)
         .agg(
@@ -5375,6 +5379,7 @@ def serve_route(
         candidate_budget,
         int(counts["n_pass"]),
         int(counts["n_total"]),
+        floor=floor,
     )
 
 

@@ -815,6 +815,7 @@ def streaming_ann_serve(
     predicate=None,
     recall_target: float | None = None,
     candidate_budget: int | None = None,
+    catalog_floor: float | None = None,
 ) -> StreamingQuery:
     """Exactly-once streaming vector-search serving — the missing half
     of the serving story (round 13: the ingest gate streams ADMISSION
@@ -835,6 +836,10 @@ def streaming_ann_serve(
     is consumed); every micro-batch then builds the ONE chosen plan,
     so the schema is stable per stream and replay determinism is
     untouched (a frozen route is part of the frozen state).
+    ``catalog_floor``: the serving generation's own fivf recall
+    promise (``lifecycle.load_generation``'s ``catalog_floor``) — a
+    stream on a rolled generation resolves against that generation's
+    catalog, not the shipped constants.
 
     Determinism by construction: the index triple AND the tombstone
     set are FROZEN for the stream's lifetime. A takedown wave or an
@@ -860,6 +865,7 @@ def streaming_ann_serve(
             1.0 if recall_target is None else recall_target,
             2**62 if candidate_budget is None else candidate_budget,
             tombstones=tombstones,
+            floor=catalog_floor,
         )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
