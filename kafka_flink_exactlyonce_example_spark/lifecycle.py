@@ -74,6 +74,7 @@ from kafka_flink_exactlyonce_example_spark.operators.ingest import (
 from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
     _ANN_OPERATING_TABLE,
     _FILTERED_IVF_RECALL_FLOOR,
+    _PROMOTE_THRESHOLDS,
     frozen_index_frames,
     frozen_route,
     frozen_top1,
@@ -86,8 +87,11 @@ from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
 )
 
 #: The default promote bar — the strict end of q_gen_promote's graded
-#: thresholds; a deployment passes its own.
-DEFAULT_MAX_CHURN = 0.25
+#: thresholds (ONE definition: simsearch._PROMOTE_THRESHOLDS is the
+#: source of truth, so retuning it moves the roll's default gate, the
+#: census's verdict columns, AND q_gen_promote in lockstep); a
+#: deployment passes its own.
+DEFAULT_MAX_CHURN = _PROMOTE_THRESHOLDS[0]
 
 
 def _self_excluded_top1(routed: DataFrame, indexed: DataFrame) -> DataFrame:
@@ -209,6 +213,7 @@ def corpus_generation_roll(
     near_threshold: float = 0.9,
     catalog: tuple | None = None,
     catalog_floor: float | None = None,
+    probes: DataFrame | None = None,
 ) -> dict:
     """Run ONE ingest/delete window end-to-end and return the roll
     census. ``batch`` carries the window's new docs (doc_id, lang,
@@ -221,7 +226,11 @@ def corpus_generation_roll(
     cheap part and a rejected roll should be inspectable); what the
     verdict GATES is the ``pointer`` — serving moves to gen 2 only
     when the churn clears ``max_churn``, otherwise the pointer keeps
-    naming gen 1 and streams restart on the old state.
+    naming gen 1 and streams restart on the old state. ``probes``
+    overrides the churn panel (default: the batch's own vectors); a
+    DELETE-ONLY window has an empty batch and MUST pass probes —
+    zero probes is zero churn EVIDENCE, not zero churn, and the
+    verdict then conservatively refuses the swap.
 
     Census (all counts from bounded aggregates): batch/admission,
     takedown, digest and posting deltas, fired cells, churn, verdict,
@@ -231,7 +240,10 @@ def corpus_generation_roll(
     )
 
     g1 = load_generation(spark, gen1_path)
-    tomb_docs = takedowns.select("doc_id").localCheckpoint()
+    # distinct: a replayed/unioned wave feed may name a doc twice, and
+    # a duplicated id would double-count the compact report's joins
+    # and the census
+    tomb_docs = takedowns.select("doc_id").distinct().localCheckpoint()
     tomb_vecs = tomb_docs.select(F.col("doc_id").alias("vec_id"))
 
     # --- 1. admission: the gate against the FROZEN gen-1 state -----
@@ -321,7 +333,8 @@ def corpus_generation_roll(
     # reloaded from ITS OWN artifacts (the verdict must judge what a
     # restarted stream would actually load).
     g2 = load_generation(spark, gen2_path)
-    probes = batch.select(F.col("doc_id").alias("vec_id"), "embedding")
+    if probes is None:
+        probes = batch.select(F.col("doc_id").alias("vec_id"), "embedding")
     v1 = frozen_top1(
         frozen_route(probes, g1["cent"], g1["seeds"]),
         g1["indexed"],
@@ -339,7 +352,10 @@ def corpus_generation_roll(
     n_probes = int(churn["n_probes"] or 0)
     n_changed = int(churn["n_changed"] or 0)
     churn_frac = round(n_changed / n_probes, 6) if n_probes else 0.0
-    promote = churn_frac <= max_churn
+    # no probes = no churn EVIDENCE, which must never read as zero
+    # churn: a delete-only window (empty batch) passes ``probes``
+    # explicitly or the verdict conservatively refuses the swap
+    promote = n_probes > 0 and churn_frac <= max_churn
 
     # --- 7. the swap, gated ----------------------------------------
     serving = gen2_path if promote else gen1_path
@@ -391,9 +407,11 @@ from kafka_flink_exactlyonce_example_spark.operators.simsearch import (  # noqa:
 from kafka_flink_exactlyonce_example_spark.registry import plan_aux, query  # noqa: E402
 from kafka_flink_exactlyonce_example_spark.sources import table  # noqa: E402
 
-#: q_gen_promote's graded bars, reused so the census's two verdict
-#: columns grade both branches from live data at every SF.
-_ROLL_BARS = (0.25, 0.70)
+#: q_gen_promote's graded bars, REUSED BY IMPORT (not re-hardcoded —
+#: the round-13 one-definition discipline) so the census's two verdict
+#: columns grade both branches from live data at every SF and can
+#: never desynchronize from q_gen_promote's.
+_ROLL_BARS = _PROMOTE_THRESHOLDS
 
 _DEL_VEC_SQL = """CAST(CAST(concat('0x', substring(
                          md5('del:' || CAST({col} AS VARCHAR)), 1, 8))
@@ -527,6 +545,33 @@ def _roll_gate_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer), which hides the chain behind a LogicalRDD; registered
     here under the plan guards (the q_pca_power::moments rule)."""
     return _gate_frame(spark, sf_dir)
+
+
+@plan_aux("q_generation_roll::route")
+def _roll_route_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The census's admitted-vector slice + frozen routing in LAZY
+    form — the query checkpoints both (|batch|-bounded, each consumed
+    by several warm-cycle stages), hiding the embeddings scan, the
+    gate semi-join, and the two-stage routing behind LogicalRDDs;
+    registered here under the plan guards (the q_pca_power::moments
+    rule — round-14 self-review: only the gate chain had an aux)."""
+    flags = _gate_frame(spark, sf_dir)
+    cent1, seeds1 = inc_index_build(spark, sf_dir)
+    adm_vecs = (
+        _inc_tagged(spark, sf_dir)
+        .filter(F.col("is_new"))
+        .select("vec_id", "label", "embedding")
+        .join(
+            flags.filter(F.col("admitted") == 1)
+            .select("doc_id")
+            .withColumnRenamed("doc_id", "vec_id"),
+            "vec_id",
+            "left_semi",
+        )
+    )
+    return frozen_route(
+        adm_vecs.select("vec_id", "embedding"), cent1, seeds1
+    )
 
 
 @query("q_generation_roll", oracle=_ROLL_ORACLE)

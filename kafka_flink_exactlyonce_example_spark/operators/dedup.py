@@ -2046,16 +2046,21 @@ _TT_DEL_PLANT_BASE = 2_000_000_000
 _TT_SURV_PLANT_BASE = 3_000_000_000
 
 
-def _tt_plant(base: DataFrame, pop, id_base: int) -> DataFrame:
+def _tt_plant(
+    base: DataFrame, pop, id_base: int, checkpoint: bool = True
+) -> DataFrame:
     """Deterministic near-copy plant over the first _TT_PLANT docs of
     a population (q_text_gen_fold's recipe: append the doc's own first
     word — word-set Jaccard exactly 1.0 with the source, text not
-    byte-equal). Checkpointed: O(1) rows referenced three times
-    (bands, word sets, probe ids)."""
+    byte-equal). Checkpointed by default (O(1) rows referenced three
+    times: bands, word sets, probe ids); ``checkpoint=False`` is the
+    plan-aux's LAZY view of the SAME builder — one definition, so the
+    guarded plan can never desynchronize from the executed chain
+    (round-14 self-review)."""
     first_word = F.element_at(
         F.filter(F.split("text", " "), lambda w: w != ""), 1
     )
-    return (
+    planted = (
         base.filter(pop)
         .orderBy("doc_id")
         .limit(_TT_PLANT)
@@ -2066,8 +2071,8 @@ def _tt_plant(base: DataFrame, pop, id_base: int) -> DataFrame:
                 F.col("text"), F.lit(" "), F.coalesce(first_word, F.lit("x"))
             ).alias("text"),
         )
-        .localCheckpoint()
     )
+    return planted.localCheckpoint() if checkpoint else planted
 
 
 @plan_aux("q_text_tombstone::plants")
@@ -2075,32 +2080,21 @@ def _tt_plants_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The two plant derivations in LAZY form (each a TakeOrdered over
     the corpus scan) — q_text_tombstone checkpoints the 8 planted rows,
     hiding these chains behind LogicalRDDs, so they are registered here
-    under the plan guards (the q_pca_power::moments rule)."""
+    under the plan guards (the q_pca_power::moments rule). Same builder
+    as the executed chain (:func:`_tt_plant` with checkpoint=False)."""
     base, _, _ = _tg_base(spark, sf_dir)
-    del_pop = (F.col("g") >= 2) & _del_tag_col("doc_id")
-    surv_pop = (F.col("g") >= 2) & ~_del_tag_col("doc_id")
-    first_word = F.element_at(
-        F.filter(F.split("text", " "), lambda w: w != ""), 1
-    )
-
-    def lazy_plant(pop, id_base):
-        return (
-            base.filter(pop)
-            .orderBy("doc_id")
-            .limit(_TT_PLANT)
-            .select(
-                (F.col("doc_id") + F.lit(id_base)).alias("doc_id"),
-                "lang",
-                F.concat(
-                    F.col("text"),
-                    F.lit(" "),
-                    F.coalesce(first_word, F.lit("x")),
-                ).alias("text"),
-            )
+    return _tt_plant(
+        base,
+        (F.col("g") >= 2) & _del_tag_col("doc_id"),
+        _TT_DEL_PLANT_BASE,
+        checkpoint=False,
+    ).unionByName(
+        _tt_plant(
+            base,
+            (F.col("g") >= 2) & ~_del_tag_col("doc_id"),
+            _TT_SURV_PLANT_BASE,
+            checkpoint=False,
         )
-
-    return lazy_plant(del_pop, _TT_DEL_PLANT_BASE).unionByName(
-        lazy_plant(surv_pop, _TT_SURV_PLANT_BASE)
     )
 
 

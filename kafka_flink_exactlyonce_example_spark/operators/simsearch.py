@@ -5374,11 +5374,15 @@ def serve_route(
         )
         .first()
     )
+    # an empty (or fully-tombstoned) posting relation aggregates
+    # n_pass to NULL — coalesce to 0 so the request resolves through
+    # the planner's own arithmetic (fbrute over zero survivors: the
+    # totality NULL-row discipline) instead of a TypeError
     return filtered_ann_route(
         recall_target,
         candidate_budget,
-        int(counts["n_pass"]),
-        int(counts["n_total"]),
+        int(counts["n_pass"] or 0),
+        int(counts["n_total"] or 0),
         floor=floor,
     )
 
@@ -5477,16 +5481,20 @@ def filtered_serve_topk(
     candidate_budget: int,
     k: int,
     tombstones: DataFrame | None = None,
+    floor: float | None = None,
 ) -> tuple[dict, DataFrame]:
     """Filtered serving, planner-routed end-to-end: resolve the
     request (:func:`serve_route` — survivor statistics + the graded
     crossover arithmetic, a loud ValueError when neither route
-    qualifies), then build ONLY the chosen plan. Returns (choice,
+    qualifies — pass the serving generation's ``floor`` so the fivf
+    promise is the generation's own, not the shipped constant), then
+    build ONLY the chosen plan. Returns (choice,
     frame); the frame's schema is route-dependent (fivf carries the
     routed cell, fbrute does not) and frozen per stream because the
     choice is."""
     choice = serve_route(
-        indexed, predicate, recall_target, candidate_budget, tombstones
+        indexed, predicate, recall_target, candidate_budget, tombstones,
+        floor=floor,
     )
     if choice["index"] == "fivf":
         return choice, filtered_frozen_topk(

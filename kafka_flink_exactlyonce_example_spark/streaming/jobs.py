@@ -854,6 +854,16 @@ def streaming_ann_serve(
     generations — the same argument the round-10 gate swap test
     proves, now for the query path."""
     route = None
+    if predicate is None and any(
+        v is not None
+        for v in (recall_target, candidate_budget, catalog_floor)
+    ):
+        raise ValueError(
+            "recall_target/candidate_budget/catalog_floor require a "
+            "predicate: an unpredicated stream serves the default frozen "
+            "plan and would silently ignore the contract — fail loudly "
+            "instead"
+        )
     if predicate is not None:
         from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
             serve_route,
