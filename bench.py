@@ -106,7 +106,19 @@ def main() -> None:
         here / f"BENCH_FULL_r{prev:02d}.json"
     ).exists():
         label = prev
-    (here / f"BENCH_FULL_r{label:02d}.json").write_text(payload)
+    if os.environ.get("SPARK_GRAFT_BENCH_LOCAL"):
+        # builder-local sample (VERDICT r13 process note): the
+        # BENCH_FULL_r{N} namespace belongs to the DRIVER's per-round
+        # maps — a builder closing sample under that name destroys
+        # artifact provenance (round 13's collision). Local samples
+        # get their own namespace with a free sequence suffix so the
+        # 3-sample discipline keeps every sample.
+        n = 1
+        while (here / f"BENCH_LOCAL_r{label:02d}_s{n}.json").exists():
+            n += 1
+        (here / f"BENCH_LOCAL_r{label:02d}_s{n}.json").write_text(payload)
+    else:
+        (here / f"BENCH_FULL_r{label:02d}.json").write_text(payload)
 
     slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
     print(

@@ -1157,6 +1157,116 @@ def main() -> None:
         )
         assert d_b == 4 * 8 and d_s == 8, "fold is not append-4/append-1"
 
+    # TEXT-index delete path (round 14, q_text_tombstone /
+    # near_text_flags(takedowns=...) / text_index_compact): at each
+    # mult, the text index over the scaled corpus, the 'del:' ~20%
+    # takedown wave, and the per-probe CANDIDATE count against the
+    # full vs the survivors-only formulation. Healthy = (a) the
+    # survivor candidate fraction is ~constant across mults (the del:
+    # tag is id-uniform, so the anti-join removes a constant FRACTION
+    # of the index side — never a growing one); (b) the compact is an
+    # exact per-doc contraction (4 band rows + 1 set row per
+    # taken-down doc — the fold's append law, inverted); (c) the
+    # tombstone-aware PROBE of the frozen capped view flags exactly
+    # what probing the COMPACTED index flags while max_bucket stays
+    # under the cap (the documented boundary precondition, asserted
+    # here at every mult before the equality).
+    base_tt = None
+    for mult in multiples:
+        parts = [
+            docs0.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                "lang",
+                "text",
+            )
+            for i in range(mult)
+        ]
+        bigd = parts[0]
+        for p_ in parts[1:]:
+            bigd = bigd.unionByName(p_)
+        t0 = time.perf_counter()
+        bands, sets = ddp.text_index_build(bigd)
+        bands = bands.localCheckpoint()
+        sets = sets.localCheckpoint()
+        wave = bigd.filter(ddp._del_tag_col("doc_id")).select(
+            "doc_id"
+        ).localCheckpoint()
+        n_wave = wave.count()
+        cb, cs = ddp.text_index_compact(bands, sets, wave)
+        cb = cb.localCheckpoint()
+        cs = cs.localCheckpoint()
+        d_b = bands.count() - cb.count()
+        d_s = sets.count() - cs.count()
+        probes = (
+            bigd.orderBy(
+                F.md5(F.concat(F.lit("tt:"), F.col("doc_id").cast("string"))),
+                "doc_id",
+            )
+            .limit(24)
+            .select(
+                (F.col("doc_id") + F.lit(900_000_000)).alias("doc_id"),
+                "lang",
+                "text",
+            )
+            .localCheckpoint()
+        )
+        qb = ddp._bands_rel(
+            ddp._signatures_frame(ddp._shingles_frame(probes))
+        ).localCheckpoint()
+
+        def cand_count(idx_bands):
+            return (
+                qb.join(
+                    ddp._cap_bands_rel(idx_bands).select(
+                        F.col("doc_id").alias("idx_doc"),
+                        "band_idx",
+                        "band_key",
+                    ),
+                    ["band_idx", "band_key"],
+                )
+                .select("doc_id", "idx_doc")
+                .distinct()
+                .count()
+            )
+
+        n_all, n_surv = cand_count(bands), cand_count(cb)
+        max_bucket = (
+            bands.groupBy("band_idx", "band_key")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        assert max_bucket <= ddp._MAX_BUCKET, (
+            "cap precondition broken — probe-vs-compact parity below "
+            "is no longer a theorem"
+        )
+        frozen = ddp.text_index_freeze(bands).localCheckpoint()
+        via_probe = {
+            (r["doc_id"], r["f_near_text"])
+            for r in ddp.near_text_flags(
+                probes, frozen, sets, bands_capped=True, takedowns=wave
+            ).collect()
+        }
+        via_compact = {
+            (r["doc_id"], r["f_near_text"])
+            for r in ddp.near_text_flags(probes, cb, cs).collect()
+        }
+        assert via_probe == via_compact, "probe/compact formulations differ"
+        dt = time.perf_counter() - t0
+        surv = n_surv / max(n_all, 1)
+        cpp = n_surv / 24.0
+        if base_tt is None:
+            base_tt = max(cpp, 1e-9)
+        print(
+            f"texttomb x{mult:<3d} cand/probe={n_all / 24.0:8.1f} -> "
+            f"{cpp:8.1f} (surv={surv:0.3f}, x{cpp / base_tt:4.2f}) "
+            f"compact_drops bands=-{d_b} sets=-{d_s} (wave={n_wave}) "
+            f"max_bucket={max_bucket}  wall={dt:6.2f}s"
+        )
+        assert d_b == 4 * n_wave and d_s == n_wave, (
+            "compact is not the exact per-doc inverse of the fold"
+        )
+
 
 if __name__ == "__main__":
     main()
