@@ -455,6 +455,10 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     # graded 'inc:'/'del:' window (gate, takedowns, digest/posting
     # deltas, churn, both promote verdicts)
     "q_generation_roll",
+    # the near-dup-grain executed re-point: the post-takedown curated
+    # manifest (keep-best over surviving group members, extinct groups
+    # dropped, untouched groups byte-stable)
+    "q_curate_post_takedown",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.

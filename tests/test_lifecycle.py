@@ -198,3 +198,73 @@ def test_generation_carries_its_own_operating_table(spark, tmp_path):
         if pick(rows1) != pick(rows2):
             diverged += 1
     assert diverged > 0, "no request resolved differently — table inert"
+
+
+def test_curate_post_takedown_invariants(spark, registry_loaded):
+    """q_curate_post_takedown's docstring claims, asserted on the
+    smoke corpus: no tombstoned doc is ever named as a keeper; a group
+    whose members are all taken down is absent; and a group the wave
+    did not touch keeps its pre-wave manifest row byte-for-byte
+    (n_survivors == the pre-wave group_size — the incremental claim:
+    only wave-touched groups can change)."""
+    from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+        _del_tag_col,
+    )
+    from kafka_flink_exactlyonce_example_spark.sources import table
+
+    post = {
+        r["doc_id"]: r
+        for r in registry_loaded.QUERIES["q_curate_post_takedown"](
+            spark, SMOKE_SF
+        ).collect()
+    }
+    pre = {
+        r["doc_id"]: r
+        for r in registry_loaded.QUERIES["q_pipeline_curate"](
+            spark, SMOKE_SF
+        ).collect()
+    }
+    d = table(spark, SMOKE_SF, "documents")
+    deleted = {
+        r["doc_id"]
+        for r in d.filter(_del_tag_col("doc_id")).select("doc_id").collect()
+    }
+    assert post, "post-wave manifest must not be empty"
+    assert not deleted & set(post), "a tombstoned doc was named keeper"
+
+    labels = {
+        r["doc_id"]: r["group_id"]
+        for r in registry_loaded.QUERIES["q_dup_groups"](
+            spark, SMOKE_SF
+        ).collect()
+    }
+    members: dict[int, set[int]] = {}
+    for doc, g in labels.items():
+        members.setdefault(g, set()).add(doc)
+    extinct = {g for g, m in members.items() if m <= deleted}
+    touched = {g for g, m in members.items() if m & deleted}
+    for doc in post:
+        assert labels[doc] not in extinct, "an extinct group survived"
+    # untouched groups: identical keeper row, n_survivors == group_size
+    untouched_pre = {
+        doc: r
+        for doc, r in pre.items()
+        if labels[doc] not in touched
+    }
+    for doc, r in untouched_pre.items():
+        assert doc in post, f"untouched keeper {doc} vanished"
+        p = post[doc]
+        assert (
+            p["n_survivors"], p["n_tokens"], p["shard"], p["lang"], p["source"]
+        ) == (
+            r["n_dups_folded"], r["n_tokens"], r["shard"], r["lang"], r["source"]
+        )
+    # the wave is load-bearing on this corpus: at least one group
+    # went extinct or re-pointed
+    assert extinct or any(
+        doc not in post for doc in pre if labels[doc] in touched
+    ) or any(
+        doc in post and post[doc]["n_survivors"] != pre[doc]["n_dups_folded"]
+        for doc in pre
+        if labels[doc] in touched
+    )
