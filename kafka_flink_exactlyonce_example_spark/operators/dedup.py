@@ -769,6 +769,20 @@ def _cc_min_label(spark: SparkSession, d: DataFrame, edges: DataFrame) -> DataFr
     return labels
 
 
+def _keep_best_key():
+    """The keep-best quality order as ONE orderable expression:
+    longest doc first, lowest doc_id on ties — a lexicographic struct,
+    so it is exact at ANY id magnitude (the arithmetic composite
+    ``n_chars·1e6 − doc_id`` it replaces collides once doc_ids reach
+    ~1e6 per unit of n_chars delta — ADVICE r14). SQL twin:
+    ``first(doc_id ORDER BY n_chars DESC, doc_id)`` — one definition
+    per engine, shared by q_dedup_keep_best, q_pipeline_curate and
+    q_curate_post_takedown."""
+    return F.struct(
+        F.col("n_chars").alias("q"), (-F.col("doc_id")).alias("t")
+    )
+
+
 @query(
     "q_dedup_keep_best",
     oracle=_LSH_CC_PREFIX
@@ -781,7 +795,8 @@ def _cc_min_label(spark: SparkSession, d: DataFrame, edges: DataFrame) -> DataFr
     )
     SELECT group_id,
            CAST(COUNT(*) AS BIGINT) AS group_size,
-           CAST(arg_max(doc_id, n_chars * 1000000 - doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(first(doc_id ORDER BY n_chars DESC, doc_id) AS BIGINT)
+               AS keep_doc_id,
            CAST(MAX(n_chars) AS BIGINT) AS keep_n_chars
     FROM groups
     GROUP BY group_id
@@ -792,7 +807,14 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate group, keep the highest-quality member (longest doc;
     lowest doc_id breaks ties deterministically). Composes the
     connected-components labels with a max_by aggregate — at 100 TB
-    the keep-set join back to the corpus is a semi-join on doc_id."""
+    the keep-set join back to the corpus is a semi-join on doc_id.
+
+    Tie-break key (round 15, ADVICE r14): a lexicographic struct
+    (n_chars, −doc_id) on the Spark side and an ordered-aggregate
+    ``first(doc_id ORDER BY n_chars DESC, doc_id)`` on the DuckDB
+    side — the prior arithmetic composite ``n_chars·1e6 − doc_id``
+    collides once ids reach ~1e6 per unit of n_chars delta, which is
+    exactly the id space a 100 TB corpus uses."""
     labels = q_dup_groups(spark, sf_dir)
     d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return (
@@ -800,9 +822,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("group_id")
         .agg(
             F.count(F.lit(1)).alias("group_size"),
-            F.max_by(
-                "doc_id", F.col("n_chars") * F.lit(1000000) - F.col("doc_id")
-            ).alias("keep_doc_id"),
+            F.max_by("doc_id", _keep_best_key()).alias("keep_doc_id"),
             F.max("n_chars").cast("long").alias("keep_n_chars"),
         )
     )

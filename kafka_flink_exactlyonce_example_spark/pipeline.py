@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from kafka_flink_exactlyonce_example_spark.operators.dedup import (
     _LSH_CC_PREFIX,
     _del_tag_col,
+    _keep_best_key,
     q_dedup_keep_best,
     q_dup_groups,
 )
@@ -76,7 +77,7 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.doc_id, d.n_chars
     ),
     keep AS (
-        SELECT CAST(arg_max(doc_id, n_chars * 1000000 - doc_id) AS BIGINT) AS doc_id,
+        SELECT CAST(first(doc_id ORDER BY n_chars DESC, doc_id) AS BIGINT) AS doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_dups_folded
         FROM groups
         GROUP BY group_id
@@ -108,7 +109,7 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.doc_id, d.n_chars
     ),
     keep AS (
-        SELECT CAST(arg_max(doc_id, n_chars * 1000000 - doc_id) AS BIGINT) AS doc_id,
+        SELECT CAST(first(doc_id ORDER BY n_chars DESC, doc_id) AS BIGINT) AS doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_survivors
         FROM groups
         WHERE NOT CAST(CAST(concat('0x', substring(
@@ -165,9 +166,7 @@ def q_curate_post_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("group_id")
         .agg(
             F.count(F.lit(1)).alias("n_survivors"),
-            F.max_by(
-                "doc_id", F.col("n_chars") * F.lit(1000000) - F.col("doc_id")
-            ).alias("doc_id"),
+            F.max_by("doc_id", _keep_best_key()).alias("doc_id"),
         )
     )
     toks = F.filter(F.split("text", " "), lambda w: w != "")

@@ -284,6 +284,23 @@ _CHANGED_IN_ROUND: dict[int, frozenset[str]] = {
     14: frozenset({
         "q_filtered_route_matrix",
     }),
+    #: Round 15 (ADVICE r14): the keep-best tie-break key moved from
+    #: the arithmetic composite n_chars·1e6 − doc_id (collides once
+    #: doc_ids reach ~1e6 per unit of n_chars delta — nondeterministic
+    #: at 100 TB id spaces) to a lexicographic struct on the Spark
+    #: side and an ordered-aggregate first() on the DuckDB side —
+    #: values identical on the graded fixtures (ids ≤ 49,999), plans
+    #: changed (hash_agg → sort_agg) in all three consumers. And the
+    #: roll census's admission gate now sees the SAME window's
+    #: takedown wave (VERDICT r14 item 1): all three checks run
+    #: against gen-1 SURVIVORS, so q_generation_roll's verdict,
+    #: folds and churn re-derive under the threaded wave.
+    15: frozenset({
+        "q_dedup_keep_best",
+        "q_pipeline_curate",
+        "q_curate_post_takedown",
+        "q_generation_roll",
+    }),
 }
 
 

@@ -869,10 +869,24 @@ def streaming_ann_serve(
             serve_route,
         )
 
+        if recall_target is None:
+            # ADVICE r14: defaulting to recall 1.0 resolved every
+            # predicate-only stream to fbrute — an exact full-survivor
+            # scan per micro-batch the caller never asked for. A
+            # filtered stream must therefore state its recall contract
+            # explicitly; exactness is still one argument away
+            # (recall_target=1.0), just never a silent default.
+            raise ValueError(
+                "a predicated stream must state its recall_target "
+                "explicitly: the implicit default (1.0) silently "
+                "resolves to fbrute — an exact full-survivor scan per "
+                "micro-batch. Pass recall_target=1.0 if exactness is "
+                "what you want."
+            )
         route = serve_route(
             indexed,
             predicate,
-            1.0 if recall_target is None else recall_target,
+            recall_target,
             2**62 if candidate_budget is None else candidate_budget,
             tombstones=tombstones,
             floor=catalog_floor,

@@ -67,10 +67,10 @@ def test_ann_search_plan_builds_only_the_chosen_plan(spark):
     assert "ccell" in plan_ivf, "ivf route must ride the cell assignment"
 
 
-def test_ann_planned_equals_mp_frontier(spark):
+def test_ann_planned_equals_mp_frontier(spark, registry_loaded):
     """The planner contract end-to-end at smoke scale: the built plan's
     audit equals q_mp_frontier's row-for-row (same panel, same k)."""
-    from kafka_flink_exactlyonce_example_spark.registry import QUERIES
+    QUERIES = registry_loaded.QUERIES
 
     got = sorted(
         tuple(r) for r in QUERIES["q_ann_planned"](spark, SMOKE_SF).collect()
@@ -81,14 +81,14 @@ def test_ann_planned_equals_mp_frontier(spark):
     assert got == want and got
 
 
-def test_ann_plan_ivf_depth_matches_graded_point(spark):
+def test_ann_plan_ivf_depth_matches_graded_point(spark, registry_loaded):
     """The ivf builder at nprobe=_IVF_NPROBE is q_ivf_recall's exact
     relation — the catalog's nprobe=4 row IS the graded point."""
     from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
         _IVF_NPROBE,
         _ivf_recall_frame,
     )
-    from kafka_flink_exactlyonce_example_spark.registry import QUERIES
+    QUERIES = registry_loaded.QUERIES
 
     got = sorted(
         tuple(r)

@@ -3157,3 +3157,37 @@ def test_streaming_ann_serve_filtered_routes(spark, tmp_path):
         r["vec_id"] for r in indexed.filter(sel).select("vec_id").collect()
     }
     assert {g[2] for g in got_b if g[2] is not None} <= in_label
+
+
+def test_streaming_ann_serve_requires_explicit_recall(spark, tmp_path):
+    """ADVICE r14: a predicated stream must state its recall contract
+    — the old implicit default (recall 1.0 / unbounded budget) made
+    serve_route silently resolve EVERY predicate-only stream to
+    fbrute, an exact full-survivor scan per micro-batch the caller
+    never asked for. The constructor now fails loudly BEFORE any
+    batch is consumed; exactness stays one explicit argument away."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafka_flink_exactlyonce_example_spark.streaming.jobs import (
+        streaming_ann_serve,
+    )
+    from kafka_flink_exactlyonce_example_spark.streaming.sources import (
+        file_stream,
+    )
+    from kafka_flink_exactlyonce_example_spark.streaming.exactly_once import (
+        IdempotentBatchSink,
+    )
+
+    inp, cent, seeds, indexed = _ann_serve_fixture(spark, tmp_path)
+    schema = "vec_id bigint, embedding array<float>"
+    with pytest.raises(ValueError, match="recall_target"):
+        streaming_ann_serve(
+            file_stream(spark, inp, schema, fmt="json"),
+            cent,
+            seeds,
+            indexed,
+            IdempotentBatchSink(str(tmp_path / "out")),
+            str(tmp_path / "ckpt"),
+            predicate=(F.col("label") % 2) == 0,
+        )

@@ -198,14 +198,14 @@ def test_text_index_parquet_round_trip(spark, tmp_path):
     assert got == {200: 1, 300: 0}
 
 
-def test_dedup_tombstone_repoint_branch(spark, tmp_path):
+def test_dedup_tombstone_repoint_branch(spark, tmp_path, registry_loaded):
     """q_dedup_tombstone's RE-POINT branch on a toy corpus (the graded
     sf0.01 corpus is digest-unique, so the driver row only exercises
     the extinct branch): a group whose keeper (doc 1, 'del:'-tagged)
     is taken down re-points to the min surviving member; a deleted
     singleton (doc 6) goes extinct with NULL keep_after; a group
     whose keeper survives never appears."""
-    from kafka_flink_exactlyonce_example_spark.registry import QUERIES
+    QUERIES = registry_loaded.QUERIES
 
     # ids 1, 6, 7 are 'del:'-tagged (md5-derived, deterministic);
     # 0, 2, 3, 4, 5 are not
@@ -495,7 +495,7 @@ def test_graded_text_tombstone_row_invariants(spark, registry_loaded):
     assert fs == {0, 1}, "both f_surv branches must be non-vacuous"
 
 
-def test_repoint_manifest_executes_report_branches(spark, tmp_path):
+def test_repoint_manifest_executes_report_branches(spark, tmp_path, registry_loaded):
     """Round 14 (VERDICT r13 item 2): repoint_manifest CONSUMES the
     keeper-churn report — on the toy corpus whose branch structure
     test_dedup_tombstone_repoint_branch pins (re-pointed group,
@@ -509,7 +509,7 @@ def test_repoint_manifest_executes_report_branches(spark, tmp_path):
         _del_tag_col,
         repoint_manifest,
     )
-    from kafka_flink_exactlyonce_example_spark.registry import QUERIES
+    QUERIES = registry_loaded.QUERIES
 
     # ids 1, 6, 7 are 'del:'-tagged; 0, 2, 3, 4, 5 are not
     rows = [
