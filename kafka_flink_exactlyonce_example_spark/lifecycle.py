@@ -222,6 +222,12 @@ def corpus_generation_roll(
     (ids of GENERATION-1 corpus members; a doc admitted and taken
     down in the same window is out of scope here —
     :func:`simsearch.warm_index_cycle` handles it at the frame level).
+    The admission gate sees the SAME window's wave (round 15, VERDICT
+    r14 item 1): all three checks — digest, text, embedding — run
+    against gen-1 SURVIVORS via
+    :func:`streaming.jobs.ingest_gate_decisions`'s ``takedowns``
+    thread, so a fresh doc that duplicates a doc deleted in this very
+    window is admitted now, not one generation later.
     Generation 2 is ALWAYS built and persisted (the artifact is the
     cheap part and a rejected roll should be inspectable); what the
     verdict GATES is the ``pointer`` — serving moves to gen 2 only
@@ -231,6 +237,20 @@ def corpus_generation_roll(
     DELETE-ONLY window has an empty batch and MUST pass probes —
     zero probes is zero churn EVIDENCE, not zero churn, and the
     verdict then conservatively refuses the swap.
+
+    WAVE-MERGE CONTRACT for a rejected window (round 15, VERDICT r14
+    item 2): promote=0 leaves the pointer on generation N, and the
+    window's wave is then UNAPPLIED to serving even though the gen-N+1
+    artifacts exist on disk. The next window must roll from whatever
+    the pointer names (gen N) with the MERGED wave — ``batch`` =
+    union of the unapplied and the new batches (distinct on doc_id;
+    decisions for the replayed docs recompute identically against the
+    unchanged gen-N state, the same determinism argument the marker
+    sink uses), ``takedowns`` = union of the two id-sets (the roll
+    already distincts them). A doc admitted by the REJECTED roll and
+    taken down by the new wave is simply absent from the merged batch
+    — caller composition, since the rejected generation never served.
+    The retry path is runtime-tested in tests/test_lifecycle.py.
 
     Census (all counts from bounded aggregates): batch/admission,
     takedown, digest and posting deltas, fired cells, churn, verdict,
@@ -246,15 +266,20 @@ def corpus_generation_roll(
     tomb_docs = takedowns.select("doc_id").distinct().localCheckpoint()
     tomb_vecs = tomb_docs.select(F.col("doc_id").alias("vec_id"))
 
-    # --- 1. admission: the gate against the FROZEN gen-1 state -----
+    # --- 1. admission: the gate against gen-1 SURVIVORS -------------
+    # (round 15, VERDICT r14 item 1: the wave is threaded through all
+    # three checks, so a fresh doc duplicating a doc deleted in THIS
+    # window is admitted, not ghost-rejected for one generation — the
+    # digest relation goes in at (doc_id, h) grain for the anti-join)
     decisions = ingest_gate_decisions(
         batch.select("doc_id", "lang", "text", "embedding"),
-        g1["digests"].select("h").distinct(),
+        g1["digests"],
         g1["cent"],
         g1["seeds"],
         g1["indexed"],
         near_threshold,
         text_index=(g1["bands"], g1["sets"]),
+        takedowns=tomb_docs,
     ).localCheckpoint()  # |batch| rows, referenced by every fold below
     admitted_ids = decisions.filter(F.col("admitted") == 1).select("doc_id")
     admitted_docs = batch.join(admitted_ids, "doc_id", "left_semi")
@@ -395,7 +420,8 @@ from kafka_flink_exactlyonce_example_spark.operators.dedup import (  # noqa: E40
     _md5_mod_col,
 )
 from kafka_flink_exactlyonce_example_spark.operators.ingest import (  # noqa: E402
-    _GATE_CTES,
+    _DEL_TAG_SQL,
+    _GATE_POST_CTES,
     _gate_frame,
     _is_del_col,
 )
@@ -413,15 +439,15 @@ from kafka_flink_exactlyonce_example_spark.sources import table  # noqa: E402
 #: never desynchronize from q_gen_promote's.
 _ROLL_BARS = _PROMOTE_THRESHOLDS
 
-_DEL_VEC_SQL = """CAST(CAST(concat('0x', substring(
-                         md5('del:' || CAST({col} AS VARCHAR)), 1, 8))
-                    AS UBIGINT) % 5 AS BIGINT) = 0"""
+#: ONE definition of the 'del:' tag SQL twin (round 15): the roll's
+#: oracle formats the shared ingest fragment instead of re-inlining it.
+_DEL_VEC_SQL = _DEL_TAG_SQL
 
 _ROLL_ORACLE = (
-    _GATE_CTES
+    _GATE_POST_CTES
     + f"""
     , admitted AS (
-        SELECT doc_id FROM verdict WHERE admitted = 1
+        SELECT doc_id FROM verdict_s WHERE admitted = 1
     ), takedown AS (
         SELECT doc_id FROM dsplit
         WHERE is_new = 0 AND {_DEL_VEC_SQL.format(col='doc_id')}
@@ -435,7 +461,7 @@ _ROLL_ORACLE = (
         -- admitted docs that have a vector: indexed by the roll at
         -- the cell the FROZEN gen-1 router chose (verdict.cell)
         SELECT v.doc_id AS vec_id, v.cell, e.embedding
-        FROM verdict v
+        FROM verdict_s v
         JOIN esplit e ON e.vec_id = v.doc_id AND e.is_new = 1
         WHERE v.admitted = 1 AND v.cell IS NOT NULL
     ), surv AS (
@@ -519,7 +545,7 @@ _ROLL_ORACLE = (
                      <= {_ROLL_BARS[1]} THEN 1 ELSE 0 END AS promote_lenient
     FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
                  CAST(SUM(admitted) AS BIGINT) AS n_admitted
-          FROM verdict) b
+          FROM verdict_s) b
     CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_takedowns
                 FROM takedown) t
     CROSS JOIN (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS n_digests_v1
@@ -543,8 +569,11 @@ def _roll_gate_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the digest fold, the admitted-vector slice, AND the batch
     aggregate, and a lazy reference re-runs the whole gate chain per
     consumer), which hides the chain behind a LogicalRDD; registered
-    here under the plan guards (the q_pca_power::moments rule)."""
-    return _gate_frame(spark, sf_dir)
+    here under the plan guards (the q_pca_power::moments rule).
+    Round 15: the census gates against gen-1 SURVIVORS (the takedown
+    wave threaded through all three checks), so the guarded chain is
+    the survivors_only variant."""
+    return _gate_frame(spark, sf_dir, survivors_only=True)
 
 
 @plan_aux("q_generation_roll::route")
@@ -555,7 +584,7 @@ def _roll_route_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate semi-join, and the two-stage routing behind LogicalRDDs;
     registered here under the plan guards (the q_pca_power::moments
     rule — round-14 self-review: only the gate chain had an aux)."""
-    flags = _gate_frame(spark, sf_dir)
+    flags = _gate_frame(spark, sf_dir, survivors_only=True)
     cent1, seeds1 = inc_index_build(spark, sf_dir)
     adm_vecs = (
         _inc_tagged(spark, sf_dir)
@@ -602,9 +631,16 @@ def q_generation_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_lifecycle.py with both verdict branches driving the
     serving pointer; this row grades the same window's arithmetic on
     the graded fixtures against an independent DuckDB derivation):
-    the standing 'inc:' batch is gated against the frozen gen-1 state
-    (the q_ingest_gate chain), the 'del:' wave (~20% of the OLD
-    corpus) is taken down, both index reports fire cells (zero at the
+    the standing 'inc:' batch is gated against gen-1 SURVIVORS of the
+    'del:' wave — round 15, VERDICT r14 item 1: the q_ingest_gate
+    chain with the SAME window's takedowns threaded through all three
+    checks (digest anti-join at doc grain, surviving-endpoint edges,
+    tombstone-filtered posting scan — the verdict_s oracle CTE /
+    ``_gate_frame(survivors_only=True)``, the census twin of
+    ``ingest_gate_decisions(takedowns=...)``), so a fresh doc
+    duplicating a same-window-deleted doc is admitted, never
+    ghost-rejected — the 'del:' wave (~20% of the OLD corpus) is
+    taken down, both index reports fire cells (zero at the
     graded SFs — the reports still run), the embedding index rolls
     through :func:`simsearch.warm_index_cycle`, and the census emits:
     batch/admission counts, takedown count, digest-set sizes before
@@ -642,7 +678,7 @@ def q_generation_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
     price of grading the whole window in one row, not a plan
     defect — each constituent stage benches separately at its own
     graded row."""
-    flags = _gate_frame(spark, sf_dir).localCheckpoint()
+    flags = _gate_frame(spark, sf_dir, survivors_only=True).localCheckpoint()
     cent1, seeds1 = inc_index_build(spark, sf_dir)
     tagged = _inc_tagged(spark, sf_dir)
     old = tagged.filter(~F.col("is_new")).select(

@@ -177,10 +177,90 @@ _GATE_CTES = (
 )
 
 
-def _gate_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: The 'del:' takedown tag's SQL twin, formatable over any id column —
+#: ONE definition (round 15; lifecycle's _DEL_VEC_SQL now aliases it)
+#: mirroring :func:`dedup._del_tag_col`.
+_DEL_TAG_SQL = """CAST(CAST(concat('0x', substring(
+                         md5('del:' || CAST({col} AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % 5 AS BIGINT) = 0"""
+
+#: _GATE_CTES + the SURVIVOR-gated verdict (round 15, VERDICT r14
+#: item 1): the same three checks decided against the corpus MINUS the
+#: graded 'del:' wave — digest anti-join at DOC grain before the
+#: distinct-h view (a digest shared by a deleted and a surviving doc
+#: still rejects), edges restricted to surviving corpus endpoints, the
+#: posting scan tombstone-filtered. ``verdict_s`` is the oracle twin
+#: of ``_gate_frame(survivors_only=True)`` /
+#: ``ingest_gate_decisions(takedowns=...)``; q_generation_roll's
+#: census and q_gate_post_takedown grade against it.
+_GATE_POST_CTES = (
+    _GATE_CTES
+    + f"""
+    , surv_doc AS (
+        SELECT doc_id FROM dsplit
+        WHERE is_new = 0 AND NOT {_DEL_TAG_SQL.format(col='doc_id')}
+    ), surv_h AS (
+        SELECT DISTINCT d.h FROM dsplit d
+        JOIN surv_doc s ON s.doc_id = d.doc_id
+    ), near_text_s AS (
+        SELECT DISTINCT n.doc_id
+        FROM dsplit n
+        JOIN (SELECT doc_a AS x, doc_b AS y FROM edges
+              UNION ALL SELECT doc_b, doc_a FROM edges) e ON e.x = n.doc_id
+        JOIN surv_doc c ON c.doc_id = e.y
+        WHERE n.is_new = 1
+    ), nn_s AS (
+        SELECT vec_id, cell, neighbor_id, ROUND(sim, 6) AS sim FROM (
+            SELECT a.vec_id, a.cell, x.vec_id AS neighbor_id,
+                   {cosine_sql('a.embedding', 'x.embedding')} AS sim,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {cosine_sql('a.embedding', 'x.embedding')}
+                                DESC, x.vec_id) AS rn
+            FROM eassign a
+            LEFT JOIN esplit x
+              ON x.is_new = 0 AND x.label = a.cell
+             AND NOT {_DEL_TAG_SQL.format(col='x.vec_id')}
+        ) WHERE rn = 1
+    ), verdict_s AS (
+        SELECT d.doc_id,
+               CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END AS f_exact,
+               CASE WHEN nt.doc_id IS NOT NULL THEN 1 ELSE 0
+                    END AS f_near_text,
+               CASE WHEN nn_s.sim >= {_NEAR_EMB_THRESHOLD} THEN 1 ELSE 0
+                    END AS f_near_emb,
+               nn_s.cell AS cell,
+               nn_s.neighbor_id AS neighbor_id,
+               nn_s.sim AS sim,
+               CASE WHEN sh.h IS NULL AND nt.doc_id IS NULL
+                         AND COALESCE(nn_s.sim < {_NEAR_EMB_THRESHOLD}, TRUE)
+                    THEN 1 ELSE 0 END AS admitted
+        FROM dsplit d
+        LEFT JOIN surv_h sh ON sh.h = d.h
+        LEFT JOIN near_text_s nt ON nt.doc_id = d.doc_id
+        LEFT JOIN nn_s ON nn_s.vec_id = d.doc_id
+        WHERE d.is_new = 1
+    )
+"""
+)
+
+
+def _gate_frame(
+    spark: SparkSession, sf_dir: str, survivors_only: bool = False
+) -> DataFrame:
     """Per-new-doc admission verdict WITH the assigned routing cell —
     the Spark twin of the oracle's ``verdict`` CTE. q_ingest_gate
-    drops the cell; q_index_refresh groups admitted docs by it."""
+    drops the cell; q_index_refresh groups admitted docs by it.
+
+    ``survivors_only`` (round 15, VERDICT r14 item 1): all three
+    checks run against the corpus MINUS the graded 'del:' takedown
+    wave — the fixture twin of
+    :func:`streaming.jobs.ingest_gate_decisions`'s ``takedowns``
+    thread (digest anti-join at doc grain before the distinct-h view,
+    surviving-endpoint edges, tombstone-filtered posting scan) — the
+    admission semantics q_generation_roll's census now grades. The
+    default keeps q_ingest_gate / q_index_refresh on the standing
+    no-wave scenario and their plans byte-identical."""
     d = table(spark, sf_dir, "documents")
     is_new = _md5_mod_col("inc:", "doc_id", 10) == 0
     dsplit = d.select(
@@ -190,6 +270,12 @@ def _gate_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new_docs = dsplit.filter(F.col("is_new") == 1).select("doc_id", "h")
     corpus = dsplit.filter(F.col("is_new") == 0)
+    if survivors_only:
+        from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+            _del_tag_col,
+        )
+
+        corpus = corpus.filter(~_del_tag_col("doc_id"))
     corpus_h = corpus.select("h").distinct()
     corpus_doc = corpus.select("doc_id")
 
@@ -209,8 +295,15 @@ def _gate_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "embedding"
     )
     new_vec = tagged.filter(F.col("is_new")).select("vec_id", "embedding")
+    tomb_vec = (
+        old_vec.filter(_is_del_col()).select("vec_id")
+        if survivors_only
+        else None
+    )
     nn = frozen_top1(
-        frozen_route(new_vec, cent, seeds), _assign_to_seeds(old_vec, seeds)
+        frozen_route(new_vec, cent, seeds),
+        _assign_to_seeds(old_vec, seeds),
+        tombstones=tomb_vec,
     ).select(F.col("vec_id").alias("doc_id"), "cell", "neighbor_id", "sim")
 
     flagged = (

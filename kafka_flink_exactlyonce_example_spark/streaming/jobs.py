@@ -546,6 +546,7 @@ def ingest_gate_decisions(
     near_threshold: float = 0.9,
     text_index: tuple[DataFrame, DataFrame] | None = None,
     text_index_capped: bool = False,
+    takedowns: DataFrame | None = None,
 ) -> DataFrame:
     """Admission decisions for ONE ingest micro-batch against a FROZEN
     corpus index — the batch core of the streaming ingest gate (the
@@ -589,16 +590,55 @@ def ingest_gate_decisions(
     replay order-dependent; that is the bug frozen-index semantics
     exist to prevent.
 
+    ``takedowns`` (round 15, VERDICT r14 item 1): the SAME window's
+    takedown id-set, threaded through ALL THREE checks so admission is
+    decided against gen-1 SURVIVORS — a fresh doc that duplicates or
+    near-dups a doc being deleted in this very window is admitted, not
+    ghost-rejected for one generation (the failure mode the round-14
+    delete path fixed BETWEEN windows, now closed WITHIN one):
+
+    - digest — ``corpus_digests`` must then carry ``doc_id`` (the
+      persisted (doc_id, h) generation relation); the wave is
+      anti-joined out at doc grain BEFORE the distinct-h probe view,
+      so a digest shared by a deleted and a surviving doc still
+      rejects (the survivor owns it);
+    - embedding — the wave rides :func:`simsearch.frozen_top1`'s
+      ``tombstones`` anti-join (q_ann_tombstone's serving relation);
+    - text — :func:`dedup.near_text_flags`' ``takedowns`` anti-join
+      (index bands AND word sets, before candidate generation).
+
+    Default ``None`` keeps every existing plan byte-identical, and the
+    frozen-for-the-stream replay argument is untouched either way: the
+    wave is part of the frozen state, so a replayed batch recomputes
+    byte-identical decisions.
+
     Scale shape: digests and the routing tables (centroids: labels × d;
     seeds: Σk ∝ √n) are bounded or √n-scaled broadcasts; the neighbor
     scan is per-sub-cell (∝ √n rows per batch doc); nothing rescans
     the corpus and no batch×corpus or batch×batch pair set exists.
+    The takedown thread adds two 8-byte-id anti-joins (digest grain,
+    posting grain) and the text-side pair — broadcast at wave scale.
     """
     from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
         frozen_route,
         frozen_top1,
     )
 
+    tomb_vecs = None
+    if takedowns is not None:
+        if "doc_id" not in corpus_digests.columns:
+            raise ValueError(
+                "ingest_gate_decisions(takedowns=...) needs the digest "
+                "relation at (doc_id, h) grain to anti-join the wave; "
+                "got columns " + str(corpus_digests.columns)
+            )
+        tomb = takedowns.select("doc_id")
+        tomb_vecs = tomb.select(F.col("doc_id").alias("vec_id"))
+        corpus_digests = (
+            corpus_digests.join(tomb, "doc_id", "left_anti")
+            .select("h")
+            .distinct()
+        )
     digests = batch.select(
         "doc_id",
         F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("h"),
@@ -614,6 +654,7 @@ def ingest_gate_decisions(
             seeds,
         ),
         indexed,
+        tombstones=tomb_vecs,
     ).select(
         F.col("vec_id").alias("doc_id"), "neighbor_id", "sim"
     )
@@ -632,6 +673,7 @@ def ingest_gate_decisions(
                 bands,
                 sets,
                 bands_capped=text_index_capped,
+                takedowns=takedowns,
             ),
             "doc_id",
             "left",
@@ -664,6 +706,7 @@ def streaming_ingest_gate(
     near_threshold: float = 0.9,
     trigger_once: bool = True,
     text_index: tuple[DataFrame, DataFrame] | None = None,
+    takedowns: DataFrame | None = None,
 ) -> StreamingQuery:
     """Exactly-once streaming ingest gate: each micro-batch of new
     documents is admitted against the frozen corpus index
@@ -690,7 +733,18 @@ def streaming_ingest_gate(
     replays under the NEW index — legitimate, because its v1 output
     was never committed. Exactly-once therefore holds over the UNION
     of generations, and ``q_index_refresh`` (operators/ingest.py) is
-    the report that decides when this swap is due."""
+    the report that decides when this swap is due.
+
+    ``takedowns`` (round 15): the stream's takedown wave, FROZEN for
+    the stream's lifetime like every other input (materialized once
+    here — O(|wave|) rows referenced by every micro-batch) and
+    threaded through all three checks (:func:`ingest_gate_decisions`'s
+    ``takedowns``), so admission is decided against survivors within
+    the same window; ``corpus_digests`` must then carry ``doc_id``.
+    Replay determinism is untouched — a frozen wave recomputes
+    byte-identical decisions."""
+    if takedowns is not None:
+        takedowns = takedowns.select("doc_id").distinct().localCheckpoint()
     if text_index is not None:
         from kafka_flink_exactlyonce_example_spark.operators.dedup import (
             text_index_freeze,
@@ -715,6 +769,7 @@ def streaming_ingest_gate(
                 near_threshold,
                 text_index=text_index,
                 text_index_capped=True,
+                takedowns=takedowns,
             ),
             batch_id,
         )

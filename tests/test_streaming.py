@@ -3191,3 +3191,221 @@ def test_streaming_ann_serve_requires_explicit_recall(spark, tmp_path):
             str(tmp_path / "ckpt"),
             predicate=(F.col("label") % 2) == 0,
         )
+
+
+def test_streaming_gate_same_window_takedowns(spark, tmp_path):
+    """Round 15 (VERDICT r14 item 1): the admission gate sees the SAME
+    window's takedown wave — no compact, no generation swap, just the
+    ``takedowns`` thread. Doc 1 (text near-dup source), doc 3 (exact
+    digest source) and vector 5 (the only near-threshold embedding
+    neighbor) are all being deleted in THIS window; probes that
+    duplicate each of them must be admitted by the threaded gate while
+    near/exact copies of SURVIVORS keep dying, and the committed
+    streaming decisions must equal the batch twin
+    (:func:`ingest_gate_decisions` with the same wave) byte-for-byte.
+    Without the thread every one of the three flips ghost-rejects —
+    asserted via the un-threaded batch twin, which keeps the test
+    non-vacuous if the fixture drifts."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+        _assign_to_seeds,
+        text_index_build,
+    )
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        frozen_index_frames,
+    )
+    from kafka_flink_exactlyonce_example_spark.streaming.jobs import (
+        ingest_gate_decisions,
+        streaming_ingest_gate,
+    )
+
+    schema = "doc_id bigint, lang string, text string, embedding array<float>"
+    # docs 1-4 share one embedding cluster; doc 5 sits alone so that a
+    # probe near it has NO other near-threshold neighbor
+    corpus = spark.createDataFrame(
+        [
+            (
+                i,
+                "en",
+                " ".join(f"w{i}x{j}" for j in range(30)),
+                [1.0, 0.01 * i, 0.0] if i != 5 else [0.0, 0.0, 1.0],
+            )
+            for i in range(1, 7)
+        ],
+        schema,
+    )
+    old = corpus.select(
+        F.col("doc_id").alias("vec_id"),
+        F.lit(0).cast("int").alias("label"),
+        "embedding",
+    )
+    cent, seeds = frozen_index_frames(old)
+    seeds = seeds.localCheckpoint()
+    indexed = _assign_to_seeds(old, seeds).localCheckpoint()
+    bands, sets = text_index_build(corpus.select("doc_id", "lang", "text"))
+    digests = corpus.select(
+        "doc_id", F.md5(F.lower(F.trim("text")).cast("binary")).alias("h")
+    ).localCheckpoint()  # (doc_id, h) grain — the takedown thread needs it
+    wave = spark.createDataFrame([(1,), (3,), (5,)], "doc_id bigint")
+
+    def near_copy_of(src: int, pid: int, emb) -> dict:
+        words = [f"w{src}x{j}" for j in range(30)]
+        words[13] = "mutated"
+        return {"doc_id": pid, "lang": "en",
+                "text": " ".join(words), "embedding": emb}
+
+    far = [0.0, 1.0, 0.0]  # near nothing in the index
+    probes = [
+        near_copy_of(1, 901, far),           # near-text flip: src deleted
+        near_copy_of(2, 902, far),           # near-text hold: src survives
+        {"doc_id": 903, "lang": "en",        # exact-digest flip: src deleted
+         "text": " ".join(f"w3x{j}" for j in range(30)), "embedding": far},
+        {"doc_id": 904, "lang": "en",        # exact-digest hold: src survives
+         "text": " ".join(f"w4x{j}" for j in range(30)), "embedding": far},
+        {"doc_id": 905, "lang": "en",        # near-emb flip: only neighbor
+         "text": "entirely fresh content five", "embedding": [0.0, 0.1, 1.0]},
+        {"doc_id": 906, "lang": "en",        # near-emb hold: cluster survives
+         "text": "entirely fresh content six", "embedding": [1.0, 0.025, 0.0]},
+    ]
+    batch = spark.createDataFrame(
+        [(p["doc_id"], p["lang"], p["text"], p["embedding"]) for p in probes],
+        schema,
+    )
+
+    # the flips are real: the UN-threaded gate rejects all three
+    unthreaded = {
+        r["doc_id"]: r
+        for r in ingest_gate_decisions(
+            batch, digests.select("h").distinct(), cent, seeds, indexed,
+            near_threshold=0.9, text_index=(bands, sets),
+        ).collect()
+    }
+    assert unthreaded[901]["f_near_text"] == 1
+    assert unthreaded[903]["f_exact"] == 1
+    assert unthreaded[905]["f_near"] == 1
+    assert all(unthreaded[i]["admitted"] == 0 for i in (901, 903, 905))
+
+    want = {
+        r["doc_id"]: tuple(r)
+        for r in ingest_gate_decisions(
+            batch, digests, cent, seeds, indexed,
+            near_threshold=0.9, text_index=(bands, sets), takedowns=wave,
+        ).collect()
+    }
+
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    with open(f"{inp}/w0.json", "w") as f:
+        for p in probes:
+            f.write(json.dumps(p) + "\n")
+
+    sink = IdempotentBatchSink(str(tmp_path / "out"))
+    q = streaming_ingest_gate(
+        file_stream(spark, inp, schema, fmt="json"),
+        digests, cent, seeds, indexed, sink, str(tmp_path / "ckpt"),
+        near_threshold=0.9, text_index=(bands, sets), takedowns=wave,
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: tuple(r) for r in sink.read_committed(spark).collect()
+    }
+    assert got == want, "streaming decisions must equal the batch twin"
+    adm = {
+        r[0]: r
+        for r in ingest_gate_decisions(
+            batch, digests, cent, seeds, indexed,
+            near_threshold=0.9, text_index=(bands, sets), takedowns=wave,
+        ).select("doc_id", "f_exact", "f_near_text", "f_near", "admitted")
+        .collect()
+    }
+    # the three same-window flips
+    assert adm[901]["f_near_text"] == 0 and adm[901]["admitted"] == 1
+    assert adm[903]["f_exact"] == 0 and adm[903]["admitted"] == 1
+    assert adm[905]["f_near"] == 0 and adm[905]["admitted"] == 1
+    # the three survivor holds
+    assert adm[902]["f_near_text"] == 1 and adm[902]["admitted"] == 0
+    assert adm[904]["f_exact"] == 1 and adm[904]["admitted"] == 0
+    assert adm[906]["f_near"] == 1 and adm[906]["admitted"] == 0
+
+
+def test_gate_takedowns_equal_cold_compacted_state(spark):
+    """The takedown thread's cold-equivalence contract: gating against
+    (full gen-1 state, takedowns=wave) computes the SAME decisions as
+    gating against the hand-compacted survivors-only state (digests
+    anti-joined, text index compacted, postings tombstone-filtered) —
+    the q_text_tombstone/compact argument lifted to the whole
+    three-check verdict."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+        _assign_to_seeds,
+        text_index_build,
+        text_index_compact,
+    )
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        frozen_index_frames,
+        tombstone_filter,
+    )
+    from kafka_flink_exactlyonce_example_spark.streaming.jobs import (
+        ingest_gate_decisions,
+    )
+
+    schema = "doc_id bigint, lang string, text string, embedding array<float>"
+    corpus = spark.createDataFrame(
+        [
+            (
+                i,
+                "en",
+                " ".join(f"w{i}x{j}" for j in range(30)),
+                [1.0, 0.01 * i, 0.0] if i != 5 else [0.0, 0.0, 1.0],
+            )
+            for i in range(1, 7)
+        ],
+        schema,
+    )
+    old = corpus.select(
+        F.col("doc_id").alias("vec_id"),
+        F.lit(0).cast("int").alias("label"),
+        "embedding",
+    )
+    cent, seeds = frozen_index_frames(old)
+    seeds = seeds.localCheckpoint()
+    indexed = _assign_to_seeds(old, seeds).localCheckpoint()
+    bands, sets = text_index_build(corpus.select("doc_id", "lang", "text"))
+    digests = corpus.select(
+        "doc_id", F.md5(F.lower(F.trim("text")).cast("binary")).alias("h")
+    ).localCheckpoint()
+    wave = spark.createDataFrame([(1,), (3,), (5,)], "doc_id bigint")
+
+    batch = spark.createDataFrame(
+        [
+            (901, "en", " ".join(f"w1x{j}" for j in range(30)), [0.0, 1.0, 0.0]),
+            (902, "en", " ".join(f"w2x{j}" for j in range(30)), [0.0, 0.1, 1.0]),
+            (903, "en", "fresh content", [1.0, 0.02, 0.0]),
+        ],
+        schema,
+    )
+    threaded = sorted(
+        tuple(r)
+        for r in ingest_gate_decisions(
+            batch, digests, cent, seeds, indexed,
+            near_threshold=0.9, text_index=(bands, sets), takedowns=wave,
+        ).collect()
+    )
+    bands_c, sets_c = text_index_compact(bands, sets, wave)
+    cold = sorted(
+        tuple(r)
+        for r in ingest_gate_decisions(
+            batch,
+            digests.join(wave, "doc_id", "left_anti").select("h").distinct(),
+            cent,
+            seeds,
+            tombstone_filter(
+                indexed, wave.select(F.col("doc_id").alias("vec_id"))
+            ),
+            near_threshold=0.9,
+            text_index=(bands_c, sets_c),
+        ).collect()
+    )
+    assert threaded == cold and threaded
