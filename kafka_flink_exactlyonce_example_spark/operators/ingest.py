@@ -42,10 +42,26 @@ from kafka_flink_exactlyonce_example_spark.functions.similarity import cosine_sq
 from kafka_flink_exactlyonce_example_spark.operators.dedup import (
     _CELL_TARGET,
     _LSH_SCORED_CTES,
+    _MAX_BUCKET,
     _MINHASH_CTES,
+    _TEXT_GEN_SHINGLE_SQL,
+    _TEXT_GEN_SIG_SQL,
+    _TT_PLANT,
     _assign_to_seeds,
+    _bands_rel,
+    _cap_bands_rel,
+    _del_tag_col,
     _lsh_verified_edges,
     _md5_mod_col,
+    _shingles_frame,
+    _signatures_frame,
+    _tg_base,
+    _tg_cand,
+    _tg_isets,
+    _tg_qsets,
+    _tg_slice_bands,
+    _text_gen_verify,
+    _word_set_col,
 )
 from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
     _inc_tagged,
@@ -53,7 +69,7 @@ from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
     frozen_top1,
     inc_index_build,
 )
-from kafka_flink_exactlyonce_example_spark.registry import query
+from kafka_flink_exactlyonce_example_spark.registry import plan_aux, query
 from kafka_flink_exactlyonce_example_spark.sources import table
 
 #: The deterministic md5 'del:' tombstone split (~20% of ids) shared by
@@ -271,10 +287,6 @@ def _gate_frame(
     new_docs = dsplit.filter(F.col("is_new") == 1).select("doc_id", "h")
     corpus = dsplit.filter(F.col("is_new") == 0)
     if survivors_only:
-        from kafka_flink_exactlyonce_example_spark.operators.dedup import (
-            _del_tag_col,
-        )
-
         corpus = corpus.filter(~_del_tag_col("doc_id"))
     corpus_h = corpus.select("h").distinct()
     corpus_doc = corpus.select("doc_id")
@@ -666,4 +678,401 @@ def q_ann_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         frozen_route(new, cent, seeds),
         _assign_to_seeds(old, seeds),
         tombstones=tomb,
+    )
+
+
+# --------------------------------------------------------------------------
+# q_gate_post_takedown — admission under the SAME window's wave
+# --------------------------------------------------------------------------
+
+#: Plant id offsets for q_gate_post_takedown's four O(1) populations —
+#: disjoint from each other, from every graded-SF doc_id, and from the
+#: 1e9/2e9/3e9 spaces q_text_gen_fold / q_text_tombstone use.
+_GPT_NEAR_DEL_BASE = 4_000_000_000
+_GPT_NEAR_SURV_BASE = 5_000_000_000
+_GPT_EXACT_DEL_BASE = 6_000_000_000
+_GPT_EXACT_SURV_BASE = 7_000_000_000
+
+
+def _gpt_plant(
+    base: DataFrame, pop, id_base: int, exact: bool, checkpoint: bool = True
+) -> DataFrame:
+    """Deterministic plant over the first _TT_PLANT docs of a
+    population — q_text_tombstone's recipe generalized with an EXACT
+    mode: ``exact=False`` appends the doc's own first word (word-set
+    Jaccard exactly 1.0, text not byte-equal → exercises the TEXT
+    check alone), ``exact=True`` copies the text verbatim (same
+    normalized digest → exercises the DIGEST check, and the text check
+    with it). ``checkpoint=False`` is the plan-aux's LAZY view of the
+    SAME builder (one definition — the guarded plan can never
+    desynchronize from the executed chain)."""
+    first_word = F.element_at(
+        F.filter(F.split("text", " "), lambda w: w != ""), 1
+    )
+    txt = (
+        F.col("text")
+        if exact
+        else F.concat(
+            F.col("text"), F.lit(" "), F.coalesce(first_word, F.lit("x"))
+        )
+    )
+    planted = (
+        base.filter(pop)
+        .orderBy("doc_id")
+        .limit(_TT_PLANT)
+        .select(
+            (F.col("doc_id") + F.lit(id_base)).alias("doc_id"),
+            "lang",
+            txt.alias("text"),
+        )
+    )
+    return planted.localCheckpoint() if checkpoint else planted
+
+
+def _gpt_plants(base: DataFrame, checkpoint: bool = True) -> DataFrame:
+    """The four plant populations (16 rows): near/exact copies of the
+    first 4 taken-down and the first 4 surviving corpus docs."""
+    del_pop = (F.col("g") >= 1) & _del_tag_col("doc_id")
+    surv_pop = (F.col("g") >= 1) & ~_del_tag_col("doc_id")
+    return (
+        _gpt_plant(base, del_pop, _GPT_NEAR_DEL_BASE, False, checkpoint)
+        .unionByName(
+            _gpt_plant(base, surv_pop, _GPT_NEAR_SURV_BASE, False, checkpoint)
+        )
+        .unionByName(
+            _gpt_plant(base, del_pop, _GPT_EXACT_DEL_BASE, True, checkpoint)
+        )
+        .unionByName(
+            _gpt_plant(base, surv_pop, _GPT_EXACT_SURV_BASE, True, checkpoint)
+        )
+    )
+
+
+@plan_aux("q_gate_post_takedown::plants")
+def _gpt_plants_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four plant derivations in LAZY form (each a TakeOrdered over
+    the corpus scan) — the graded row checkpoints the 16 planted rows,
+    hiding these chains behind a LogicalRDD, so they are registered
+    here under the plan guards (the q_pca_power::moments rule)."""
+    base, _, _ = _tg_base(spark, sf_dir)
+    return _gpt_plants(base, checkpoint=False)
+
+
+_GPT_PLANT_TEXT_SQL = """
+        SELECT {base} + doc_id AS doc_id, lang,
+               text || ' ' || coalesce(
+                   list_filter(string_split(text, ' '), w -> w <> '')[1],
+                   'x') AS text
+        FROM base WHERE g >= 1 AND is_del = {is_del}
+        ORDER BY doc_id LIMIT {n}
+"""
+
+_GPT_PLANT_EXACT_SQL = """
+        SELECT {base} + doc_id AS doc_id, lang, text
+        FROM base WHERE g >= 1 AND is_del = {is_del}
+        ORDER BY doc_id LIMIT {n}
+"""
+
+_GPT_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id, lang, text,
+               CAST(CAST(concat('0x', substring(
+                         md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % 10 AS BIGINT) AS g,
+               CASE WHEN {_DEL_TAG_SQL.format(col='doc_id')}
+                    THEN 1 ELSE 0 END AS is_del
+        FROM documents
+    ), arr AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), shingles AS ({_TEXT_GEN_SHINGLE_SQL.format(src='arr')}
+    ), sig AS ({_TEXT_GEN_SIG_SQL.format(src='shingles')}
+    ), bands AS (
+        SELECT doc_id, CAST(seed // 4 AS BIGINT) AS band_idx,
+               string_agg(mh, '' ORDER BY seed) AS band_key
+        FROM sig GROUP BY doc_id, seed // 4
+    ), words AS (
+        SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), sets AS (
+        SELECT doc_id, any_value(lang) AS lang,
+               CAST(COUNT(*) AS BIGINT) AS n, list(word) AS ws
+        FROM words WHERE word <> '' GROUP BY doc_id
+    ), plants AS (
+        ({_GPT_PLANT_TEXT_SQL.format(base=_GPT_NEAR_DEL_BASE, is_del=1, n=_TT_PLANT)})
+        UNION ALL
+        ({_GPT_PLANT_TEXT_SQL.format(base=_GPT_NEAR_SURV_BASE, is_del=0, n=_TT_PLANT)})
+        UNION ALL
+        ({_GPT_PLANT_EXACT_SQL.format(base=_GPT_EXACT_DEL_BASE, is_del=1, n=_TT_PLANT)})
+        UNION ALL
+        ({_GPT_PLANT_EXACT_SQL.format(base=_GPT_EXACT_SURV_BASE, is_del=0, n=_TT_PLANT)})
+    ), arrp AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM plants
+    ), shingp AS ({_TEXT_GEN_SHINGLE_SQL.format(src='arrp')}
+    ), sigp AS ({_TEXT_GEN_SIG_SQL.format(src='shingp')}
+    ), bandsp AS (
+        SELECT doc_id, CAST(seed // 4 AS BIGINT) AS band_idx,
+               string_agg(mh, '' ORDER BY seed) AS band_key
+        FROM sigp GROUP BY doc_id, seed // 4
+    ), wordsp AS (
+        SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        FROM plants
+    ), setsp AS (
+        SELECT doc_id, any_value(lang) AS lang,
+               CAST(COUNT(*) AS BIGINT) AS n, list(word) AS ws
+        FROM wordsp WHERE word <> '' GROUP BY doc_id
+    ), qbands AS (
+        SELECT b.* FROM bands b JOIN base d USING (doc_id) WHERE d.g = 0
+        UNION ALL SELECT * FROM bandsp
+    ), qsets AS (
+        SELECT s.* FROM sets s JOIN base d USING (doc_id) WHERE d.g = 0
+        UNION ALL SELECT * FROM setsp
+    ), capped_v1 AS (
+        SELECT b.* FROM bands b JOIN base d USING (doc_id) WHERE d.g >= 1
+        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_key) <= {_MAX_BUCKET}
+    ), capped_v2 AS (
+        SELECT b.* FROM bands b JOIN base d USING (doc_id)
+        WHERE d.g >= 1 AND d.is_del = 0
+        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_key) <= {_MAX_BUCKET}
+    ), cand_v1 AS (
+        SELECT DISTINCT q.doc_id, c.doc_id AS idx_doc
+        FROM qbands q JOIN capped_v1 c ON c.band_idx = q.band_idx
+                                      AND c.band_key = q.band_key
+                                      AND c.doc_id <> q.doc_id
+    ), cand_v2 AS (
+        SELECT DISTINCT q.doc_id, c.doc_id AS idx_doc
+        FROM qbands q JOIN capped_v2 c ON c.band_idx = q.band_idx
+                                      AND c.band_key = q.band_key
+                                      AND c.doc_id <> q.doc_id
+    ), hits_v1 AS (
+        SELECT DISTINCT c.doc_id
+        FROM cand_v1 c
+        JOIN qsets sq ON sq.doc_id = c.doc_id
+        JOIN sets si ON si.doc_id = c.idx_doc AND si.lang = sq.lang
+        JOIN base di ON di.doc_id = c.idx_doc AND di.g >= 1
+        WHERE CAST(len(list_intersect(sq.ws, si.ws)) AS DOUBLE)
+              / (sq.n + si.n - len(list_intersect(sq.ws, si.ws))) >= 0.8
+    ), hits_v2 AS (
+        SELECT DISTINCT c.doc_id
+        FROM cand_v2 c
+        JOIN qsets sq ON sq.doc_id = c.doc_id
+        JOIN sets si ON si.doc_id = c.idx_doc AND si.lang = sq.lang
+        JOIN base di ON di.doc_id = c.idx_doc AND di.g >= 1
+                    AND di.is_del = 0
+        WHERE CAST(len(list_intersect(sq.ws, si.ws)) AS DOUBLE)
+              / (sq.n + si.n - len(list_intersect(sq.ws, si.ws))) >= 0.8
+    ), probe_h AS (
+        SELECT doc_id, md5(lower(trim(text))) AS h FROM base WHERE g = 0
+        UNION ALL SELECT doc_id, md5(lower(trim(text))) AS h FROM plants
+    ), h_v1 AS (
+        SELECT DISTINCT md5(lower(trim(text))) AS h FROM base WHERE g >= 1
+    ), h_v2 AS (
+        SELECT DISTINCT md5(lower(trim(text))) AS h FROM base
+        WHERE g >= 1 AND is_del = 0
+    ), esplit AS (
+        SELECT vec_id, label, embedding,
+               CASE WHEN CAST(CAST(concat('0x', substring(
+                             md5('inc:' || CAST(vec_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 10 AS BIGINT) = 0
+                    THEN 1 ELSE 0 END AS is_new
+        FROM embeddings
+    ), ecent AS (
+        SELECT label, list(m ORDER BY i) AS centroid
+        FROM (
+            SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+            FROM esplit, generate_series(1, 64) t(i)
+            WHERE is_new = 0
+            GROUP BY label, i
+        )
+        GROUP BY label
+    ), eassign AS (
+        SELECT vec_id, cell, embedding FROM (
+            SELECT n.vec_id, c.label AS cell, n.embedding,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY round({cosine_sql('n.embedding', 'c.centroid')},
+                                      6) DESC, c.label) AS rn
+            FROM esplit n, ecent c
+            WHERE n.is_new = 1
+        ) WHERE rn = 1
+    ), enn_v1 AS (
+        SELECT vec_id, ROUND(sim, 6) AS sim FROM (
+            SELECT a.vec_id,
+                   {cosine_sql('a.embedding', 'x.embedding')} AS sim,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {cosine_sql('a.embedding', 'x.embedding')}
+                                DESC, x.vec_id) AS rn
+            FROM eassign a
+            LEFT JOIN esplit x ON x.is_new = 0 AND x.label = a.cell
+        ) WHERE rn = 1
+    ), enn_v2 AS (
+        SELECT vec_id, ROUND(sim, 6) AS sim FROM (
+            SELECT a.vec_id,
+                   {cosine_sql('a.embedding', 'x.embedding')} AS sim,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {cosine_sql('a.embedding', 'x.embedding')}
+                                DESC, x.vec_id) AS rn
+            FROM eassign a
+            LEFT JOIN esplit x ON x.is_new = 0 AND x.label = a.cell
+             AND NOT {_DEL_TAG_SQL.format(col='x.vec_id')}
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT doc_id FROM base WHERE g = 0
+        UNION ALL SELECT doc_id FROM plants
+    )
+    SELECT p.doc_id,
+           CASE WHEN x1.h IS NOT NULL THEN 1 ELSE 0 END AS f_exact_v1,
+           CASE WHEN t1.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_text_v1,
+           CASE WHEN n1.sim >= {{T}} THEN 1 ELSE 0 END AS f_emb_v1,
+           CASE WHEN x1.h IS NULL AND t1.doc_id IS NULL
+                     AND COALESCE(n1.sim < {{T}}, TRUE)
+                THEN 1 ELSE 0 END AS admitted_v1,
+           CASE WHEN x2.h IS NOT NULL THEN 1 ELSE 0 END AS f_exact_v2,
+           CASE WHEN t2.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_text_v2,
+           CASE WHEN n2.sim >= {{T}} THEN 1 ELSE 0 END AS f_emb_v2,
+           CASE WHEN x2.h IS NULL AND t2.doc_id IS NULL
+                     AND COALESCE(n2.sim < {{T}}, TRUE)
+                THEN 1 ELSE 0 END AS admitted_v2
+    FROM probes p
+    JOIN probe_h ph ON ph.doc_id = p.doc_id
+    LEFT JOIN h_v1 x1 ON x1.h = ph.h
+    LEFT JOIN h_v2 x2 ON x2.h = ph.h
+    LEFT JOIN hits_v1 t1 ON t1.doc_id = p.doc_id
+    LEFT JOIN hits_v2 t2 ON t2.doc_id = p.doc_id
+    LEFT JOIN enn_v1 n1 ON n1.vec_id = p.doc_id
+    LEFT JOIN enn_v2 n2 ON n2.vec_id = p.doc_id
+""".replace("{T}", str(_NEAR_EMB_THRESHOLD))
+
+
+@query("q_gate_post_takedown", oracle=_GPT_ORACLE)
+def q_gate_post_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission decisions under the SAME window's takedown wave,
+    driver-graded per probe against BOTH formulations (round 15,
+    VERDICT r14 item 1 — the graded twin of
+    :func:`streaming.jobs.ingest_gate_decisions`'s ``takedowns``
+    thread): v1 = the three checks against the full frozen gen-1
+    corpus ('inc:' g ≥ 1), v2 = against its 'del:'-wave SURVIVORS —
+    digest anti-joined at doc grain before the distinct-h view, text
+    index compacted (cap re-derived over survivors, the
+    :func:`dedup.text_index_compact` cold-equivalence), posting scan
+    tombstone-filtered. Output per probe: (f_exact, f_text, f_emb,
+    admitted) × both formulations, so the rejected→admitted flip is
+    hash-graded, not just row-counted.
+
+    Probe batch: the g = 0 ingest batch PLUS four O(1) planted
+    populations (q_text_tombstone's determinism device, dedup.py) —
+    NEAR-copies of the first 4 taken-down and first 4 surviving corpus
+    docs (the TEXT flip 1→0 and hold 1→1), and EXACT copies of the
+    same two populations (the DIGEST flip and hold; an exact copy
+    also near-text-matches its source, so those flip/hold in
+    lockstep). The embedding check has no planted flip (plants carry
+    no vectors — f_emb 0 through the LEFT join on both sides, the
+    totality convention) but is value-graded on every natural batch
+    doc against the tombstone-filtered truth; its same-window flip is
+    runtime-pinned on a fixture that manufactures one
+    (tests/test_streaming.py::test_streaming_gate_same_window_takedowns).
+
+    Admission monotonicity (admitted_v1 ≤ admitted_v2 per doc — a
+    takedown can only ADMIT more) holds under the cap precondition
+    (q_text_gen_fold's monotone claim) and is asserted
+    precondition-first in tests/test_ingest_gate_takedowns.py.
+
+    Scale shape: the text side is q_text_tombstone's exactly (shared
+    per-(session, sf) signature pass sliced per role by id semi-joins,
+    O(1)-row plant signature builds, (band_idx, band_key) equi-joins
+    with C(cap,·)-bounded fan-out, word-set verify on candidates
+    only); the digest side two 16-byte-hash semi-joins; the embedding
+    side two sub-cell posting scans of the ONE routed relation (the
+    v2 scan adds frozen_top1's broadcast tombstone anti-join).
+    Everything joins on 8-byte ids; output is |batch| + 16 rows."""
+    base, bands_all, sets_all = _tg_base(spark, sf_dir)
+    corpus_ids = base.filter(F.col("g") >= 1).select("doc_id")
+    surv_ids = base.filter(
+        (F.col("g") >= 1) & ~_del_tag_col("doc_id")
+    ).select("doc_id")
+    batch_ids = base.filter(F.col("g") == 0).select("doc_id")
+
+    plants = _gpt_plants(base)  # 16 rows, referenced by 4 relations
+    bands_p = _bands_rel(_signatures_frame(_shingles_frame(plants)))
+    wsp = _word_set_col()
+    qsets_p = plants.select(
+        "doc_id",
+        F.col("lang").alias("lang_q"),
+        wsp.alias("wq"),
+        F.size(wsp).alias("nq"),
+    )
+    qb = _tg_slice_bands(bands_all, batch_ids).unionByName(bands_p)
+    qsets = _tg_qsets(sets_all, batch_ids).unionByName(qsets_p)
+    hits_v1 = _text_gen_verify(
+        _tg_cand(qb, _cap_bands_rel(_tg_slice_bands(bands_all, corpus_ids))),
+        qsets,
+        _tg_isets(sets_all, corpus_ids),
+    )
+    hits_v2 = _text_gen_verify(
+        _tg_cand(qb, _cap_bands_rel(_tg_slice_bands(bands_all, surv_ids))),
+        qsets,
+        _tg_isets(sets_all, surv_ids),
+    )
+
+    dig = F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("h")
+    probe_h = (
+        base.filter(F.col("g") == 0)
+        .select("doc_id", dig)
+        .unionByName(plants.select("doc_id", dig))
+    )
+    h_v1 = base.filter(F.col("g") >= 1).select(dig).distinct()
+    h_v2 = (
+        base.filter((F.col("g") >= 1) & ~_del_tag_col("doc_id"))
+        .select(dig)
+        .distinct()
+    )
+
+    cent, seeds = inc_index_build(spark, sf_dir)
+    tagged = _inc_tagged(spark, sf_dir)
+    old_vec = tagged.filter(~F.col("is_new")).select(
+        "vec_id", "label", "embedding"
+    )
+    new_vec = tagged.filter(F.col("is_new")).select("vec_id", "embedding")
+    tomb_vec = old_vec.filter(_is_del_col()).select("vec_id")
+    indexed1 = _assign_to_seeds(old_vec, seeds)
+    routed = frozen_route(new_vec, cent, seeds)
+    nn1 = frozen_top1(routed, indexed1).select(
+        F.col("vec_id").alias("doc_id"), F.col("sim").alias("sim1")
+    )
+    nn2 = frozen_top1(routed, indexed1, tombstones=tomb_vec).select(
+        F.col("vec_id").alias("doc_id"), F.col("sim").alias("sim2")
+    )
+
+    probe_ids = batch_ids.unionByName(plants.select("doc_id"))
+    t = F.lit(_NEAR_EMB_THRESHOLD)
+    f_exact_v1 = F.coalesce("_e1", F.lit(0))
+    f_exact_v2 = F.coalesce("_e2", F.lit(0))
+    f_text_v1 = F.coalesce("_t1", F.lit(0))
+    f_text_v2 = F.coalesce("_t2", F.lit(0))
+    f_emb_v1 = F.when(F.col("sim1") >= t, 1).otherwise(0)
+    f_emb_v2 = F.when(F.col("sim2") >= t, 1).otherwise(0)
+    return (
+        probe_ids.join(probe_h, "doc_id")
+        .join(h_v1.withColumn("_e1", F.lit(1)), "h", "left")
+        .join(h_v2.withColumn("_e2", F.lit(1)), "h", "left")
+        .join(hits_v1.withColumn("_t1", F.lit(1)), "doc_id", "left")
+        .join(hits_v2.withColumn("_t2", F.lit(1)), "doc_id", "left")
+        .join(nn1, "doc_id", "left")
+        .join(nn2, "doc_id", "left")
+        .select(
+            "doc_id",
+            f_exact_v1.alias("f_exact_v1"),
+            f_text_v1.alias("f_text_v1"),
+            f_emb_v1.alias("f_emb_v1"),
+            (
+                (f_exact_v1 == 0) & (f_text_v1 == 0) & (f_emb_v1 == 0)
+            ).cast("int").alias("admitted_v1"),
+            f_exact_v2.alias("f_exact_v2"),
+            f_text_v2.alias("f_text_v2"),
+            f_emb_v2.alias("f_emb_v2"),
+            (
+                (f_exact_v2 == 0) & (f_text_v2 == 0) & (f_emb_v2 == 0)
+            ).cast("int").alias("admitted_v2"),
+        )
     )

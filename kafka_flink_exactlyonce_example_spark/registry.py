@@ -476,6 +476,11 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     # manifest (keep-best over surviving group members, extinct groups
     # dropped, untouched groups byte-stable)
     "q_curate_post_takedown",
+    # round-15 capability addition (VERDICT r14 item 1): admission
+    # under the SAME window's takedown wave — all three gate checks
+    # against gen-1 survivors, the rejected→admitted flip hash-graded
+    # via four planted populations
+    "q_gate_post_takedown",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.

@@ -268,3 +268,265 @@ def test_curate_post_takedown_invariants(spark, registry_loaded):
         for doc in pre
         if labels[doc] in touched
     )
+
+
+def test_roll_admits_same_window_near_dup(spark, tmp_path):
+    """Round 15 (VERDICT r14 item 1, the ORCHESTRATOR side): a batch
+    doc that near-dups a doc being deleted in the SAME window is
+    admitted by the roll's gate — before the thread it ghost-rejected
+    for one full generation (the gate saw the un-compacted gen-1
+    state). A near-copy of a SURVIVOR keeps dying in the same roll."""
+    from kafka_flink_exactlyonce_example_spark import lifecycle as lc
+
+    corpus = _toy_corpus(spark)
+    gen1 = str(tmp_path / "gen1")
+    lc.init_generation(spark, gen1, corpus)
+    pointer = str(tmp_path / "CURRENT")
+
+    w1 = [f"w1x{j}" for j in range(30)]
+    w1[13] = "mutated"  # near-copy of corpus doc 1 (the takedown)
+    w2 = [f"w2x{j}" for j in range(30)]
+    w2[13] = "mutated"  # near-copy of corpus doc 2 (a survivor)
+    batch = spark.createDataFrame(
+        [
+            _doc(300, w1, 0, [0.0, 1.0, 0.0]),
+            _doc(301, w2, 0, [0.0, 1.0, 0.05]),
+        ],
+        _SCHEMA,
+    )
+    takedowns = spark.createDataFrame([(1,)], "doc_id bigint")
+    census = lc.corpus_generation_roll(
+        spark, gen1, batch, takedowns,
+        str(tmp_path / "gen2"), pointer, max_churn=1.0,
+    )
+    assert census["n_admitted"] == 1, (
+        "exactly the near-copy of the deleted doc must be admitted"
+    )
+    g2 = lc.load_generation(spark, str(tmp_path / "gen2"))
+    post_ids = {r["vec_id"] for r in g2["indexed"].select("vec_id").collect()}
+    assert 300 in post_ids, "same-window near-dup of the takedown rejected"
+    assert 301 not in post_ids, "near-copy of a survivor admitted"
+    assert 1 not in post_ids
+
+
+def test_roll_chains_across_windows(spark, tmp_path):
+    """Round 15 (VERDICT r14 item 2a): two consecutive rolls, window 2
+    loading whatever the POINTER names. Content invariants after each
+    hop: tombstoned ids of BOTH waves absent, all admits present, and
+    the same-window thread still operates on a LOADED generation
+    (window 2 admits a near-copy of a window-2-deleted doc)."""
+    from kafka_flink_exactlyonce_example_spark import lifecycle as lc
+
+    corpus = _toy_corpus(spark)
+    gen1 = str(tmp_path / "gen1")
+    lc.init_generation(spark, gen1, corpus)
+    pointer = str(tmp_path / "CURRENT")
+    lc.write_current(pointer, {"generation": gen1, "promote": 1})
+
+    batch1, takedowns1 = _roll_window(spark)  # admits 100, 101; deletes 1
+    census1 = lc.corpus_generation_roll(
+        spark, lc.read_current(pointer)["generation"], batch1, takedowns1,
+        str(tmp_path / "gen2"), pointer, max_churn=1.0,
+    )
+    assert census1["promote"] is True
+    assert lc.read_current(pointer)["generation"] == str(tmp_path / "gen2")
+
+    # window 2: a fresh doc + a near-copy of corpus doc 2, which this
+    # SAME window deletes — the thread must hold on the loaded gen 2
+    w2 = [f"w2x{j}" for j in range(30)]
+    w2[13] = "mutated"
+    batch2 = spark.createDataFrame(
+        [
+            _doc(110, [f"other{j}" for j in range(30)], 1, [0.3, -0.2, 0.93]),
+            _doc(111, w2, 0, [0.0, 0.8, 0.6]),
+        ],
+        _SCHEMA,
+    )
+    takedowns2 = spark.createDataFrame([(2,)], "doc_id bigint")
+    census2 = lc.corpus_generation_roll(
+        spark, lc.read_current(pointer)["generation"], batch2, takedowns2,
+        str(tmp_path / "gen3"), pointer, max_churn=1.0,
+    )
+    assert census2["n_admitted"] == 2, (
+        "the fresh doc AND the near-copy of the same-window takedown"
+    )
+    assert census2["promote"] is True
+    gen3 = lc.read_current(pointer)["generation"]
+    assert gen3 == str(tmp_path / "gen3")
+
+    g3 = lc.load_generation(spark, gen3)
+    post_ids = {r["vec_id"] for r in g3["indexed"].select("vec_id").collect()}
+    dig_ids = {r["doc_id"] for r in g3["digests"].select("doc_id").collect()}
+    set_ids = {r["doc_id"] for r in g3["sets"].select("doc_id").collect()}
+    for wave_id in (1, 2):
+        assert wave_id not in post_ids, f"wave id {wave_id} in postings"
+        assert wave_id not in dig_ids, f"wave id {wave_id} in digests"
+        assert wave_id not in set_ids, f"wave id {wave_id} in text sets"
+    for adm in (100, 101, 110, 111):
+        assert adm in post_ids and adm in dig_ids and adm in set_ids
+
+
+def test_roll_rejected_window_wave_merge_retry(spark, tmp_path):
+    """Round 15 (VERDICT r14 item 2b, the documented WAVE-MERGE
+    CONTRACT): window 1 is rejected by the strict bar (pointer stays
+    on gen 1, its wave UNAPPLIED to serving); window 2 rolls from
+    whatever the pointer names with the MERGED wave — batch = union of
+    the unapplied and new batches, takedowns = union of the id-sets —
+    and the composed roll promotes. Final content reflects BOTH
+    windows exactly once."""
+    from kafka_flink_exactlyonce_example_spark import lifecycle as lc
+
+    corpus = _toy_corpus(spark)
+    gen1 = str(tmp_path / "gen1")
+    lc.init_generation(spark, gen1, corpus)
+    pointer = str(tmp_path / "CURRENT")
+    lc.write_current(pointer, {"generation": gen1, "promote": 1})
+
+    batch1, takedowns1 = _roll_window(spark)  # churn 2/3 on this fixture
+    census1 = lc.corpus_generation_roll(
+        spark, lc.read_current(pointer)["generation"], batch1, takedowns1,
+        str(tmp_path / "gen2"), pointer, max_churn=0.25,
+    )
+    assert census1["promote"] is False
+    assert lc.read_current(pointer)["generation"] == gen1
+
+    # window 2's own wave: one fresh doc + one more takedown
+    batch2 = spark.createDataFrame(
+        [_doc(120, [f"late{j}" for j in range(30)], 1, [0.1, 0.2, 0.9])],
+        _SCHEMA,
+    )
+    takedowns2 = spark.createDataFrame([(3,)], "doc_id bigint")
+    # the merge: the docstring contract — union, distinct on doc_id
+    merged_batch = batch1.unionByName(batch2).dropDuplicates(["doc_id"])
+    merged_waves = takedowns1.unionByName(takedowns2)
+    # every merged probe is new content far from the corpus, so the
+    # composed window's churn is total by construction (each probe's
+    # post-roll neighbor is another admit); the bar is not the
+    # subject here — the MERGE composition is
+    census2 = lc.corpus_generation_roll(
+        spark, lc.read_current(pointer)["generation"], merged_batch,
+        merged_waves, str(tmp_path / "gen2r"), pointer, max_churn=1.0,
+    )
+    assert census2["n_takedowns"] == 2
+    assert census2["promote"] is True
+    gen = lc.read_current(pointer)["generation"]
+    assert gen == str(tmp_path / "gen2r")
+
+    g = lc.load_generation(spark, gen)
+    post_ids = {r["vec_id"] for r in g["indexed"].select("vec_id").collect()}
+    assert not ({1, 3} & post_ids), "both waves' ids must be gone"
+    assert {100, 101, 120} <= post_ids, "both windows' admits present"
+    assert 102 not in post_ids, "the byte-copy stays rejected"
+    assert len(post_ids) == len(
+        g["indexed"].select("vec_id").collect()
+    ), "a replayed doc was indexed twice"
+
+
+def test_delete_only_window_auto_probe_panel(spark, tmp_path):
+    """Round 15 (VERDICT r14 item 3): a PURE-TAKEDOWN window is
+    verdict-gated with zero hand-built probes. Geometry: label A holds
+    p=[1,0,0] and q=[1,.3,0]; label B holds b1=[1,.1,0] (near p) and a
+    far cluster at z≈[0,0,1]; label C holds one isolated doc. Deleting
+    the isolated doc changes no survivor's answer → churn 0 → the
+    strict bar PROMOTES. Deleting B's far cluster swings B's retrained
+    centroid onto b1, so p re-routes to B (answer q→b1) and b1
+    re-routes to its own emptied label (answer→NULL) → churn > bar →
+    BLOCKED. auto_probe_panel=False restores the strict refusal."""
+    from kafka_flink_exactlyonce_example_spark import lifecycle as lc
+
+    rows = [
+        _doc(1, [f"pa{j}" for j in range(20)], 0, [1.0, 0.0, 0.0]),
+        _doc(2, [f"qa{j}" for j in range(20)], 0, [1.0, 0.3, 0.0]),
+        _doc(3, [f"ba{j}" for j in range(20)], 1, [1.0, 0.1, 0.0]),
+        _doc(4, [f"bb{j}" for j in range(20)], 1, [0.0, 0.01, 1.0]),
+        _doc(5, [f"bc{j}" for j in range(20)], 1, [0.0, 0.02, 1.0]),
+        _doc(6, [f"bd{j}" for j in range(20)], 1, [0.0, 0.03, 1.0]),
+        _doc(7, [f"be{j}" for j in range(20)], 1, [0.0, 0.04, 1.0]),
+        _doc(8, [f"zz{j}" for j in range(20)], 2, [0.0, 1.0, 0.0]),
+    ]
+    corpus = spark.createDataFrame(rows, _SCHEMA)
+    gen1 = str(tmp_path / "gen1")
+    lc.init_generation(spark, gen1, corpus)
+    pointer = str(tmp_path / "CURRENT")
+    empty_batch = spark.createDataFrame([], _SCHEMA)
+
+    # --- low churn: the isolated doc leaves → promote --------------
+    census_low = lc.corpus_generation_roll(
+        spark, gen1, empty_batch,
+        spark.createDataFrame([(8,)], "doc_id bigint"),
+        str(tmp_path / "gen2low"), pointer, max_churn=0.25,
+    )
+    assert census_low["n_batch"] == 0
+    assert census_low["probe_panel"] == "auto_survivor"
+    assert census_low["n_probes"] == 7, "panel = every survivor here"
+    assert census_low["churn_frac"] == 0.0
+    assert census_low["promote"] is True
+    assert lc.read_current(pointer)["generation"] == str(
+        tmp_path / "gen2low"
+    )
+
+    # --- high churn: B's far cluster leaves → blocked ---------------
+    census_high = lc.corpus_generation_roll(
+        spark, gen1, empty_batch,
+        spark.createDataFrame([(4,), (5,), (6,), (7,)], "doc_id bigint"),
+        str(tmp_path / "gen2high"), pointer, max_churn=0.25,
+    )
+    assert census_high["probe_panel"] == "auto_survivor"
+    assert census_high["n_probes"] == 4
+    assert census_high["n_changed"] >= 2, (
+        "the centroid swing must churn p and b1"
+    )
+    assert census_high["promote"] is False
+    # a blocked roll's pointer names the generation it rolled FROM
+    # (gen1 here — this window is an alternative from the same base,
+    # not a successor of gen2low)
+    assert lc.read_current(pointer)["generation"] == gen1
+
+    # --- the explicit-refusal flag still exists ---------------------
+    census_off = lc.corpus_generation_roll(
+        spark, gen1, empty_batch,
+        spark.createDataFrame([(8,)], "doc_id bigint"),
+        str(tmp_path / "gen2off"), pointer, max_churn=1.0,
+        auto_probe_panel=False,
+    )
+    assert census_off["probe_panel"] == "batch"
+    assert census_off["n_probes"] == 0
+    assert census_off["promote"] is False
+
+
+def test_roll_derived_catalog_from_generation_artifacts(spark, tmp_path):
+    """Round 15 (VERDICT r14 item 4): catalog='derive' re-derives the
+    planner rows from generation 2's OWN persisted artifacts, the
+    census records catalog_source='derived', the stamped rows equal an
+    independent :func:`derive_generation_table` run over the reloaded
+    index, and the planner's pick FOLLOWS the derived table — every
+    derived row resolves to itself at (its recall, its budget), which
+    the shipped sf0.1 catalog cannot reproduce on this toy corpus."""
+    from kafka_flink_exactlyonce_example_spark import lifecycle as lc
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        _ANN_OPERATING_TABLE,
+        ann_route,
+        load_frozen_index,
+    )
+
+    corpus = _toy_corpus(spark)
+    gen1 = str(tmp_path / "gen1")
+    lc.init_generation(spark, gen1, corpus)
+    batch, takedowns = _roll_window(spark)
+    census = lc.corpus_generation_roll(
+        spark, gen1, batch, takedowns,
+        str(tmp_path / "gen2"), str(tmp_path / "CURRENT"),
+        max_churn=1.0, catalog="derive",
+    )
+    assert census["catalog_source"] == "derived"
+    rows, _floor = lc.load_operating_table(str(tmp_path / "gen2"))
+    again = lc.derive_generation_table(
+        spark, *load_frozen_index(spark, str(tmp_path / "gen2") + "/emb")
+    )
+    assert rows == again, "stamped rows must equal the re-derivation"
+    assert rows != _ANN_OPERATING_TABLE
+    for kind, param, recall, cost in rows:
+        pick = ann_route(recall, cost, table=rows)
+        assert (pick["index"], pick["param"]) == (kind, param) or (
+            pick["cand_per_probe"] <= cost and pick["recall"] >= recall
+        ), "the pick must follow the generation's own table"

@@ -44,11 +44,11 @@ IVF_NPROBES = (1, 2, 4, 6)
 MP_BITS = (7, 6)
 
 
-def _recall_3dp(hits: int, trials: int) -> float:
-    """Σhits/trials at 3 dp, half-up, in exact integer arithmetic —
-    float round() is banker's AND sits on an inexact double, so the
-    half-way rows (e.g. 57/240) would drift from the shipped values."""
-    return ((2 * hits * 1000 + trials) // (2 * trials)) / 1000
+# ONE definition (round 15): the half-up 3-dp recall convention moved
+# to the package so the generation-level derivation
+# (lifecycle.derive_generation_table) and this fixture-level tool can
+# never drift.
+from kafka_flink_exactlyonce_example_spark.lifecycle import _recall_3dp  # noqa: E402
 
 
 def derive(spark, sf_dir: str) -> tuple[tuple[str, int, float, int], ...]:
