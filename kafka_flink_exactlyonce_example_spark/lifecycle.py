@@ -76,12 +76,12 @@ from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
     _FILTERED_IVF_RECALL_FLOOR,
     _PROMOTE_THRESHOLDS,
     _RECALL_K,
-    _RECALL_PROBES,
     frozen_index_frames,
     frozen_route,
     frozen_top1,
     load_frozen_index,
     load_operating_table,
+    md5_panel,
     save_frozen_index,
     save_operating_table,
     tombstone_filter,
@@ -263,15 +263,14 @@ def derive_generation_table(
     # (frozen_centroids' convention); normalize to the member grain
     ckey = "cell" if "cell" in cent.columns else "label"
     cent = cent.select(F.col(ckey).alias("label"), "centroid")
-    probes = (
+    probes = md5_panel(
         members.select("vec_id", "embedding")
-        .orderBy(
-            F.md5(F.concat(F.lit("recall:"), F.col("vec_id").cast("string"))),
-            "vec_id",
-        )
-        .limit(_RECALL_PROBES)
-        .localCheckpoint()  # bounded; referenced by rank, truth, cand
-    )
+    ).localCheckpoint()  # bounded; referenced by rank, truth, cand
+    # a generation smaller than the nominal panel yields a smaller
+    # panel — every per-probe average below divides by the ACTUAL
+    # size, not the constant (round-15 self-review: the constant
+    # understated cand_per_probe ~3x on sub-panel generations)
+    panel_n = probes.count()
     p = probes.select(
         F.col("vec_id").alias("pid"), F.col("embedding").alias("pe")
     )
@@ -320,6 +319,15 @@ def derive_generation_table(
         .select("pid", "vec_id", "rnk")
         .join(truth, ["pid", "vec_id"], "left")
     )
+    trials = truth.count()
+    if panel_n == 0 or trials == 0:
+        # a generation with <= 1 member offers no indexed route at
+        # all (self-excluded truth is empty): return the EMPTY table
+        # — ann_route then refuses or falls back to brute loudly,
+        # which is the honest menu (round-15 self-review: _recall_3dp
+        # would otherwise divide by zero after gen-2 was persisted
+        # but before the pointer was written)
+        return ()
     agg = cand.agg(
         *[
             F.sum((F.col("rnk") <= np).cast("long")).alias(f"c{np}")
@@ -334,13 +342,12 @@ def derive_generation_table(
             for np in nprobes
         ],
     ).first()
-    trials = truth.count()
     rows = [
         (
             "ivf",
             np,
             _recall_3dp(int(agg[f"h{np}"] or 0), trials),
-            -(-int(agg[f"c{np}"] or 0) // _RECALL_PROBES),
+            -(-int(agg[f"c{np}"] or 0) // panel_n),
         )
         for np in nprobes
     ]
@@ -545,20 +552,9 @@ def corpus_generation_roll(
             # are MEMBERS of both generations, so BOTH churn sides
             # self-exclude ("your nearest neighbor is yourself" is not
             # an answer on either side).
-            probes = (
+            probes = md5_panel(
                 survivors.select("vec_id", "embedding")
-                .orderBy(
-                    F.md5(
-                        F.concat(
-                            F.lit("recall:"),
-                            F.col("vec_id").cast("string"),
-                        )
-                    ),
-                    "vec_id",
-                )
-                .limit(_RECALL_PROBES)
-                .localCheckpoint()  # referenced by both churn sides
-            )
+            ).localCheckpoint()  # referenced by both churn sides
             probe_panel, member_probes = "auto_survivor", True
         else:
             probes = batch.select(

@@ -2067,18 +2067,32 @@ _TT_SURV_PLANT_BASE = 3_000_000_000
 
 
 def _tt_plant(
-    base: DataFrame, pop, id_base: int, checkpoint: bool = True
+    base: DataFrame,
+    pop,
+    id_base: int,
+    checkpoint: bool = True,
+    exact: bool = False,
 ) -> DataFrame:
-    """Deterministic near-copy plant over the first _TT_PLANT docs of
-    a population (q_text_gen_fold's recipe: append the doc's own first
-    word — word-set Jaccard exactly 1.0 with the source, text not
-    byte-equal). Checkpointed by default (O(1) rows referenced three
+    """Deterministic plant over the first _TT_PLANT docs of a
+    population. Default mode is q_text_gen_fold's near-copy recipe:
+    append the doc's own first word — word-set Jaccard exactly 1.0
+    with the source, text not byte-equal; ``exact=True`` (round 15,
+    q_gate_post_takedown's digest populations) copies the text
+    VERBATIM instead, so the plant shares its source's normalized
+    digest. Checkpointed by default (O(1) rows referenced three
     times: bands, word sets, probe ids); ``checkpoint=False`` is the
     plan-aux's LAZY view of the SAME builder — one definition, so the
     guarded plan can never desynchronize from the executed chain
     (round-14 self-review)."""
     first_word = F.element_at(
         F.filter(F.split("text", " "), lambda w: w != ""), 1
+    )
+    txt = (
+        F.col("text")
+        if exact
+        else F.concat(
+            F.col("text"), F.lit(" "), F.coalesce(first_word, F.lit("x"))
+        )
     )
     planted = (
         base.filter(pop)
@@ -2087,9 +2101,7 @@ def _tt_plant(
         .select(
             (F.col("doc_id") + F.lit(id_base)).alias("doc_id"),
             "lang",
-            F.concat(
-                F.col("text"), F.lit(" "), F.coalesce(first_word, F.lit("x"))
-            ).alias("text"),
+            txt.alias("text"),
         )
     )
     return planted.localCheckpoint() if checkpoint else planted

@@ -48,6 +48,7 @@ from kafka_flink_exactlyonce_example_spark.operators.dedup import (
     _TEXT_GEN_SIG_SQL,
     _TT_PLANT,
     _assign_to_seeds,
+    _tt_plant,
     _bands_rel,
     _cap_bands_rel,
     _del_tag_col,
@@ -694,56 +695,29 @@ _GPT_EXACT_DEL_BASE = 6_000_000_000
 _GPT_EXACT_SURV_BASE = 7_000_000_000
 
 
-def _gpt_plant(
-    base: DataFrame, pop, id_base: int, exact: bool, checkpoint: bool = True
-) -> DataFrame:
-    """Deterministic plant over the first _TT_PLANT docs of a
-    population — q_text_tombstone's recipe generalized with an EXACT
-    mode: ``exact=False`` appends the doc's own first word (word-set
-    Jaccard exactly 1.0, text not byte-equal → exercises the TEXT
-    check alone), ``exact=True`` copies the text verbatim (same
-    normalized digest → exercises the DIGEST check, and the text check
-    with it). ``checkpoint=False`` is the plan-aux's LAZY view of the
-    SAME builder (one definition — the guarded plan can never
-    desynchronize from the executed chain)."""
-    first_word = F.element_at(
-        F.filter(F.split("text", " "), lambda w: w != ""), 1
-    )
-    txt = (
-        F.col("text")
-        if exact
-        else F.concat(
-            F.col("text"), F.lit(" "), F.coalesce(first_word, F.lit("x"))
-        )
-    )
-    planted = (
-        base.filter(pop)
-        .orderBy("doc_id")
-        .limit(_TT_PLANT)
-        .select(
-            (F.col("doc_id") + F.lit(id_base)).alias("doc_id"),
-            "lang",
-            txt.alias("text"),
-        )
-    )
-    return planted.localCheckpoint() if checkpoint else planted
-
-
 def _gpt_plants(base: DataFrame, checkpoint: bool = True) -> DataFrame:
     """The four plant populations (16 rows): near/exact copies of the
-    first 4 taken-down and the first 4 surviving corpus docs."""
+    first 4 taken-down and the first 4 surviving corpus docs — ONE
+    builder, :func:`dedup._tt_plant` (q_text_tombstone's recipe; the
+    ``exact`` mode copies text verbatim so the plant shares its
+    source's normalized digest — round-15 self-review folded the
+    variant into the shared helper instead of duplicating it)."""
     del_pop = (F.col("g") >= 1) & _del_tag_col("doc_id")
     surv_pop = (F.col("g") >= 1) & ~_del_tag_col("doc_id")
     return (
-        _gpt_plant(base, del_pop, _GPT_NEAR_DEL_BASE, False, checkpoint)
+        _tt_plant(base, del_pop, _GPT_NEAR_DEL_BASE, checkpoint)
         .unionByName(
-            _gpt_plant(base, surv_pop, _GPT_NEAR_SURV_BASE, False, checkpoint)
+            _tt_plant(base, surv_pop, _GPT_NEAR_SURV_BASE, checkpoint)
         )
         .unionByName(
-            _gpt_plant(base, del_pop, _GPT_EXACT_DEL_BASE, True, checkpoint)
+            _tt_plant(
+                base, del_pop, _GPT_EXACT_DEL_BASE, checkpoint, exact=True
+            )
         )
         .unionByName(
-            _gpt_plant(base, surv_pop, _GPT_EXACT_SURV_BASE, True, checkpoint)
+            _tt_plant(
+                base, surv_pop, _GPT_EXACT_SURV_BASE, checkpoint, exact=True
+            )
         )
     )
 

@@ -855,18 +855,30 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def md5_panel(
+    frame: DataFrame, n: int = _RECALL_PROBES, id_col: str = "vec_id"
+) -> DataFrame:
+    """The absolute deterministic probe-panel recipe as ONE frame-level
+    definition (round-15 self-review — it was hand-expanded in three
+    places): the ``n`` rows of ``frame`` with the smallest
+    md5('recall:'||id), id ascending on ties. Shared by the fixture
+    recall-audit family (:func:`_recall_panel`), the roll's
+    delete-only-window survivor panel, and the generation-catalog
+    derivation (lifecycle.py) — changing the salt or tie-break here
+    moves all three in lockstep."""
+    return frame.orderBy(
+        F.md5(F.concat(F.lit("recall:"), F.col(id_col).cast("string"))),
+        id_col,
+    ).limit(n)
+
+
 def _recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SHARED absolute probe panel of the recall-audit family —
     the _RECALL_PROBES vectors with smallest md5('recall:'||vec_id).
     q_ann_recall and q_mp_recall audit DIFFERENT indexes against the
     SAME panel, so their recall columns are directly comparable."""
     return F.broadcast(
-        table(spark, sf_dir, "embeddings")
-        .orderBy(
-            F.md5(F.concat(F.lit("recall:"), F.col("vec_id").cast("string"))),
-            "vec_id",
-        )
-        .limit(_RECALL_PROBES)
+        md5_panel(table(spark, sf_dir, "embeddings"))
         .select("vec_id")
     )
 
