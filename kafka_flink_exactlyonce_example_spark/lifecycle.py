@@ -1039,3 +1039,208 @@ def _is_del_doc():
     )
 
     return _del_tag_col("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q_derived_catalog — the generation-catalog derivation, driver-graded
+# --------------------------------------------------------------------------
+
+#: The derivation's probe depths — :func:`derive_generation_table`'s
+#: default, shared so the graded row and the API can never diverge.
+_DC_NPROBES = (1, 2, 4, 6)
+
+_DC_ORACLE = f"""
+    WITH esplit AS (
+        SELECT vec_id, label, embedding,
+               CASE WHEN CAST(CAST(concat('0x', substring(
+                             md5('inc:' || CAST(vec_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 10 AS BIGINT) = 0
+                    THEN 1 ELSE 0 END AS is_new
+        FROM embeddings
+    ), members AS (
+        SELECT vec_id, label, embedding FROM esplit WHERE is_new = 0
+    ), ecent AS (
+        SELECT label, list(m ORDER BY i) AS centroid
+        FROM (
+            SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+            FROM members, generate_series(1, 64) t(i)
+            GROUP BY label, i
+        )
+        GROUP BY label
+    ), panel AS (
+        SELECT vec_id, embedding FROM members
+        ORDER BY md5('recall:' || CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 24
+    ), rankr AS (
+        SELECT pid, label, rnk FROM (
+            SELECT p.vec_id AS pid, c.label,
+                   row_number() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY round({cosine_sql('p.embedding', 'c.centroid')},
+                                      6) DESC, c.label) AS rnk
+            FROM panel p, ecent c
+        ) WHERE rnk <= {max(_DC_NPROBES)}
+    ), truth AS (
+        SELECT pid, vec_id FROM (
+            SELECT p.vec_id AS pid, m.vec_id,
+                   row_number() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY {cosine_sql('p.embedding', 'm.embedding')}
+                                DESC, m.vec_id) AS trn
+            FROM panel p JOIN members m ON m.vec_id <> p.vec_id
+        ) WHERE trn <= {{K}}
+    ), cand AS (
+        SELECT r.pid, m.vec_id, r.rnk
+        FROM members m
+        JOIN rankr r ON r.label = m.label AND m.vec_id <> r.pid
+    ), counts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS trials FROM truth
+    ), pc AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS panel_n FROM panel
+    ), agg AS (
+        SELECT d.d,
+               CAST(COUNT(*) AS BIGINT) AS n_cand,
+               CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit
+        FROM (VALUES {', '.join(f'({d})' for d in _DC_NPROBES)}) d(d)
+        JOIN cand c ON c.rnk <= d.d
+        LEFT JOIN truth t ON t.pid = c.pid AND t.vec_id = c.vec_id
+        GROUP BY d.d
+    )
+    SELECT 'ivf' AS kind,
+           CAST(d AS BIGINT) AS param,
+           CAST((2 * n_hit * 1000 + trials) // (2 * trials) AS BIGINT)
+               / 1000.0 AS recall,
+           CAST((n_cand + panel_n - 1) // panel_n AS BIGINT)
+               AS cand_per_probe
+    FROM agg CROSS JOIN counts CROSS JOIN pc
+""".replace("{K}", str(_RECALL_K))
+
+
+@query("q_derived_catalog", oracle=_DC_ORACLE)
+def q_derived_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generation-catalog DERIVATION, driver-graded end-to-end
+    (round 15, VERDICT r14 item 4's graded half — the lifecycle test
+    proves the roll stamps and follows the derived rows; this row
+    puts the derivation arithmetic itself under the DuckDB hash):
+    :func:`derive_generation_table`'s whole chain re-expressed as ONE
+    lazy DataFrame program over the standing frozen gen-1 fixtures
+    (the 'inc:' is_new = 0 members at their lake labels, the same
+    generation every incremental-family row grades against) — the
+    md5-TakeOrdered member panel, coarse routing ranks at the frozen
+    router's exact tie-breaks (6-dp-rounded cosine desc, label asc),
+    brute ground truth (raw-cosine order, id tiebreak, self-excluded,
+    top-{{K}}), per-depth candidate/hit sums, and the shipped
+    catalog's rounding conventions in integer arithmetic (half-up
+    3-dp recall = ⌊(2h·1000 + t) / 2t⌋ / 1000; cand_per_probe =
+    ⌈Σcand / |panel|⌉) — one output row per probe depth
+    {_DC_NPROBES}: (kind, param, recall, cand_per_probe).
+    tests/test_lifecycle.py pins that these rows equal
+    :func:`derive_generation_table` run on the SAME frames through
+    the real API (modulo its cheapest-first sort), so the graded
+    arithmetic and the roll's ``catalog="derive"`` branch can never
+    diverge.
+
+    Scale shape: :func:`derive_generation_table`'s exactly — the
+    bounded panel broadcast against ONE member scan (truth; consumed
+    lazily by the hit join and the trials count — at catalog-audit
+    cadence the double pass is |panel| × n cosines, the eval
+    harness's standard price), one |panel| × |labels| bounded cross
+    join (ranks), one broadcast rank join against the member scan
+    with a 4-row depth expansion, then 1-row aggregates composed via
+    broadcast crossJoins (the census idiom). No corpus × corpus
+    relation, no data-scaled shuffle key, no collect."""
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        cosine,
+    )
+    from pyspark.sql import Window
+
+    cent, _seeds = inc_index_build(spark, sf_dir)
+    ckey = "cell" if "cell" in cent.columns else "label"
+    centn = cent.select(F.col(ckey).alias("label"), "centroid")
+    members = (
+        _inc_tagged(spark, sf_dir)
+        .filter(~F.col("is_new"))
+        .select("vec_id", "label", "embedding")
+    )
+    p = md5_panel(members.select("vec_id", "embedding")).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pe")
+    )
+    rank_w = Window.partitionBy("pid").orderBy(F.desc("rsim"), "label")
+    rankr = (
+        p.crossJoin(F.broadcast(centn))
+        .select(
+            "pid",
+            "label",
+            F.round(cosine(F.col("pe"), F.col("centroid")), 6).alias("rsim"),
+        )
+        .withColumn("rnk", F.row_number().over(rank_w))
+        .filter(F.col("rnk") <= max(_DC_NPROBES))
+        .select("pid", "label", "rnk")
+    )
+    truth_w = Window.partitionBy("pid").orderBy(
+        F.desc("tsim"), F.col("vec_id")
+    )
+    truth = (
+        members.join(F.broadcast(p), F.col("vec_id") != F.col("pid"))
+        .select(
+            "pid",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("pe")).alias("tsim"),
+        )
+        .withColumn("trn", F.row_number().over(truth_w))
+        .filter(F.col("trn") <= _RECALL_K)
+        .select("pid", "vec_id")
+    )
+    cand = (
+        members.join(F.broadcast(rankr), "label")
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select("pid", "vec_id", "rnk")
+    )
+    depths = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(d) for d in _DC_NPROBES])
+        ).alias("d")
+    )
+    agg = (
+        cand.join(F.broadcast(depths), F.col("rnk") <= F.col("d"))
+        .join(
+            F.broadcast(truth.withColumn("_t", F.lit(1))),
+            ["pid", "vec_id"],
+            "left",
+        )
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cand"),
+            F.sum(F.coalesce("_t", F.lit(0))).cast("long").alias("n_hit"),
+        )
+    )
+    trials = truth.agg(F.count(F.lit(1)).cast("long").alias("trials"))
+    panel_n = p.agg(F.count(F.lit(1)).cast("long").alias("panel_n"))
+
+    def idiv(a, b):
+        # exact long floor-division as Column arithmetic (Column has
+        # no // operator): (a - a % b) / b — the numerator is exactly
+        # divisible, so the double division is IEEE-exact below 2^53
+        return ((a - a % b) / b).cast("long")
+
+    num = (F.lit(2) * F.col("n_hit") * F.lit(1000) + F.col("trials")).cast(
+        "long"
+    )
+    recall = idiv(num, (F.lit(2) * F.col("trials")).cast("long")) / F.lit(
+        1000.0
+    )
+    cpp = idiv(
+        (F.col("n_cand") + F.col("panel_n") - F.lit(1)).cast("long"),
+        F.col("panel_n").cast("long"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(trials))
+        .crossJoin(F.broadcast(panel_n))
+        .select(
+            F.lit("ivf").alias("kind"),
+            F.col("d").cast("long").alias("param"),
+            recall.alias("recall"),
+            cpp.alias("cand_per_probe"),
+        )
+    )

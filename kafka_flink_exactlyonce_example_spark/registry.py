@@ -481,6 +481,11 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     # against gen-1 survivors, the rejected→admitted flip hash-graded
     # via four planted populations
     "q_gate_post_takedown",
+    # round-15 (VERDICT r14 item 4): the generation-catalog derivation
+    # itself — per-depth recall/cost of the frozen gen-1 generation's
+    # label-routed scan vs brute truth on the bounded md5 panel, the
+    # shipped catalog's rounding conventions in integer arithmetic
+    "q_derived_catalog",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.

@@ -530,3 +530,43 @@ def test_roll_derived_catalog_from_generation_artifacts(spark, tmp_path):
         assert (pick["index"], pick["param"]) == (kind, param) or (
             pick["cand_per_probe"] <= cost and pick["recall"] >= recall
         ), "the pick must follow the generation's own table"
+
+
+def test_derived_catalog_graded_row_matches_api(spark, registry_loaded):
+    """q_derived_catalog re-expresses derive_generation_table as one
+    lazy DataFrame program; this pins that the graded rows equal the
+    REAL API run on the same frozen gen-1 frames (modulo the API's
+    cheapest-first sort) — what keeps the graded arithmetic and the
+    roll's catalog='derive' branch from ever diverging."""
+    from kafka_flink_exactlyonce_example_spark import lifecycle as lc
+    from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+        _assign_to_seeds,
+    )
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        _inc_tagged,
+        inc_index_build,
+    )
+
+    graded = sorted(
+        tuple(r)
+        for r in registry_loaded.QUERIES["q_derived_catalog"](
+            spark, SMOKE_SF
+        ).collect()
+    )
+    cent, seeds = inc_index_build(spark, SMOKE_SF)
+    members = (
+        _inc_tagged(spark, SMOKE_SF)
+        .filter(~F.col("is_new"))
+        .select("vec_id", "label", "embedding")
+    )
+    api = lc.derive_generation_table(
+        spark, cent, seeds, _assign_to_seeds(members, seeds)
+    )
+    assert graded == sorted(api) and len(graded) == 4
+    # non-degenerate: recall strictly increases with depth and the
+    # scan cost with it
+    by_depth = sorted(graded, key=lambda r: r[1])
+    recalls = [r[2] for r in by_depth]
+    costs = [r[3] for r in by_depth]
+    assert recalls == sorted(recalls) and costs == sorted(costs)
+    assert recalls[-1] > recalls[0]
