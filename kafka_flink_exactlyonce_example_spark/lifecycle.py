@@ -1244,3 +1244,235 @@ def q_derived_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
             cpp.alias("cand_per_probe"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_roll_delete_only — the delete-only window's churn gate, driver-graded
+# --------------------------------------------------------------------------
+
+_RDO_ORACLE = f"""
+    WITH esplit AS (
+        SELECT vec_id, label, embedding,
+               CASE WHEN CAST(CAST(concat('0x', substring(
+                             md5('inc:' || CAST(vec_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 10 AS BIGINT) = 0
+                    THEN 1 ELSE 0 END AS is_new
+        FROM embeddings
+    ), old AS (
+        SELECT vec_id, label, embedding FROM esplit WHERE is_new = 0
+    ), surv AS (
+        SELECT vec_id, label, embedding FROM old
+        WHERE NOT {_DEL_TAG_SQL.format(col='vec_id')}
+    ), cent1 AS (
+        SELECT label, list(m ORDER BY i) AS centroid
+        FROM (
+            SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+            FROM old, generate_series(1, 64) t(i)
+            GROUP BY label, i
+        )
+        GROUP BY label
+    ), cent2 AS (
+        SELECT label, list(m ORDER BY i) AS centroid
+        FROM (
+            SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+            FROM surv, generate_series(1, 64) t(i)
+            GROUP BY label, i
+        )
+        GROUP BY label
+    ), panel AS (
+        SELECT vec_id, embedding FROM surv
+        ORDER BY md5('recall:' || CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 24
+    ), r1 AS (
+        SELECT vec_id, cell, embedding FROM (
+            SELECT p.vec_id, c.label AS cell, p.embedding,
+                   row_number() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY round({cosine_sql('p.embedding', 'c.centroid')},
+                                      6) DESC, c.label) AS rn
+            FROM panel p, cent1 c
+        ) WHERE rn = 1
+    ), n1 AS (
+        SELECT vec_id, neighbor_id FROM (
+            SELECT a.vec_id, x.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {cosine_sql('a.embedding', 'x.embedding')}
+                                DESC, x.vec_id) AS rn
+            FROM r1 a
+            LEFT JOIN surv x ON x.label = a.cell AND x.vec_id <> a.vec_id
+        ) WHERE rn = 1
+    ), r2 AS (
+        SELECT vec_id, cell, embedding FROM (
+            SELECT p.vec_id, c.label AS cell, p.embedding,
+                   row_number() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY round({cosine_sql('p.embedding', 'c.centroid')},
+                                      6) DESC, c.label) AS rn
+            FROM panel p, cent2 c
+        ) WHERE rn = 1
+    ), n2 AS (
+        SELECT vec_id, neighbor_id FROM (
+            SELECT a.vec_id, x.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {cosine_sql('a.embedding', 'x.embedding')}
+                                DESC, x.vec_id) AS rn
+            FROM r2 a
+            LEFT JOIN surv x ON x.label = a.cell AND x.vec_id <> a.vec_id
+        ) WHERE rn = 1
+    ), churn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+               CAST(SUM(CASE WHEN n1.neighbor_id IS DISTINCT FROM
+                                  n2.neighbor_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_changed
+        FROM n1 JOIN n2 ON n2.vec_id = n1.vec_id
+    )
+    SELECT o.n_old, t.n_takedowns, s.n_survivors,
+           c.n_probes, c.n_changed,
+           ROUND(CAST(c.n_changed AS DOUBLE) / c.n_probes, 6)
+               AS churn_frac,
+           CASE WHEN ROUND(CAST(c.n_changed AS DOUBLE) / c.n_probes, 6)
+                     <= {{B0}} THEN 1 ELSE 0 END AS promote_strict,
+           CASE WHEN ROUND(CAST(c.n_changed AS DOUBLE) / c.n_probes, 6)
+                     <= {{B1}} THEN 1 ELSE 0 END AS promote_lenient
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_old FROM old) o
+    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_takedowns
+                FROM old WHERE {_DEL_TAG_SQL.format(col='vec_id')}) t
+    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_survivors FROM surv) s
+    CROSS JOIN churn c
+"""
+
+
+@plan_aux("q_roll_delete_only::state")
+def _rdo_state_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delete-only census's corpus-touching state in LAZY form —
+    the gen-1 posting relation (assign chain), the survivor anti-join,
+    and the md5-TakeOrdered panel — which the graded row checkpoints
+    (each is referenced by several warm-cycle/churn stages); joined on
+    the posting id so every hidden chain sits in one fingerprinted
+    plan under the plan guards (the q_pca_power::moments rule)."""
+    cent1, seeds1 = inc_index_build(spark, sf_dir)
+    old = _inc_tagged(spark, sf_dir).filter(~F.col("is_new")).select(
+        "vec_id", "label", "embedding"
+    )
+    tomb = old.filter(_is_del_col()).select("vec_id")
+    indexed1 = _assign_to_seeds(old, seeds1)
+    surv = tombstone_filter(old, tomb)
+    panel = md5_panel(surv.select("vec_id", "embedding")).select("vec_id")
+    return (
+        indexed1.join(surv.select("vec_id"), "vec_id", "left_semi")
+        .join(panel, "vec_id", "left_semi")
+    )
+
+
+@query("q_roll_delete_only", oracle=_RDO_ORACLE.replace(
+    "{B0}", str(_PROMOTE_THRESHOLDS[0])
+).replace("{B1}", str(_PROMOTE_THRESHOLDS[1])))
+def q_roll_delete_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE-ONLY window's churn gate, driver-graded in one row
+    (round 15, VERDICT r14 item 3's graded half — the lifecycle test
+    proves both verdict branches drive the pointer with zero
+    hand-built probes; this row puts the auto-panel arithmetic under
+    the DuckDB hash): the 'del:' wave (~20% of the frozen gen-1
+    corpus, no batch) is taken down, the deterministic md5-TakeOrdered
+    SURVIVOR panel (:func:`simsearch.md5_panel` — the q_ann_recall
+    absolute-size recipe, exactly what :func:`corpus_generation_roll`
+    derives when ``probes is None`` and the batch is empty) probes
+    BOTH states, and — because a survivor probe is a member of both
+    generations — BOTH churn sides self-exclude: v1 =
+    :func:`_self_excluded_top1` over the tombstone-filtered gen-1
+    postings routed by the FROZEN gen-1 router, v2 = the same over
+    the warm-cycled generation (delete-only: ``adm_routed=None``,
+    coarse centroids retrained over survivors) routed by ITS router.
+    Census: corpus/wave/survivor counts, panel churn, and both
+    q_gen_promote bars (imported, the one-definition rule). At every
+    graded SF the id-uniform ~20% wave moves the per-label means
+    enough to re-route a THIRD of the panel (measured churn 8–9/24),
+    so promote_strict = 0 and promote_lenient = 1 — BOTH verdict
+    branches hash-graded from live data, the q_generation_roll
+    convention; the end-to-end pointer behavior for both branches is
+    additionally runtime-pinned with zero hand-built probes via the
+    centroid-swing geometry in tests/test_lifecycle.py.
+
+    Oracle-parity notes: label-grain scan vs the engine's one frozen
+    sub-cell — exact under the standing k=1 collapse guard;
+    fired-cell compact report computed like the roll (catalog-grain
+    collect, empty at the graded SFs; at k=1 a fired retrain rescans
+    the same members, so the grade is fired-insensitive — the
+    q_generation_roll guard); routing on 6-dp-rounded coarse cosines
+    with label tie-break on BOTH engines, neighbor order raw-cosine
+    with id tie-break on both.
+
+    Scale shape: the roll's delete-only path exactly — one tombstone
+    anti-join, one bounded coarse retrain, the bounded panel routed
+    twice against broadcast tables with two sub-cell posting scans,
+    1-row aggregates composed via broadcast crossJoins. The posting
+    relation, survivor slice and panel are checkpointed
+    (re-execution discipline; hidden chains under the plan guards via
+    the ::state aux)."""
+    cent1, seeds1 = inc_index_build(spark, sf_dir)
+    old = _inc_tagged(spark, sf_dir).filter(~F.col("is_new")).select(
+        "vec_id", "label", "embedding"
+    )
+    tomb = old.filter(_is_del_col()).select("vec_id")
+    indexed1 = _assign_to_seeds(old, seeds1).localCheckpoint()
+    surv = tombstone_filter(old, tomb).localCheckpoint()
+
+    delcells = (
+        indexed1.join(tomb.withColumn("_d", F.lit(1)), "vec_id", "left")
+        .groupBy(F.col("label").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum(F.coalesce("_d", F.lit(0))).cast("long").alias("n_deleted"),
+        )
+    )
+    fired = sorted(
+        int(r["cell"])
+        for r in index_compact_report(delcells)
+        .filter(F.col("compact") == 1)
+        .collect()
+    )
+    cent2, seeds2, indexed2 = warm_index_cycle(
+        surv, seeds1, indexed1, None, tomb, fired
+    )
+
+    probes = md5_panel(surv.select("vec_id", "embedding")).localCheckpoint()
+    v1 = _self_excluded_top1(
+        frozen_route(probes, cent1, seeds1),
+        tombstone_filter(indexed1, tomb),
+    ).select("vec_id", F.col("neighbor_id").alias("nb_v1"))
+    v2 = _self_excluded_top1(
+        frozen_route(probes, cent2, seeds2), indexed2
+    ).select("vec_id", F.col("neighbor_id").alias("nb_v2"))
+    churn = v1.join(v2, "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum((~F.col("nb_v1").eqNullSafe(F.col("nb_v2"))).cast("int"))
+        .cast("long")
+        .alias("n_changed"),
+    )
+    n_old = old.agg(F.count(F.lit(1)).cast("long").alias("n_old"))
+    n_tomb = tomb.agg(F.count(F.lit(1)).cast("long").alias("n_takedowns"))
+    n_surv = surv.agg(F.count(F.lit(1)).cast("long").alias("n_survivors"))
+    frac = F.round(
+        F.col("n_changed").cast("double") / F.col("n_probes"), 6
+    )
+    return (
+        n_old.crossJoin(F.broadcast(n_tomb))
+        .crossJoin(F.broadcast(n_surv))
+        .crossJoin(F.broadcast(churn))
+        .select(
+            "n_old",
+            "n_takedowns",
+            "n_survivors",
+            "n_probes",
+            "n_changed",
+            frac.alias("churn_frac"),
+            F.when(frac <= _PROMOTE_THRESHOLDS[0], 1)
+            .otherwise(0)
+            .alias("promote_strict"),
+            F.when(frac <= _PROMOTE_THRESHOLDS[1], 1)
+            .otherwise(0)
+            .alias("promote_lenient"),
+        )
+    )

@@ -486,6 +486,10 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     # label-routed scan vs brute truth on the bounded md5 panel, the
     # shipped catalog's rounding conventions in integer arithmetic
     "q_derived_catalog",
+    # round-15 (VERDICT r14 item 3): the delete-only window's churn
+    # gate — auto survivor panel, BOTH churn sides self-excluded,
+    # both promote bars live (strict blocks, lenient promotes)
+    "q_roll_delete_only",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.

@@ -570,3 +570,37 @@ def test_derived_catalog_graded_row_matches_api(spark, registry_loaded):
     costs = [r[3] for r in by_depth]
     assert recalls == sorted(recalls) and costs == sorted(costs)
     assert recalls[-1] > recalls[0]
+
+
+def test_roll_delete_only_graded_row_invariants(spark, registry_loaded):
+    """q_roll_delete_only's census consistency on the smoke fixtures:
+    the wave partitions the corpus exactly, the panel is the
+    md5-TakeOrdered survivor panel (the same recipe the roll's
+    auto_probe_panel derives), and both verdict branches are live
+    (strict blocks, lenient promotes — the measured ~1/3 panel churn
+    of the id-uniform wave's centroid drift)."""
+    from kafka_flink_exactlyonce_example_spark.operators.ingest import (
+        _is_del_col,
+    )
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        _inc_tagged,
+        md5_panel,
+    )
+
+    row = registry_loaded.QUERIES["q_roll_delete_only"](
+        spark, SMOKE_SF
+    ).first()
+    assert row["n_old"] == row["n_takedowns"] + row["n_survivors"]
+    assert row["n_probes"] == min(24, row["n_survivors"])
+    assert 0 < row["n_changed"] < row["n_probes"]
+    assert (row["promote_strict"], row["promote_lenient"]) == (0, 1), (
+        "both verdict branches must be live on the graded fixtures"
+    )
+    surv = (
+        _inc_tagged(spark, SMOKE_SF)
+        .filter(~F.col("is_new"))
+        .filter(~_is_del_col())
+        .select("vec_id", "embedding")
+    )
+    panel_ids = {r["vec_id"] for r in md5_panel(surv).collect()}
+    assert len(panel_ids) == row["n_probes"]
