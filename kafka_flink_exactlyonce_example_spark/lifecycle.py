@@ -212,12 +212,20 @@ def _recall_3dp(hits: int, trials: int) -> float:
     return ((2 * hits * 1000 + trials) // (2 * trials)) / 1000
 
 
+#: The catalog derivation's probe depths — ONE definition consumed by
+#: :func:`derive_generation_table`'s signature default, the graded
+#: q_derived_catalog row AND its oracle, so the three can never drift
+#: (round-15 self-review: the signature previously re-declared the
+#: literal).
+_DC_NPROBES = (1, 2, 4, 6)
+
+
 def derive_generation_table(
     spark: SparkSession,
     cent: DataFrame,
     seeds: DataFrame,
     indexed: DataFrame,
-    nprobes: tuple[int, ...] = (1, 2, 4, 6),
+    nprobes: tuple[int, ...] = _DC_NPROBES,
 ) -> tuple[tuple[str, int, float, int], ...]:
     """Derive a planner operating table from a GENERATION'S OWN
     artifacts (round 15, VERDICT r14 item 4 — the derived branch made
@@ -1045,10 +1053,6 @@ def _is_del_doc():
 # q_derived_catalog — the generation-catalog derivation, driver-graded
 # --------------------------------------------------------------------------
 
-#: The derivation's probe depths — :func:`derive_generation_table`'s
-#: default, shared so the graded row and the API can never diverge.
-_DC_NPROBES = (1, 2, 4, 6)
-
 _DC_ORACLE = f"""
     WITH esplit AS (
         SELECT vec_id, label, embedding,
@@ -1117,6 +1121,83 @@ _DC_ORACLE = f"""
 """.replace("{K}", str(_RECALL_K))
 
 
+def _dc_frames(spark: SparkSession, sf_dir: str, checkpoint: bool = True):
+    """The graded derivation's corpus-touching relations — panel,
+    routing ranks, brute truth — with the checkpoint flag pattern
+    (:func:`dedup._tt_plant`'s): ``checkpoint=True`` is the executed
+    chain (each relation is consumed by 2–3 downstream stages, and a
+    lazy reference re-runs its full member scan per consumer — the
+    round-12 lesson; measured: the un-checkpointed row paid ~3
+    redundant embeddings scans per run), ``checkpoint=False`` the
+    plan-aux's LAZY view of the SAME builders, so the guarded plan
+    can never desynchronize from the executed one."""
+    from pyspark.sql import Window
+
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        cosine,
+    )
+
+    cent, _seeds = inc_index_build(spark, sf_dir)
+    ckey = "cell" if "cell" in cent.columns else "label"
+    centn = cent.select(F.col(ckey).alias("label"), "centroid")
+    members = (
+        _inc_tagged(spark, sf_dir)
+        .filter(~F.col("is_new"))
+        .select("vec_id", "label", "embedding")
+    )
+    p = md5_panel(members.select("vec_id", "embedding")).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pe")
+    )
+    if checkpoint:
+        p = p.localCheckpoint()  # feeds rankr, truth AND panel_n
+    rank_w = Window.partitionBy("pid").orderBy(F.desc("rsim"), "label")
+    rankr = (
+        p.crossJoin(F.broadcast(centn))
+        .select(
+            "pid",
+            "label",
+            F.round(cosine(F.col("pe"), F.col("centroid")), 6).alias("rsim"),
+        )
+        .withColumn("rnk", F.row_number().over(rank_w))
+        .filter(F.col("rnk") <= max(_DC_NPROBES))
+        .select("pid", "label", "rnk")
+    )
+    if checkpoint:
+        rankr = rankr.localCheckpoint()  # bounded |panel|·max(nprobes)
+    truth_w = Window.partitionBy("pid").orderBy(
+        F.desc("tsim"), F.col("vec_id")
+    )
+    truth = (
+        members.join(F.broadcast(p), F.col("vec_id") != F.col("pid"))
+        .select(
+            "pid",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("pe")).alias("tsim"),
+        )
+        .withColumn("trn", F.row_number().over(truth_w))
+        .filter(F.col("trn") <= _RECALL_K)
+        .select("pid", "vec_id")
+    )
+    if checkpoint:
+        # bounded |panel|·K rows, consumed by the hit join AND the
+        # trials count — without the checkpoint the |panel| × n truth
+        # scan runs twice
+        truth = truth.localCheckpoint()
+    return members, p, rankr, truth
+
+
+@plan_aux("q_derived_catalog::state")
+def _dc_state_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derivation's corpus-touching chains in LAZY form — the
+    md5-TakeOrdered panel, the routing ranks, and the |panel| × n
+    brute truth — which the graded row checkpoints; joined on the
+    probe id so every hidden chain sits in one fingerprinted plan
+    under the plan guards (the q_pca_power::moments rule). Same
+    builders as the executed chain (checkpoint=False)."""
+    _members, p, rankr, truth = _dc_frames(spark, sf_dir, checkpoint=False)
+    return p.join(rankr, "pid").join(truth, "pid")
+
+
 @query("q_derived_catalog", oracle=_DC_ORACLE)
 def q_derived_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The generation-catalog DERIVATION, driver-graded end-to-end
@@ -1142,56 +1223,17 @@ def q_derived_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     diverge.
 
     Scale shape: :func:`derive_generation_table`'s exactly — the
-    bounded panel broadcast against ONE member scan (truth; consumed
-    lazily by the hit join and the trials count — at catalog-audit
-    cadence the double pass is |panel| × n cosines, the eval
-    harness's standard price), one |panel| × |labels| bounded cross
-    join (ranks), one broadcast rank join against the member scan
-    with a 4-row depth expansion, then 1-row aggregates composed via
-    broadcast crossJoins (the census idiom). No corpus × corpus
-    relation, no data-scaled shuffle key, no collect."""
-    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
-        cosine,
-    )
-    from pyspark.sql import Window
-
-    cent, _seeds = inc_index_build(spark, sf_dir)
-    ckey = "cell" if "cell" in cent.columns else "label"
-    centn = cent.select(F.col(ckey).alias("label"), "centroid")
-    members = (
-        _inc_tagged(spark, sf_dir)
-        .filter(~F.col("is_new"))
-        .select("vec_id", "label", "embedding")
-    )
-    p = md5_panel(members.select("vec_id", "embedding")).select(
-        F.col("vec_id").alias("pid"), F.col("embedding").alias("pe")
-    )
-    rank_w = Window.partitionBy("pid").orderBy(F.desc("rsim"), "label")
-    rankr = (
-        p.crossJoin(F.broadcast(centn))
-        .select(
-            "pid",
-            "label",
-            F.round(cosine(F.col("pe"), F.col("centroid")), 6).alias("rsim"),
-        )
-        .withColumn("rnk", F.row_number().over(rank_w))
-        .filter(F.col("rnk") <= max(_DC_NPROBES))
-        .select("pid", "label", "rnk")
-    )
-    truth_w = Window.partitionBy("pid").orderBy(
-        F.desc("tsim"), F.col("vec_id")
-    )
-    truth = (
-        members.join(F.broadcast(p), F.col("vec_id") != F.col("pid"))
-        .select(
-            "pid",
-            "vec_id",
-            cosine(F.col("embedding"), F.col("pe")).alias("tsim"),
-        )
-        .withColumn("trn", F.row_number().over(truth_w))
-        .filter(F.col("trn") <= _RECALL_K)
-        .select("pid", "vec_id")
-    )
+    bounded panel broadcast against ONE member scan (truth), one
+    |panel| × |labels| bounded cross join (ranks), one broadcast rank
+    join against the member scan with a 4-row depth expansion, then
+    1-row aggregates composed via broadcast crossJoins (the census
+    idiom). The panel, ranks and truth are checkpointed (each is
+    consumed by 2–3 downstream stages; round-15 self-review — the
+    un-checkpointed row paid ~3 redundant member scans per run), with
+    the hidden chains under the plan guards via the ::state aux. No
+    corpus × corpus relation, no data-scaled shuffle key, no
+    collect."""
+    members, p, rankr, truth = _dc_frames(spark, sf_dir)
     cand = (
         members.join(F.broadcast(rankr), "label")
         .filter(F.col("vec_id") != F.col("pid"))
@@ -1420,11 +1462,11 @@ def q_roll_delete_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = tombstone_filter(old, tomb).localCheckpoint()
 
     delcells = (
-        indexed1.join(tomb.withColumn("_d", F.lit(1)), "vec_id", "left")
+        old.select("label", _is_del_col().cast("int").alias("is_del"))
         .groupBy(F.col("label").alias("cell"))
         .agg(
             F.count(F.lit(1)).alias("n_before"),
-            F.sum(F.coalesce("_d", F.lit(0))).cast("long").alias("n_deleted"),
+            F.sum("is_del").cast("long").alias("n_deleted"),
         )
     )
     fired = sorted(
