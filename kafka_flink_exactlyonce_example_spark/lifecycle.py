@@ -76,6 +76,7 @@ from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
     _FILTERED_IVF_RECALL_FLOOR,
     _PROMOTE_THRESHOLDS,
     _RECALL_K,
+    _RECALL_PROBES,
     frozen_index_frames,
     frozen_route,
     frozen_top1,
@@ -350,6 +351,14 @@ def derive_generation_table(
             for np in nprobes
         ],
     ).first()
+    # a depth whose routed labels hold no candidates offers no route —
+    # drop it from the menu instead of shipping a (recall 0.0, cost 0)
+    # row, which would sort cheapest-first and could win a floor-0
+    # resolution with zero recall. Same honest-menu convention as the
+    # ≤1-member empty table above, and the SHAPE q_derived_catalog and
+    # its oracle produce (both inner-join candidates with the depth
+    # grid, so a zero-candidate depth emits no row) — ADVICE r15: the
+    # three formulations now agree at the edge by construction.
     rows = [
         (
             "ivf",
@@ -358,6 +367,7 @@ def derive_generation_table(
             -(-int(agg[f"c{np}"] or 0) // panel_n),
         )
         for np in nprobes
+        if int(agg[f"c{np}"] or 0) > 0
     ]
     return tuple(sorted(rows, key=lambda r: (r[3], r[0], r[1])))
 
@@ -375,6 +385,7 @@ def corpus_generation_roll(
     catalog_floor: float | None = None,
     probes: DataFrame | None = None,
     auto_probe_panel: bool = True,
+    probes_are_members: bool = False,
 ) -> dict:
     """Run ONE ingest/delete window end-to-end and return the roll
     census. ``batch`` carries the window's new docs (doc_id, lang,
@@ -408,6 +419,18 @@ def corpus_generation_roll(
     no promote. A wave that deletes EVERY member leaves an empty
     panel and refuses either way.
 
+    ``probes_are_members`` (round 16, ADVICE r15): a CALLER-supplied
+    panel of generation MEMBERS (the pre-round-15 documented recipe
+    for delete-only windows) must get the same self-excluded v1 path
+    as the auto panel — without it every member probe reports ITSELF
+    as nb_v1 (sim 1.0) and counts as churned, a spurious ~100% churn
+    and a guaranteed promote refusal (fails closed, but silently).
+    Pass True when the panel's ids are (or may include) gen-1 corpus
+    members; self-exclusion is a no-op for non-member probes (no
+    posting row carries their id), so a MIXED panel is safe under the
+    flag. Setting it without supplying ``probes`` is a contradiction
+    and raises.
+
     ``catalog``: None carries gen-1's planner rows forward (recorded
     ``catalog_source='carried'`` — the production default: the derived
     table costs a |panel| × n exact-scoring audit per window, which a
@@ -437,6 +460,26 @@ def corpus_generation_roll(
     from kafka_flink_exactlyonce_example_spark.streaming.jobs import (
         ingest_gate_decisions,
     )
+
+    # validate EARLY (ADVICE r15): any string other than the literal
+    # "derive" is a typo, not an externally-derived rows tuple —
+    # save_operating_table would iterate it character-wise, persist a
+    # corrupt operating_table.json into the gen-2 artifacts, and the
+    # same roll would then crash one step later in load_generation
+    # with an opaque tuple-unpack ValueError. Fail before anything is
+    # persisted.
+    if isinstance(catalog, str) and catalog != "derive":
+        raise ValueError(
+            f"catalog={catalog!r}: the only string form is 'derive' — "
+            "pass a tuple of (kind, param, recall, cand_per_probe) rows "
+            "for an externally-derived catalog"
+        )
+    if probes_are_members and probes is None:
+        raise ValueError(
+            "probes_are_members=True without a caller panel: the flag "
+            "describes the supplied probes; the auto survivor panel "
+            "already self-excludes"
+        )
 
     g1 = load_generation(spark, gen1_path)
     # distinct: a replayed/unioned wave feed may name a doc twice, and
@@ -546,8 +589,8 @@ def corpus_generation_roll(
     # restarted stream would actually load).
     g2 = load_generation(spark, gen2_path)
     n_batch = batch.count()
-    probe_panel = "caller"
-    member_probes = False
+    probe_panel = "caller_member" if probes_are_members else "caller"
+    member_probes = probes_are_members
     if probes is None:
         if auto_probe_panel and n_batch == 0:
             # DELETE-ONLY window (round 15, VERDICT r14 item 3): no
@@ -1074,7 +1117,7 @@ _DC_ORACLE = f"""
     ), panel AS (
         SELECT vec_id, embedding FROM members
         ORDER BY md5('recall:' || CAST(vec_id AS VARCHAR)), vec_id
-        LIMIT 24
+        LIMIT {_RECALL_PROBES}
     ), rankr AS (
         SELECT pid, label, rnk FROM (
             SELECT p.vec_id AS pid, c.label,
@@ -1324,7 +1367,7 @@ _RDO_ORACLE = f"""
     ), panel AS (
         SELECT vec_id, embedding FROM surv
         ORDER BY md5('recall:' || CAST(vec_id AS VARCHAR)), vec_id
-        LIMIT 24
+        LIMIT {_RECALL_PROBES}
     ), r1 AS (
         SELECT vec_id, cell, embedding FROM (
             SELECT p.vec_id, c.label AS cell, p.embedding,

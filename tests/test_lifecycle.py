@@ -583,6 +583,7 @@ def test_roll_delete_only_graded_row_invariants(spark, registry_loaded):
         _is_del_col,
     )
     from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        _RECALL_PROBES,
         _inc_tagged,
         md5_panel,
     )
@@ -591,7 +592,7 @@ def test_roll_delete_only_graded_row_invariants(spark, registry_loaded):
         spark, SMOKE_SF
     ).first()
     assert row["n_old"] == row["n_takedowns"] + row["n_survivors"]
-    assert row["n_probes"] == min(24, row["n_survivors"])
+    assert row["n_probes"] == min(_RECALL_PROBES, row["n_survivors"])
     assert 0 < row["n_changed"] < row["n_probes"]
     assert (row["promote_strict"], row["promote_lenient"]) == (0, 1), (
         "both verdict branches must be live on the graded fixtures"
@@ -604,3 +605,123 @@ def test_roll_delete_only_graded_row_invariants(spark, registry_loaded):
     )
     panel_ids = {r["vec_id"] for r in md5_panel(surv).collect()}
     assert len(panel_ids) == row["n_probes"]
+
+
+def test_catalog_typo_rejected_before_persisting(spark, tmp_path):
+    """ADVICE r15: any string other than the literal 'derive' is a
+    typo — before the guard, save_operating_table iterated the string
+    character-wise, persisted a corrupt operating_table.json into the
+    gen-2 artifacts, and the roll crashed one step later in
+    load_generation with an opaque tuple-unpack ValueError. The guard
+    must fire BEFORE anything is persisted."""
+    import pytest
+
+    from kafka_flink_exactlyonce_example_spark import lifecycle as lc
+
+    corpus = _toy_corpus(spark)
+    gen1 = str(tmp_path / "gen1")
+    lc.init_generation(spark, gen1, corpus)
+    batch, takedowns = _roll_window(spark)
+    gen2 = str(tmp_path / "gen2")
+    with pytest.raises(ValueError, match="derive"):
+        lc.corpus_generation_roll(
+            spark, gen1, batch, takedowns, gen2,
+            str(tmp_path / "CURRENT"), catalog="derived",
+        )
+    assert not os.path.isdir(gen2), "a rejected typo persisted artifacts"
+
+
+def test_caller_member_probes_self_exclude(spark, tmp_path):
+    """ADVICE r15: a CALLER-supplied panel of generation members (the
+    pre-round-15 delete-only recipe) gets the same self-excluded v1
+    path as the auto panel under probes_are_members=True — without the
+    flag every member probe reports itself as nb_v1 and counts as
+    churned (spurious ~100% churn, guaranteed refusal). Geometry: the
+    test_delete_only_window_auto_probe_panel low-churn wave (deleting
+    the isolated doc changes no survivor's answer)."""
+    import pytest
+
+    from kafka_flink_exactlyonce_example_spark import lifecycle as lc
+
+    rows = [
+        _doc(1, [f"pa{j}" for j in range(20)], 0, [1.0, 0.0, 0.0]),
+        _doc(2, [f"qa{j}" for j in range(20)], 0, [1.0, 0.3, 0.0]),
+        _doc(3, [f"ba{j}" for j in range(20)], 1, [1.0, 0.1, 0.0]),
+        _doc(4, [f"bb{j}" for j in range(20)], 1, [0.0, 0.01, 1.0]),
+        _doc(5, [f"bc{j}" for j in range(20)], 1, [0.0, 0.02, 1.0]),
+        _doc(8, [f"zz{j}" for j in range(20)], 2, [0.0, 1.0, 0.0]),
+    ]
+    corpus = spark.createDataFrame(rows, _SCHEMA)
+    gen1 = str(tmp_path / "gen1")
+    lc.init_generation(spark, gen1, corpus)
+    pointer = str(tmp_path / "CURRENT")
+    empty_batch = spark.createDataFrame([], _SCHEMA)
+    wave = spark.createDataFrame([(8,)], "doc_id bigint")
+    member_panel = corpus.filter(F.col("doc_id") != 8).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+
+    flagged = lc.corpus_generation_roll(
+        spark, gen1, empty_batch, wave, str(tmp_path / "g2a"), pointer,
+        max_churn=0.25, probes=member_panel, probes_are_members=True,
+    )
+    assert flagged["probe_panel"] == "caller_member"
+    assert flagged["n_probes"] == 5
+    assert flagged["churn_frac"] == 0.0 and flagged["promote"] is True
+
+    # without the flag: the documented silent failure mode — every
+    # member finds itself on the v1 side and reads as churned
+    unflagged = lc.corpus_generation_roll(
+        spark, gen1, empty_batch, wave, str(tmp_path / "g2b"), pointer,
+        max_churn=0.25, probes=member_panel,
+    )
+    assert unflagged["probe_panel"] == "caller"
+    # every probe that routes to its OWN posting cell self-reports as
+    # nb_v1 and reads as churned; doc 3 ([1,.1,0], lake label 1) is
+    # geometrically nearest label 0's centroid, cross-routes, never
+    # sees itself, and keeps its answer — hence 4 of 5, still a
+    # spurious wave (the true churn of this window is 0)
+    assert unflagged["n_probes"] == 5 and unflagged["n_changed"] == 4
+    assert unflagged["promote"] is False
+
+    # the flag without a panel is a contradiction — loud, not ignored
+    with pytest.raises(ValueError, match="probes_are_members"):
+        lc.corpus_generation_roll(
+            spark, gen1, empty_batch, wave, str(tmp_path / "g2c"),
+            pointer, probes_are_members=True,
+        )
+
+
+def test_derive_drops_zero_candidate_depths(spark):
+    """ADVICE r15: derive_generation_table and q_derived_catalog (and
+    its oracle) must agree at the zero-candidate edge. On a 2-member /
+    2-label generation, depth 1 routes each panel probe to its OWN
+    label whose only member is itself (self-excluded) — zero
+    candidates — so the API drops the depth-1 row exactly as the
+    graded row's inner join does, instead of shipping a (recall 0.0,
+    cost 0) row that would sort cheapest-first."""
+    from kafka_flink_exactlyonce_example_spark import lifecycle as lc
+    from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+        _assign_to_seeds,
+    )
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        frozen_index_frames,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0, 0.0]),
+            (2, 1, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id bigint, label int, embedding array<float>",
+    )
+    cent, seeds = frozen_index_frames(vecs)
+    seeds = seeds.localCheckpoint()
+    rows = lc.derive_generation_table(
+        spark, cent, seeds, _assign_to_seeds(vecs, seeds)
+    )
+    assert rows, "a 2-member generation still offers depth-2+ routes"
+    assert all(r[1] >= 2 for r in rows), (
+        f"zero-candidate depth 1 must be dropped, got {rows}"
+    )
+    assert all(r[3] > 0 for r in rows)
