@@ -1258,7 +1258,11 @@ def frozen_index_frames(old: DataFrame) -> tuple[DataFrame, DataFrame]:
     return frozen_centroids(old), _ivf_seeds(old)
 
 
-def _warm_subseeds(members: DataFrame, old_seeds: DataFrame) -> DataFrame:
+def _warm_subseeds(
+    members: DataFrame,
+    old_seeds: DataFrame,
+    cell_target: float | None = None,
+) -> DataFrame:
     """Identity-preserving sub-cell quantizer retrain (round 12): per
     label, k is recomputed from the NEW population (the same
     k = max(1, ⌊√(n/_CELL_TARGET)⌋) law as :func:`dedup._ivf_seeds`),
@@ -1278,9 +1282,22 @@ def _warm_subseeds(members: DataFrame, old_seeds: DataFrame) -> DataFrame:
     directly, as :func:`warm_index_rebuild` does. Bounded: old seeds
     are Σk rows; the extras rank is a per-label top-(k−k_old) over the
     retrain population — the same cost class as the retrain scan
-    itself."""
+    itself.
+
+    ``cell_target`` (round 16): the k-law divisor, defaulting to the
+    module-global ``dedup._CELL_TARGET`` — the same call-time contract
+    as :func:`ingest.index_refresh_report`, so a lifecycle caller that
+    fires cells under a retuned trigger target retrains them under the
+    SAME law (q_fired_rebuild's graded device; the reports and the
+    retrain must agree on k or a fired cell would retrain to its old
+    shape). Brand-new labels still seed through :func:`dedup._ivf_seeds`
+    on the global law (the cold-identical contract)."""
     from kafka_flink_exactlyonce_example_spark.operators import dedup as _ddp
 
+    # default keeps the INT literal so the no-override plan (hence the
+    # fingerprint baseline of every existing consumer) is byte-stable;
+    # Spark's `/` divides as double either way, so values are identical
+    t = _ddp._CELL_TARGET if cell_target is None else float(cell_target)
     old = old_seeds.select("label", F.explode("_seeds").alias("s")).select(
         "label", F.col("s.cell").alias("cell"), F.col("s.seed").alias("seed")
     )
@@ -1289,7 +1306,7 @@ def _warm_subseeds(members: DataFrame, old_seeds: DataFrame) -> DataFrame:
         "label",
         F.greatest(
             F.lit(1),
-            F.floor(F.sqrt(F.col("_n") / F.lit(_ddp._CELL_TARGET))),
+            F.floor(F.sqrt(F.col("_n") / F.lit(t))),
         )
         .cast("int")
         .alias("_k"),
@@ -1422,6 +1439,7 @@ def warm_index_cycle(
     adm_routed: DataFrame | None,
     tombstones: DataFrame | None,
     fired_labels,
+    cell_target: float | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """ONE ingest/delete window's warm rebuild — the scheduler's
     single entry point (round 13): a production window both ADMITS
@@ -1452,7 +1470,11 @@ def warm_index_cycle(
     (cold-identical); an admitted vector that was tombstoned within
     the same window never enters the index. Coarse centroids are
     recomputed over ``merged`` (bounded reduce, identical to a cold
-    coarse stage)."""
+    coarse stage). ``cell_target`` (round 16) threads to
+    :func:`_warm_subseeds`'s k recompute — the call-time contract of
+    the two fire reports, so a caller that FIRES cells under a retuned
+    trigger target retrains them under the SAME law (q_fired_rebuild);
+    default None keeps the global law and a byte-stable plan."""
     from kafka_flink_exactlyonce_example_spark.operators.dedup import _ivf_seeds
 
     fired = sorted(int(x) for x in fired_labels)
@@ -1509,7 +1531,7 @@ def warm_index_cycle(
             .groupBy("label")
             .agg(F.collect_list(F.struct("cell", "seed")).alias("_seeds"))
         )
-    seeds_re = _warm_subseeds(fired_members, fired_seeds)
+    seeds_re = _warm_subseeds(fired_members, fired_seeds, cell_target)
     seeds_new = _ivf_seeds(
         newlbl_members.select("vec_id", "label", "embedding")
     )

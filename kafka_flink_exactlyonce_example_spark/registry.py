@@ -490,6 +490,12 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     # gate — auto survivor panel, BOTH churn sides self-excluded,
     # both promote bars live (strict blocks, lenient promotes)
     "q_roll_delete_only",
+    # round-16 (VERDICT r15 item 1): the fired-cell warm retrain
+    # EXECUTED under a driver hash — planted md5 quantizer +
+    # data-derived call-time trigger target fire exactly one cell's
+    # 1→2 split at every graded SF, sub-cell membership checksummed
+    # against the CTE-for-CTE retrain mirror
+    "q_fired_rebuild",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.

@@ -1239,3 +1239,104 @@ def test_serve_topk_label_grain_equals_subcell_topk(spark, sf_dir):
     assert sorted(map(tuple, sub.collect())) == sorted(
         map(tuple, lab.collect())
     ), f"label-grain top-{simsearch._SERVE_K} != sub-cell top-k at {sf_dir}"
+
+
+def test_fired_rebuild_executes_the_split(spark, registry_loaded):
+    """q_fired_rebuild's docstring claims, asserted live (round 16,
+    VERDICT r15 item 1's done criterion): the report FIRES at the
+    graded SF (n_fired >= 1), the fired label's postings split into
+    exactly TWO sub-cells (k 1→2) — one keeping the planted seed's
+    identity, one seeded by a ranked extra — their membership sums to
+    the fired population, and every non-fired label keeps exactly one
+    sub-cell. Fired-sensitivity: skipping the retrain would collapse
+    the fired label's rows to one, so the 2-row shape IS the branch
+    executing."""
+    from tests.conftest import SMOKE_SF
+
+    rows = registry_loaded.QUERIES["q_fired_rebuild"](
+        spark, SMOKE_SF
+    ).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r)
+    fired = {lb: rs for lb, rs in by_label.items() if rs[0]["fired"] == 1}
+    assert len(fired) >= 1, "the trigger must fire at every graded SF"
+    for lb, rs in by_label.items():
+        if lb in fired:
+            assert len(rs) == 2, f"fired label {lb} must split 1→2"
+            # the retrain population is exactly what the report
+            # counted: old members by lake label + admits by routed
+            # cell — so the two sub-cells' membership sums to
+            # n_old + n_admitted of THIS cell
+            total = sum(r["n_members"] for r in rs)
+            assert total == rs[0]["n_old"] + rs[0]["n_admitted"]
+            assert all(r["n_members"] >= 1 for r in rs), (
+                "a retrained sub-cell must hold its seed at least"
+            )
+        else:
+            assert len(rs) == 1, f"non-fired label {lb} grew sub-cells"
+
+    # the planted seed's identity is retained: one of the fired
+    # sub-cell ids is the label's md5-minimal member (the planted
+    # gen-1 seed), the _warm_subseeds keep contract
+    from kafka_flink_exactlyonce_example_spark.operators.ingest import (
+        _fr_seeds,
+    )
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        _inc_tagged,
+    )
+
+    old = (
+        _inc_tagged(spark, SMOKE_SF)
+        .filter(~F.col("is_new"))
+        .select("vec_id", "label", "embedding")
+    )
+    planted = {
+        r["label"]: r["_seeds"][0]["cell"]
+        for r in _fr_seeds(old).collect()
+    }
+    for lb, rs in fired.items():
+        cells = {r["cell"] for r in rs}
+        assert planted[lb] in cells, (
+            "the 1→2 split must KEEP the planted seed's identity"
+        )
+
+
+def test_warm_subseeds_cell_target_threads(spark):
+    """Round 16: warm_index_cycle's call-time cell_target reaches
+    _warm_subseeds' k recompute — the same population retrains to
+    k = 1 under the global law (4096 target) but splits to k = 2 under
+    a retuned target, keeping the old seed both times."""
+    from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+        _assign_to_seeds,
+    )
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        warm_index_cycle,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (i, 0, [1.0, 0.01 * i, 0.02 * ((i * 3) % 5)])
+            for i in range(1, 17)
+        ],
+        "vec_id bigint, label int, embedding array<float>",
+    )
+    seeds1 = vecs.limit(0).sparkSession.createDataFrame(
+        [(0, [(1, [1.0, 0.01, 0.06])])],
+        "label int, _seeds array<struct<cell: bigint, seed: array<float>>>",
+    )
+    indexed1 = _assign_to_seeds(vecs, seeds1)
+
+    # global law: 16 members / 4096 → k stays 1, postings unchanged
+    _c, s_def, i_def = warm_index_cycle(
+        vecs, seeds1, indexed1, None, None, [0]
+    )
+    assert {r["cell"] for r in i_def.collect()} == {1}
+
+    # retuned law: 16 / 4.0 → k = 2, the old seed cell survives and
+    # one extra joins it
+    _c, s_new, i_new = warm_index_cycle(
+        vecs, seeds1, indexed1, None, None, [0], cell_target=4.0
+    )
+    cells = {r["cell"] for r in i_new.collect()}
+    assert len(cells) == 2 and 1 in cells
