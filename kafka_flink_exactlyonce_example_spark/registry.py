@@ -301,6 +301,18 @@ _CHANGED_IN_ROUND: dict[int, frozenset[str]] = {
         "q_curate_post_takedown",
         "q_generation_roll",
     }),
+    #: Round 16 (VERDICT r15 item 3): q_gate_post_takedown's shared
+    #: v1/v2 chains restructured — ONE digest aggregation (per-h
+    #: survivor-flag max) replaces the two distinct-h views, ONE
+    #: checkpointed scored relation (inline-argmax coarse routing, no
+    #: window shuffle; each formulation a window over it, v2 ranking
+    #: survivors first with frozen_top1's totality preserved) replaces
+    #: the two frozen_top1 passes, qb/qsets checkpointed, plants
+    #: session-cached. Values identical at every SF (crosschecked);
+    #: the plan changed, so the key re-earns a driver row.
+    16: frozenset({
+        "q_gate_post_takedown",
+    }),
 }
 
 
