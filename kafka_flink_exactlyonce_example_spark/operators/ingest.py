@@ -1252,20 +1252,23 @@ def q_gate_post_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_fired_rebuild — the fired-cell warm retrain EXECUTED, driver-graded
 # --------------------------------------------------------------------------
 
-def _fr_seeds(old: DataFrame) -> DataFrame:
-    """PLANTED gen-1 sub-cell quantizer for q_fired_rebuild: one seed
-    per label — the md5('seed:'||vec_id)-minimal member (vec_id
-    tie-break), the same hash family :func:`simsearch._warm_subseeds`
-    ranks with. Why planted instead of :func:`dedup._ivf_seeds`: the
-    cold sampler's xxhash64 oversample pre-filter has no DuckDB twin,
-    so a graded key that must mirror SEED IDENTITIES CTE-for-CTE
-    (the retrain's whole point — the split keeps the old seed and
-    adds a ranked extra) derives them from the md5 lane both engines
-    share. Same schema as _ivf_seeds (label, _seeds[struct(cell,
-    seed)]), k = 1 — exactly the real frozen law's shape at every
-    graded SF (guard-tested: all cells sit under the global split
-    threshold), so the planted index is structurally the one the
-    incremental family grades against."""
+def _fr_seeds(old: DataFrame, k: int = 1) -> DataFrame:
+    """PLANTED gen-1 sub-cell quantizer for q_fired_rebuild /
+    q_fired_merge: the ``k`` md5('seed:'||vec_id)-minimal members per
+    label (vec_id tie-break), the same hash family
+    :func:`simsearch._warm_subseeds` ranks with. Why planted instead
+    of :func:`dedup._ivf_seeds`: the cold sampler's xxhash64
+    oversample pre-filter has no DuckDB twin, so a graded key that
+    must mirror SEED IDENTITIES CTE-for-CTE (the retrain's whole
+    point — a split keeps the old seed and adds a ranked extra, a
+    merge keeps the md5-first survivor) derives them from the md5
+    lane both engines share. Same schema as _ivf_seeds (label,
+    _seeds[struct(cell, seed)]). k = 1 is the real frozen law's shape
+    at every graded SF (guard-tested: all cells sit under the global
+    split threshold), so the planted index is structurally the one
+    the incremental family grades against; k = 2 plants the
+    legitimately-OVERSPLIT gen-1 state the compact report exists to
+    price (q_fired_merge's device)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("label").orderBy(
@@ -1274,7 +1277,7 @@ def _fr_seeds(old: DataFrame) -> DataFrame:
     )
     return (
         old.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= k)
         .groupBy("label")
         .agg(
             F.collect_list(
@@ -1592,6 +1595,260 @@ def q_fired_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_id",
             "n_old",
             "n_admitted",
+            "fired",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_fired_merge — the fired-cell warm MERGE executed, driver-graded
+# --------------------------------------------------------------------------
+
+def _fm_frames(spark: SparkSession, sf_dir: str, checkpoint: bool = True):
+    """q_fired_merge's corpus-touching state with the checkpoint flag
+    pattern: the planted k=2 quantizer, its posting assignment, and
+    the survivor slice (each consumed by 2–3 warm-cycle/census
+    stages)."""
+    old = (
+        _inc_tagged(spark, sf_dir)
+        .filter(~F.col("is_new"))
+        .select("vec_id", "label", "embedding")
+    )
+    tomb = old.filter(_is_del_col()).select("vec_id")
+    seeds1 = _fr_seeds(old, k=2)
+    if checkpoint:
+        seeds1 = seeds1.localCheckpoint()  # |labels| rows, 3 consumers
+    indexed1 = _assign_to_seeds(old, seeds1)
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        tombstone_filter,
+    )
+
+    surv = tombstone_filter(old, tomb)
+    if checkpoint:
+        indexed1 = indexed1.localCheckpoint()  # fired/non-fired slices
+        surv = surv.localCheckpoint()  # warm-cycle merged, 3 reads
+    return old, tomb, seeds1, indexed1, surv
+
+
+@plan_aux("q_fired_merge::state")
+def _fm_state_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graded row's hidden chains in LAZY form — the planted-seed
+    rank, the 2-sub-cell posting assignment, and the survivor
+    anti-join — joined at posting grain under the plan guards."""
+    _old, _tomb, seeds1, indexed1, surv = _fm_frames(
+        spark, sf_dir, checkpoint=False
+    )
+    return (
+        indexed1.join(seeds1.select("label"), "label", "left_semi")
+        .join(surv.select("vec_id"), "vec_id", "left_semi")
+    )
+
+
+_FM_ORACLE = f"""
+    WITH esplit AS (
+        SELECT vec_id, label, embedding,
+               CASE WHEN CAST(CAST(concat('0x', substring(
+                             md5('inc:' || CAST(vec_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 10 AS BIGINT) = 0
+                    THEN 1 ELSE 0 END AS is_new,
+               CASE WHEN {_DEL_TAG_SQL.format(col='vec_id')}
+                    THEN 1 ELSE 0 END AS is_del
+        FROM embeddings
+    ), old AS (
+        SELECT vec_id, label, embedding, is_del FROM esplit WHERE is_new = 0
+    ), pseeds AS (
+        -- the planted OVERSPLIT quantizer: the two md5-minimal
+        -- members per label
+        SELECT label, vec_id AS scell, embedding AS seed FROM (
+            SELECT label, vec_id, embedding,
+                   row_number() OVER (
+                       PARTITION BY label
+                       ORDER BY md5('seed:' || CAST(vec_id AS VARCHAR)),
+                                vec_id) AS rn
+            FROM old
+        ) WHERE rn <= 2
+    ), assign1 AS (
+        -- gen-1 postings: nearest of the label's two planted seeds
+        -- (raw cosine desc, cell asc — the _assign_to_seeds argmax)
+        SELECT vec_id, label, cell, is_del FROM (
+            SELECT o.vec_id, o.label, s.scell AS cell, o.is_del,
+                   row_number() OVER (
+                       PARTITION BY o.vec_id
+                       ORDER BY {cosine_sql('o.embedding', 's.seed')}
+                                DESC, s.scell) AS rn
+            FROM old o JOIN pseeds s ON s.label = o.label
+        ) WHERE rn = 1
+    ), cells AS (
+        SELECT label AS cell,
+               CAST(COUNT(*) AS BIGINT) AS n_before,
+               CAST(SUM(is_del) AS BIGINT) AS n_deleted
+        FROM old GROUP BY label
+    ), tt AS (
+        -- the data-derived trigger target: exactly the argmax cell
+        -- reaches n_before / t = 4.0 (k_frozen = 2) and its ≥1-row
+        -- wave drops k_after to 1 — the merge fires there, nowhere
+        -- else
+        SELECT MAX(n_before) / 4.0 AS t FROM cells
+    ), report AS (
+        SELECT cell, n_before, n_deleted,
+               GREATEST(1, CAST(FLOOR(SQRT(n_before / tt.t))
+                                AS BIGINT)) AS k_frozen,
+               GREATEST(1, CAST(FLOOR(SQRT((n_before - n_deleted) / tt.t))
+                                AS BIGINT)) AS k_after
+        FROM cells CROSS JOIN tt
+    ), fired AS (
+        SELECT cell FROM report WHERE k_after < k_frozen
+    ), sseeds AS (
+        -- a tombstoned member cannot remain a quantizer anchor in a
+        -- cell being retrained: the v1 seeds pre-filtered to the
+        -- SURVIVING ones (warm_index_cycle's delete branch)
+        SELECT p.label, p.scell, p.seed FROM pseeds p
+        WHERE NOT EXISTS (SELECT 1 FROM old o
+                          WHERE o.vec_id = p.scell AND o.is_del = 1)
+    ), fmembers AS (
+        SELECT vec_id, label, embedding FROM old
+        WHERE is_del = 0 AND label IN (SELECT cell FROM fired)
+    ), fk AS (
+        SELECT f.label,
+               GREATEST(1, CAST(FLOOR(SQRT(f.n / tt.t)) AS BIGINT)) AS k
+        FROM (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+              FROM fmembers GROUP BY label) f
+        CROSS JOIN tt
+    ), keep AS (
+        -- identity retention under the merge: the md5-first SURVIVING
+        -- seed keeps the cell id
+        SELECT s.label, s.scell AS cell, s.seed FROM (
+            SELECT p.label, p.scell, p.seed,
+                   row_number() OVER (
+                       PARTITION BY p.label
+                       ORDER BY md5('seed:' || CAST(p.scell AS VARCHAR)),
+                                p.scell) AS rn
+            FROM sseeds p
+            WHERE p.label IN (SELECT cell FROM fired)
+        ) s JOIN fk ON fk.label = s.label
+        WHERE s.rn <= fk.k
+    ), nkeep AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS nk FROM keep GROUP BY label
+    ), extras AS (
+        SELECT e.label, e.vec_id AS cell, e.embedding AS seed FROM (
+            SELECT m.label, m.vec_id, m.embedding,
+                   row_number() OVER (
+                       PARTITION BY m.label
+                       ORDER BY md5('seed:' || CAST(m.vec_id AS VARCHAR)),
+                                m.vec_id) AS rn
+            FROM fmembers m
+            WHERE NOT EXISTS (SELECT 1 FROM sseeds p
+                              WHERE p.label = m.label
+                                AND p.scell = m.vec_id)
+        ) e JOIN fk ON fk.label = e.label
+        LEFT JOIN nkeep ON nkeep.label = e.label
+        WHERE e.rn <= fk.k - COALESCE(nkeep.nk, 0)
+    ), fseeds AS (
+        SELECT * FROM keep UNION ALL SELECT * FROM extras
+    ), fassign AS (
+        SELECT vec_id, label, cell FROM (
+            SELECT m.vec_id, m.label, s.cell,
+                   row_number() OVER (
+                       PARTITION BY m.vec_id
+                       ORDER BY {cosine_sql('m.embedding', 's.seed')}
+                                DESC, s.cell) AS rn
+            FROM fmembers m JOIN fseeds s ON s.label = m.label
+        ) WHERE rn = 1
+    ), postings2 AS (
+        SELECT vec_id, label, cell FROM fassign
+        UNION ALL
+        SELECT vec_id, label, cell FROM assign1
+        WHERE is_del = 0 AND label NOT IN (SELECT cell FROM fired)
+    )
+    SELECT p.label, p.cell,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(p.vec_id) AS BIGINT) AS sum_id,
+           CAST(MIN(p.vec_id) AS BIGINT) AS min_id,
+           CAST(MAX(p.vec_id) AS BIGINT) AS max_id,
+           r.n_before, r.n_deleted,
+           CAST(CASE WHEN r.k_after < r.k_frozen THEN 1 ELSE 0 END
+                AS INTEGER) AS fired
+    FROM postings2 p
+    JOIN report r ON r.cell = p.label
+    GROUP BY p.label, p.cell, r.n_before, r.n_deleted, r.k_after, r.k_frozen
+"""
+
+
+@query("q_fired_merge", oracle=_FM_ORACLE)
+def q_fired_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fired-cell warm MERGE executed inside a driver-graded key
+    (round 16 — q_fired_rebuild's SHRINK twin, completing VERDICT r15
+    item 1 for both fire directions): the planted md5 quantizer is
+    deliberately OVERSPLIT (k = 2 per label — :func:`_fr_seeds`, the
+    state :func:`index_compact_report` exists to price), the standing
+    'del:' takedown wave (~20%) hits it, the data-derived call-time
+    target t = max(n_before)/4.0 makes the argmax cell's k_frozen
+    exactly 2 and its post-wave k_after 1 — the compact report fires
+    THAT cell and no other at every graded SF — and the real
+    :func:`simsearch.warm_index_cycle` delete branch executes the
+    identity-keeping 2→1 merge of :func:`simsearch._warm_subseeds`:
+    the v1 seeds pre-filtered to SURVIVORS (a tombstoned member
+    cannot remain a quantizer anchor — at sf0.1 the fired label's
+    second seed IS deleted, so the pre-filter is live in the grade),
+    the md5-first surviving seed keeps the cell id, and the dropped
+    cell's surviving members reassign onto it. Non-fired labels keep
+    both sub-cells and their surviving posting rows verbatim (the
+    zero-churn point of warm).
+
+    Graded census: one row per post-merge posting sub-cell — (label,
+    cell, n_members, sum_id/min_id/max_id membership checksum) joined
+    with the report's (n_before, n_deleted, fired). The fired label
+    contributes ONE row whose cell id IS the retained survivor seed;
+    skip the merge and it contributes two — fired-sensitive and
+    identity-sensitive by shape.
+
+    Scale shape: q_fired_rebuild's exactly, minus the batch side —
+    one bounded seed rank, one posting assignment against broadcast
+    √n-bounded seeds, one tombstone anti-join, label-grain report
+    aggregates (t and fired collects catalog-grain), a retrain
+    touching only the fired cell's survivors. Output |labels| × 2 − 1
+    rows. Checkpoints under the ::state aux."""
+    old, tomb, seeds1, indexed1, surv = _fm_frames(spark, sf_dir)
+    cells = old.select(
+        "label", _is_del_col().cast("int").alias("is_del")
+    ).groupBy(F.col("label").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.sum("is_del").cast("long").alias("n_deleted"),
+    )
+    t_max = cells.agg(F.max("n_before")).first()[0]
+    t = float(t_max) / 4.0
+    report = index_compact_report(cells, cell_target=t).localCheckpoint()
+    fired = sorted(
+        int(r["cell"])
+        for r in report.filter(F.col("compact") == 1).collect()
+    )
+    _cent2, _seeds2, indexed2 = warm_index_cycle(
+        surv, seeds1, indexed1, None, tomb, fired, cell_target=t
+    )
+    rep = report.select(
+        F.col("cell").alias("label"),
+        F.col("n_before").cast("long").alias("n_before"),
+        F.col("n_deleted").cast("long").alias("n_deleted"),
+        F.col("compact").alias("fired"),
+    )
+    return (
+        indexed2.groupBy("label", "cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("vec_id").cast("long").alias("sum_id"),
+            F.min("vec_id").cast("long").alias("min_id"),
+            F.max("vec_id").cast("long").alias("max_id"),
+        )
+        .join(F.broadcast(rep), "label")
+        .select(
+            "label",
+            "cell",
+            "n_members",
+            "sum_id",
+            "min_id",
+            "max_id",
+            "n_before",
+            "n_deleted",
             "fired",
         )
     )

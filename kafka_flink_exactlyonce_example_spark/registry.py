@@ -508,6 +508,12 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     # 1→2 split at every graded SF, sub-cell membership checksummed
     # against the CTE-for-CTE retrain mirror
     "q_fired_rebuild",
+    # round-16: the SHRINK twin — a planted k=2 oversplit quantizer,
+    # the 'del:' wave fires the compact report (call-time target),
+    # and the warm 2→1 merge executes with the md5-first SURVIVING
+    # seed retained (the seed pre-filter is live at sf0.1, where the
+    # fired label's second seed is itself deleted)
+    "q_fired_merge",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.

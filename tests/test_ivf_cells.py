@@ -1340,3 +1340,66 @@ def test_warm_subseeds_cell_target_threads(spark):
     )
     cells = {r["cell"] for r in i_new.collect()}
     assert len(cells) == 2 and 1 in cells
+
+
+def test_fired_merge_keeps_surviving_seed(spark, registry_loaded):
+    """q_fired_merge's docstring claims, asserted live: exactly one
+    label fires, its postings collapse 2→1 onto the md5-first
+    SURVIVING planted seed's cell id, the merged membership equals the
+    label's survivor count, and every non-fired label keeps two
+    sub-cells with only tombstoned rows removed."""
+    from tests.conftest import SMOKE_SF
+
+    from kafka_flink_exactlyonce_example_spark.operators.ingest import (
+        _fr_seeds,
+        _is_del_col,
+    )
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        _inc_tagged,
+    )
+
+    rows = registry_loaded.QUERIES["q_fired_merge"](
+        spark, SMOKE_SF
+    ).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r)
+    fired = {lb: rs for lb, rs in by_label.items() if rs[0]["fired"] == 1}
+    assert len(fired) == 1, "exactly the argmax cell must fire"
+    for lb, rs in by_label.items():
+        if lb in fired:
+            assert len(rs) == 1, f"fired label {lb} must merge 2→1"
+            assert rs[0]["n_members"] == rs[0]["n_before"] - rs[0]["n_deleted"]
+        else:
+            assert len(rs) == 2, f"non-fired label {lb} lost a sub-cell"
+            total = sum(r["n_members"] for r in rs)
+            assert total == rs[0]["n_before"] - rs[0]["n_deleted"], (
+                "non-fired labels drop only the tombstoned rows"
+            )
+
+    old = (
+        _inc_tagged(spark, SMOKE_SF)
+        .filter(~F.col("is_new"))
+        .select("vec_id", "label", "embedding")
+    )
+    deleted = {
+        r["vec_id"]
+        for r in old.filter(_is_del_col()).select("vec_id").collect()
+    }
+    planted = {
+        r["label"]: [s["cell"] for s in r["_seeds"]]
+        for r in _fr_seeds(old, k=2).collect()
+    }
+    (lb, rs), = fired.items()
+    survivors = [c for c in sorted(planted[lb]) if c not in deleted]
+    # the retained cell id is the md5-first surviving seed — recompute
+    # the md5 order the way _warm_subseeds ranks it
+    import hashlib
+
+    keep = min(
+        survivors,
+        key=lambda c: (hashlib.md5(f"seed:{c}".encode()).hexdigest(), c),
+    )
+    assert rs[0]["cell"] == keep, (
+        "the merge must keep the md5-first surviving seed's identity"
+    )
