@@ -702,9 +702,13 @@ _ROLL_BARS = _PROMOTE_THRESHOLDS
 #: oracle formats the shared ingest fragment instead of re-inlining it.
 _DEL_VEC_SQL = _DEL_TAG_SQL
 
-_ROLL_ORACLE = (
-    _GATE_POST_CTES
-    + f"""
+#: The roll-state CTEs shared by q_generation_roll's oracle and
+#: q_derived_catalog2's (round 16): the window's admitted set, the
+#: takedown wave, both digest views, the admitted-vector slice, the
+#: survivor slice, the gen-2 posting relation (x2), the coarse retrain
+#: corpus (merged) and its centroids (cent2) — ONE definition so the
+#: two graded formulations of the rolled generation can never drift.
+_ROLL_STATE_CTES = f"""
     , admitted AS (
         SELECT doc_id FROM verdict_s WHERE admitted = 1
     ), takedown AS (
@@ -749,7 +753,12 @@ _ROLL_ORACLE = (
             GROUP BY label, i
         )
         GROUP BY label
-    ), assign2 AS (
+    )"""
+
+_ROLL_ORACLE = (
+    _GATE_POST_CTES
+    + _ROLL_STATE_CTES
+    + f""", assign2 AS (
         SELECT vec_id, cell, embedding FROM (
             SELECT n.vec_id, c.label AS cell, n.embedding,
                    row_number() OVER (
@@ -1164,30 +1173,28 @@ _DC_ORACLE = f"""
 """.replace("{K}", str(_RECALL_K))
 
 
-def _dc_frames(spark: SparkSession, sf_dir: str, checkpoint: bool = True):
-    """The graded derivation's corpus-touching relations — panel,
-    routing ranks, brute truth — with the checkpoint flag pattern
-    (:func:`dedup._tt_plant`'s): ``checkpoint=True`` is the executed
-    chain (each relation is consumed by 2–3 downstream stages, and a
-    lazy reference re-runs its full member scan per consumer — the
-    round-12 lesson; measured: the un-checkpointed row paid ~3
-    redundant embeddings scans per run), ``checkpoint=False`` the
-    plan-aux's LAZY view of the SAME builders, so the guarded plan
-    can never desynchronize from the executed one."""
+def _dc_core(
+    members: DataFrame, centn: DataFrame, checkpoint: bool = True
+):
+    """The derivation's corpus-touching relations — md5 panel, routing
+    ranks, brute truth — over ANY (vec_id, label, embedding) member
+    relation and (label, centroid) router (round 16: generalized from
+    the gen-1-only builder so q_derived_catalog2 can run the SAME
+    program over the rolled generation's posting relation), with the
+    checkpoint flag pattern (:func:`dedup._tt_plant`'s):
+    ``checkpoint=True`` is the executed chain (each relation is
+    consumed by 2–3 downstream stages, and a lazy reference re-runs
+    its full member scan per consumer — the round-12 lesson;
+    measured: the un-checkpointed row paid ~3 redundant embeddings
+    scans per run), ``checkpoint=False`` the plan-aux's LAZY view of
+    the SAME builders, so the guarded plan can never desynchronize
+    from the executed one."""
     from pyspark.sql import Window
 
     from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
         cosine,
     )
 
-    cent, _seeds = inc_index_build(spark, sf_dir)
-    ckey = "cell" if "cell" in cent.columns else "label"
-    centn = cent.select(F.col(ckey).alias("label"), "centroid")
-    members = (
-        _inc_tagged(spark, sf_dir)
-        .filter(~F.col("is_new"))
-        .select("vec_id", "label", "embedding")
-    )
     p = md5_panel(members.select("vec_id", "embedding")).select(
         F.col("vec_id").alias("pid"), F.col("embedding").alias("pe")
     )
@@ -1227,6 +1234,20 @@ def _dc_frames(spark: SparkSession, sf_dir: str, checkpoint: bool = True):
         # scan runs twice
         truth = truth.localCheckpoint()
     return members, p, rankr, truth
+
+
+def _dc_frames(spark: SparkSession, sf_dir: str, checkpoint: bool = True):
+    """q_derived_catalog's state: :func:`_dc_core` over the standing
+    frozen gen-1 members and the incremental index's coarse router."""
+    cent, _seeds = inc_index_build(spark, sf_dir)
+    ckey = "cell" if "cell" in cent.columns else "label"
+    centn = cent.select(F.col(ckey).alias("label"), "centroid")
+    members = (
+        _inc_tagged(spark, sf_dir)
+        .filter(~F.col("is_new"))
+        .select("vec_id", "label", "embedding")
+    )
+    return _dc_core(members, centn, checkpoint)
 
 
 @plan_aux("q_derived_catalog::state")
@@ -1276,7 +1297,20 @@ def q_derived_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hidden chains under the plan guards via the ::state aux. No
     corpus × corpus relation, no data-scaled shuffle key, no
     collect."""
-    members, p, rankr, truth = _dc_frames(spark, sf_dir)
+    return _dc_rows(spark, *_dc_frames(spark, sf_dir))
+
+
+def _dc_rows(
+    spark: SparkSession,
+    members: DataFrame,
+    p: DataFrame,
+    rankr: DataFrame,
+    truth: DataFrame,
+) -> DataFrame:
+    """The derivation's aggregation tail over :func:`_dc_core` frames
+    — per-depth candidate/hit sums, the shipped catalog's integer
+    rounding conventions — shared by q_derived_catalog (gen-1) and
+    q_derived_catalog2 (the rolled gen-2 state): one definition."""
     cand = (
         members.join(F.broadcast(rankr), "label")
         .filter(F.col("vec_id") != F.col("pid"))
@@ -1561,3 +1595,168 @@ def q_roll_delete_only(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("promote_lenient"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_derived_catalog2 — the derivation at the CHAINED gen-2 state
+# --------------------------------------------------------------------------
+
+_DC2_ORACLE = (
+    _GATE_POST_CTES
+    + _ROLL_STATE_CTES
+    + f""", panel2 AS (
+        SELECT vec_id, embedding FROM x2
+        ORDER BY md5('recall:' || CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {_RECALL_PROBES}
+    ), rank2 AS (
+        SELECT pid, label, rnk FROM (
+            SELECT p.vec_id AS pid, c.label,
+                   row_number() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY round({cosine_sql('p.embedding', 'c.centroid')},
+                                      6) DESC, c.label) AS rnk
+            FROM panel2 p, cent2 c
+        ) WHERE rnk <= {max(_DC_NPROBES)}
+    ), truth2 AS (
+        SELECT pid, vec_id FROM (
+            SELECT p.vec_id AS pid, m.vec_id,
+                   row_number() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY {cosine_sql('p.embedding', 'm.embedding')}
+                                DESC, m.vec_id) AS trn
+            FROM panel2 p JOIN x2 m ON m.vec_id <> p.vec_id
+        ) WHERE trn <= {_RECALL_K}
+    ), cand2 AS (
+        SELECT r.pid, m.vec_id, r.rnk
+        FROM x2 m
+        JOIN rank2 r ON r.label = m.label AND m.vec_id <> r.pid
+    ), counts2 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS trials FROM truth2
+    ), pc2 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS panel_n FROM panel2
+    ), agg2 AS (
+        SELECT d.d,
+               CAST(COUNT(*) AS BIGINT) AS n_cand,
+               CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit
+        FROM (VALUES {', '.join(f'({d})' for d in _DC_NPROBES)}) d(d)
+        JOIN cand2 c ON c.rnk <= d.d
+        LEFT JOIN truth2 t ON t.pid = c.pid AND t.vec_id = c.vec_id
+        GROUP BY d.d
+    )
+    SELECT 'ivf' AS kind,
+           CAST(d AS BIGINT) AS param,
+           CAST((2 * n_hit * 1000 + trials) // (2 * trials) AS BIGINT)
+               / 1000.0 AS recall,
+           CAST((n_cand + panel_n - 1) // panel_n AS BIGINT)
+               AS cand_per_probe
+    FROM agg2 CROSS JOIN counts2 CROSS JOIN pc2
+"""
+)
+
+
+def _dc2_frames(spark: SparkSession, sf_dir: str, checkpoint: bool = True):
+    """q_derived_catalog2's state: the ROLLED generation's posting
+    relation and coarse router, built by the q_generation_roll window
+    (gate against gen-1 survivors → admitted vectors at their
+    frozen-routed cells → survivors ∪ admits), then :func:`_dc_core`
+    over them — the derivation a ``catalog="derive"`` roll runs at
+    the moment gen 2 is persisted, re-expressed over the graded
+    fixtures."""
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        frozen_centroids,
+    )
+
+    flags = _gate_frame(spark, sf_dir, survivors_only=True)
+    if checkpoint:
+        flags = flags.localCheckpoint()
+    cent1, seeds1 = inc_index_build(spark, sf_dir)
+    tagged = _inc_tagged(spark, sf_dir)
+    old = tagged.filter(~F.col("is_new")).select(
+        "vec_id", "label", "embedding"
+    )
+    new = tagged.filter(F.col("is_new")).select(
+        "vec_id", "label", "embedding"
+    )
+    tomb = old.filter(_is_del_col()).select("vec_id")
+    adm_vecs = new.join(
+        flags.filter(F.col("admitted") == 1)
+        .select(F.col("doc_id").alias("vec_id")),
+        "vec_id",
+        "left_semi",
+    )
+    if checkpoint:
+        adm_vecs = adm_vecs.localCheckpoint()
+    adm_routed = frozen_route(
+        adm_vecs.select("vec_id", "embedding"), cent1, seeds1
+    )
+    surv = tombstone_filter(old, tomb)
+    x2 = surv.unionByName(
+        adm_routed.select(
+            "vec_id", F.col("cell").alias("label"), "embedding"
+        )
+    )
+    if checkpoint:
+        x2 = x2.localCheckpoint()  # members feed panel, truth AND cand
+    merged = surv.unionByName(adm_vecs)
+    cent2 = frozen_centroids(merged)
+    ckey = "cell" if "cell" in cent2.columns else "label"
+    centn = cent2.select(F.col(ckey).alias("label"), "centroid")
+    if checkpoint:
+        centn = centn.localCheckpoint()  # bounded |labels| rows
+    return _dc_core(x2, centn, checkpoint)
+
+
+@plan_aux("q_derived_catalog2::state")
+def _dc2_state_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_derived_catalog2's hidden chains in LAZY form — the gate
+    verdict, the admitted-vector routing, the gen-2 posting union,
+    the retrained centroids, the md5 panel, the routing ranks, and
+    the |panel| × n brute truth — joined on the probe id under the
+    plan guards (the q_pca_power::moments rule)."""
+    members, p, rankr, truth = _dc2_frames(spark, sf_dir, checkpoint=False)
+    return (
+        p.join(rankr, "pid")
+        .join(truth, "pid")
+        .join(
+            members.select(F.col("vec_id").alias("pid")),
+            "pid",
+            "left_semi",
+        )
+    )
+
+
+@query("q_derived_catalog2", oracle=_DC2_ORACLE)
+def q_derived_catalog2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generation-catalog derivation at the CHAINED gen-2 state,
+    driver-graded (round 16 — the graded half of VERDICT r15 item 5:
+    tests/test_lifecycle.py runtime-pins a 3-generation
+    ``catalog="derive"`` chain with the planner following each hop;
+    this row puts the derivation's arithmetic AT THE ROLLED STATE
+    under the DuckDB hash, where q_derived_catalog grades it at
+    gen 1): the q_generation_roll window's generation-2 posting
+    relation — gen-1 survivors of the 'del:' wave at their lake
+    labels ∪ the gate's admitted vectors at their FROZEN-ROUTED
+    cells (the warm posting home) — with the coarse router RETRAINED
+    over the merged corpus at lake labels (warm_index_cycle's
+    contract: routing home ≠ coarse home for a cross-routed admit,
+    and the derivation honestly measures the scan the planner will
+    actually route), then :func:`derive_generation_table`'s exact
+    program: md5-TakeOrdered member panel, rounded-cosine routing
+    ranks, self-excluded brute truth, per-depth candidate/hit sums,
+    the shipped catalog's integer rounding conventions — one row per
+    probe depth. The engine shares :func:`_dc_core`/:func:`_dc_rows`
+    with q_derived_catalog (one definition), and the oracle shares
+    the gate verdict + roll-state CTEs with q_generation_roll
+    (``_ROLL_STATE_CTES``), so neither formulation of the rolled
+    generation can drift.
+
+    Scale shape: the q_generation_roll gate/routing stages (every one
+    a graded operator's plan) + :func:`derive_generation_table`'s
+    bounded derivation — ONE |panel| × n exact truth pass over the
+    gen-2 members, one bounded |panel| × |labels| rank join, 1-row
+    aggregates via broadcast crossJoins. Checkpoints: gate verdict,
+    admitted vectors, the gen-2 member union, the retrained
+    centroids, plus _dc_core's panel/ranks/truth (each 2–3
+    consumers; hidden chains under the ::state aux)."""
+    return _dc_rows(spark, *_dc2_frames(spark, sf_dir))

@@ -514,6 +514,12 @@ _BACKLOG_ORDER: tuple[str, ...] = (
     # seed retained (the seed pre-filter is live at sf0.1, where the
     # fired label's second seed is itself deleted)
     "q_fired_merge",
+    # round-16 (VERDICT r15 item 5's graded half): the catalog
+    # derivation AT THE CHAINED gen-2 state — the roll window's
+    # posting relation (survivors ∪ frozen-routed admits) under the
+    # retrained coarse router, sharing _dc_core/_dc_rows with the
+    # gen-1 row and _ROLL_STATE_CTES with the roll census
+    "q_derived_catalog2",
 )
 
 #: SURVEY §2 family span, as operator MODULES, highest priority first.

@@ -795,3 +795,60 @@ def test_derive_chains_across_generations(spark, tmp_path):
         "the corpus changed between hops — identical tables would mean "
         "the chain re-derived from a stale generation"
     )
+
+
+def test_derived_catalog2_graded_row_matches_api(spark, registry_loaded):
+    """q_derived_catalog2 re-expresses the derivation AT THE ROLLED
+    gen-2 state; this pins that the graded rows equal the REAL
+    :func:`derive_generation_table` run on the same gen-2 frames
+    (modulo the API's cheapest-first sort) — so the graded arithmetic
+    and what a catalog='derive' roll actually stamps at the chained
+    state can never diverge."""
+    from kafka_flink_exactlyonce_example_spark import lifecycle as lc
+
+    graded = sorted(
+        tuple(r)
+        for r in registry_loaded.QUERIES["q_derived_catalog2"](
+            spark, SMOKE_SF
+        ).collect()
+    )
+    x2, _p, _rankr, _truth = lc._dc2_frames(spark, SMOKE_SF)
+    # rebuild the router the same way the frames builder did
+    from kafka_flink_exactlyonce_example_spark.operators.ingest import (
+        _gate_frame,
+        _is_del_col,
+    )
+    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
+        _inc_tagged,
+        frozen_centroids,
+        frozen_route,
+        inc_index_build,
+        tombstone_filter,
+    )
+
+    flags = _gate_frame(spark, SMOKE_SF, survivors_only=True)
+    cent1, seeds1 = inc_index_build(spark, SMOKE_SF)
+    tagged = _inc_tagged(spark, SMOKE_SF)
+    old = tagged.filter(~F.col("is_new")).select(
+        "vec_id", "label", "embedding"
+    )
+    new = tagged.filter(F.col("is_new")).select(
+        "vec_id", "label", "embedding"
+    )
+    tomb = old.filter(_is_del_col()).select("vec_id")
+    adm = new.join(
+        flags.filter(F.col("admitted") == 1)
+        .select(F.col("doc_id").alias("vec_id")),
+        "vec_id",
+        "left_semi",
+    ).localCheckpoint()
+    surv = tombstone_filter(old, tomb)
+    merged = surv.unionByName(adm)
+    api = lc.derive_generation_table(
+        spark, frozen_centroids(merged), seeds1, x2
+    )
+    assert graded == sorted(api) and len(graded) == 4
+    by_depth = sorted(graded, key=lambda r: r[1])
+    recalls = [r[2] for r in by_depth]
+    costs = [r[3] for r in by_depth]
+    assert recalls == sorted(recalls) and costs == sorted(costs)
