@@ -1691,6 +1691,12 @@ def _dc2_frames(spark: SparkSession, sf_dir: str, checkpoint: bool = True):
         adm_vecs.select("vec_id", "embedding"), cent1, seeds1
     )
     surv = tombstone_filter(old, tomb)
+    if checkpoint:
+        # surv feeds TWO separately materialized chains (x2 below and
+        # the coarse retrain via merged) — without this the survivor
+        # anti-join scan executes twice (round-16 self-review; the
+        # round-12 lazy re-execution hazard)
+        surv = surv.localCheckpoint()
     x2 = surv.unionByName(
         adm_routed.select(
             "vec_id", F.col("cell").alias("label"), "embedding"

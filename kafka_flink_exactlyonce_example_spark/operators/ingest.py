@@ -734,10 +734,15 @@ _GPT_PLANTS_CACHE: dict = {}
 
 
 def _gpt_plants_cached(
-    spark: SparkSession, sf_dir: str, base: DataFrame
+    spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    # a true pure-function memo (the inc_index_build idiom): the base
+    # frame is derived HERE from the same session-cached _tg_base, so
+    # a cache hit can never silently return plants built from some
+    # other caller's differently-filtered base (round-16 self-review)
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _GPT_PLANTS_CACHE:
+        base, _, _ = _tg_base(spark, sf_dir)
         _GPT_PLANTS_CACHE[key] = _gpt_plants(base)
     return _GPT_PLANTS_CACHE[key]
 
@@ -800,16 +805,17 @@ def _route_inline(
     )
 
 
-@plan_aux("q_gate_post_takedown::route")
-def _gpt_route_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The gate pair's shared embedding-side chain in LAZY form — the
-    one-pass SCORED relation (two-stage batch routing × the gen-1
-    posting assignment's sub-cell members, each neighbor carrying its
-    tombstone flag) that the graded row checkpoints since round 16
-    (it is consumed by BOTH top-1 windows); registered here so the
-    hidden routing/assign/scoring chain sits in one fingerprinted
-    plan under the plan guards (the q_pca_power::moments rule). Same
-    builders as the executed chain."""
+def _gpt_scored(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
+    """The gate pair's ONE-PASS scored relation — the two-stage batch
+    routing × the gen-1 posting assignment's sub-cell members, each
+    neighbor carrying its tombstone flag — with the checkpoint flag
+    pattern (round-16 self-review: one builder for the executed chain
+    AND the ::route aux, so the guarded plan can never desynchronize
+    from the executed one). ``checkpoint=True`` materializes the
+    bounded |batch| × posting-list relation once for BOTH top-1
+    windows; ``checkpoint=False`` is the aux's lazy view."""
     from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
         cosine,
     )
@@ -826,7 +832,7 @@ def _gpt_route_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("xe"),
     )
     tomb_vec = old_vec.filter(_is_del_col()).select("vec_id")
-    return (
+    scored = (
         _route_inline(new_vec, cent, seeds)
         .join(x, "icell", "left")
         .join(
@@ -842,6 +848,19 @@ def _gpt_route_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("_tb", F.lit(0)).alias("_tb"),
         )
     )
+    return scored.localCheckpoint() if checkpoint else scored
+
+
+@plan_aux("q_gate_post_takedown::route")
+def _gpt_route_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gate pair's shared embedding-side chain in LAZY form — the
+    one-pass SCORED relation the graded row checkpoints since round
+    16 (it is consumed by BOTH top-1 windows); registered here so the
+    hidden routing/assign/scoring chain sits in one fingerprinted
+    plan under the plan guards (the q_pca_power::moments rule). SAME
+    builder as the executed chain (:func:`_gpt_scored`,
+    checkpoint=False)."""
+    return _gpt_scored(spark, sf_dir, checkpoint=False)
 
 
 _GPT_PLANT_TEXT_SQL = """
@@ -1088,7 +1107,7 @@ def q_gate_post_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 16 rows, referenced by 4 relations; session-cached since round
     # 16 (pure function of the fixtures — the four TakeOrdered chains
     # were ~0.7 s of per-run sequential construction latency)
-    plants = _gpt_plants_cached(spark, sf_dir, base)
+    plants = _gpt_plants_cached(spark, sf_dir)
     bands_p = _bands_rel(_signatures_frame(_shingles_frame(plants)))
     wsp = _word_set_col()
     qsets_p = plants.select(
@@ -1145,13 +1164,6 @@ def q_gate_post_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_e1", F.lit(1))
     )
 
-    cent, seeds = inc_index_build(spark, sf_dir)
-    tagged = _inc_tagged(spark, sf_dir)
-    old_vec = tagged.filter(~F.col("is_new")).select(
-        "vec_id", "label", "embedding"
-    )
-    new_vec = tagged.filter(F.col("is_new")).select("vec_id", "embedding")
-    tomb_vec = old_vec.filter(_is_del_col()).select("vec_id")
     # ONE cosine scan serves both formulations (round 16, VERDICT r15
     # item 3 — the v1/v2 pair was this key's 4–6 s calm floor: two
     # frozen_top1 passes each re-ran the assign/routing chains AND
@@ -1165,33 +1177,9 @@ def q_gate_post_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to frozen_top1's tombstone-filtered LEFT join incl. its totality
     # contract (a fully-tombstoned cell surfaces as a NULL-sim row,
     # never a vanished probe; f_emb_v2 = 0 through the same coalesce).
-    from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
-        cosine,
-    )
     from pyspark.sql import Window
 
-    routed = _route_inline(new_vec, cent, seeds)
-    x = _assign_to_seeds(old_vec, seeds).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("cell").alias("icell"),
-        F.col("embedding").alias("xe"),
-    )
-    scored = (
-        routed.join(x, "icell", "left")
-        .join(
-            tomb_vec.withColumnRenamed("vec_id", "neighbor_id")
-            .withColumn("_tb", F.lit(1)),
-            "neighbor_id",
-            "left",
-        )
-        .select(
-            "vec_id",
-            "neighbor_id",
-            cosine(F.col("embedding"), F.col("xe")).alias("sim_raw"),
-            F.coalesce("_tb", F.lit(0)).alias("_tb"),
-        )
-        .localCheckpoint()
-    )
+    scored = _gpt_scored(spark, sf_dir)
     w1 = Window.partitionBy("vec_id").orderBy(
         F.desc("sim_raw"), F.col("neighbor_id")
     )
@@ -1320,20 +1308,37 @@ def _fr_frames(spark: SparkSession, sf_dir: str, checkpoint: bool = True):
 @plan_aux("q_fired_rebuild::state")
 def _fr_state_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The graded row's hidden chains in LAZY form — the planted-seed
-    rank, the posting assignment, the two-stage batch routing, and the
-    merged roll corpus — unioned at posting grain and semi-joined so
-    every chain sits in one fingerprinted plan under the plan guards
-    (the q_pca_power::moments rule)."""
+    rank, the posting assignment, the two-stage batch routing, the
+    merged roll corpus, AND the trigger report's label-grain chain
+    (round-16 self-review: the report is checkpointed into the graded
+    output too) — unioned at posting grain and semi-joined so every
+    chain sits in one fingerprinted plan under the plan guards (the
+    q_pca_power::moments rule). The report is built with a
+    PLACEHOLDER cell_target (the executed chain's t is a data-derived
+    literal — the plan SHAPE is identical for any value, and the aux
+    must not execute a job to compute it)."""
     old, new, _cent1, seeds1, indexed1, adm_routed = _fr_frames(
         spark, sf_dir, checkpoint=False
     )
     merged = old.unionByName(new)
+    oldcells = old.groupBy(F.col("label").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_old")
+    )
+    newcells = adm_routed.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_admitted")
+    )
+    report = index_refresh_report(oldcells, newcells, cell_target=1.0)
     a = indexed1.select("vec_id", "label", F.col("cell").alias("icell"))
     b = adm_routed.select("vec_id", F.col("cell").alias("label"), "icell")
     return (
         a.unionByName(b)
         .join(seeds1.select("label"), "label", "left_semi")
         .join(merged.select("vec_id"), "vec_id", "left_semi")
+        .join(
+            report.select(F.col("cell").alias("label")),
+            "label",
+            "left_semi",
+        )
     )
 
 
@@ -1536,8 +1541,9 @@ def q_fired_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     fired collects are catalog-grain, the licensed pattern), and a
     retrain that touches ONLY the fired cell's members. Output ≤
     |labels| + |fired| rows. Checkpoints: planted seeds, postings,
-    routed batch, merged corpus (each 2–4 consumers; hidden chains
-    under the plan guards via the ::state aux)."""
+    routed batch, merged corpus, and the trigger report (each 2–4
+    consumers; every hidden chain — the report's included — under
+    the plan guards via the ::state aux)."""
     old, new, _cent1, seeds1, indexed1, adm_routed = _fr_frames(spark, sf_dir)
     oldcells = old.groupBy(F.col("label").alias("cell")).agg(
         F.count(F.lit(1)).alias("n_old")
@@ -1555,6 +1561,15 @@ def q_fired_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.col("n_old") + F.col("n_admitted")))
         .first()[0]
     )
+    if t_max is None:
+        # loud, not an opaque float(None) TypeError (the catalog-typo
+        # guard's convention): with zero admitted routings there is no
+        # grown cell, hence no defined trigger target and no fired
+        # branch to grade
+        raise ValueError(
+            "q_fired_rebuild: no cell received an admitted vector on "
+            f"{sf_dir} — the data-derived trigger target is undefined"
+        )
     t = float(t_max) / 4.0
     report = index_refresh_report(
         oldcells, newcells, cell_target=t
@@ -1633,14 +1648,30 @@ def _fm_frames(spark: SparkSession, sf_dir: str, checkpoint: bool = True):
 @plan_aux("q_fired_merge::state")
 def _fm_state_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The graded row's hidden chains in LAZY form — the planted-seed
-    rank, the 2-sub-cell posting assignment, and the survivor
-    anti-join — joined at posting grain under the plan guards."""
-    _old, _tomb, seeds1, indexed1, surv = _fm_frames(
+    rank, the 2-sub-cell posting assignment, the survivor anti-join,
+    AND the compact report's label-grain chain (round-16 self-review:
+    the report is checkpointed into the graded output too; built with
+    a placeholder cell_target — the plan shape is t-independent and
+    the aux must not execute a job) — joined at posting grain under
+    the plan guards."""
+    old, _tomb, seeds1, indexed1, surv = _fm_frames(
         spark, sf_dir, checkpoint=False
     )
+    cells = old.select(
+        "label", _is_del_col().cast("int").alias("is_del")
+    ).groupBy(F.col("label").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.sum("is_del").cast("long").alias("n_deleted"),
+    )
+    report = index_compact_report(cells, cell_target=1.0)
     return (
         indexed1.join(seeds1.select("label"), "label", "left_semi")
         .join(surv.select("vec_id"), "vec_id", "left_semi")
+        .join(
+            report.select(F.col("cell").alias("label")),
+            "label",
+            "left_semi",
+        )
     )
 
 
@@ -1816,6 +1847,11 @@ def q_fired_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_del").cast("long").alias("n_deleted"),
     )
     t_max = cells.agg(F.max("n_before")).first()[0]
+    if t_max is None:
+        raise ValueError(
+            f"q_fired_merge: empty frozen corpus on {sf_dir} — the "
+            "data-derived trigger target is undefined"
+        )
     t = float(t_max) / 4.0
     report = index_compact_report(cells, cell_target=t).localCheckpoint()
     fired = sorted(
