@@ -347,6 +347,43 @@ def _gate_frame(
     )
 
 
+#: (applicationId, sf_dir, survivors_only) → the MATERIALIZED gate
+#: verdict (round 16, optimization): the |batch|-bounded admission
+#: relation is rebuilt per consumer — ~2.2 s of gate-chain work each
+#: time — by TWO queries per variant (q_ingest_gate + q_index_refresh
+#: on the standing scenario; q_generation_roll + q_derived_catalog2 on
+#: the survivor-gated one), which is exactly the shared-session-cache
+#: policy's threshold (VERDICT r08 item 3: multi-consumer relations are
+#: pre-built, timed cache line items; single-consumer ones stay on
+#: their query's row). The lazy chain stays under the plan guards via
+#: the ::gate auxes (q_ingest_gate::gate here, q_generation_roll::gate
+#: for the survivor variant).
+_GATE_FLAGS_CACHE: dict[tuple[str, str, bool], DataFrame] = {}
+
+
+def gate_flags_for(
+    spark: SparkSession, sf_dir: str, survivors_only: bool = False
+) -> DataFrame:
+    """Session-cached checkpoint of :func:`_gate_frame` per variant."""
+    key = (spark.sparkContext.applicationId, sf_dir, survivors_only)
+    if key not in _GATE_FLAGS_CACHE:
+        _GATE_FLAGS_CACHE[key] = _gate_frame(
+            spark, sf_dir, survivors_only=survivors_only
+        ).localCheckpoint()
+    return _GATE_FLAGS_CACHE[key]
+
+
+@plan_aux("q_ingest_gate::gate")
+def _ingest_gate_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standing-scenario gate chain in LAZY form — q_ingest_gate
+    and q_index_refresh consume it through the session-cached
+    checkpoint (``gate_flags_for``), which hides the chain behind a
+    LogicalRDD in both returned plans; registered here under the plan
+    guards (the q_pca_power::moments rule — the survivor-gated twin is
+    q_generation_roll::gate)."""
+    return _gate_frame(spark, sf_dir)
+
+
 @query(
     "q_ingest_gate",
     oracle=_GATE_CTES
@@ -359,8 +396,11 @@ def _gate_frame(
 def q_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc admission verdict for the 'inc:'-split ingest batch —
     see the module docstring. Composes three session-cached /
-    frozen-index relations; adds no new cache of its own."""
-    return _gate_frame(spark, sf_dir).drop("cell")
+    frozen-index relations; the verdict relation itself is the shared
+    session cache ``gate_flags_for`` (round 16 — q_index_refresh
+    consumes the identical chain; the lazy plan stays guarded via the
+    ::gate aux)."""
+    return gate_flags_for(spark, sf_dir).drop("cell")
 
 
 @query(
@@ -420,7 +460,7 @@ def q_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     k=1→2 boundary, arithmetic verified against an independent float
     recomputation), and the k>1 routing regime by the probe sweep and
     the split-regime unit tests."""
-    flags = _gate_frame(spark, sf_dir)
+    flags = gate_flags_for(spark, sf_dir)
     newcells = (
         flags.filter((F.col("admitted") == 1) & F.col("cell").isNotNull())
         .groupBy("cell")

@@ -33,6 +33,7 @@ from pyspark.sql import SparkSession
 from kafka_flink_exactlyonce_example_spark.operators import (
     datamgmt,
     dedup,
+    ingest,
     simsearch,
     textstats,
 )
@@ -55,6 +56,17 @@ CACHE_BUILDERS: dict[str, Callable[[SparkSession, str], Any]] = {
     "unit_norms": simsearch._normalized,
     "recall_brute": simsearch.brute_topk_for,
     "inc_ann_index": simsearch.inc_index_build,
+    # round 16 (optimization): relations that 2+ queries each rebuilt
+    # per run — the gen-1 posting relation (q_generation_roll +
+    # q_roll_delete_only), and the two admission-gate verdict variants
+    # (standing: q_ingest_gate + q_index_refresh; survivor-gated:
+    # q_generation_roll + q_derived_catalog2) — now one build each,
+    # timed here, with each consumer row reading its marginal cost.
+    "inc_indexed1": simsearch.inc_indexed1_for,
+    "gate_flags": ingest.gate_flags_for,
+    "gate_flags_surv": lambda spark, sf_dir: ingest.gate_flags_for(
+        spark, sf_dir, survivors_only=True
+    ),
     # round-11/12 coarse k-means quantizer family (the IVF/IVFADC rows
     # of the index matrix): the ONE cached training chain (round 12 —
     # cq_centroids materializes the whole Lloyd chain; cq_cells is one

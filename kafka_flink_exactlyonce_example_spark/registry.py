@@ -310,8 +310,21 @@ _CHANGED_IN_ROUND: dict[int, frozenset[str]] = {
     #: the two frozen_top1 passes, qb/qsets checkpointed, plants
     #: session-cached. Values identical at every SF (crosschecked);
     #: the plan changed, so the key re-earns a driver row.
+    #: Round 16 optimization pass: the admission-gate verdict became a
+    #: shared session cache (2 consumers per variant — the r08 policy
+    #: threshold), so q_ingest_gate / q_index_refresh now read the
+    #: checkpointed relation and their returned plans moved to a
+    #: LogicalRDD scan (chain guarded via the q_ingest_gate::gate aux).
+    #: Values identical at every SF (crosschecked); the plans changed,
+    #: so both re-earn driver rows. q_generation_roll /
+    #: q_derived_catalog2 / q_roll_delete_only share the same caches
+    #: but already checkpointed the identical relations per run, so
+    #: their executed plans are byte-identical (fingerprints verified
+    #: unchanged).
     16: frozenset({
         "q_gate_post_takedown",
+        "q_ingest_gate",
+        "q_index_refresh",
     }),
 }
 
