@@ -63,6 +63,7 @@ CACHE_BUILDERS: dict[str, Callable[[SparkSession, str], Any]] = {
     # q_generation_roll + q_derived_catalog2) — now one build each,
     # timed here, with each consumer row reading its marginal cost.
     "inc_indexed1": simsearch.inc_indexed1_for,
+    "embed_pairs": dedup._embed_pairs_for,
     "gate_flags": ingest.gate_flags_for,
     "gate_flags_surv": lambda spark, sf_dir: ingest.gate_flags_for(
         spark, sf_dir, survivors_only=True
@@ -90,8 +91,10 @@ CACHE_BUILDERS: dict[str, Callable[[SparkSession, str], Any]] = {
 # These caches still exist (idempotent, inside their modules); their
 # build cost now lands on their one consumer's marginal row:
 #   dedup._jaccard_scored_pairs  -> q_lsh_recall   (~2.9 s at sf0.1)
-#   dedup._semdedup_scored_for   -> q_semdedup     (~0.9 s)
 #   simsearch.pca_model_for      -> q_pca_power    (~1.3 s)
+# (dedup._semdedup_scored_for moved OFF this list in round 16: the
+# embed_pairs cache build consumes it, so it now builds inside that
+# pre-built line item.)
 
 
 def build_all(spark: SparkSession, sf_dir: str) -> dict[str, float]:

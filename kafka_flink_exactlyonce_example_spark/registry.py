@@ -321,10 +321,19 @@ _CHANGED_IN_ROUND: dict[int, frozenset[str]] = {
     #: but already checkpointed the identical relations per run, so
     #: their executed plans are byte-identical (fingerprints verified
     #: unchanged).
+    #: …and the (label, cell)-blocked embedding pair join became the
+    #: shared undirected ``embed_pairs`` session cache: q_embed_dup is
+    #: now a projection of it and q_semdedup derives its dropped set
+    #: from one evaluation per pair (was a directed 2× scan). Values
+    #: identical at every SF (crosschecked); both plans moved to a
+    #: LogicalRDD scan (chain guarded via q_embed_dup::pairs), so both
+    #: re-earn driver rows.
     16: frozenset({
         "q_gate_post_takedown",
         "q_ingest_gate",
         "q_index_refresh",
+        "q_embed_dup",
+        "q_semdedup",
     }),
 }
 

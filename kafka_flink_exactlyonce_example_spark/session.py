@@ -36,14 +36,33 @@ _SESSION_CONFS = {
 }
 
 
+#: applicationIds whose session confs are already enforced. Every
+#: @query wrapper and every table() load calls ensure_session_confs;
+#: the five conf.get round-trips cost ~5-10 ms per call, which across a
+#: ~300-query bench (2-4 calls per query) summed to seconds of pure
+#: py4j chatter (round 16, OPTIMIZATION_r16.md). The enforced confs are
+#: not runtime-toggled anywhere (tests only flip shuffle width and
+#: broadcast threshold, which are deliberately NOT in this set), so one
+#: enforcement per application is the same guarantee.
+_CONFS_ENFORCED: set[str] = set()
+
+
 def ensure_session_confs(spark: SparkSession) -> SparkSession:
     """Set the confs graded queries depend on; safe on a live session."""
+    try:
+        app_id = spark.sparkContext.applicationId
+        if app_id in _CONFS_ENFORCED:
+            return spark
+    except Exception:  # context not ready → enforce without memoizing
+        app_id = None
     for k, v in _SESSION_CONFS.items():
         try:
             if spark.conf.get(k, None) != v:
                 spark.conf.set(k, v)
         except Exception:  # conf not settable at runtime → best effort
             pass
+    if app_id is not None:
+        _CONFS_ENFORCED.add(app_id)
     return spark
 
 
