@@ -1043,26 +1043,38 @@ def q_generation_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_batch"),
         F.sum("admitted").cast("long").alias("n_admitted"),
     )
-    takedowns_agg = (
-        dsplit.filter((F.col("is_new") == 0) & (F.col("is_del") == 1))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_takedowns"))
-    )
-    dig1 = (
-        dsplit.filter(F.col("is_new") == 0)
-        .select("h")
-        .distinct()
-        .agg(F.count(F.lit(1)).cast("long").alias("n_digests_v1"))
-    )
-    dig2 = (
-        dsplit.filter((F.col("is_new") == 0) & (F.col("is_del") == 0))
-        .select("h")
-        .unionByName(
-            dsplit.filter(F.col("is_new") == 1)
-            .join(admitted, "doc_id", "left_semi")
-            .select("h")
+    # ONE documents pass for the takedown count and BOTH digest-set
+    # sizes (round 16, optimization — was three separate scan+agg
+    # branches of the same dsplit relation; Catalyst does not share
+    # common subtrees across crossJoin branches): countDistinct over a
+    # conditional h ignores the NULLed-out rows, so each filtered
+    # distinct-h view becomes one conditional distinct aggregate, and
+    # the union-with-admits leg becomes a broadcast-joined admit flag.
+    # Values identical by construction (distinct h among rows where the
+    # condition holds); the oracle is unchanged.
+    doc_census = (
+        dsplit.join(
+            F.broadcast(admitted.withColumn("_adm", F.lit(1))),
+            "doc_id",
+            "left",
         )
-        .distinct()
-        .agg(F.count(F.lit(1)).cast("long").alias("n_digests_v2"))
+        .agg(
+            F.sum(
+                ((F.col("is_new") == 0) & (F.col("is_del") == 1)).cast("int")
+            )
+            .cast("long")
+            .alias("n_takedowns"),
+            F.countDistinct(
+                F.when(F.col("is_new") == 0, F.col("h"))
+            ).alias("n_digests_v1"),
+            F.countDistinct(
+                F.when(
+                    ((F.col("is_new") == 0) & (F.col("is_del") == 0))
+                    | ((F.col("is_new") == 1) & (F.col("_adm") == 1)),
+                    F.col("h"),
+                )
+            ).alias("n_digests_v2"),
+        )
     )
     post1 = old.agg(F.count(F.lit(1)).cast("long").alias("n_postings_v1"))
     post2 = indexed2.agg(
@@ -1073,9 +1085,7 @@ def q_generation_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_changed").cast("double") / F.col("n_probes"), 6
     )
     return (
-        batch_agg.crossJoin(F.broadcast(takedowns_agg))
-        .crossJoin(F.broadcast(dig1))
-        .crossJoin(F.broadcast(dig2))
+        batch_agg.crossJoin(F.broadcast(doc_census))
         .crossJoin(F.broadcast(post1))
         .crossJoin(F.broadcast(post2))
         .crossJoin(F.broadcast(churn))

@@ -334,6 +334,7 @@ _CHANGED_IN_ROUND: dict[int, frozenset[str]] = {
         "q_index_refresh",
         "q_embed_dup",
         "q_semdedup",
+        "q_generation_roll",
     }),
 }
 
