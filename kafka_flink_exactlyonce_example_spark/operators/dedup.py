@@ -3145,10 +3145,23 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # windows start at i = 1..max(n-w+1, 1); the rows-between frame
     # truncates at the tail exactly like the oracle's array_slice on a
-    # short array
+    # short array. PERSISTED (round 16, optimization): three branches
+    # of the final join consume this relation (per-doc counts, the
+    # distinct fingerprint explode feeding the share census, and its
+    # join-back) — ReuseExchange dedups the shuffle below the window,
+    # but the per-doc sliding-min evaluation itself re-ran per branch
+    # (measured 2.3 s → 1.5 s warm at sf0.1). Char-grain rows are
+    # data-scaled → drainable list, the q_rfm persist policy.
+    from pyspark import StorageLevel
+
+    from kafka_flink_exactlyonce_example_spark.operators.scale import (
+        _PERSISTED,
+    )
+
     wins_rows = wm.filter(
         F.col("i") <= F.greatest(F.col("n_kgrams") - _WIN_W + 1, F.lit(1))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(wins_rows)
     fpcounts = wins_rows.groupBy("doc_id").agg(
         F.first("n_kgrams").alias("n_kgrams"),
         F.count(F.lit(1)).alias("n_windows"),

@@ -335,6 +335,7 @@ _CHANGED_IN_ROUND: dict[int, frozenset[str]] = {
         "q_embed_dup",
         "q_semdedup",
         "q_generation_roll",
+        "q_winnow_fingerprint",
     }),
 }
 
