@@ -264,6 +264,172 @@ _GATE_POST_CTES = (
 )
 
 
+def _gate_frame_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH admission-verdict variants from ONE corpus pass (round 16,
+    optimization — the q_gate_post_takedown round-16 device applied to
+    the gate itself; the two variants previously re-ran the whole
+    chain, and the nn scoring scan alone is ~2 s per variant at
+    sf0.1): one row per new doc carrying the standing verdict
+    (``*_v1`` — checks against the full frozen corpus) and the
+    survivor-gated verdict (``*_v2`` — the corpus minus the 'del:'
+    wave, VERDICT r14 item 1's semantics).
+
+    Per check, the collapse and its byte-equivalence argument:
+
+    - digest: the per-h MAX of the endpoint survivor flag gives both
+      distinct-h views in one aggregation — h ∈ corpus-h iff the h
+      row exists, h ∈ survivor-h iff its max flag is 1.
+    - near-text: the per-probe MAX of the edge-endpoint survivor flag
+      — an edge to ANY corpus endpoint is the v1 hit, an edge to a
+      SURVIVING endpoint the v2 hit (the old semi-join + distinct,
+      folded into one aggregation).
+    - embedding: ONE scored scan of the routed batch against the FULL
+      posting relation, each neighbor carrying its 'del:' flag
+      (derivable from the id — no tombstone join); v1 ranks all
+      neighbors, v2 ranks survivors FIRST (``_tb`` asc) and NULLs
+      neighbor and sim when the best row is tombstoned —
+      byte-equivalent to :func:`simsearch.frozen_top1`'s
+      tombstone-filtered LEFT join including its totality contract (a
+      fully-tombstoned or empty sub-cell surfaces as an explicit NULL
+      row, and f_near_emb reads 0 through the same
+      NULL-comparison path). Routing is variant-independent
+      (tombstones never affected :func:`simsearch.frozen_route`), so
+      ``cell`` is shared.
+    """
+    d = table(spark, sf_dir, "documents")
+    is_new = _md5_mod_col("inc:", "doc_id", 10) == 0
+    dsplit = d.select(
+        "doc_id",
+        is_new.cast("int").alias("is_new"),
+        F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("h"),
+    )
+    new_docs = dsplit.filter(F.col("is_new") == 1).select("doc_id", "h")
+    corpus = dsplit.filter(F.col("is_new") == 0)
+    surv = (~_del_tag_col("doc_id")).cast("int")
+    h_both = corpus.select("h", surv.alias("_sv")).groupBy("h").agg(
+        F.max("_sv").alias("_hsv")
+    )
+
+    edges = _lsh_verified_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("doc_a").alias("x"), F.col("doc_b").alias("y")
+    ).unionAll(edges.select(F.col("doc_b").alias("x"), F.col("doc_a").alias("y")))
+    near_both = (
+        sym.join(
+            corpus.select(F.col("doc_id").alias("y"), surv.alias("_sv")),
+            "y",
+        )
+        .groupBy(F.col("x").alias("doc_id"))
+        .agg(F.max("_sv").alias("_nsv"))
+    )
+
+    cent, seeds = inc_index_build(spark, sf_dir)
+    tagged = _inc_tagged(spark, sf_dir)
+    old_vec = tagged.filter(~F.col("is_new")).select(
+        "vec_id", "label", "embedding"
+    )
+    new_vec = tagged.filter(F.col("is_new")).select("vec_id", "embedding")
+    from pyspark.sql import Window
+
+    from kafka_flink_exactlyonce_example_spark.functions.similarity import (
+        cosine,
+    )
+
+    x = _assign_to_seeds(old_vec, seeds).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell").alias("icell"),
+        F.col("embedding").alias("xe"),
+    )
+    scored = (
+        frozen_route(new_vec, cent, seeds)
+        .join(x, "icell", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "neighbor_id",
+            cosine(F.col("embedding"), F.col("xe")).alias("sim_raw"),
+            _del_tag_col("neighbor_id").cast("int").alias("_tb"),
+        )
+    )
+    w1 = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim_raw"), F.col("neighbor_id")
+    )
+    w2 = Window.partitionBy("vec_id").orderBy(
+        F.col("_tb"), F.desc("sim_raw"), F.col("neighbor_id")
+    )
+    nn1 = (
+        scored.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            "cell",
+            F.col("neighbor_id").alias("nb1"),
+            F.round("sim_raw", 6).alias("sim1"),
+        )
+    )
+    nn2 = (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.when(F.col("_tb") == 0, F.col("neighbor_id")).alias("nb2"),
+            F.when(F.col("_tb") == 0, F.round("sim_raw", 6)).alias("sim2"),
+        )
+    )
+
+    t = F.lit(_NEAR_EMB_THRESHOLD)
+    f_exact_v1 = F.when(F.col("_hsv").isNotNull(), 1).otherwise(0)
+    f_exact_v2 = F.when(F.col("_hsv") == 1, 1).otherwise(0)
+    f_text_v1 = F.when(F.col("_nsv").isNotNull(), 1).otherwise(0)
+    f_text_v2 = F.when(F.col("_nsv") == 1, 1).otherwise(0)
+    f_emb_v1 = F.when(F.col("sim1") >= t, 1).otherwise(0)
+    f_emb_v2 = F.when(F.col("sim2") >= t, 1).otherwise(0)
+    return (
+        new_docs.join(h_both, "h", "left")
+        .join(near_both, "doc_id", "left")
+        .join(nn1, "doc_id", "left")
+        .join(nn2, "doc_id", "left")
+        .select(
+            "doc_id",
+            "cell",
+            f_exact_v1.alias("f_exact_v1"),
+            f_text_v1.alias("f_text_v1"),
+            f_emb_v1.alias("f_emb_v1"),
+            F.col("nb1"),
+            F.col("sim1"),
+            (
+                (f_exact_v1 == 0) & (f_text_v1 == 0) & (f_emb_v1 == 0)
+            ).cast("int").alias("admitted_v1"),
+            f_exact_v2.alias("f_exact_v2"),
+            f_text_v2.alias("f_text_v2"),
+            f_emb_v2.alias("f_emb_v2"),
+            F.col("nb2"),
+            F.col("sim2"),
+            (
+                (f_exact_v2 == 0) & (f_text_v2 == 0) & (f_emb_v2 == 0)
+            ).cast("int").alias("admitted_v2"),
+        )
+    )
+
+
+def _gate_variant(dual: DataFrame, survivors_only: bool) -> DataFrame:
+    """Project one verdict variant out of the dual frame — EXACTLY the
+    historical _gate_frame column set (doc_id, f_exact, f_near_text,
+    f_near_emb, cell, neighbor_id, sim, admitted)."""
+    s = "_v2" if survivors_only else "_v1"
+    nb, sim = ("nb2", "sim2") if survivors_only else ("nb1", "sim1")
+    return dual.select(
+        "doc_id",
+        F.col(f"f_exact{s}").alias("f_exact"),
+        F.col(f"f_text{s}").alias("f_near_text"),
+        F.col(f"f_emb{s}").alias("f_near_emb"),
+        "cell",
+        F.col(nb).alias("neighbor_id"),
+        F.col(sim).alias("sim"),
+        F.col(f"admitted{s}").alias("admitted"),
+    )
+
+
 def _gate_frame(
     spark: SparkSession, sf_dir: str, survivors_only: bool = False
 ) -> DataFrame:
@@ -275,76 +441,12 @@ def _gate_frame(
     checks run against the corpus MINUS the graded 'del:' takedown
     wave — the fixture twin of
     :func:`streaming.jobs.ingest_gate_decisions`'s ``takedowns``
-    thread (digest anti-join at doc grain before the distinct-h view,
-    surviving-endpoint edges, tombstone-filtered posting scan) — the
-    admission semantics q_generation_roll's census now grades. The
-    default keeps q_ingest_gate / q_index_refresh on the standing
-    no-wave scenario and their plans byte-identical."""
-    d = table(spark, sf_dir, "documents")
-    is_new = _md5_mod_col("inc:", "doc_id", 10) == 0
-    dsplit = d.select(
-        "doc_id",
-        is_new.cast("int").alias("is_new"),
-        F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("h"),
-    )
-    new_docs = dsplit.filter(F.col("is_new") == 1).select("doc_id", "h")
-    corpus = dsplit.filter(F.col("is_new") == 0)
-    if survivors_only:
-        corpus = corpus.filter(~_del_tag_col("doc_id"))
-    corpus_h = corpus.select("h").distinct()
-    corpus_doc = corpus.select("doc_id")
-
-    edges = _lsh_verified_edges(spark, sf_dir)
-    sym = edges.select(
-        F.col("doc_a").alias("x"), F.col("doc_b").alias("y")
-    ).unionAll(edges.select(F.col("doc_b").alias("x"), F.col("doc_a").alias("y")))
-    near_text = (
-        sym.join(corpus_doc.withColumnRenamed("doc_id", "y"), "y", "leftsemi")
-        .select(F.col("x").alias("doc_id"))
-        .distinct()
-    )
-
-    cent, seeds = inc_index_build(spark, sf_dir)
-    tagged = _inc_tagged(spark, sf_dir)
-    old_vec = tagged.filter(~F.col("is_new")).select(
-        "vec_id", "label", "embedding"
-    )
-    new_vec = tagged.filter(F.col("is_new")).select("vec_id", "embedding")
-    tomb_vec = (
-        old_vec.filter(_is_del_col()).select("vec_id")
-        if survivors_only
-        else None
-    )
-    nn = frozen_top1(
-        frozen_route(new_vec, cent, seeds),
-        _assign_to_seeds(old_vec, seeds),
-        tombstones=tomb_vec,
-    ).select(F.col("vec_id").alias("doc_id"), "cell", "neighbor_id", "sim")
-
-    flagged = (
-        new_docs.join(corpus_h.withColumn("_e", F.lit(1)), "h", "left")
-        .join(near_text.withColumn("_n", F.lit(1)), "doc_id", "left")
-        .join(nn, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("_e", F.lit(0)).alias("f_exact"),
-            F.coalesce("_n", F.lit(0)).alias("f_near_text"),
-            F.when(F.col("sim") >= _NEAR_EMB_THRESHOLD, 1)
-            .otherwise(0)
-            .alias("f_near_emb"),
-            "cell",
-            "neighbor_id",
-            "sim",
-        )
-    )
-    return flagged.withColumn(
-        "admitted",
-        (
-            (F.col("f_exact") == 0)
-            & (F.col("f_near_text") == 0)
-            & (F.col("f_near_emb") == 0)
-        ).cast("int"),
-    )
+    thread — the admission semantics q_generation_roll's census
+    grades. Since round 16 both variants are projections of ONE dual
+    chain (:func:`_gate_frame_dual` — one corpus pass, one scored
+    scan), so the lazy form here, the ::gate plan auxes, and the
+    session-cached checkpoints can never desynchronize."""
+    return _gate_variant(_gate_frame_dual(spark, sf_dir), survivors_only)
 
 
 #: (applicationId, sf_dir, survivors_only) → the MATERIALIZED gate
@@ -358,19 +460,21 @@ def _gate_frame(
 #: their query's row). The lazy chain stays under the plan guards via
 #: the ::gate auxes (q_ingest_gate::gate here, q_generation_roll::gate
 #: for the survivor variant).
-_GATE_FLAGS_CACHE: dict[tuple[str, str, bool], DataFrame] = {}
+_GATE_FLAGS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def gate_flags_for(
     spark: SparkSession, sf_dir: str, survivors_only: bool = False
 ) -> DataFrame:
-    """Session-cached checkpoint of :func:`_gate_frame` per variant."""
-    key = (spark.sparkContext.applicationId, sf_dir, survivors_only)
+    """Session-cached checkpoint of the DUAL gate frame, projected to
+    the requested variant — one |batch|-row materialization serves all
+    four consumers of both variants."""
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _GATE_FLAGS_CACHE:
-        _GATE_FLAGS_CACHE[key] = _gate_frame(
-            spark, sf_dir, survivors_only=survivors_only
+        _GATE_FLAGS_CACHE[key] = _gate_frame_dual(
+            spark, sf_dir
         ).localCheckpoint()
-    return _GATE_FLAGS_CACHE[key]
+    return _gate_variant(_GATE_FLAGS_CACHE[key], survivors_only)
 
 
 @plan_aux("q_ingest_gate::gate")

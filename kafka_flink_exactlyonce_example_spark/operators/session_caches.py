@@ -64,10 +64,9 @@ CACHE_BUILDERS: dict[str, Callable[[SparkSession, str], Any]] = {
     # timed here, with each consumer row reading its marginal cost.
     "inc_indexed1": simsearch.inc_indexed1_for,
     "embed_pairs": dedup._embed_pairs_for,
+    # ONE dual build serves both verdict variants (the second variant
+    # is a projection of the same checkpoint — see _gate_frame_dual)
     "gate_flags": ingest.gate_flags_for,
-    "gate_flags_surv": lambda spark, sf_dir: ingest.gate_flags_for(
-        spark, sf_dir, survivors_only=True
-    ),
     # round-11/12 coarse k-means quantizer family (the IVF/IVFADC rows
     # of the index matrix): the ONE cached training chain (round 12 —
     # cq_centroids materializes the whole Lloyd chain; cq_cells is one
