@@ -82,6 +82,10 @@ def main() -> None:
     payload = json.dumps(
         {
             "sf": sf,
+            # self-identify which run a map belongs to (VERDICT r16
+            # item 2: an 8-core scaling rerun was only identifiable by
+            # cross-referencing loadavg tails)
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "na"),
             "loadavg_before": load_before,
             "loadavg_after": load_after,
             "caches": caches,
@@ -118,7 +122,21 @@ def main() -> None:
             n += 1
         (here / f"BENCH_LOCAL_r{label:02d}_s{n}.json").write_text(payload)
     else:
-        (here / f"BENCH_FULL_r{label:02d}.json").write_text(payload)
+        # Never overwrite an existing per-round map (VERDICT r16 item 2:
+        # the r16 8-core scaling run overwrote the 32-core full map that
+        # rotation had already labelled r17). First run of a round keeps
+        # the plain r{N} name; any later run of the same round — e.g. a
+        # scaling rerun at a different $SPARK_GRAFT_CPUS — lands under a
+        # distinct _c{cpus}[_sK] name so every map survives.
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "na")
+        dest = here / f"BENCH_FULL_r{label:02d}.json"
+        if dest.exists():
+            dest = here / f"BENCH_FULL_r{label:02d}_c{cpus}.json"
+            n = 2
+            while dest.exists():
+                dest = here / f"BENCH_FULL_r{label:02d}_c{cpus}_s{n}.json"
+                n += 1
+        dest.write_text(payload)
 
     slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
     print(
