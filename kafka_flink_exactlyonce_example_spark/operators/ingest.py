@@ -50,18 +50,15 @@ from kafka_flink_exactlyonce_example_spark.operators.dedup import (
     _assign_to_seeds,
     _tt_plant,
     _bands_rel,
-    _cap_bands_rel,
     _del_tag_col,
     _lsh_verified_edges,
     _md5_mod_col,
     _shingles_frame,
     _signatures_frame,
     _tg_base,
-    _tg_cand,
     _tg_isets,
     _tg_qsets,
     _tg_slice_bands,
-    _text_gen_verify,
     _word_set_col,
 )
 from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
@@ -1243,9 +1240,6 @@ def q_gate_post_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins on 8-byte ids; output is |batch| + 16 rows."""
     base, bands_all, sets_all = _tg_base(spark, sf_dir)
     corpus_ids = base.filter(F.col("g") >= 1).select("doc_id")
-    surv_ids = base.filter(
-        (F.col("g") >= 1) & ~_del_tag_col("doc_id")
-    ).select("doc_id")
     batch_ids = base.filter(F.col("g") == 0).select("doc_id")
 
     # 16 rows, referenced by 4 relations; session-cached since round
@@ -1277,15 +1271,74 @@ def q_gate_post_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(qsets_p)
         .localCheckpoint()
     )
-    hits_v1 = _text_gen_verify(
-        _tg_cand(qb, _cap_bands_rel(_tg_slice_bands(bands_all, corpus_ids))),
-        qsets,
-        _tg_isets(sets_all, corpus_ids),
+    # ONE dual-cap candidate+verify pass serves BOTH text formulations
+    # (round 17, VERDICT r16 next-round item 1 — was two full passes:
+    # two corpus band slices, two cap windows, two candidate joins, two
+    # word-set verifies). Per-band equivalence of the cap collapse:
+    # v1 keeps a corpus band row iff its (band_idx, band_key) bucket's
+    # TOTAL corpus count ≤ cap — count(*) over the one corpus slice
+    # (identical relation, identical window as _cap_bands_rel). v2
+    # re-derives the cap over the SURVIVOR slice: a survivor-slice
+    # bucket holds exactly the survivor rows of the corpus bucket
+    # (same key, subset rows — the 'del:' tag is a pure function of
+    # doc_id), so "row present in the survivor slice AND its bucket
+    # count ≤ cap" ⟺ "row is a survivor AND the bucket's survivor
+    # count ≤ cap" — a conditional sum over the SAME window. Note
+    # v2 ⊄ v1 at the cap boundary (a mega-bucket can fall back under
+    # the cap once its tombstoned members leave), which is why both
+    # flags ride every row instead of one filtered subset. Candidates:
+    # one (band_idx, band_key) equi-join; the per-pair MAX of each
+    # flag is the old per-variant DISTINCT. Verify: the Jaccard
+    # expression is pair-local and identical in both formulations, a
+    # _c2 candidate's index doc is a survivor by construction (its
+    # word-set row is content-identical in either slice), and the v1
+    # "idx in corpus" condition is the isets slice itself — so ONE
+    # corpus-wide word-set join scores each candidate pair once and a
+    # per-doc conditional MAX yields both hit sets. Values
+    # crosschecked vs the unchanged two-sided oracle at
+    # sf0.001/0.01/0.1.
+    from pyspark.sql import Window
+
+    cb = _tg_slice_bands(bands_all, corpus_ids).withColumn(
+        "_sv", (~_del_tag_col("doc_id")).cast("int")
     )
-    hits_v2 = _text_gen_verify(
-        _tg_cand(qb, _cap_bands_rel(_tg_slice_bands(bands_all, surv_ids))),
-        qsets,
-        _tg_isets(sets_all, surv_ids),
+    wsz = Window.partitionBy("band_idx", "band_key")
+    capped_dual = (
+        cb.withColumn(
+            "_c1",
+            (F.count(F.lit(1)).over(wsz) <= _MAX_BUCKET).cast("int"),
+        )
+        .withColumn(
+            "_c2",
+            (
+                (F.col("_sv") == 1)
+                & (F.sum("_sv").over(wsz) <= _MAX_BUCKET)
+            ).cast("int"),
+        )
+        .filter((F.col("_c1") == 1) | (F.col("_c2") == 1))
+        .select(
+            F.col("doc_id").alias("idx_doc"),
+            "band_idx",
+            "band_key",
+            "_c1",
+            "_c2",
+        )
+    )
+    cand = (
+        qb.join(capped_dual, ["band_idx", "band_key"])
+        .filter(F.col("doc_id") != F.col("idx_doc"))
+        .groupBy("doc_id", "idx_doc")
+        .agg(F.max("_c1").alias("_c1"), F.max("_c2").alias("_c2"))
+    )
+    n_common = F.size(F.array_intersect("wq", "wi")).cast("double")
+    jacc = n_common / (F.col("nq") + F.col("ni") - n_common)
+    hits_both = (
+        cand.join(qsets, "doc_id")
+        .join(_tg_isets(sets_all, corpus_ids), "idx_doc")
+        .filter(F.col("lang_q") == F.col("lang_i"))
+        .filter(jacc >= 0.8)
+        .groupBy("doc_id")
+        .agg(F.max("_c1").alias("_t1"), F.max("_c2").alias("_t2"))
     )
 
     dig = F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("h")
@@ -1321,8 +1374,6 @@ def q_gate_post_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to frozen_top1's tombstone-filtered LEFT join incl. its totality
     # contract (a fully-tombstoned cell surfaces as a NULL-sim row,
     # never a vanished probe; f_emb_v2 = 0 through the same coalesce).
-    from pyspark.sql import Window
-
     scored = _gpt_scored(spark, sf_dir)
     w1 = Window.partitionBy("vec_id").orderBy(
         F.desc("sim_raw"), F.col("neighbor_id")
@@ -1358,8 +1409,7 @@ def q_gate_post_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         probe_ids.join(probe_h, "doc_id")
         .join(h_both, "h", "left")
-        .join(hits_v1.withColumn("_t1", F.lit(1)), "doc_id", "left")
-        .join(hits_v2.withColumn("_t2", F.lit(1)), "doc_id", "left")
+        .join(hits_both, "doc_id", "left")
         .join(nn1, "doc_id", "left")
         .join(nn2, "doc_id", "left")
         .select(

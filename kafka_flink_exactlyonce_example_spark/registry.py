@@ -337,6 +337,20 @@ _CHANGED_IN_ROUND: dict[int, frozenset[str]] = {
         "q_generation_roll",
         "q_winnow_fingerprint",
     }),
+    #: Round 17 (optimization round 2, VERDICT r16 next-round item 1):
+    #: q_gate_post_takedown's two text-side candidate+verify passes
+    #: collapsed into ONE dual-cap pass — a per-bucket (count(*),
+    #: conditional survivor sum) window yields both cap views, one
+    #: (band_idx, band_key) candidate join carries (_c1, _c2) flags
+    #: whose per-pair MAX replaces the per-variant DISTINCTs, and one
+    #: word-set verify with a per-doc conditional MAX replaces the two
+    #: Jaccard joins. Values byte-identical at sf0.001/0.01/0.1
+    #: (crosschecked vs the unchanged two-sided oracle); the plan
+    #: changed (parquet scans 9→6, exchanges −3, joins −5 in the
+    #: fingerprint), so the key re-earns a driver row.
+    17: frozenset({
+        "q_gate_post_takedown",
+    }),
 }
 
 
