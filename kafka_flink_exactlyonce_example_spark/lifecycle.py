@@ -678,6 +678,9 @@ def corpus_generation_roll(
 from kafka_flink_exactlyonce_example_spark.operators.dedup import (  # noqa: E402
     _md5_mod_col,
 )
+from kafka_flink_exactlyonce_example_spark.operators.overlap import (  # noqa: E402
+    run_overlapped,
+)
 from kafka_flink_exactlyonce_example_spark.operators.ingest import (  # noqa: E402
     _DEL_TAG_SQL,
     _GATE_POST_CTES,
@@ -967,9 +970,6 @@ def q_generation_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
     adm_vecs = new.join(
         admitted.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left_semi"
     ).localCheckpoint()
-    adm_routed = frozen_route(
-        adm_vecs.select("vec_id", "embedding"), cent1, seeds1
-    ).localCheckpoint()
     # the gen-1 posting relation, materialized ONCE per session: the
     # warm cycle, the v1 churn side, and the fired-population slices
     # each reference it, and a lazy reference re-runs the whole assign
@@ -977,14 +977,12 @@ def q_generation_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
     # production this relation is LOADED from the generation's parquet
     # — already materialized — so the checkpoint is the honest
     # in-session stand-in, not a cheat. The hidden chain stays under
-    # the plan guards via the ::index aux.
+    # the plan guards via the ::index aux. Resolved on the MAIN thread
+    # (the overlap-wave rule: session caches never resolve in thunks).
     indexed1 = inc_indexed1_for(spark, sf_dir)
 
     oldcells = old.groupBy(F.col("label").alias("cell")).agg(
         F.count(F.lit(1)).alias("n_old")
-    )
-    newcells = adm_routed.groupBy("cell").agg(
-        F.count(F.lit(1)).alias("n_admitted")
     )
     delcells = (
         old.select("label", _is_del_col().cast("int").alias("is_del"))
@@ -994,6 +992,29 @@ def q_generation_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_del").cast("long").alias("n_deleted"),
         )
     )
+    survivors = tombstone_filter(old, tomb)
+    # Three independent eager actions — the routed-batch checkpoint,
+    # the merged-corpus checkpoint (feeds three warm-cycle stages:
+    # coarse retrain, new-label detection, new-label member slice),
+    # and the compact report's catalog-grain collect — used to run
+    # strictly sequentially, serializing three job floors + straggler
+    # tails (round 17, guide §2.6 / VERDICT r16 item 3). They share no
+    # inputs beyond the ALREADY-materialized adm_vecs checkpoint and
+    # the session caches resolved above, so one overlapped wave is
+    # value-identical (the plans are unchanged; only WHEN each
+    # materializes moves).
+    adm_routed, merged, compact_rows = run_overlapped(
+        frozen_route(
+            adm_vecs.select("vec_id", "embedding"), cent1, seeds1
+        ).localCheckpoint,
+        survivors.unionByName(adm_vecs).localCheckpoint,
+        lambda: index_compact_report(delcells)
+        .filter(F.col("compact") == 1)
+        .collect(),
+    )
+    newcells = adm_routed.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_admitted")
+    )
     fired = sorted(
         {
             int(r["cell"])
@@ -1001,17 +1022,8 @@ def q_generation_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rebuild") == 1)
             .collect()
         }
-        | {
-            int(r["cell"])
-            for r in index_compact_report(delcells)
-            .filter(F.col("compact") == 1)
-            .collect()
-        }
+        | {int(r["cell"]) for r in compact_rows}
     )
-    survivors = tombstone_filter(old, tomb)
-    # merged feeds three warm-cycle stages (coarse retrain, new-label
-    # detection, new-label member slice) — one checkpoint, three reads
-    merged = survivors.unionByName(adm_vecs).localCheckpoint()
     cent2, seeds2, indexed2 = warm_index_cycle(
         merged, seeds1, indexed1, adm_routed, tomb, fired
     )
@@ -1050,6 +1062,11 @@ def q_generation_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
     # conditional h ignores the NULLed-out rows, so each filtered
     # distinct-h view becomes one conditional distinct aggregate, and
     # the union-with-admits leg becomes a broadcast-joined admit flag.
+    # Precondition (ADVICE r16): countDistinct ignores NULLs, so the
+    # equivalence with the old distinct()+count branches additionally
+    # assumes h itself is never NULL — md5 over a non-NULL text column
+    # (documents.text is NOT NULL on every fixture; a NULL text would
+    # have made the old branches count one NULL group).
     # Values identical by construction (distinct h among rows where the
     # condition holds); the oracle is unchanged.
     doc_census = (
@@ -1229,8 +1246,6 @@ def _dc_core(
         .filter(F.col("rnk") <= max(_DC_NPROBES))
         .select("pid", "label", "rnk")
     )
-    if checkpoint:
-        rankr = rankr.localCheckpoint()  # bounded |panel|·max(nprobes)
     truth_w = Window.partitionBy("pid").orderBy(
         F.desc("tsim"), F.col("vec_id")
     )
@@ -1246,10 +1261,15 @@ def _dc_core(
         .select("pid", "vec_id")
     )
     if checkpoint:
-        # bounded |panel|·K rows, consumed by the hit join AND the
-        # trials count — without the checkpoint the |panel| × n truth
-        # scan runs twice
-        truth = truth.localCheckpoint()
+        # rankr (bounded |panel|·max(nprobes)) and truth (bounded
+        # |panel|·K, consumed by the hit join AND the trials count —
+        # un-checkpointed, the |panel| × n truth scan runs twice) both
+        # depend only on the p checkpoint above and not on each other,
+        # so their materializations overlap (guide §2.6; plans
+        # unchanged, only WHEN each runs moves — round 17)
+        rankr, truth = run_overlapped(
+            rankr.localCheckpoint, truth.localCheckpoint
+        )
     return members, p, rankr, truth
 
 
@@ -1563,17 +1583,21 @@ def q_roll_delete_only(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_del").cast("long").alias("n_deleted"),
         )
     )
-    fired = sorted(
-        int(r["cell"])
-        for r in index_compact_report(delcells)
+    # the compact report's catalog-grain collect (over the OLD corpus)
+    # and the survivor panel's checkpoint (over the surv checkpoint
+    # above) are independent eager actions — one overlapped wave
+    # instead of two serialized job floors (guide §2.6, round 17;
+    # plans unchanged)
+    compact_rows, probes = run_overlapped(
+        lambda: index_compact_report(delcells)
         .filter(F.col("compact") == 1)
-        .collect()
+        .collect(),
+        md5_panel(surv.select("vec_id", "embedding")).localCheckpoint,
     )
+    fired = sorted(int(r["cell"]) for r in compact_rows)
     cent2, seeds2, indexed2 = warm_index_cycle(
         surv, seeds1, indexed1, None, tomb, fired
     )
-
-    probes = md5_panel(surv.select("vec_id", "embedding")).localCheckpoint()
     v1 = _self_excluded_top1(
         frozen_route(probes, cent1, seeds1),
         tombstone_filter(indexed1, tomb),
@@ -1704,31 +1728,36 @@ def _dc2_frames(spark: SparkSession, sf_dir: str, checkpoint: bool = True):
         "vec_id",
         "left_semi",
     )
+    surv = tombstone_filter(old, tomb)
     if checkpoint:
-        adm_vecs = adm_vecs.localCheckpoint()
+        # adm_vecs and surv are independent (batch semi-join vs corpus
+        # anti-join; surv feeds TWO separately materialized chains —
+        # x2 below and the coarse retrain via merged — without the
+        # checkpoint the survivor anti-join scan executes twice, the
+        # round-12 lazy re-execution hazard), so wave 1 overlaps them
+        # (guide §2.6, round 17; plans unchanged)
+        adm_vecs, surv = run_overlapped(
+            adm_vecs.localCheckpoint, surv.localCheckpoint
+        )
     adm_routed = frozen_route(
         adm_vecs.select("vec_id", "embedding"), cent1, seeds1
     )
-    surv = tombstone_filter(old, tomb)
-    if checkpoint:
-        # surv feeds TWO separately materialized chains (x2 below and
-        # the coarse retrain via merged) — without this the survivor
-        # anti-join scan executes twice (round-16 self-review; the
-        # round-12 lazy re-execution hazard)
-        surv = surv.localCheckpoint()
     x2 = surv.unionByName(
         adm_routed.select(
             "vec_id", F.col("cell").alias("label"), "embedding"
         )
     )
-    if checkpoint:
-        x2 = x2.localCheckpoint()  # members feed panel, truth AND cand
     merged = surv.unionByName(adm_vecs)
     cent2 = frozen_centroids(merged)
     ckey = "cell" if "cell" in cent2.columns else "label"
     centn = cent2.select(F.col(ckey).alias("label"), "centroid")
     if checkpoint:
-        centn = centn.localCheckpoint()  # bounded |labels| rows
+        # wave 2: the gen-2 member union (feeds panel, truth AND cand)
+        # and the retrained coarse router (bounded |labels| rows) both
+        # read only wave-1 checkpoints — overlapped for the same reason
+        x2, centn = run_overlapped(
+            x2.localCheckpoint, centn.localCheckpoint
+        )
     return _dc_core(x2, centn, checkpoint)
 
 

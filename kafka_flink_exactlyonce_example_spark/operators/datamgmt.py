@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_flink_exactlyonce_example_spark.operators.overlap import MEMO_LOCK
 from kafka_flink_exactlyonce_example_spark.operators.scale import widen_small_scan
 from kafka_flink_exactlyonce_example_spark.registry import query
 from kafka_flink_exactlyonce_example_spark.sources import table
@@ -285,30 +286,32 @@ _CHAR_GRAMS_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _char_grams_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CHAR_GRAMS_CACHE:
-        # position explode + xxhash64 per char — widen the one-split
-        # toy scan so the gram build uses every core (no-op at scale)
-        docs = widen_small_scan(
-            table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-        )
-        _CHAR_GRAMS_CACHE[key] = (
-            docs.select(
-                "doc_id",
-                "lang",
-                "text",
-                F.explode(
-                    F.expr(
-                        f"sequence(1, greatest(length(text) - {_NGRAM} + 1, 0))"
+        with MEMO_LOCK:
+            if key not in _CHAR_GRAMS_CACHE:
+                # position explode + xxhash64 per char — widen the one-split
+                # toy scan so the gram build uses every core (no-op at scale)
+                docs = widen_small_scan(
+                    table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+                )
+                _CHAR_GRAMS_CACHE[key] = (
+                    docs.select(
+                        "doc_id",
+                        "lang",
+                        "text",
+                        F.explode(
+                            F.expr(
+                                f"sequence(1, greatest(length(text) - {_NGRAM} + 1, 0))"
+                            )
+                        ).alias("i"),
                     )
-                ).alias("i"),
-            )
-            .select(
-                "doc_id",
-                "lang",
-                F.xxhash64(F.expr(f"substring(text, i, {_NGRAM})")).alias("h"),
-            )
-            .distinct()
-            .localCheckpoint()
-        )
+                    .select(
+                        "doc_id",
+                        "lang",
+                        F.xxhash64(F.expr(f"substring(text, i, {_NGRAM})")).alias("h"),
+                    )
+                    .distinct()
+                    .localCheckpoint()
+                )
     return _CHAR_GRAMS_CACHE[key]
 
 

@@ -28,6 +28,10 @@ from kafka_flink_exactlyonce_example_spark.functions.similarity import (
     cosine_sql,
     dot,
 )
+from kafka_flink_exactlyonce_example_spark.operators.overlap import (
+    MEMO_LOCK,
+    memo_get,
+)
 from kafka_flink_exactlyonce_example_spark.operators.scale import widen_small_scan
 from kafka_flink_exactlyonce_example_spark.registry import plan_aux, query
 from kafka_flink_exactlyonce_example_spark.sources import table
@@ -508,7 +512,9 @@ def _jaccard_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization per session. Audit-time only (q_lsh_recall)."""
     key = _session_key(spark, sf_dir)
     if key not in _JACCARD_PAIRS_CACHE:
-        _JACCARD_PAIRS_CACHE[key] = _jaccard_edges(spark, sf_dir).localCheckpoint()
+        with MEMO_LOCK:
+            if key not in _JACCARD_PAIRS_CACHE:
+                _JACCARD_PAIRS_CACHE[key] = _jaccard_edges(spark, sf_dir).localCheckpoint()
     return _JACCARD_PAIRS_CACHE[key]
 
 
@@ -520,11 +526,13 @@ def _lsh_verified_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per (session, sf) for the CC family."""
     key = _session_key(spark, sf_dir)
     if key not in _LSH_EDGES_CACHE:
-        _LSH_EDGES_CACHE[key] = (
-            q_jaccard_pairs(spark, sf_dir)
-            .select("doc_a", "doc_b")
-            .localCheckpoint()
-        )
+        with MEMO_LOCK:
+            if key not in _LSH_EDGES_CACHE:
+                _LSH_EDGES_CACHE[key] = (
+                    q_jaccard_pairs(spark, sf_dir)
+                    .select("doc_a", "doc_b")
+                    .localCheckpoint()
+                )
     return _LSH_EDGES_CACHE[key]
 
 
@@ -693,13 +701,13 @@ def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     round, not two, thanks to the doc_b pre-partitioning.)
     """
     cache_key = _session_key(spark, sf_dir)
-    if cache_key in _DUP_LABELS_CACHE:
-        return _DUP_LABELS_CACHE[cache_key]
-    d = table(spark, sf_dir, "documents")
-    edges = _lsh_verified_edges(spark, sf_dir)  # materialized once/session
-    labels = _cc_min_label(spark, d, edges)
-    _DUP_LABELS_CACHE[cache_key] = labels
-    return labels
+
+    def _build() -> DataFrame:
+        d = table(spark, sf_dir, "documents")
+        edges = _lsh_verified_edges(spark, sf_dir)  # once per session
+        return _cc_min_label(spark, d, edges)
+
+    return memo_get(_DUP_LABELS_CACHE, cache_key, _build)
 
 
 def _cc_min_label(spark: SparkSession, d: DataFrame, edges: DataFrame) -> DataFrame:
@@ -873,18 +881,22 @@ _IVF_SEEDS_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _ivf_seeds_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _session_key(spark, sf_dir)
     if key not in _IVF_SEEDS_CACHE:
-        _IVF_SEEDS_CACHE[key] = _ivf_seeds(
-            table(spark, sf_dir, "embeddings")
-        ).localCheckpoint()
+        with MEMO_LOCK:
+            if key not in _IVF_SEEDS_CACHE:
+                _IVF_SEEDS_CACHE[key] = _ivf_seeds(
+                    table(spark, sf_dir, "embeddings")
+                ).localCheckpoint()
     return _IVF_SEEDS_CACHE[key]
 
 
 def _ivf_cells_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _session_key(spark, sf_dir)
     if key not in _IVF_CELLS_CACHE:
-        _IVF_CELLS_CACHE[key] = _ivf_cells(
-            table(spark, sf_dir, "embeddings")
-        ).localCheckpoint()
+        with MEMO_LOCK:
+            if key not in _IVF_CELLS_CACHE:
+                _IVF_CELLS_CACHE[key] = _ivf_cells(
+                    table(spark, sf_dir, "embeddings")
+                ).localCheckpoint()
     return _IVF_CELLS_CACHE[key]
 
 
@@ -901,27 +913,29 @@ _SEMDEDUP_SCORED_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _semdedup_scored_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _session_key(spark, sf_dir)
     if key not in _SEMDEDUP_SCORED_CACHE:
-        raw = table(spark, sf_dir, "embeddings")
-        e = _ivf_cells_for(spark, sf_dir)
-        dims = raw.select("label", F.posexplode("embedding").alias("dim", "v"))
-        cent = (
-            dims.groupBy("label", "dim")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
-            .groupBy("label")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(dim, m))), x -> x.m)"
-                ).alias("c")
-            )
-        )
-        scored = e.join(F.broadcast(cent), "label").select(
-            "vec_id",
-            "label",
-            "cell",
-            "embedding",
-            F.round(cosine(F.col("embedding"), F.col("c")), 6).alias("cosc"),
-        )
-        _SEMDEDUP_SCORED_CACHE[key] = scored.localCheckpoint()
+        with MEMO_LOCK:
+            if key not in _SEMDEDUP_SCORED_CACHE:
+                raw = table(spark, sf_dir, "embeddings")
+                e = _ivf_cells_for(spark, sf_dir)
+                dims = raw.select("label", F.posexplode("embedding").alias("dim", "v"))
+                cent = (
+                    dims.groupBy("label", "dim")
+                    .agg(F.avg(F.col("v").cast("double")).alias("m"))
+                    .groupBy("label")
+                    .agg(
+                        F.expr(
+                            "transform(array_sort(collect_list(struct(dim, m))), x -> x.m)"
+                        ).alias("c")
+                    )
+                )
+                scored = e.join(F.broadcast(cent), "label").select(
+                    "vec_id",
+                    "label",
+                    "cell",
+                    "embedding",
+                    F.round(cosine(F.col("embedding"), F.col("c")), 6).alias("cosc"),
+                )
+                _SEMDEDUP_SCORED_CACHE[key] = scored.localCheckpoint()
     return _SEMDEDUP_SCORED_CACHE[key]
 
 
@@ -984,9 +998,11 @@ _EMBED_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _embed_pairs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _session_key(spark, sf_dir)
     if key not in _EMBED_PAIRS_CACHE:
-        _EMBED_PAIRS_CACHE[key] = _embed_pairs_build(
-            _semdedup_scored_for(spark, sf_dir)
-        ).localCheckpoint()
+        with MEMO_LOCK:
+            if key not in _EMBED_PAIRS_CACHE:
+                _EMBED_PAIRS_CACHE[key] = _embed_pairs_build(
+                    _semdedup_scored_for(spark, sf_dir)
+                ).localCheckpoint()
     return _EMBED_PAIRS_CACHE[key]
 
 
@@ -1332,11 +1348,11 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint'ed once per (session, sf) — same policy as the
     Jaccard edge/label caches above."""
     key = _session_key(spark, sf_dir)
-    if key in _MINHASH_SIG_CACHE:
-        return _MINHASH_SIG_CACHE[key]
-    sigs = _build_minhash_signatures(spark, sf_dir).localCheckpoint()
-    _MINHASH_SIG_CACHE[key] = sigs
-    return sigs
+    return memo_get(
+        _MINHASH_SIG_CACHE,
+        key,
+        lambda: _build_minhash_signatures(spark, sf_dir).localCheckpoint(),
+    )
 
 
 def _build_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1392,14 +1408,14 @@ def shingles_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct chain running twice per consumer with no reuse, ~3 s of
     the 6 s q_gram_novelty cost at sf0.1."""
     key = _session_key(spark, sf_dir)
-    if key in _SHINGLES_CACHE:
-        return _SHINGLES_CACHE[key]
-    # shingling is per-row HOF + concat work — widen the one-split toy
-    # scan so it uses every core (no-op at scale; scale.py rationale)
-    d = widen_small_scan(table(spark, sf_dir, "documents"))
-    shingled = _shingles_frame(d).localCheckpoint()
-    _SHINGLES_CACHE[key] = shingled
-    return shingled
+
+    def _build() -> DataFrame:
+        # shingling is per-row HOF + concat work — widen the one-split
+        # toy scan so it uses every core (no-op at scale; scale.py)
+        d = widen_small_scan(table(spark, sf_dir, "documents"))
+        return _shingles_frame(d).localCheckpoint()
+
+    return memo_get(_SHINGLES_CACHE, key, _build)
 
 
 def _shingles_frame(d: DataFrame) -> DataFrame:
@@ -1437,11 +1453,13 @@ def _capped_bands_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_minhash_est, and the CC family each re-derived it); a session
     cache both fixes the leak and removes the repeated band window."""
     key = _session_key(spark, sf_dir)
-    if key in _BANDS_CACHE:
-        return _BANDS_CACHE[key]
-    bands = _capped_bands(_minhash_signatures(spark, sf_dir)).localCheckpoint()
-    _BANDS_CACHE[key] = bands
-    return bands
+    return memo_get(
+        _BANDS_CACHE,
+        key,
+        lambda: _capped_bands(
+            _minhash_signatures(spark, sf_dir)
+        ).localCheckpoint(),
+    )
 
 
 def _capped_bands(minhashes: DataFrame) -> DataFrame:

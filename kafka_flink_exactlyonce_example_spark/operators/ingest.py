@@ -69,6 +69,10 @@ from kafka_flink_exactlyonce_example_spark.operators.simsearch import (
     inc_index_build,
     warm_index_cycle,
 )
+from kafka_flink_exactlyonce_example_spark.operators.overlap import (
+    MEMO_LOCK,
+    run_overlapped,
+)
 from kafka_flink_exactlyonce_example_spark.registry import plan_aux, query
 from kafka_flink_exactlyonce_example_spark.sources import table
 
@@ -446,8 +450,10 @@ def _gate_frame(
     return _gate_variant(_gate_frame_dual(spark, sf_dir), survivors_only)
 
 
-#: (applicationId, sf_dir, survivors_only) → the MATERIALIZED gate
-#: verdict (round 16, optimization): the |batch|-bounded admission
+#: (applicationId, sf_dir) → the MATERIALIZED DUAL gate verdict (one
+#: build serves both variants; ADVICE r16 — the key carries no
+#: survivors_only component because the variants are projections of
+#: the same checkpoint): the |batch|-bounded admission
 #: relation is rebuilt per consumer — ~2.2 s of gate-chain work each
 #: time — by TWO queries per variant (q_ingest_gate + q_index_refresh
 #: on the standing scenario; q_generation_roll + q_derived_catalog2 on
@@ -468,9 +474,11 @@ def gate_flags_for(
     four consumers of both variants."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _GATE_FLAGS_CACHE:
-        _GATE_FLAGS_CACHE[key] = _gate_frame_dual(
-            spark, sf_dir
-        ).localCheckpoint()
+        with MEMO_LOCK:
+            if key not in _GATE_FLAGS_CACHE:
+                _GATE_FLAGS_CACHE[key] = _gate_frame_dual(
+                    spark, sf_dir
+                ).localCheckpoint()
     return _gate_variant(_GATE_FLAGS_CACHE[key], survivors_only)
 
 
@@ -883,8 +891,10 @@ def _gpt_plants_cached(
     # other caller's differently-filtered base (round-16 self-review)
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _GPT_PLANTS_CACHE:
-        base, _, _ = _tg_base(spark, sf_dir)
-        _GPT_PLANTS_CACHE[key] = _gpt_plants(base)
+        with MEMO_LOCK:
+            if key not in _GPT_PLANTS_CACHE:
+                base, _, _ = _tg_base(spark, sf_dir)
+                _GPT_PLANTS_CACHE[key] = _gpt_plants(base)
     return _GPT_PLANTS_CACHE[key]
 
 
@@ -1260,16 +1270,21 @@ def q_gate_post_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this grain) plus the batch slice; one checkpoint each halves
     # that (round 16, VERDICT r15 item 3 — bounded: |batch| + 16
     # rows; the plant chains stay under the plan guards via the
-    # standing ::plants aux, the batch slices are cached-scan reads)
-    qb = (
+    # standing ::plants aux, the batch slices are cached-scan reads).
+    # Round 17: the two probe-side checkpoints and the embedding-side
+    # scored checkpoint (same relation _gpt_scored(checkpoint=True)
+    # materializes — built lazily HERE on the main thread so its
+    # session-cache getters never resolve inside a thunk) share no
+    # inputs beyond the session caches, so the three eager jobs run as
+    # one overlapped wave (guide §2.6; plans unchanged).
+    qb, qsets, scored = run_overlapped(
         _tg_slice_bands(bands_all, batch_ids)
         .unionByName(bands_p)
-        .localCheckpoint()
-    )
-    qsets = (
+        .localCheckpoint,
         _tg_qsets(sets_all, batch_ids)
         .unionByName(qsets_p)
-        .localCheckpoint()
+        .localCheckpoint,
+        _gpt_scored(spark, sf_dir, checkpoint=False).localCheckpoint,
     )
     # ONE dual-cap candidate+verify pass serves BOTH text formulations
     # (round 17, VERDICT r16 next-round item 1 — was two full passes:
@@ -1374,7 +1389,6 @@ def q_gate_post_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to frozen_top1's tombstone-filtered LEFT join incl. its totality
     # contract (a fully-tombstoned cell surfaces as a NULL-sim row,
     # never a vanished probe; f_emb_v2 = 0 through the same coalesce).
-    scored = _gpt_scored(spark, sf_dir)
     w1 = Window.partitionBy("vec_id").orderBy(
         F.desc("sim_raw"), F.col("neighbor_id")
     )
@@ -1487,15 +1501,33 @@ def _fr_frames(spark: SparkSession, sf_dir: str, checkpoint: bool = True):
     new = tagged.filter(F.col("is_new")).select(
         "vec_id", "label", "embedding"
     )
-    cent1 = frozen_centroids(old)
+    if checkpoint:
+        # round 17 (VERDICT r16 item 9 — share only what is provably
+        # state-independent): the coarse-stage centroid relation is the
+        # per-label mean over the SAME frozen old corpus the shared
+        # inc-index cache trains on — it does not depend on the planted
+        # k (only the SEEDS differ between this key, q_fired_merge and
+        # the real quantizer) — so the executed chain reads the
+        # session-cached checkpoint instead of re-aggregating the
+        # corpus per run. The identical lazy derivation stays in the
+        # aux path below (checkpoint=False), so the guarded plan keeps
+        # the full centroid chain visible.
+        cent1, _seeds_real = inc_index_build(spark, sf_dir)
+    else:
+        cent1 = frozen_centroids(old)
     seeds1 = _fr_seeds(old)
     if checkpoint:
         seeds1 = seeds1.localCheckpoint()  # |labels| rows, 4 consumers
     indexed1 = _assign_to_seeds(old, seeds1)
     adm_routed = frozen_route(new.select("vec_id", "embedding"), cent1, seeds1)
     if checkpoint:
-        indexed1 = indexed1.localCheckpoint()  # fired + non-fired slices
-        adm_routed = adm_routed.localCheckpoint()  # report + 2 warm slices
+        # the posting assignment (fired + non-fired slices) and the
+        # routed batch (report + 2 warm slices) both depend only on
+        # the seeds1 checkpoint — one overlapped wave (guide §2.6,
+        # round 17; plans unchanged)
+        indexed1, adm_routed = run_overlapped(
+            indexed1.localCheckpoint, adm_routed.localCheckpoint
+        )
     return old, new, cent1, seeds1, indexed1, adm_routed
 
 
@@ -1750,29 +1782,40 @@ def q_fired_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_old",
         F.coalesce("n_admitted", F.lit(0)).alias("n_admitted"),
     )
-    t_max = (
-        cells.filter(F.col("n_admitted") >= 1)
-        .agg(F.max(F.col("n_old") + F.col("n_admitted")))
-        .first()[0]
-    )
-    if t_max is None:
-        # loud, not an opaque float(None) TypeError (the catalog-typo
-        # guard's convention): with zero admitted routings there is no
-        # grown cell, hence no defined trigger target and no fired
-        # branch to grade
-        raise ValueError(
-            "q_fired_rebuild: no cell received an admitted vector on "
-            f"{sf_dir} — the data-derived trigger target is undefined"
+    def _trigger():
+        # t_max → report checkpoint → fired collect is one dependent
+        # chain (|labels| rows: fired collect + census join)
+        t_max = (
+            cells.filter(F.col("n_admitted") >= 1)
+            .agg(F.max(F.col("n_old") + F.col("n_admitted")))
+            .first()[0]
         )
-    t = float(t_max) / 4.0
-    report = index_refresh_report(
-        oldcells, newcells, cell_target=t
-    ).localCheckpoint()  # |labels| rows: fired collect + census join
-    fired = sorted(
-        int(r["cell"])
-        for r in report.filter(F.col("rebuild") == 1).collect()
+        if t_max is None:
+            # loud, not an opaque float(None) TypeError (the
+            # catalog-typo guard's convention): with zero admitted
+            # routings there is no grown cell, hence no defined
+            # trigger target and no fired branch to grade
+            raise ValueError(
+                "q_fired_rebuild: no cell received an admitted vector "
+                f"on {sf_dir} — the data-derived trigger target is "
+                "undefined"
+            )
+        t = float(t_max) / 4.0
+        report = index_refresh_report(
+            oldcells, newcells, cell_target=t
+        ).localCheckpoint()
+        fired = sorted(
+            int(r["cell"])
+            for r in report.filter(F.col("rebuild") == 1).collect()
+        )
+        return t, report, fired
+
+    # the trigger chain reads the adm_routed/indexed1 checkpoints; the
+    # merged-corpus checkpoint (3 warm-cycle reads) reads only the raw
+    # tagged scan — independent, so the two overlap (guide §2.6)
+    (t, report, fired), merged = run_overlapped(
+        _trigger, old.unionByName(new).localCheckpoint
     )
-    merged = old.unionByName(new).localCheckpoint()  # 3 warm-cycle reads
     _cent2, _seeds2, indexed2 = warm_index_cycle(
         merged, seeds1, indexed1, adm_routed, None, fired, cell_target=t
     )
@@ -1834,8 +1877,12 @@ def _fm_frames(spark: SparkSession, sf_dir: str, checkpoint: bool = True):
 
     surv = tombstone_filter(old, tomb)
     if checkpoint:
-        indexed1 = indexed1.localCheckpoint()  # fired/non-fired slices
-        surv = surv.localCheckpoint()  # warm-cycle merged, 3 reads
+        # the posting assignment (fired/non-fired slices) and the
+        # survivor anti-join (warm-cycle merged, 3 reads) are
+        # independent — one overlapped wave (guide §2.6, round 17)
+        indexed1, surv = run_overlapped(
+            indexed1.localCheckpoint, surv.localCheckpoint
+        )
     return old, tomb, seeds1, indexed1, surv
 
 

@@ -30,6 +30,10 @@ from kafka_flink_exactlyonce_example_spark.operators.dedup import (
     _ivf_seeds_for,
     _md5_mod_col,
 )
+from kafka_flink_exactlyonce_example_spark.operators.overlap import (
+    MEMO_LOCK,
+    memo_get,
+)
 from kafka_flink_exactlyonce_example_spark.operators.scale import widen_small_scan
 from kafka_flink_exactlyonce_example_spark.registry import plan_aux, query
 from kafka_flink_exactlyonce_example_spark.sources import table
@@ -361,7 +365,9 @@ def _emb_count(spark: SparkSession, sf_dir: str) -> int:
     """Corpus row count, one parquet-metadata count per (session, sf)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _EMB_COUNT_CACHE:
-        _EMB_COUNT_CACHE[key] = table(spark, sf_dir, "embeddings").count()
+        with MEMO_LOCK:
+            if key not in _EMB_COUNT_CACHE:
+                _EMB_COUNT_CACHE[key] = table(spark, sf_dir, "embeddings").count()
     return _EMB_COUNT_CACHE[key]
 
 
@@ -515,26 +521,28 @@ def _signs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding > 0 else 0 — localCheckpoint'ed once per (session, sf)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SIGNS_CACHE:
-        # The L·MAX_BITS sign dots are interpreted higher-order-function
-        # work (~6k lambda evals/row) — widen the one-split toy scan so
-        # the build uses every core (measured 8.7 s -> 0.8 s at sf0.1;
-        # no-op at scale where the scan already has many splits).
-        emb = widen_small_scan(table(spark, sf_dir, "embeddings"))
-        flat = [
-            p
-            for t in range(_LSH_TABLES)
-            for p in _lsh_planes(t, _LSH_MAX_BITS)
-        ]
-        pdf = spark.createDataFrame([(flat,)], "planes: array<array<double>>")
-        sg = F.transform(
-            F.col("planes"),
-            lambda w: F.when(dot(F.col("embedding"), w) > 0, 1).otherwise(0),
-        )
-        _SIGNS_CACHE[key] = (
-            emb.crossJoin(F.broadcast(pdf))
-            .select("vec_id", sg.alias("sg"))
-            .localCheckpoint()
-        )
+        with MEMO_LOCK:
+            if key not in _SIGNS_CACHE:
+                # The L·MAX_BITS sign dots are interpreted higher-order-function
+                # work (~6k lambda evals/row) — widen the one-split toy scan so
+                # the build uses every core (measured 8.7 s -> 0.8 s at sf0.1;
+                # no-op at scale where the scan already has many splits).
+                emb = widen_small_scan(table(spark, sf_dir, "embeddings"))
+                flat = [
+                    p
+                    for t in range(_LSH_TABLES)
+                    for p in _lsh_planes(t, _LSH_MAX_BITS)
+                ]
+                pdf = spark.createDataFrame([(flat,)], "planes: array<array<double>>")
+                sg = F.transform(
+                    F.col("planes"),
+                    lambda w: F.when(dot(F.col("embedding"), w) > 0, 1).otherwise(0),
+                )
+                _SIGNS_CACHE[key] = (
+                    emb.crossJoin(F.broadcast(pdf))
+                    .select("vec_id", sg.alias("sg"))
+                    .localCheckpoint()
+                )
     return _SIGNS_CACHE[key]
 
 
@@ -571,7 +579,9 @@ _BUCKETS_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 def _buckets_cached(spark: SparkSession, sf_dir: str, bits: int) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, bits)
     if key not in _BUCKETS_CACHE:
-        _BUCKETS_CACHE[key] = _buckets_for(spark, sf_dir, bits).localCheckpoint()
+        with MEMO_LOCK:
+            if key not in _BUCKETS_CACHE:
+                _BUCKETS_CACHE[key] = _buckets_for(spark, sf_dir, bits).localCheckpoint()
     return _BUCKETS_CACHE[key]
 
 
@@ -603,15 +613,17 @@ def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound to a stopped SparkContext)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _NRM_CACHE:
-        emb = widen_small_scan(table(spark, sf_dir, "embeddings"))
-        _NRM_CACHE[key] = emb.select(
-            "vec_id",
-            F.expr(
-                "transform(embedding, v -> CAST(v AS DOUBLE) / sqrt("
-                "aggregate(transform(embedding, u -> CAST(u AS DOUBLE)"
-                " * CAST(u AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, u) -> a + u)))"
-            ).alias("ne"),
-        ).localCheckpoint()
+        with MEMO_LOCK:
+            if key not in _NRM_CACHE:
+                emb = widen_small_scan(table(spark, sf_dir, "embeddings"))
+                _NRM_CACHE[key] = emb.select(
+                    "vec_id",
+                    F.expr(
+                        "transform(embedding, v -> CAST(v AS DOUBLE) / sqrt("
+                        "aggregate(transform(embedding, u -> CAST(u AS DOUBLE)"
+                        " * CAST(u AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, u) -> a + u)))"
+                    ).alias("ne"),
+                ).localCheckpoint()
     return _NRM_CACHE[key]
 
 
@@ -900,33 +912,35 @@ def brute_topk_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     result instead of re-scoring |panel| × corpus pairs."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BRUTE_TOPK_CACHE:
-        nrm = _normalized(spark, sf_dir)
-        panel = _recall_panel(spark, sf_dir)
-        sim = F.aggregate(
-            F.zip_with("ea", "eb", lambda a, b_: a * b_),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        probes = F.broadcast(
-            nrm.join(panel, "vec_id", "left_semi").select(
-                "vec_id", F.col("ne").alias("ea")
-            )
-        )
-        ey = nrm.select(
-            F.col("vec_id").alias("neighbor_id"), F.col("ne").alias("eb")
-        )
-        rank_w = Window.partitionBy("vec_id").orderBy(
-            F.col("sim").desc(), F.col("neighbor_id")
-        )
-        _BRUTE_TOPK_CACHE[key] = (
-            ey.crossJoin(probes)
-            .filter(F.col("vec_id") != F.col("neighbor_id"))
-            .select("vec_id", "neighbor_id", sim.alias("sim"))
-            .withColumn("rn", F.row_number().over(rank_w))
-            .filter(F.col("rn") <= _RECALL_K)
-            .select("vec_id", "neighbor_id")
-            .localCheckpoint()
-        )
+        with MEMO_LOCK:
+            if key not in _BRUTE_TOPK_CACHE:
+                nrm = _normalized(spark, sf_dir)
+                panel = _recall_panel(spark, sf_dir)
+                sim = F.aggregate(
+                    F.zip_with("ea", "eb", lambda a, b_: a * b_),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                probes = F.broadcast(
+                    nrm.join(panel, "vec_id", "left_semi").select(
+                        "vec_id", F.col("ne").alias("ea")
+                    )
+                )
+                ey = nrm.select(
+                    F.col("vec_id").alias("neighbor_id"), F.col("ne").alias("eb")
+                )
+                rank_w = Window.partitionBy("vec_id").orderBy(
+                    F.col("sim").desc(), F.col("neighbor_id")
+                )
+                _BRUTE_TOPK_CACHE[key] = (
+                    ey.crossJoin(probes)
+                    .filter(F.col("vec_id") != F.col("neighbor_id"))
+                    .select("vec_id", "neighbor_id", sim.alias("sim"))
+                    .withColumn("rn", F.row_number().over(rank_w))
+                    .filter(F.col("rn") <= _RECALL_K)
+                    .select("vec_id", "neighbor_id")
+                    .localCheckpoint()
+                )
     return _BRUTE_TOPK_CACHE[key]
 
 
@@ -1250,13 +1264,15 @@ def inc_indexed1_for(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _INC_INDEXED1_CACHE:
-        _cent1, seeds1 = inc_index_build(spark, sf_dir)
-        old = _inc_tagged(spark, sf_dir).filter(~F.col("is_new")).select(
-            "vec_id", "label", "embedding"
-        )
-        _INC_INDEXED1_CACHE[key] = _assign_to_seeds(
-            old, seeds1
-        ).localCheckpoint()
+        with MEMO_LOCK:
+            if key not in _INC_INDEXED1_CACHE:
+                _cent1, seeds1 = inc_index_build(spark, sf_dir)
+                old = _inc_tagged(spark, sf_dir).filter(~F.col("is_new")).select(
+                    "vec_id", "label", "embedding"
+                )
+                _INC_INDEXED1_CACHE[key] = _assign_to_seeds(
+                    old, seeds1
+                ).localCheckpoint()
     return _INC_INDEXED1_CACHE[key]
 
 
@@ -1973,8 +1989,10 @@ def inc_index_build(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     a named bench line item (session_caches: ``inc_ann_index``)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _INC_INDEX_CACHE:
-        cent, seeds = _inc_index_frames(spark, sf_dir)
-        _INC_INDEX_CACHE[key] = (cent.localCheckpoint(), seeds.localCheckpoint())
+        with MEMO_LOCK:
+            if key not in _INC_INDEX_CACHE:
+                cent, seeds = _inc_index_frames(spark, sf_dir)
+                _INC_INDEX_CACHE[key] = (cent.localCheckpoint(), seeds.localCheckpoint())
     return _INC_INDEX_CACHE[key]
 
 
@@ -2359,9 +2377,11 @@ def rebuild_churn_for(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = _session_key(spark, sf_dir)
     if key not in _CHURN_CACHE:
-        _CHURN_CACHE[key] = _rebuild_churn_frame(
-            spark, sf_dir
-        ).localCheckpoint()
+        with MEMO_LOCK:
+            if key not in _CHURN_CACHE:
+                _CHURN_CACHE[key] = _rebuild_churn_frame(
+                    spark, sf_dir
+                ).localCheckpoint()
     return _CHURN_CACHE[key]
 
 
@@ -3413,11 +3433,12 @@ def _pq_train(
     rounded Lloyd update; assignments = (vec_id, s, c, d2) under that
     codebook. Plan rationale in q_pq_codebook's docstring."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _PQ_CACHE:
-        return _PQ_CACHE[key]
-    cent1, a2 = _pq_train_frames(spark, sf_dir)
-    _PQ_CACHE[key] = (cent1.localCheckpoint(), a2.localCheckpoint())
-    return _PQ_CACHE[key]
+
+    def _build() -> tuple[DataFrame, DataFrame]:
+        cent1, a2 = _pq_train_frames(spark, sf_dir)
+        return (cent1.localCheckpoint(), a2.localCheckpoint())
+
+    return memo_get(_PQ_CACHE, key, _build)
 
 
 def _pq_train_frames(
@@ -3986,7 +4007,9 @@ def pca_model_for(spark: SparkSession, sf_dir: str) -> list:
     one execution of the ``pca_moments`` scan per (session, sf)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PCA_MODEL_CACHE:
-        _PCA_MODEL_CACHE[key] = pca_moments(spark, sf_dir).collect()
+        with MEMO_LOCK:
+            if key not in _PCA_MODEL_CACHE:
+                _PCA_MODEL_CACHE[key] = pca_moments(spark, sf_dir).collect()
     return _PCA_MODEL_CACHE[key]
 
 
@@ -4330,10 +4353,12 @@ def _cq_chain_for(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     oracle CTEs re-derive."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CQ_CHAIN_CACHE:
-        _CQ_CHAIN_CACHE[key] = _cq_train_chain(
-            table(spark, sf_dir, "embeddings"),
-            _persist=lambda df: df.localCheckpoint(),
-        )
+        with MEMO_LOCK:
+            if key not in _CQ_CHAIN_CACHE:
+                _CQ_CHAIN_CACHE[key] = _cq_train_chain(
+                    table(spark, sf_dir, "embeddings"),
+                    _persist=lambda df: df.localCheckpoint(),
+                )
     return _CQ_CHAIN_CACHE[key]
 
 
@@ -4350,10 +4375,12 @@ def _cq_cells_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     input is estimator-proof by construction)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CQ_CELLS_CACHE:
-        e = widen_small_scan(table(spark, sf_dir, "embeddings"))
-        _CQ_CELLS_CACHE[key] = cq_assign(
-            e, _cq_centroids_for(spark, sf_dir)
-        ).localCheckpoint()
+        with MEMO_LOCK:
+            if key not in _CQ_CELLS_CACHE:
+                e = widen_small_scan(table(spark, sf_dir, "embeddings"))
+                _CQ_CELLS_CACHE[key] = cq_assign(
+                    e, _cq_centroids_for(spark, sf_dir)
+                ).localCheckpoint()
     return _CQ_CELLS_CACHE[key]
 
 
@@ -4385,9 +4412,11 @@ def _cq_subseeds_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pinned by tests/test_ivf_cells.py."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CQ_SUBSEEDS_CACHE:
-        _CQ_SUBSEEDS_CACHE[key] = _ivf_seeds(
-            _cq_cells_as_label(spark, sf_dir)
-        ).localCheckpoint()
+        with MEMO_LOCK:
+            if key not in _CQ_SUBSEEDS_CACHE:
+                _CQ_SUBSEEDS_CACHE[key] = _ivf_seeds(
+                    _cq_cells_as_label(spark, sf_dir)
+                ).localCheckpoint()
     return _CQ_SUBSEEDS_CACHE[key]
 
 
@@ -4396,10 +4425,12 @@ def _cq_subcells_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (coarse cell, sub-cell) posting-list key q_ivf_adc scans."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CQ_SUBCELLS_CACHE:
-        _CQ_SUBCELLS_CACHE[key] = _assign_to_seeds(
-            _cq_cells_as_label(spark, sf_dir),
-            _cq_subseeds_for(spark, sf_dir),
-        ).localCheckpoint()
+        with MEMO_LOCK:
+            if key not in _CQ_SUBCELLS_CACHE:
+                _CQ_SUBCELLS_CACHE[key] = _assign_to_seeds(
+                    _cq_cells_as_label(spark, sf_dir),
+                    _cq_subseeds_for(spark, sf_dir),
+                ).localCheckpoint()
     return _CQ_SUBCELLS_CACHE[key]
 
 

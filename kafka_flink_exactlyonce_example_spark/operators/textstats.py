@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_flink_exactlyonce_example_spark.operators.overlap import memo_get
 from kafka_flink_exactlyonce_example_spark.registry import query
 from kafka_flink_exactlyonce_example_spark.sources import table
 
@@ -1432,10 +1433,11 @@ def _bigram_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus's own LM, localCheckpoint'ed once per (session, sf). Plan
     rationale in q_bigram_ppl's docstring."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _BIGRAM_CE_CACHE:
-        return _BIGRAM_CE_CACHE[key]
-    _BIGRAM_CE_CACHE[key] = _bigram_ce_frame(spark, sf_dir).localCheckpoint()
-    return _BIGRAM_CE_CACHE[key]
+    return memo_get(
+        _BIGRAM_CE_CACHE,
+        key,
+        lambda: _bigram_ce_frame(spark, sf_dir).localCheckpoint(),
+    )
 
 
 def _bigram_ce_frame(spark: SparkSession, sf_dir: str) -> DataFrame:

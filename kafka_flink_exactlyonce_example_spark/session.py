@@ -40,10 +40,14 @@ _SESSION_CONFS = {
 #: @query wrapper and every table() load calls ensure_session_confs;
 #: the five conf.get round-trips cost ~5-10 ms per call, which across a
 #: ~300-query bench (2-4 calls per query) summed to seconds of pure
-#: py4j chatter (round 16, OPTIMIZATION_r16.md). The enforced confs are
-#: not runtime-toggled anywhere (tests only flip shuffle width and
-#: broadcast threshold, which are deliberately NOT in this set), so one
-#: enforcement per application is the same guarantee.
+#: py4j chatter (round 16, OPTIMIZATION_r16.md). Caveat the memo adds
+#: (ADVICE r16): enforcement no longer self-heals a mid-session
+#: mutation of an enforced conf. Tests mostly flip confs OUTSIDE this
+#: set (shuffle width, broadcast threshold); the one exception,
+#: tests/test_skew.py, toggles adaptive.coalescePartitions.enabled and
+#: restores it in a ``finally`` — any future test that mutates an
+#: enforced conf must likewise restore it (or discard _CONFS_ENFORCED
+#: for the app id), because nothing re-enforces it afterwards.
 _CONFS_ENFORCED: set[str] = set()
 
 

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, TimestampNTZType
 
+from kafka_flink_exactlyonce_example_spark.operators.overlap import memo_get
 from kafka_flink_exactlyonce_example_spark.session import ensure_session_confs
 
 TABLES = (
@@ -49,6 +50,11 @@ TABLES = (
 #: never serve a plan bound to a dead context. The catalog's fixture
 #: files are immutable per path (testdata SFs and one-shot tmp-dir
 #: fixtures), which is what makes the captured file listing safe.
+#: FAILURE MODE IF VIOLATED (ADVICE r16): rewriting or appending to a
+#: path within one session silently serves the stale listing — a test
+#: that must mutate a fixture path in place should pop the affected
+#: keys from this dict (or use a fresh tmp path, the current
+#: convention everywhere).
 _TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
@@ -58,21 +64,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
     ensure_session_confs(spark)
     key = (spark.sparkContext.applicationId, sf_dir, name)
-    memo = _TABLE_MEMO.get(key)
-    if memo is not None:
-        return memo
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, LongType):
-            # ns → µs truncation, identical to DuckDB's coercion of the column.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        elif isinstance(ts_type, TimestampNTZType):
-            # belt-and-braces: if a caller-built session read the file
-            # before our confs applied, align to the one timestamp type.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    _TABLE_MEMO[key] = df
-    return df
+
+    def _load() -> DataFrame:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            ts_type = df.schema["ts"].dataType
+            if isinstance(ts_type, LongType):
+                # ns → µs truncation, identical to DuckDB's coercion of
+                # the column.
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+                )
+            elif isinstance(ts_type, TimestampNTZType):
+                # belt-and-braces: if a caller-built session read the
+                # file before our confs applied, align to the one
+                # timestamp type.
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
+
+    return memo_get(_TABLE_MEMO, key, _load)
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
